@@ -1,0 +1,319 @@
+"""Deduplication operators over ``documents``: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Spark-first design:
+
+* Exact dedup = hash aggregate on the dedup key (one shuffle).
+* MinHash = higher-order array expressions (split -> shingle ->
+  md5-per-seed -> array_min), all inside whole-stage codegen; LSH
+  banding turns the O(n^2) pair search into an equi-join on band
+  hashes — the join key IS the bucket, so at 100 TB it is one shuffle
+  on band_hash with AQE skew handling, never a cross join.
+* SimHash = explode(token x bit) -> two hash aggregates — pure
+  relational, linear in corpus size.
+* Portability: every hash is md5 (identical across engines); MinHash
+  compares md5 hex strings lexicographically, so signatures match the
+  DuckDB oracle bit-for-bit.
+
+Reference parity note: the reference has no dedup operators (SURVEY.md
+§2.7); these are the §7.2-item-4 LLM-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.tables import load
+
+N_HASHES = 8          # minhash signature length
+N_BANDS = 4           # LSH bands (2 rows per band)
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 24     # bits drawn from the first 6 md5 hex digits
+
+
+# ---------------------------------------------------------------- exact
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS dup_count
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    doc="Exact dedup: group by content hash, keep the lowest doc_id "
+        "(deterministic representative; dropDuplicates would pick an "
+        "arbitrary row).",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+         .agg(F.min("doc_id").alias("keep_doc_id"),
+              F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, shingles: array<string>) distinct 3-token
+    shingles. Docs shorter than 3 tokens are excluded (none in the
+    testdata; the guard keeps sequence() from going descending)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        d.withColumn("toks", toks)
+         .filter(F.size("toks") >= 3)
+         .select(
+             "doc_id",
+             F.array_distinct(F.expr(
+                 "transform(sequence(0, size(toks) - 3),"
+                 " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+             )).alias("shingles"))
+    )
+
+
+_SQL_SHINGLED = """
+  shingled AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+           )) AS shingles
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  )
+"""
+
+
+def _minhash_cols() -> list[Column]:
+    return [
+        F.expr(f"array_min(transform(shingles, s -> md5(cast('{i}|' || s AS BINARY))))")
+            .alias(f"sig_{i}")
+        for i in range(N_HASHES)
+    ]
+
+
+def _sql_minhash_cols() -> str:
+    return ",\n".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS sig_{i}"
+        for i in range(N_HASHES)
+    )
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+        WITH {_SQL_SHINGLED}
+        SELECT doc_id, {_sql_minhash_cols()}
+        FROM shingled
+    """,
+    doc="MinHash signatures (8 md5-seeded min-hashes over distinct "
+        "3-token shingles). Checked bit-for-bit against the oracle — "
+        "verifies the whole shingle->hash->min pipeline.",
+    tags=("dedup", "minhash"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingled(spark, sf_dir).select("doc_id", *_minhash_cols())
+
+
+def _band_hash(b: int) -> Column:
+    lo, hi = 2 * b, 2 * b + 1
+    return F.md5(F.concat(F.col(f"sig_{lo}"), F.col(f"sig_{hi}")).cast("binary"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH {_SQL_SHINGLED},
+        sigs AS (
+          SELECT doc_id, shingles, {_sql_minhash_cols()}
+          FROM shingled
+        ),
+        bands AS (
+          {" UNION ALL ".join(
+              f"SELECT doc_id, {b} AS band_idx, md5(sig_{2*b} || sig_{2*b+1}) AS band_hash FROM sigs"
+              for b in range(N_BANDS))}
+        ),
+        cands AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+           AND x.doc_id < y.doc_id
+        ),
+        shing AS (SELECT doc_id, unnest(shingles) AS shingle FROM sigs),
+        cnt AS (SELECT doc_id, len(shingles) AS n FROM sigs),
+        inter AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM shing x JOIN shing y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter) AS jaccard
+        FROM cands c
+        JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN cnt ca ON ca.doc_id = c.doc_a
+        JOIN cnt cb ON cb.doc_id = c.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter) >= {JACCARD_THRESHOLD}
+    """,
+    doc="MinHash+LSH near-dup pairs: band the signatures (4 bands x 2 "
+        "rows), equi-join on band hash to get candidates, verify exact "
+        "Jaccard >= 0.5 on shingle sets. Jaccard is an int/int division "
+        "(engine-exact).",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _shingled(spark, sf_dir).select("doc_id", "shingles", *_minhash_cols())
+    bands = None
+    for b in range(N_BANDS):
+        piece = sigs.select("doc_id", F.lit(b).alias("band_idx"),
+                            _band_hash(b).alias("band_hash"))
+        bands = piece if bands is None else bands.unionByName(piece)
+    x, y = bands.alias("x"), bands.alias("y")
+    cands = (
+        x.join(y, (F.col("x.band_idx") == F.col("y.band_idx"))
+                  & (F.col("x.band_hash") == F.col("y.band_hash"))
+                  & (F.col("x.doc_id") < F.col("y.doc_id")))
+         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+         .distinct()
+    )
+    shing = sigs.select("doc_id", F.explode("shingles").alias("shingle"))
+    cnt = sigs.select("doc_id", F.size("shingles").alias("n"))
+    sx, sy = shing.alias("sx"), shing.alias("sy")
+    inter = (
+        sx.join(sy, (F.col("sx.shingle") == F.col("sy.shingle"))
+                    & (F.col("sx.doc_id") < F.col("sy.doc_id")))
+          .groupBy(F.col("sx.doc_id").alias("doc_a"), F.col("sy.doc_id").alias("doc_b"))
+          .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    jaccard = F.col("n_inter").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("n_inter"))
+    return (
+        cands.join(inter, ["doc_a", "doc_b"])
+             .join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+             .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+             .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ------------------------------------------------------ n-gram jaccard
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {_SQL_SHINGLED},
+        shing AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+        cnt AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+        inter AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM shing x JOIN shing y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN cnt ca ON ca.doc_id = i.doc_a
+        JOIN cnt cb ON cb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter) >= 0.2
+    """,
+    doc="Exact n-gram Jaccard pairs (threshold 0.2) via the inverted "
+        "shingle->doc join — the exact counterpart the LSH variant "
+        "approximates. At 100 TB you gate this behind LSH; the join "
+        "itself only pairs docs sharing a shingle, never all pairs.",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    shing = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    cnt = sh.select("doc_id", F.size("shingles").alias("n"))
+    sx, sy = shing.alias("sx"), shing.alias("sy")
+    inter = (
+        sx.join(sy, (F.col("sx.shingle") == F.col("sy.shingle"))
+                    & (F.col("sx.doc_id") < F.col("sy.doc_id")))
+          .groupBy(F.col("sx.doc_id").alias("doc_a"), F.col("sy.doc_id").alias("doc_b"))
+          .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    jaccard = F.col("n_inter").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("n_inter"))
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+             .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+             .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+             .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+def _hex_val(expr: str, pos: int) -> str:
+    """SQL for the value (0-15) of hex digit `pos` (1-based) of md5(expr).
+    Identical text works on both engines (instr/strpos alias below)."""
+    return f"(strpos('0123456789abcdef', substr(md5({expr}), {pos}, 1)) - 1)"
+
+
+def _token_hash_sql(token_expr: str) -> str:
+    """First 6 md5 hex digits of the token -> 24-bit integer, built from
+    portable string ops only (no hex-cast builtin needed)."""
+    parts = [_hex_val(token_expr, i) for i in range(1, 7)]
+    h = parts[0]
+    for p in parts[1:]:
+        h = f"({h} * 16 + {p})"
+    return h
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents
+        ),
+        hashes AS (
+          SELECT doc_id, {_token_hash_sql('tok')} AS h FROM toks
+        ),
+        votes AS (
+          SELECT doc_id, b.bit AS bit,
+                 SUM(CASE WHEN (h // (1 << b.bit)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM hashes
+          CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit) b
+          GROUP BY doc_id, b.bit
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM votes
+        GROUP BY doc_id
+    """,
+    doc="SimHash (24-bit, md5-derived token hashes): per-bit majority "
+        "vote over the distinct token set, fully relational "
+        "(explode x bits -> two hash aggregates). Near-dup = small "
+        "hamming distance between simhash values.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id",
+                 F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    )
+    # Spark's strpos is `instr`; keep expression shape identical otherwise.
+    h_sql = _token_hash_sql("tok").replace("strpos", "instr").replace("substr(md5(tok)", "substr(md5(cast(tok as binary))")
+    hashes = toks.select("doc_id", F.expr(h_sql).alias("h"))
+    votes = (
+        hashes.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"))
+              .groupBy("doc_id", "bit")
+              .agg(F.sum(F.when(F.expr("(h div shiftleft(1, bit)) % 2 = 1"), 1)
+                          .otherwise(-1)).alias("vote"))
+    )
+    return (
+        votes.groupBy("doc_id")
+             .agg(F.sum(F.when(F.col("vote") > 0,
+                               F.expr(f"shiftleft(cast(1 as bigint), bit)"))
+                         .otherwise(F.lit(0).cast("bigint"))).alias("simhash"))
+    )

@@ -1,0 +1,211 @@
+"""Similarity search over the ``embeddings`` table
+(``array<float>``, 64-dim).
+
+Spark-first design:
+
+* Dot products / norms are higher-order array expressions
+  (``zip_with`` + ``aggregate``) — JVM-side, no Python. The fold is
+  left-to-right, which makes the double accumulation bit-identical to
+  the DuckDB oracle's ``list_reduce`` fold (both start at +0.0 and add
+  in index order), so cosine values hash-match exactly.
+* Brute-force top-k broadcasts the (tiny) query vector and plans
+  TakeOrderedAndProject — per-partition heaps, no global sort. This is
+  the O(n) baseline.
+* The scale path is sign-LSH bucketing: an 8-bit hyperplane sketch
+  (signs of the leading components) becomes the bucket key, the search
+  touches one bucket — at 100 TB the bucket is a partition-prunable
+  key, and the candidate set shrinks ~256x before any arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.tables import load
+
+QUERY_VEC_ID = 0   # deterministic "query point": vector with vec_id=0
+LSH_BITS = 8       # sign-LSH sketch width
+
+
+def dot(a: str, b: str) -> Column:
+    """Sequential-fold dot product (bit-deterministic, see module doc)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> cast(x as double) * cast(y as double)),"
+        f" 0D, (acc, v) -> acc + v)")
+
+
+def sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),"
+        f" (acc, v) -> acc + v)")
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"{sql_dot(a, b)} / (SQRT({sql_dot(a, a)}) * SQRT({sql_dot(b, b)}))"
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+        SELECT vec_id, label,
+               SQRT({sql_dot('embedding', 'embedding')}) AS l2_norm
+        FROM embeddings
+    """,
+    doc="L2 norms via the deterministic fold — the building block every "
+        "similarity op shares.",
+    tags=("similarity",),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label",
+                    F.sqrt(dot("embedding", "embedding")).alias("l2_norm"))
+
+
+@query(
+    "knn_brute_force",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+        SELECT e.vec_id, e.label,
+               {sql_cosine('e.embedding', 'q.qv')} AS cosine_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine_sim DESC, e.vec_id
+        LIMIT 10
+    """,
+    doc="Brute-force cosine top-10 for a fixed query vector: broadcast "
+        "the 1-row query side, TakeOrderedAndProject for the top-k.",
+    tags=("similarity", "knn"),
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") == QUERY_VEC_ID)
+          .select(F.col("embedding").alias("qv")))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+         .crossJoin(F.broadcast(q))
+         .select("vec_id", "label", cosine("embedding", "qv").alias("cosine_sim"))
+         .orderBy(F.col("cosine_sim").desc(), "vec_id")
+         .limit(10)
+    )
+
+
+def _bucket(col: str) -> Column:
+    """Sign-LSH sketch: bit i set iff component i+1 > 0."""
+    return F.expr(
+        f"aggregate(sequence(1, {LSH_BITS}), 0,"
+        f" (acc, i) -> acc + IF(element_at({col}, i) > 0,"
+        f" shiftleft(1, i - 1), 0))")
+
+
+def _sql_bucket(col: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0, list_transform("
+        f"generate_series(1, {LSH_BITS}),"
+        f" i -> CASE WHEN {col}[i] > 0.0 THEN (1 << (i - 1)) ELSE 0 END)),"
+        f" (acc, v) -> acc + v)")
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"""
+        SELECT {_sql_bucket('embedding')} AS bucket,
+               COUNT(*) AS vec_count,
+               MIN(vec_id) AS min_vec_id
+        FROM embeddings
+        GROUP BY 1
+    """,
+    doc="Sign-LSH bucket histogram — validates the hyperplane sketch "
+        "that partitions the ANN index.",
+    tags=("similarity", "lsh"),
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy(_bucket("embedding").alias("bucket"))
+         .agg(F.count(F.lit(1)).alias("vec_count"),
+              F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@query(
+    "ann_lsh_search",
+    oracle=f"""
+        WITH b AS (
+          SELECT vec_id, label, embedding,
+                 {_sql_bucket('embedding')} AS bucket
+          FROM embeddings
+        ), q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+        SELECT b.vec_id, b.label,
+               {sql_cosine('b.embedding', 'q.qv')} AS cosine_sim
+        FROM b CROSS JOIN q
+        WHERE b.bucket = q.qbucket AND b.vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine_sim DESC, b.vec_id
+        LIMIT 5
+    """,
+    doc="ANN search: prune to the query's LSH bucket (equi-predicate -> "
+        "partition pruning at scale), then exact cosine re-rank of the "
+        "~n/256 survivors.",
+    tags=("similarity", "lsh", "knn"),
+)
+def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").withColumn("bucket", _bucket("embedding"))
+    q = (e.filter(F.col("vec_id") == QUERY_VEC_ID)
+          .select(F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")))
+    return (
+        e.crossJoin(F.broadcast(q))
+         .filter((F.col("bucket") == F.col("qbucket"))
+                 & (F.col("vec_id") != QUERY_VEC_ID))
+         .select("vec_id", "label", cosine("embedding", "qv").alias("cosine_sim"))
+         .orderBy(F.col("cosine_sim").desc(), "vec_id")
+         .limit(5)
+    )
+
+
+@query(
+    "knn_per_label",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+        scored AS (
+          SELECT e.vec_id, e.label,
+                 {sql_cosine('e.embedding', 'q.qv')} AS cosine_sim
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT label, vec_id, cosine_sim, rn
+        FROM (
+          SELECT label, vec_id, cosine_sim,
+                 ROW_NUMBER() OVER (PARTITION BY label
+                                    ORDER BY cosine_sim DESC, vec_id) AS rn
+          FROM scored
+        )
+        WHERE rn <= 3
+    """,
+    doc="IVF-style partitioned search: top-3 neighbors within every "
+        "coarse cell (label), via one window pass over the scored set.",
+    tags=("similarity", "knn", "window"),
+)
+def knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    e = load(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") == QUERY_VEC_ID)
+          .select(F.col("embedding").alias("qv")))
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+         .crossJoin(F.broadcast(q))
+         .select("label", "vec_id", cosine("embedding", "qv").alias("cosine_sim"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cosine_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 3)
+              .select("label", "vec_id", "cosine_sim", "rn")
+    )

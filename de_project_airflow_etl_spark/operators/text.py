@@ -1,0 +1,184 @@
+"""Text analysis over the ``documents`` table: token stats, quality
+scoring, language ID (stopword heuristic), fingerprinting.
+
+Everything is expression-level (split / higher-order functions / md5)
+— whole-stage-codegen'd, no Python per row, embarrassingly parallel at
+100 TB (pure map, zero shuffles except final aggregates).
+
+Determinism: token arithmetic is integer; ratios are a single double
+division (IEEE-identical on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.tables import load
+
+# Tiny deterministic stopword lists per language for the heuristic
+# language scorer. The point is the *operator shape* (vocabulary-overlap
+# scoring), not linguistic accuracy.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "on"),
+    "es": ("el", "la", "de", "y", "en", "es", "un", "una"),
+    "fr": ("le", "la", "de", "et", "en", "est", "un", "une"),
+    "de": ("der", "die", "das", "und", "in", "ist", "ein", "eine"),
+}
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _sql_in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+        SELECT doc_id,
+               LENGTH(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS distinct_ratio,
+               CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS avg_token_len
+        FROM documents
+    """,
+    doc="Token counting + lexical-diversity stats (whitespace tokenizer).",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+         / n_tokens).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                 LENGTH(text) AS n_chars
+          FROM documents
+        )
+        SELECT doc_id, lang, n_tokens,
+               (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 40 ELSE 0 END
+                + CASE WHEN n_chars >= 100 THEN 30 ELSE 0 END
+                + CAST(ROUND(30.0 * n_distinct / n_tokens) AS INT)) AS quality_score
+        FROM t
+    """,
+    doc="Heuristic quality score: length gates + lexical diversity "
+        "(integer-valued, engine-portable).",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_chars = F.length("text")
+    score = (
+        F.when(n_tokens.between(20, 1000), 40).otherwise(0)
+        + F.when(n_chars >= 100, 30).otherwise(0)
+        + F.round(F.lit(30.0) * n_distinct / n_tokens).cast("int")
+    )
+    return d.select("doc_id", "lang", n_tokens.alias("n_tokens"),
+                    score.alias("quality_score"))
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_arr, t)))
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, lang, n_tokens,
+                 len(list_filter(toks, x -> x IN ({_sql_in_list(STOPWORDS['en'])}))) AS hits_en,
+                 len(list_filter(toks, x -> x IN ({_sql_in_list(STOPWORDS['es'])}))) AS hits_es,
+                 len(list_filter(toks, x -> x IN ({_sql_in_list(STOPWORDS['fr'])}))) AS hits_fr,
+                 len(list_filter(toks, x -> x IN ({_sql_in_list(STOPWORDS['de'])}))) AS hits_de
+          FROM t
+        )
+        SELECT doc_id, lang,
+               CASE GREATEST(hits_en, hits_es, hits_fr, hits_de)
+                 WHEN 0 THEN 'unknown'
+                 WHEN hits_en THEN 'en'
+                 WHEN hits_es THEN 'es'
+                 WHEN hits_fr THEN 'fr'
+                 ELSE 'de' END AS predicted_lang,
+               CAST(GREATEST(hits_en, hits_es, hits_fr, hits_de) AS DOUBLE)
+                 / n_tokens AS stopword_ratio
+        FROM scored
+    """,
+    doc="Language ID via stopword-overlap scoring (argmax with a fixed "
+        "precedence order for ties).",
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    hits = {lang: _stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best == 0, "unknown")
+         .when(best == hits["en"], "en")
+         .when(best == hits["es"], "es")
+         .when(best == hits["fr"], "fr")
+         .otherwise("de")
+    )
+    return d.select(
+        "doc_id", "lang",
+        pred.alias("predicted_lang"),
+        (best.cast("double") / F.size(toks)).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS exact_md5,
+               md5(array_to_string(
+                     list_sort(list_distinct(string_split(text, ' '))),
+                     ' ')) AS shuffle_invariant_fingerprint
+        FROM documents
+    """,
+    doc="Document fingerprinting: exact md5 + an order-invariant "
+        "fingerprint (sorted distinct token set) that survives token "
+        "shuffling — the cheap first stage of a dedup cascade.",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("exact_md5"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).cast("binary"))
+            .alias("shuffle_invariant_fingerprint"),
+    )

@@ -1,0 +1,166 @@
+"""The launch-events pipeline, Spark-native end to end.
+
+Reference parity map (SURVEY.md §2, file:line cites into
+/root/reference/):
+
+* ``ingest``     = S1+K1: incremental fetch -> idempotent raw JSON put
+  (dags/rocket_launch_etl.py:24-63). Fetch is pluggable: a callable
+  returning the API payload (tests inject fixtures; production wires a
+  requests-based fetcher — driver-side, exactly like the reference).
+* ``transform``  = S2+T1-T4+K2: raw JSON -> explode results ->
+  nested-path projection/rename -> to_date(net) -> silver parquet
+  partitioned by net (dags/rocket_launch_etl.py:65-111). Where the
+  reference needs ``pd.json_normalize``, Spark reads nested structs
+  natively; the whole normalize step disappears into ``select``.
+* ``publish``    = S3+T5+K3: partition-pruned read of one day ->
+  gold parquet (dags/rocket_launch_etl.py:113-140).
+* ``register_table`` = D1-D3: external partitioned table over gold +
+  partition-metadata sync (src/sql/ddl/launch_events.sql:1-14,
+  src/sql/sync/launch_events.sql:1-2). ``MSCK REPAIR`` replaces
+  Trino's ``sync_partition_metadata``.
+* ``daily_launch_events`` = A1-A3: the flagship COUNT(DISTINCT) query
+  (src/sql/query/daily_launch_events.sql:1-5).
+
+Re-run semantics: silver/gold writes use dynamic partition overwrite,
+so re-running an interval replaces exactly that partition (upgrade over
+the reference's append-on-rerun, SURVEY.md §7.4 — deliberate
+divergence, documented).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+log = logging.getLogger(__name__)
+
+# Explicit raw schema (FIXTURES.md §1) — permissive inference would let
+# a day where every record lacks `image` silently drop the nested path
+# (SURVEY.md §7.4 hard-part #1).
+RAW_LAUNCH_SCHEMA = T.StructType([
+    T.StructField("count", T.LongType()),
+    T.StructField("next", T.StringType()),
+    T.StructField("previous", T.StringType()),
+    T.StructField("results", T.ArrayType(T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("status", T.StructType([
+            T.StructField("name", T.StringType()),
+        ])),
+        T.StructField("image", T.StructType([
+            T.StructField("image_url", T.StringType()),
+            T.StructField("license", T.StructType([
+                T.StructField("name", T.StringType()),
+            ])),
+        ])),
+        T.StructField("net", T.StringType()),
+    ]))),
+])
+
+GOLD_COLUMNS = ("id", "url", "name", "status", "image_url", "license", "net")
+
+PayloadFetcher = Callable[[str], dict]
+
+
+class LaunchPipeline:
+    """Date-parameterized incremental pipeline over a local/posix lake
+    layout ``{base}/raw|processed|reports/launch`` (the reference's
+    three zones, s3://datalake/... -> file:// for tests; swap the base
+    for an s3a:// URI + fs.s3a.* session confs on a real cluster)."""
+
+    def __init__(self, spark: SparkSession, base_dir: str,
+                 table_name: str = "launch_events"):
+        self.spark = spark
+        self.base = base_dir
+        self.raw_dir = os.path.join(base_dir, "raw", "launch")
+        self.silver_dir = os.path.join(base_dir, "processed", "launch")
+        self.gold_dir = os.path.join(base_dir, "reports", "launch")
+        self.table_name = table_name
+
+    # -- stage 1: ingest (S1 + K1) ------------------------------------
+    def ingest(self, run_date: str, fetch: PayloadFetcher) -> str:
+        """Fetch the day's payload and put it in the raw zone,
+        idempotently (skip if the key exists — reference behavior,
+        dags/rocket_launch_etl.py:53-63)."""
+        os.makedirs(self.raw_dir, exist_ok=True)
+        path = os.path.join(self.raw_dir, f"{run_date}.json")
+        if os.path.exists(path):
+            log.info("raw key exists, skipping upload: %s", path)
+            return path
+        payload = fetch(run_date)
+        with open(path, "w") as f:
+            json.dump(payload, f)
+        log.info("uploaded raw launch data: %s", path)
+        return path
+
+    # -- stage 2: transform (S2 + T1-T4 + K2) -------------------------
+    def transform(self, run_date: str) -> None:
+        raw_path = os.path.join(self.raw_dir, f"{run_date}.json")
+        raw = (self.spark.read
+               .schema(RAW_LAUNCH_SCHEMA)
+               .option("multiLine", True)   # one document per file
+               .json(raw_path))
+        flat = (
+            raw.select(F.explode("results").alias("r"))    # T1 unnest
+               .select(                                     # T2+T3 project/rename
+                   F.col("r.id").alias("id"),
+                   F.col("r.url").alias("url"),
+                   F.col("r.name").alias("name"),
+                   F.col("r.status.name").alias("status"),
+                   F.col("r.image.image_url").alias("image_url"),
+                   F.col("r.image.license.name").alias("license"),
+                   F.to_date(F.to_timestamp("r.net")).alias("net"),  # T4 cast
+               )
+        )
+        (flat.write
+             .partitionBy("net")          # K2: hive-layout net=YYYY-MM-DD/
+             .mode("overwrite")           # dynamic -> replaces only touched partitions
+             .parquet(self.silver_dir))
+        log.info("silver partition written for %s", run_date)
+
+    # -- stage 3: publish / sign-off (S3 + T5 + K3) -------------------
+    def publish(self, run_date: str) -> None:
+        silver = self.spark.read.parquet(self.silver_dir)
+        day = silver.filter(F.col("net") == F.lit(run_date).cast("date"))  # T5 -> partition pruning
+        (day.write
+            .partitionBy("net")
+            .mode("overwrite")
+            .parquet(self.gold_dir))
+        log.info("gold partition published for %s", run_date)
+
+    # -- catalog (D1-D3) ----------------------------------------------
+    def register_table(self) -> None:
+        """External partitioned table over gold + partition sync
+        (Trino `sync_partition_metadata` -> Spark `MSCK REPAIR`)."""
+        self.spark.sql(f"""
+            CREATE TABLE IF NOT EXISTS {self.table_name} (
+              id STRING COMMENT 'The unique identifier for the launch event',
+              url STRING, name STRING, status STRING,
+              image_url STRING, license STRING
+            )
+            USING PARQUET
+            PARTITIONED BY (net DATE)
+            LOCATION '{self.gold_dir}'
+        """)
+        self.spark.sql(f"MSCK REPAIR TABLE {self.table_name}")
+
+    # -- flagship query (A1-A3) ---------------------------------------
+    def daily_launch_events(self) -> DataFrame:
+        return (
+            self.spark.table(self.table_name)
+                .groupBy("net")
+                .agg(F.countDistinct("id").alias("event_count"))
+        )
+
+    # -- orchestration (O1-O3: linear stage chain per interval) -------
+    def run(self, run_date: str, fetch: PayloadFetcher) -> None:
+        self.ingest(run_date, fetch)
+        self.transform(run_date)
+        self.publish(run_date)

@@ -1,0 +1,59 @@
+"""Flagship query — the reference's entire analytics layer, generalized.
+
+The reference serves exactly one query (daily COUNT(DISTINCT id) per
+partition day, /root/reference/src/sql/query/daily_launch_events.sql:1-5,
+SURVEY.md §2.4 A1-A3). On the driver testdata the direct analog runs on
+the ``events`` table: group by event day, count distinct actors.
+
+Scale note: COUNT(DISTINCT) over a day-grouped table is a classic
+two-phase Catalyst expansion (partial distinct per partition, final
+merge). At 100 TB the exact form stays correct; ``approx_count_distinct``
+(HLL++) is registered separately for the sketch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.tables import load
+
+
+@query(
+    "daily_events",
+    oracle="""
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+               COUNT(DISTINCT user_id) AS user_count,
+               COUNT(*) AS event_count
+        FROM events
+        GROUP BY 1
+    """,
+    doc="Reference flagship analog (SURVEY §2.4 A1-A3): daily "
+        "count-distinct over the events stream table.",
+    tags=("aggregate", "flagship"),
+)
+def daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # date -> timestamp so both engines materialize the same pandas
+    # dtype (DuckDB's DATE arrives as datetime64 through Arrow anyway).
+    return (
+        ev.groupBy(F.to_date("ts").cast("timestamp").alias("event_date"))
+          .agg(F.countDistinct("user_id").alias("user_count"),
+               F.count(F.lit(1)).alias("event_count"))
+    )
+
+
+@query(
+    "daily_events_approx",
+    oracle=None,  # HLL++ sketch is engine-specific; rows-only check.
+    doc="100 TB-scale variant of the flagship: approx_count_distinct "
+        "(HyperLogLog++) replaces the exact two-phase distinct.",
+    tags=("aggregate", "sketch"),
+)
+def daily_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+          .agg(F.approx_count_distinct("user_id", 0.01).alias("user_count_approx"))
+    )

@@ -1,0 +1,212 @@
+"""Scalar function surface: string, date/time, math, JSON, null
+handling, arrays.
+
+Generalizes the reference's T3/T4 expressions (rename, timestamp->date
+cast, SURVEY.md §2.3). All JVM-side built-ins — these stay inside
+whole-stage codegen; no Python executes per row.
+
+Portability: only functions with engine-identical semantics are used in
+oracle-checked queries (no transcendentals — libm results differ in the
+last ULP between the JVM and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.tables import load
+
+
+@query(
+    "string_functions",
+    oracle="""
+        SELECT p_partkey,
+               UPPER(p_brand) AS brand_upper,
+               LOWER(p_type) AS type_lower,
+               LENGTH(p_name) AS name_len,
+               SUBSTR(p_name, 1, 8) AS name_prefix,
+               CONCAT(p_brand, ':', p_type) AS brand_type,
+               REPLACE(p_type, ' ', '_') AS type_slug,
+               TRIM(p_name) AS name_trimmed
+        FROM part
+        WHERE p_partkey <= 500
+    """,
+    doc="Core string functions (SURVEY §2.3 T2/T3 generalized).",
+    tags=("scalar", "string"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.trim("p_name").alias("name_trimmed"),
+    )
+
+
+@query(
+    "like_regexp_filter",
+    oracle="""
+        SELECT p_partkey, p_name, p_type,
+               regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last_word
+        FROM part
+        WHERE p_name LIKE '%gold%' OR regexp_matches(p_type, 'BRASS|COPPER')
+    """,
+    doc="LIKE and regexp predicates + regexp_extract projection.",
+    tags=("scalar", "string"),
+)
+def like_regexp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%gold%") | F.col("p_type").rlike("BRASS|COPPER"))
+         .select("p_partkey", "p_name", "p_type",
+                 F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_last_word"))
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+               CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+               CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+               date_trunc('month', o_orderdate) AS month_start,
+               COUNT(*) AS order_count
+        FROM orders
+        GROUP BY 1, 2, 3, 4
+    """,
+    doc="Date part extraction + truncation (SURVEY §2.3 T4 generalized).",
+    tags=("scalar", "date"),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"))
+         .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+        SELECT c_custkey,
+               ABS(c_acctbal) AS abs_bal,
+               CAST(CEIL(c_acctbal) AS BIGINT) AS ceil_bal,
+               CAST(FLOOR(c_acctbal) AS BIGINT) AS floor_bal,
+               ROUND(c_acctbal, 1) AS round_bal,
+               SQRT(ABS(c_acctbal)) AS sqrt_bal,
+               CAST(c_custkey % 7 AS BIGINT) AS mod_bucket,
+               GREATEST(c_acctbal, 0.0) AS pos_bal,
+               LEAST(c_acctbal, 0.0) AS neg_bal
+        FROM customer
+        WHERE c_custkey <= 400
+    """,
+    doc="Math scalar functions (IEEE-deterministic subset: abs/ceil/"
+        "floor/round/sqrt/mod/greatest/least — no libm transcendentals).",
+    tags=("scalar", "math"),
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    return c.select(
+        "c_custkey",
+        F.abs("c_acctbal").alias("abs_bal"),
+        F.ceil("c_acctbal").alias("ceil_bal"),
+        F.floor("c_acctbal").alias("floor_bal"),
+        F.round("c_acctbal", 1).alias("round_bal"),
+        F.sqrt(F.abs("c_acctbal")).alias("sqrt_bal"),
+        (F.col("c_custkey") % 7).alias("mod_bucket"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("pos_bal"),
+        F.least("c_acctbal", F.lit(0.0)).alias("neg_bal"),
+    )
+
+
+@query(
+    "json_extraction",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS event_count,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Semi-structured JSON column: parse props, extract and "
+        "aggregate a typed field (reference's nested-JSON capability, "
+        "SURVEY §2.3 T1, as a column-level op).",
+    tags=("scalar", "json"),
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("event_count"),
+               F.min(k).alias("min_k"),
+               F.max(k).alias("max_k"),
+               F.sum(k).alias("sum_k"))
+    )
+
+
+@query(
+    "null_handling",
+    oracle="""
+        SELECT event_id,
+               COALESCE(NULLIF(event_type, 'error'), 'ok') AS type_or_ok,
+               CASE WHEN value > 50 THEN 'high'
+                    WHEN value > 10 THEN 'mid'
+                    ELSE 'low' END AS value_band,
+               (event_type = 'purchase') AS is_purchase
+        FROM events
+        WHERE event_id <= 2000
+    """,
+    doc="NULLIF/COALESCE/CASE/boolean projection.",
+    tags=("scalar", "null"),
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("ok"))
+            .alias("type_or_ok"),
+        F.when(F.col("value") > 50, "high")
+         .when(F.col("value") > 10, "mid")
+         .otherwise("low").alias("value_band"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_component,
+               CAST(list_min(embedding) AS DOUBLE) AS min_component,
+               CAST(list_max(embedding) AS DOUBLE) AS max_component
+        FROM embeddings
+        WHERE vec_id < 200
+    """,
+    doc="Array column ops on the embedding vectors: size, indexing, "
+        "element min/max (exact float comparisons — no accumulation).",
+    tags=("scalar", "array"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+        F.array_min("embedding").cast("double").alias("min_component"),
+        F.array_max("embedding").cast("double").alias("max_component"),
+    )

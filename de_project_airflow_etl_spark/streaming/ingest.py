@@ -1,0 +1,88 @@
+"""Structured Streaming: file-source ingest + windowed aggregation.
+
+The reference's incremental daily batch (SURVEY.md §2.6 O1-O3) maps to
+a Spark file-source stream with an ``availableNow`` trigger: each run
+drains whatever new files landed, exactly once, checkpointed — the
+streaming-native version of "re-runnable per-interval processing".
+
+``streaming_windowed_counts`` runs the stream to completion inside the
+call and returns the materialized result, so it is oracle-checkable
+against the same batch SQL (tumbling 6h windows == DuckDB
+``time_bucket``) — the streaming engine must agree with the batch
+engine on the same input.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.tables import load
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """The aggregation shared by the batch and streaming paths."""
+    return (
+        events.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("event_count"))
+              .select(F.col("w.start").alias("window_start"),
+                      "event_type", "event_count")
+    )
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str,
+                      with_watermark: str | None = "1 day") -> DataFrame:
+    """File-source stream over the events parquet. Schema must be
+    explicit for streaming reads (no inference at run time)."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema  # file schema (ts = nanos long)
+    # File-source streams take a directory; pathGlobFilter narrows it to
+    # the events table only.
+    stream = (spark.readStream.schema(schema)
+                   .format("parquet")
+                   .option("pathGlobFilter", "events.parquet")
+                   .load(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if with_watermark:
+        stream = stream.withWatermark("ts", with_watermark)
+    return stream
+
+
+def run_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into a memory sink and
+    return the materialized aggregate."""
+    sink = f"stream_windowed_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, sf_dir, with_watermark=None)
+    q = (
+        windowed_counts(stream)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+        SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+               event_type,
+               COUNT(*) AS event_count
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Structured Streaming tumbling-window aggregation, drained with "
+        "Trigger.AvailableNow into a memory sink — checked against the "
+        "batch oracle (stream/batch agreement).",
+    tags=("streaming", "window"),
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(spark, sf_dir)

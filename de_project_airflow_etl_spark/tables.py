@@ -1,0 +1,46 @@
+"""Testdata table access.
+
+The driver ships TPC-H-ish parquet tables (TESTDATA.md). Each query
+callable receives ``(spark, sf_dir)``; helpers here load tables and
+register temp views so both the DataFrame API and ``spark.sql`` can be
+used against the same inputs.
+
+At 100 TB scale these reads are exactly the same code path — a
+``spark.read.parquet`` over a partitioned lake directory; Catalyst
+handles partition pruning / predicate pushdown / column pruning from
+the declarative plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a DataFrame."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as a
+        # nanosecond long (legacy.parquet.nanosAsLong); truncate to
+        # microseconds exactly as DuckDB does when casting ns -> us.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views for SQL-flavored queries."""
+    for name in names:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
