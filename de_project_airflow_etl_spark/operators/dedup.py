@@ -146,34 +146,37 @@ def _band_hash(b: int) -> Column:
             ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
            AND x.doc_id < y.doc_id
         ),
-        shing AS (SELECT doc_id, unnest(shingles) AS shingle FROM sigs),
-        cnt AS (SELECT doc_id, len(shingles) AS n FROM sigs),
-        inter AS (
-          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
-          FROM shing x JOIN shing y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-          GROUP BY 1, 2
+        verified AS (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
+                 len(sa.shingles) AS na, len(sb.shingles) AS nb
+          FROM cands c
+          JOIN shingled sa ON sa.doc_id = c.doc_a
+          JOIN shingled sb ON sb.doc_id = c.doc_b
         )
-        SELECT c.doc_a, c.doc_b,
-               CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter) AS jaccard
-        FROM cands c
-        JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-        JOIN cnt ca ON ca.doc_id = c.doc_a
-        JOIN cnt cb ON cb.doc_id = c.doc_b
-        WHERE CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter) >= {JACCARD_THRESHOLD}
+        SELECT doc_a, doc_b,
+               CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+        FROM verified
+        WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {JACCARD_THRESHOLD}
     """,
     doc="MinHash+LSH near-dup pairs: band the signatures (4 bands x 2 "
         "rows), equi-join on band hash to get candidates, verify exact "
-        "Jaccard >= 0.5 on shingle sets. Jaccard is an int/int division "
-        "(engine-exact).",
+        "Jaccard >= 0.5 per candidate pair via array_intersect — the "
+        "verification cost is O(candidates), never the all-co-occurring-"
+        "pairs join the exact operator pays. Jaccard is an int/int "
+        "division (engine-exact).",
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _shingled(spark, sf_dir).select("doc_id", "shingles", *_minhash_cols())
-    bands = None
-    for b in range(N_BANDS):
-        piece = sigs.select("doc_id", F.lit(b).alias("band_idx"),
-                            _band_hash(b).alias("band_hash"))
-        bands = piece if bands is None else bands.unionByName(piece)
+    shingled = _shingled(spark, sf_dir).persist()
+    sigs = shingled.select("doc_id", *_minhash_cols())
+    # one pass over sigs: 4 band hashes, exploded to (doc_id, band_idx, band_hash)
+    # persist: the self-join below would otherwise recompute the full
+    # md5 signature pipeline for each side; bands is 4 rows per doc.
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[_band_hash(b) for b in range(N_BANDS)]))
+         .alias("band_idx", "band_hash")).persist()
     x, y = bands.alias("x"), bands.alias("y")
     cands = (
         x.join(y, (F.col("x.band_idx") == F.col("y.band_idx"))
@@ -182,21 +185,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
          .distinct()
     )
-    shing = sigs.select("doc_id", F.explode("shingles").alias("shingle"))
-    cnt = sigs.select("doc_id", F.size("shingles").alias("n"))
-    sx, sy = shing.alias("sx"), shing.alias("sy")
-    inter = (
-        sx.join(sy, (F.col("sx.shingle") == F.col("sy.shingle"))
-                    & (F.col("sx.doc_id") < F.col("sy.doc_id")))
-          .groupBy(F.col("sx.doc_id").alias("doc_a"), F.col("sy.doc_id").alias("doc_b"))
-          .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    ca, cb = cnt.alias("ca"), cnt.alias("cb")
-    jaccard = F.col("n_inter").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("n_inter"))
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("shingles_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shingles_b"))
+    n_inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
+    jaccard = (n_inter.cast("double")
+               / (F.size("shingles_a") + F.size("shingles_b") - n_inter))
     return (
-        cands.join(inter, ["doc_a", "doc_b"])
-             .join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-             .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        cands.join(sa, "doc_a").join(sb, "doc_b")
              .select("doc_a", "doc_b", jaccard.alias("jaccard"))
              .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

@@ -66,6 +66,19 @@ RAW_LAUNCH_SCHEMA = T.StructType([
 
 GOLD_COLUMNS = ("id", "url", "name", "status", "image_url", "license", "net")
 
+# Declared zone schema (src/sql/ddl/launch_events.sql:2-8). Reads use it
+# explicitly so an empty zone (day with no launches) is still readable —
+# schema-on-write by declaration, not by inference.
+SILVER_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("image_url", T.StringType()),
+    T.StructField("license", T.StringType()),
+    T.StructField("net", T.DateType()),
+])
+
 PayloadFetcher = Callable[[str], dict]
 
 
@@ -126,13 +139,28 @@ class LaunchPipeline:
         log.info("silver partition written for %s", run_date)
 
     # -- stage 3: publish / sign-off (S3 + T5 + K3) -------------------
+    def read_silver(self) -> DataFrame:
+        return self.spark.read.schema(SILVER_SCHEMA).parquet(self.silver_dir)
+
+    def read_gold(self) -> DataFrame:
+        return self.spark.read.schema(SILVER_SCHEMA).parquet(self.gold_dir)
+
     def publish(self, run_date: str) -> None:
-        silver = self.spark.read.parquet(self.silver_dir)
+        silver = self.read_silver()
         day = silver.filter(F.col("net") == F.lit(run_date).cast("date"))  # T5 -> partition pruning
         (day.write
             .partitionBy("net")
             .mode("overwrite")
             .parquet(self.gold_dir))
+        # Dynamic overwrite replaced the partition's files on disk; both
+        # path readers and the registered table cache file listings —
+        # invalidate them (the re-run analog of the reference's
+        # partition sync, src/sql/sync/launch_events.sql:2). The table
+        # relation cache is keyed by name, so refreshByPath alone is
+        # not enough.
+        self.spark.catalog.refreshByPath(self.gold_dir)
+        if self.spark.catalog.tableExists(self.table_name):
+            self.spark.catalog.refreshTable(self.table_name)
         log.info("gold partition published for %s", run_date)
 
     # -- catalog (D1-D3) ----------------------------------------------
@@ -149,7 +177,14 @@ class LaunchPipeline:
             PARTITIONED BY (net DATE)
             LOCATION '{self.gold_dir}'
         """)
+        self.sync_partitions()
+
+    def sync_partitions(self) -> None:
+        """Register newly-written partition dirs and drop stale file
+        listings — Trino's ``sync_partition_metadata('ADD')`` becomes
+        ``MSCK REPAIR`` + a metadata cache refresh."""
         self.spark.sql(f"MSCK REPAIR TABLE {self.table_name}")
+        self.spark.catalog.refreshTable(self.table_name)
 
     # -- flagship query (A1-A3) ---------------------------------------
     def daily_launch_events(self) -> DataFrame:

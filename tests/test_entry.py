@@ -1,0 +1,29 @@
+"""Driver-contract smoke tests for __spark_entry__."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"event_date", "user_count", "event_count"}
+
+
+def test_queries_and_oracles_align():
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 30
+    # every oracle is non-empty SQL
+    assert all(isinstance(sql, str) and "SELECT" in sql.upper()
+               for sql in os_.values())
+
+
+def test_all_queries_run_at_smoke_sf(spark):
+    """Every registered query must at least execute at sf0.001."""
+    for name, fn in sorted(entrymod.queries().items()):
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.columns, name
+        df.limit(5).collect()

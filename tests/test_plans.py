@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the scale-critical properties the 100 TB
+design depends on — filter/projection pushdown into parquet scans,
+broadcast joins for dims, partition pruning on partitioned lakes,
+top-k planning. Correct results with a wrong plan fail here."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.plans.inspect import (
+    formatted_plan, has_broadcast_join, has_partition_filter,
+    has_pushed_filter, scan_read_schema,
+)
+from de_project_airflow_etl_spark.queries.relational import (
+    filter_project, topk_orders,
+)
+from de_project_airflow_etl_spark.queries.joins import (
+    join_multiway_region_revenue, join_segment_revenue,
+)
+from de_project_airflow_etl_spark.queries.flagship import daily_events
+
+
+def test_filter_pushdown(spark, sf_dir):
+    df = filter_project(spark, sf_dir)
+    assert has_pushed_filter(df, "l_returnflag"), formatted_plan(df)
+    assert has_pushed_filter(df, "l_discount"), formatted_plan(df)
+
+
+def test_column_pruning(spark, sf_dir):
+    df = filter_project(spark, sf_dir)
+    schemas = scan_read_schema(df)
+    assert schemas, "no scan found"
+    # 16-column lineitem must be read as just the needed columns
+    assert all("l_extendedprice" not in s for s in schemas), schemas
+
+
+def test_flagship_prunes_columns(spark, sf_dir):
+    df = daily_events(spark, sf_dir)
+    schemas = scan_read_schema(df)
+    assert all("props" not in s for s in schemas), schemas
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    assert has_broadcast_join(join_segment_revenue(spark, sf_dir))
+    assert has_broadcast_join(join_multiway_region_revenue(spark, sf_dir))
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = formatted_plan(topk_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_partition_pruning_on_partitioned_lake(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (zero non-matching files touched) — the reference's
+    filters=[('net','=',d)] behavior (SURVEY §4), Spark-native."""
+    path = str(tmp_path / "lake")
+    df = spark.range(100).withColumn(
+        "day", (F.col("id") % 5).cast("string"))
+    df.write.partitionBy("day").mode("overwrite").parquet(path)
+    read = spark.read.parquet(path).filter(F.col("day") == "3")
+    assert has_partition_filter(read, "day"), formatted_plan(read)
+    assert read.count() == 20
+
+
+def test_whole_stage_codegen_in_agg(spark, sf_dir):
+    from de_project_airflow_etl_spark.queries.relational import pricing_summary
+    df = pricing_summary(spark, sf_dir)
+    df.collect()  # AQE: the final plan (with codegen spans) exists post-run
+    plan = formatted_plan(df)
+    # whole-stage-codegen'd operators are tagged "[codegen id : N]"
+    assert "codegen id" in plan, plan
+    # and the aggregation is two-phase (map-side partial before the shuffle)
+    assert "partial_sum" in plan, plan
