@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from de_project_airflow_etl_spark.operators import similarity as _similarity
 from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
@@ -241,6 +242,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
              .select("doc_a", "doc_b", jaccard.alias("jaccard"))
              .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# ------------------------------------------- embedding-cosine near-dup
+
+COSINE_THRESHOLD = 0.35
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {_similarity._sql_bucket('embedding')} AS bucket
+          FROM embeddings
+        )
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+               {_similarity.sql_cosine('x.embedding', 'y.embedding')} AS cosine_sim
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE {_similarity.sql_cosine('x.embedding', 'y.embedding')} >= {COSINE_THRESHOLD}
+    """,
+    doc="Embedding-cosine near-dup pairs: sign-LSH bucket as the "
+        "candidate blocker (equi-join, never a cross join), exact "
+        "cosine >= 0.35 verification per candidate — the vector-space "
+        "analog of MinHash+LSH for text.",
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _similarity._bucket("embedding"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("bucket"),
+                 F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("bucket"),
+                 F.col("embedding").alias("emb_b"))
+    # Candidate generation is an equi-join on the LSH bucket (one
+    # shuffle, ~n^2/256 candidate pairs); exact cosine verifies each
+    # candidate. At 100 TB the bucket is also the storage partition
+    # key, so the join is co-located.
+    return (
+        a.join(b, ["bucket"])
+         .filter(F.col("vec_a") < F.col("vec_b"))
+         .select("vec_a", "vec_b",
+                 _similarity.cosine("emb_a", "emb_b").alias("cosine_sim"))
+         .filter(F.col("cosine_sim") >= COSINE_THRESHOLD)
     )
 
 

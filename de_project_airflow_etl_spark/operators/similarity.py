@@ -170,6 +170,85 @@ def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_IVF_CELLS = f"""
+  seeds AS (
+    -- deterministic coarse centroids: the lowest-vec_id vector of each
+    -- label (k-means would converge these; seeds keep the oracle exact)
+    SELECT label AS cell, embedding AS centroid
+    FROM embeddings e
+    WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings s WHERE s.label = e.label)
+  ),
+  assigned AS (
+    -- coarse quantizer: every vector -> its nearest centroid's cell
+    SELECT vec_id, label, embedding, cell FROM (
+      SELECT e.vec_id, e.label, e.embedding, s.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {sql_cosine('e.embedding', 's.centroid')} DESC, s.cell
+             ) AS rnk
+      FROM embeddings e CROSS JOIN seeds s
+    ) WHERE rnk = 1
+  )
+"""
+
+
+@query(
+    "ann_ivf_search",
+    oracle=f"""
+        WITH {_SQL_IVF_CELLS},
+        q AS (SELECT embedding AS qv, cell AS qcell
+              FROM assigned WHERE vec_id = {QUERY_VEC_ID})
+        SELECT a.vec_id, a.label, a.cell,
+               {sql_cosine('a.embedding', 'q.qv')} AS cosine_sim
+        FROM assigned a CROSS JOIN q
+        WHERE a.cell = q.qcell AND a.vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine_sim DESC, a.vec_id
+        LIMIT 5
+    """,
+    doc="IVF (inverted-file) ANN: a small set of coarse centroids is "
+        "broadcast, every vector is assigned to its nearest centroid's "
+        "cell (the inverted list), and the search probes only the "
+        "query's cell before the exact re-rank. At 100 TB the cell id "
+        "is the storage partition key, so a probe is a partition-pruned "
+        "scan of ~n/k vectors; centroids come from a k-means fit (here: "
+        "deterministic seed vectors, so the oracle is exact).",
+    tags=("similarity", "ivf", "knn"),
+)
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    e = load(spark, sf_dir, "embeddings")
+    w_seed = Window.partitionBy("label").orderBy("vec_id")
+    seeds = (e.withColumn("rn", F.row_number().over(w_seed))
+              .filter(F.col("rn") == 1)
+              .select(F.col("label").alias("cell"),
+                      F.col("embedding").alias("centroid")))
+    # centroids are tiny (k rows) -> broadcast; assignment is a
+    # map-side cross join + per-vector top-1, no shuffle of the big side
+    # beyond the row_number window on vec_id.
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), "cell")
+    assigned = (
+        e.crossJoin(F.broadcast(seeds))
+         .select("vec_id", "label", "embedding", "cell",
+                 cosine("embedding", "centroid").alias("sim"))
+         .withColumn("rnk", F.row_number().over(w_assign))
+         .filter(F.col("rnk") == 1)
+         .drop("sim", "rnk")
+    )
+    q = (assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
+                 .select(F.col("embedding").alias("qv"),
+                         F.col("cell").alias("qcell")))
+    return (
+        assigned.crossJoin(F.broadcast(q))
+                .filter((F.col("cell") == F.col("qcell"))
+                        & (F.col("vec_id") != QUERY_VEC_ID))
+                .select("vec_id", "label", "cell",
+                        cosine("embedding", "qv").alias("cosine_sim"))
+                .orderBy(F.col("cosine_sim").desc(), "vec_id")
+                .limit(5)
+    )
+
+
 @query(
     "knn_per_label",
     oracle=f"""

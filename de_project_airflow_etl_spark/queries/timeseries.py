@@ -1,0 +1,259 @@
+"""Time-series operators over ``events``: as-of join, gap
+sessionization, time-hierarchy rollup, exact quantiles.
+
+The reference's only time semantics are daily partitions (SURVEY.md
+§1.1); these generalize them to the event-time operations a hypertable
+engine offers.
+
+Spark-first design:
+
+* As-of join = union the two tagged sides and take a running
+  ``last(..., ignorenulls=True)`` over one (key, time)-ordered window —
+  ONE shuffle on the key, linear scan within partitions. Never a range
+  cross-join: at 100 TB an inequality theta-join explodes, while this
+  plan is the same cost class as a groupBy. (DuckDB's native ASOF JOIN
+  is the oracle.)
+* Sessionization uses Spark's native ``session_window`` — the same
+  operator the streaming engine uses for stateful session aggregation,
+  so the batch and streaming paths share semantics: a new session
+  starts when the gap since the previous event is >= the 30 min
+  timeout.
+* Quantiles are computed with identical manual interpolation SQL on
+  both engines (sort + row_number + linear interpolation) so the
+  doubles match bit-for-bit; the one-liner scale path is
+  ``approx_percentile`` (t-digest-style sketch, mergeable map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.tables import load
+
+SESSION_GAP = "30 minutes"
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+# ------------------------------------------------------------- as-of join
+
+@query(
+    "asof_join_click_purchase",
+    oracle="""
+        WITH purchases AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+          SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts, c.click_ts,
+               epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    doc="As-of join: each purchase paired with the same user's most "
+        "recent click at-or-before it. Spark plan = tagged union + one "
+        "running last() window — a single shuffle on user_id, linear "
+        "within partitions; the range-join formulation DuckDB's ASOF "
+        "operator optimizes natively would be a quadratic theta-join "
+        "in a naive plan. (user_id, ts) is unique in the testdata, so "
+        "the match is deterministic.",
+    tags=("timeseries", "asof", "join"),
+)
+def asof_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts",
+                        F.col("ts").alias("click_ts"),
+                        F.lit(None).cast("long").alias("event_id"),
+                        F.lit(0).alias("tag")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", "ts",
+                           F.lit(None).cast("timestamp").alias("click_ts"),
+                           "event_id",
+                           F.lit(1).alias("tag")))
+    # At equal ts the click row (tag 0) sorts first, realizing the
+    # `>=` (at-or-before) bound of the oracle's ASOF condition.
+    w = (Window.partitionBy("user_id").orderBy("ts", "tag")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        clicks.unionByName(purchases)
+              .withColumn("click_ts", F.last("click_ts", ignorenulls=True).over(w))
+              .filter(F.col("tag") == 1)
+              .select("event_id", "user_id", "ts", "click_ts",
+                      (F.unix_micros("ts") - F.unix_micros("click_ts"))
+                      .alias("gap_us"))
+    )
+
+
+# ---------------------------------------------------------- sessionization
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                           >= {SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess
+          FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+        FROM numbered
+        GROUP BY user_id, sess
+    """,
+    doc="Gap sessionization (30 min timeout) via Spark's native "
+        "session_window — a merging-window aggregate, one shuffle on "
+        "(user_id), identical semantics to the streaming stateful "
+        "variant. Oracle derives the same sessions with the classic "
+        "lag + cumulative-sum rewrite.",
+    tags=("timeseries", "session", "window"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+          .agg(F.min("ts").alias("session_start"),
+               F.max("ts").alias("session_end"),
+               F.count(F.lit(1)).alias("n_events"))
+          .select("user_id", "session_start", "session_end", "n_events",
+                  (F.unix_micros("session_end") - F.unix_micros("session_start"))
+                  .alias("duration_us"))
+    )
+
+
+# ------------------------------------------------- time-hierarchy rollup
+
+@query(
+    "events_time_rollup",
+    oracle="""
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+               CASE WHEN GROUPING(date_part('hour', ts)) = 0
+                    THEN CAST(date_part('hour', ts) AS INT) END AS hour,
+               COUNT(*) AS event_count,
+               COUNT(DISTINCT user_id) AS active_users
+        FROM events
+        GROUP BY ROLLUP (CAST(ts AS DATE), date_part('hour', ts))
+        HAVING GROUPING(CAST(ts AS DATE)) = 0
+    """,
+    doc="Hypertable-style continuous-aggregate rollup: hourly and "
+        "daily resolutions in one ROLLUP pass (partial aggregation "
+        "map-side, one shuffle). At 100 TB this materializes to a "
+        "partitioned table keyed by day — the serving layer for "
+        "time-bucketed dashboards.",
+    tags=("timeseries", "rollup", "grouping"),
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day kept as midnight TIMESTAMP (not DATE) so the pandas dtype the
+    # driver hashes matches the oracle's (DuckDB DATE -> datetime64).
+    ev = (load(spark, sf_dir, "events")
+          .withColumn("day", F.col("ts").cast("date").cast("timestamp"))
+          .withColumn("hour", F.hour("ts")))
+    return (
+        ev.rollup("day", "hour")
+          .agg(F.count(F.lit(1)).alias("event_count"),
+               F.countDistinct("user_id").alias("active_users"),
+               F.grouping("day").alias("g_day"),
+               F.grouping("hour").alias("g_hour"))
+          .filter(F.col("g_day") == 0)
+          .select("day",
+                  F.when(F.col("g_hour") == 0,
+                         F.col("hour").cast("int")).alias("hour"),
+                  "event_count", "active_users")
+    )
+
+
+# -------------------------------------------------------- exact quantiles
+
+def _quantile_sql(q: str, alias: str) -> str:
+    """Manual continuous-quantile interpolation — identical text runs on
+    both engines, so the float arithmetic (and thus the hash) matches.
+    pos = q*(n-1); value = v[floor(pos)] + frac * (v[floor(pos)+1] - v[floor(pos)]).
+    All arithmetic in DOUBLE (both engines use IEEE754 doubles); n is
+    constant per group but must appear aggregated, hence MAX(n)."""
+    pos = f"(CAST({q} AS DOUBLE) * (MAX(n) - 1))"
+    at = "MAX(CASE WHEN rn = CAST(FLOOR(CAST({q} AS DOUBLE) * (n - 1)) AS BIGINT) + {k} THEN value END)"
+    lo, hi = at.format(q=q, k=1), at.format(q=q, k=2)
+    return f"""
+      {lo}
+      + ({pos} - FLOOR({pos}))
+        * (COALESCE({hi}, {lo}) - {lo})
+        AS {alias}
+    """
+
+
+_QUANTILE_BODY = """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           {p25},
+           {p50},
+           {p75}
+    FROM ranked
+    GROUP BY event_type
+"""
+
+
+@query(
+    "event_value_quantiles",
+    oracle=_QUANTILE_BODY.format(
+        p25=_quantile_sql("0.25", "p25"),
+        p50=_quantile_sql("0.50", "p50"),
+        p75=_quantile_sql("0.75", "p75"),
+    ),
+    doc="Exact p25/p50/p75 of event value per type via sort + "
+        "row_number + linear interpolation (identical SQL on both "
+        "engines -> bit-identical doubles). The 100 TB path swaps the "
+        "global per-group sort for approx_percentile's mergeable "
+        "sketch; this exact form is the oracle for that sketch's "
+        "error bound.",
+    tags=("timeseries", "quantile", "window"),
+)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.tables import register_views
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_QUANTILE_BODY.format(
+        p25=_quantile_sql("0.25", "p25"),
+        p50=_quantile_sql("0.50", "p50"),
+        p75=_quantile_sql("0.75", "p75"),
+    ))
+
+
+@query(
+    "event_value_quantiles_approx",
+    oracle=None,  # sketch output is engine-specific by construction
+    doc="approx_percentile (mergeable quantile sketch) — the scale "
+        "variant of event_value_quantiles: map-side partial sketches, "
+        "one tiny shuffle of sketch state, no global sort.",
+    tags=("timeseries", "quantile", "approx"),
+)
+def event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pct = F.expr("approx_percentile(value, array(0.25D, 0.5D, 0.75D), 10000)")
+    return (
+        ev.groupBy("event_type")
+          .agg(pct.alias("pcts"))
+          .select("event_type",
+                  F.col("pcts")[0].alias("p25"),
+                  F.col("pcts")[1].alias("p50"),
+                  F.col("pcts")[2].alias("p75"))
+    )

@@ -58,10 +58,12 @@ def all_queries() -> dict[str, Query]:
     # Imports deferred so `import registry` never costs a Spark session.
     from de_project_airflow_etl_spark.queries import (  # noqa: F401
         flagship, relational, joins, windows, setops, scalar, grouping,
-        subqueries,
+        subqueries, timeseries,
     )
     from de_project_airflow_etl_spark.operators import (  # noqa: F401
         dedup, multimodal, similarity, text,
     )
-    from de_project_airflow_etl_spark.streaming import ingest  # noqa: F401
+    from de_project_airflow_etl_spark.streaming import (  # noqa: F401
+        ingest, stateful,
+    )
     return dict(_REGISTRY)

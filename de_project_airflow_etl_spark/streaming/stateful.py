@@ -1,0 +1,158 @@
+"""Stateful Structured Streaming operators: exact streaming dedup and
+a custom ``applyInPandasWithState`` session aggregator.
+
+Both run the stream to completion (``availableNow``) and are checked
+against *batch* oracles — the streaming engine must agree with the
+batch engine on the same input (same contract as
+``streaming_windowed_counts``).
+
+Scale notes:
+
+* Streaming dedup state is per-key; at 100 TB the production form is
+  ``dropDuplicatesWithinWatermark`` so state is evicted once the
+  watermark passes — unbounded-state dedup is a test-only luxury.
+* The stateful sessionizer is the ``applyInPandasWithState`` shape of
+  the batch ``session_window`` aggregate: state is one open session per
+  user, batches arrive Arrow-encoded, and the per-group work is
+  O(events in batch). The testdata arrives as one file = one
+  micro-batch, so emitting every session (and clearing state) exactly
+  reproduces the batch result; in production the function would emit
+  only sessions closed by the event-time timeout and keep the open one
+  in state.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.streaming.ingest import read_event_stream
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSION_ORACLE = f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       >= {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sess
+"""
+
+
+def _drain(stream_df: DataFrame, spark: SparkSession,
+           output_mode: str = "update") -> DataFrame:
+    sink = f"stream_{uuid.uuid4().hex[:8]}"
+    q = (stream_df.writeStream
+                  .format("memory")
+                  .queryName(sink)
+                  .outputMode(output_mode)
+                  .trigger(availableNow=True)
+                  .start())
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
+    "streaming_dedup_events",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Exact streaming dedup: dropDuplicates on event_id feeding a "
+        "running aggregate, drained with availableNow — agrees with the "
+        "batch COUNT(DISTINCT). 100 TB path: "
+        "dropDuplicatesWithinWatermark to bound the dedup state.",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir, with_watermark=None)
+    agg = (stream.dropDuplicates(["event_id"])
+                 .groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n_unique")))
+    return _drain(agg, spark, output_mode="complete")
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap-sessionize one user's events (see module doc for the
+    single-batch emission contract)."""
+    ts_us: list[int] = []
+    for pdf in pdfs:
+        col = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        ts_us.extend(int(v) for v in col.astype("int64"))
+    if state.exists:
+        ts_us.extend(state.get[0])
+        state.remove()
+    ts_us.sort()
+
+    sessions: list[tuple[int, int, int]] = []  # (start_us, end_us, n)
+    start = prev = ts_us[0]
+    n = 1
+    for t in ts_us[1:]:
+        if t - prev >= SESSION_GAP_US:
+            sessions.append((start, prev, n))
+            start, n = t, 0
+        prev = t
+        n += 1
+    sessions.append((start, prev, n))
+
+    yield pd.DataFrame({
+        "user_id": [key[0]] * len(sessions),
+        "session_start": pd.to_datetime([s[0] for s in sessions], unit="us"),
+        "session_end": pd.to_datetime([s[1] for s in sessions], unit="us"),
+        "n_events": [s[2] for s in sessions],
+    })
+
+
+@query(
+    "streaming_stateful_sessions",
+    oracle=_SESSION_ORACLE,
+    doc="Custom stateful streaming operator: applyInPandasWithState "
+        "gap-sessionization (30 min), one state entry per user, checked "
+        "against the batch lag+cumsum oracle — the streaming twin of "
+        "sessionize_events.",
+    tags=("streaming", "session", "stateful"),
+)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir, with_watermark=None)
+    sessions = (
+        stream.select("user_id", "ts")
+              .groupBy("user_id")
+              .applyInPandasWithState(
+                  _sessionize_group,
+                  outputStructType=("user_id bigint, session_start timestamp, "
+                                    "session_end timestamp, n_events bigint"),
+                  stateStructType="ts_us array<bigint>",
+                  outputMode="update",
+                  timeoutConf=GroupStateTimeout.NoTimeout,
+              )
+    )
+    return _drain(sessions, spark, output_mode="update")
