@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from de_project_airflow_etl_spark.registry import all_queries
 from de_project_airflow_etl_spark.session import get_spark
 
@@ -34,10 +36,16 @@ HEADLINE = (
     "window_running_revenue",     # running frame
     "rollup_quantity",            # multi-dim agg
     "dedup_minhash_lsh",          # shingle/LSH dedup
+    "dedup_embedding_cosine",     # vector near-dup (LSH-blocked)
     "text_token_stats",           # text map-heavy
     "knn_brute_force",            # vector top-k
     "ann_lsh_search",             # bucketed ANN
+    "ann_ivf_search",             # IVF cell-probed ANN
+    "asof_join_click_purchase",   # as-of join (union+window plan)
+    "sessionize_events",          # session_window aggregation
+    "event_value_quantiles",      # per-group sort + interpolation
     "streaming_windowed_counts",  # availableNow stream
+    "streaming_stateful_sessions",  # applyInPandasWithState
 )
 
 
@@ -46,8 +54,19 @@ def main() -> None:
     spark = get_spark("bench")
     registry = all_queries()
 
-    # warm the JVM + file listings with one tiny action
-    spark.range(1).count()
+    # Warm the JVM paths the headline queries exercise — codegen, the
+    # vectorized parquet reader, hash-agg/exchange, and the Python
+    # worker pool — so the first timed query doesn't absorb one-time
+    # JIT/startup cost. Uses the tiny nation table (25 rows).
+    warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    warm.groupBy("n_regionkey").count().count()
+    warm.join(warm.selectExpr("n_nationkey AS k"),
+              warm.n_nationkey == F.col("k")).count()
+    (warm.select("n_nationkey")
+         .groupBy("n_nationkey")
+         .applyInPandas(lambda p: p, "n_nationkey bigint")
+         .count())
+    _warm_streaming(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -56,6 +75,9 @@ def main() -> None:
         df = q.fn(spark, sf_dir)
         df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # queries are measured in isolation: drop any persist() state a
+        # query materialized so it neither feeds nor starves the next one
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -66,6 +88,32 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
+
+
+def _warm_streaming(spark) -> None:
+    """One tiny end-to-end streaming query (file source -> stateful
+    python op -> memory sink) so the streaming engine, state store
+    provider, and arrow-with-state python runner are initialized before
+    any streaming query is timed."""
+    import tempfile
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _identity(key, pdfs, state):
+        for pdf in pdfs:
+            yield pdf[["id"]]
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.range(1).write.parquet(os.path.join(d, "warm"))
+        stream = (spark.readStream.schema("id bigint")
+                       .parquet(os.path.join(d, "warm")))
+        q = (stream.groupBy("id")
+                   .applyInPandasWithState(
+                       _identity, "id bigint", "n bigint",
+                       "update", GroupStateTimeout.NoTimeout)
+                   .writeStream.format("memory").queryName("warm_stream")
+                   .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
 
 
 if __name__ == "__main__":

@@ -62,9 +62,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- minhash
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, shingles: array<string>) distinct 3-token
-    shingles. Docs shorter than 3 tokens are excluded (none in the
-    testdata; the guard keeps sequence() from going descending)."""
+    """documents -> (doc_id, shingles: array<string>, hs: array<string>)
+    distinct 3-token shingles plus each shingle's 64-hex digest (two
+    seeded md5s). Digests are a separate materialized column so the
+    md5 work happens ONCE per shingle; the 8 min-hash signatures are
+    then just substring-mins over it (projection collapse would
+    otherwise re-run the md5 transform once per signature). Docs
+    shorter than 3 tokens are excluded (none in the testdata; the
+    guard keeps sequence() from going descending)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return (
@@ -76,11 +81,17 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "transform(sequence(0, size(toks) - 3),"
                  " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
              )).alias("shingles"))
+         .select(
+             "doc_id", "shingles",
+             F.expr("transform(shingles,"
+                    " s -> concat(md5(cast('0|' || s AS BINARY)),"
+                    "             md5(cast('1|' || s AS BINARY))))")
+              .alias("hs"))
     )
 
 
 _SQL_SHINGLED = """
-  shingled AS (
+  pre_shingled AS (
     SELECT doc_id,
            list_distinct(list_transform(
              generate_series(1, len(string_split(text, ' ')) - 2),
@@ -88,13 +99,24 @@ _SQL_SHINGLED = """
            )) AS shingles
     FROM documents
     WHERE len(string_split(text, ' ')) >= 3
+  ),
+  shingled AS (
+    SELECT doc_id, shingles,
+           list_transform(shingles,
+             s -> md5('0|' || s) || md5('1|' || s)) AS hs
+    FROM pre_shingled
   )
 """
 
 
 def _minhash_cols() -> list[Column]:
+    """8 min-hashes over the precomputed 64-hex shingle digests: the
+    i-th signature is the min of the i-th disjoint 8-hex window
+    (independent uniform 32-bit hashes; lexicographic min == numeric
+    min on fixed-width hex). 4x less hashing than one seeded md5 per
+    signature."""
     return [
-        F.expr(f"array_min(transform(shingles, s -> md5(cast('{i}|' || s AS BINARY))))")
+        F.expr(f"array_min(transform(hs, h -> substr(h, {i * 8 + 1}, 8)))")
             .alias(f"sig_{i}")
         for i in range(N_HASHES)
     ]
@@ -102,7 +124,7 @@ def _minhash_cols() -> list[Column]:
 
 def _sql_minhash_cols() -> str:
     return ",\n".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS sig_{i}"
+        f"list_min(list_transform(hs, h -> substr(h, {i * 8 + 1}, 8))) AS sig_{i}"
         for i in range(N_HASHES)
     )
 

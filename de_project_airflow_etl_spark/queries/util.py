@@ -3,9 +3,13 @@
 Double-precision SUM/AVG results depend on accumulation order, which
 differs between Spark's partial+final hash aggregate and DuckDB's
 scan-order aggregate. The testdata's monetary columns carry at most two
-decimal digits (FIXTURES.md), so routing them through DECIMAL makes the
-aggregate exact, and casting the exact decimal result back to DOUBLE is
-deterministic on both engines. Oracles use the same construction.
+decimal digits (FIXTURES.md), so scaling them to exact int64 cents makes
+the aggregate exact AND keeps the hot loop in whole-stage-codegen long
+arithmetic (a DECIMAL(30+) accumulator would fall back to per-row
+BigDecimal). Casting the exact integer result back to DOUBLE is
+deterministic on both engines (sums stay far below 2^63; DuckDB
+accumulates BIGINT into HUGEINT, Spark into BIGINT — both exact).
+Oracles use the same construction.
 """
 
 from __future__ import annotations
@@ -13,29 +17,25 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Enough integer digits for sf0.1 sums; scale 4 covers price*discount
-# products (2+2 decimal digits) without rounding.
-DEC = "decimal(30,4)"
-
 
 def dsum(col: Column | str, alias: str) -> Column:
     """Order-insensitive exact SUM over a monetary double column."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+    return (F.sum(cents(c)).cast("double") / F.lit(100)).alias(alias)
 
 
 def davg(col: Column | str, alias: str) -> Column:
-    """Deterministic AVG: exact decimal sum, then one double division."""
+    """Deterministic AVG: exact cents sum, then one double division."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
+    return ((F.sum(cents(c)).cast("double") / F.lit(100)) / F.count(c)).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,4))) AS DOUBLE) AS {alias}"
+    return f"CAST(SUM({sql_cents(expr)}) AS DOUBLE) / 100 AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    return (f"CAST(SUM(CAST({expr} AS DECIMAL(30,4))) AS DOUBLE)"
+    return (f"CAST(SUM({sql_cents(expr)}) AS DOUBLE) / 100"
             f" / COUNT({expr}) AS {alias}")
 
 
