@@ -93,6 +93,98 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_BYTES = 256   # fake "frame" size
+FRAME_STRIDE = 2    # sample every 2nd frame
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: explode each payload into sampled fixed-size
+    'frames' (1-to-N) — the shape of real video frame-sampling, where
+    this byte-slicing becomes a container-aware decoder call."""
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                frame = payload[idx * FRAME_BYTES:(idx + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_len"].append(len(frame))
+                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+        -- documents are ASCII (verified), so VARCHAR substring over
+        -- text == byte slicing over the utf-8 payload the python
+        -- worker sees; DuckDB has no BLOB slicing.
+        WITH f AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(
+                   0,
+                   CAST(CEIL(length(text) / {FRAME_BYTES}.0) AS INT) - 1,
+                   {FRAME_STRIDE})) AS frame_idx
+          FROM documents
+        )
+        SELECT doc_id, frame_idx,
+               length(substring(text, frame_idx * {FRAME_BYTES} + 1,
+                                {FRAME_BYTES})) AS frame_len,
+               md5(substring(text, frame_idx * {FRAME_BYTES} + 1,
+                             {FRAME_BYTES})) AS frame_md5
+        FROM f
+    """,
+    doc="Video-style frame sampling over binary payloads: 1-to-N "
+        "mapInPandas explode (every 2nd 256-byte frame). The fake "
+        "byte-slicing sampler is deliberately SQL-expressible so the "
+        "python/Arrow plumbing itself is oracle-verified; a real "
+        "decoder swaps into sample_frames unchanged.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_payload(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return d.mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_idx int, frame_len int, frame_md5 string")
+
+
+def resize_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: binary -> smaller binary (1-to-1) — the shape
+    of a real thumbnail/resample step (here: keep the first half)."""
+    for pdf in batches:
+        resized = [bytes(p[:len(p) // 2]) for p in pdf["payload"]]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].values,
+            "orig_bytes": [len(p) for p in pdf["payload"]],
+            "resized_bytes": [len(r) for r in resized],
+            "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+        })
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+        -- ASCII text (verified): VARCHAR ops == byte ops; DuckDB has
+        -- no BLOB slicing.
+        SELECT doc_id,
+               length(text) AS orig_bytes,
+               length(text) // 2 AS resized_bytes,
+               md5(substring(text, 1, length(text) // 2)) AS resized_md5
+        FROM documents
+    """,
+    doc="Image-resize-shaped binary transform: 1-to-1 mapInPandas over "
+        "Arrow batches, deterministic fake (first half of the payload) "
+        "so the oracle can verify the python path byte-for-byte.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_payload(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return d.mapInPandas(
+        resize_payloads,
+        schema="doc_id long, orig_bytes int, resized_bytes int, resized_md5 string")
+
+
 @query(
     "multimodal_features",
     oracle=None,  # Arrow/mapInPandas path is genuinely non-SQL; the

@@ -63,6 +63,45 @@ def test_partition_pruning_on_partitioned_lake(spark, tmp_path):
     assert read.count() == 20
 
 
+def test_asof_join_is_single_shuffle_no_range_join(spark, sf_dir):
+    """The as-of join must plan as union + one hash exchange + window —
+    never a range/theta join (BroadcastNestedLoop or CartesianProduct),
+    which would be quadratic at scale."""
+    from de_project_airflow_etl_spark.queries.timeseries import (
+        asof_join_click_purchase,
+    )
+    df = asof_join_click_purchase(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    import re
+    # formatted mode lists each physical node once as "(N) Exchange"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_ivf_assignment_broadcasts_centroids(spark, sf_dir):
+    from de_project_airflow_etl_spark.operators.similarity import ann_ivf_search
+    assert has_broadcast_join(ann_ivf_search(spark, sf_dir))
+
+
+def test_embedding_dedup_is_equi_join(spark, sf_dir):
+    """LSH blocking must make the pair search an equi-join on the
+    bucket key — a cross join over the corpus would be O(n^2)."""
+    from de_project_airflow_etl_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+    plan = formatted_plan(dedup_embedding_cosine(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lsh_candidate_join_is_equi_join(spark, sf_dir):
+    from de_project_airflow_etl_spark.operators.dedup import dedup_minhash_lsh
+    plan = formatted_plan(dedup_minhash_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    spark.catalog.clearCache()  # dedup_minhash_lsh persists its inputs
+
+
 def test_whole_stage_codegen_in_agg(spark, sf_dir):
     from de_project_airflow_etl_spark.queries.relational import pricing_summary
     df = pricing_summary(spark, sf_dir)
