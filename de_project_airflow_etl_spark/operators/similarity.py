@@ -170,6 +170,64 @@ def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
+           {sql_cosine('e.embedding', 'q.qv')} AS cosine_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+"""
+
+
+@query(
+    "knn_pandas_udf",
+    oracle=_KNN_ORACLE,
+    doc="Arrow-vectorized kNN: the same brute-force search as "
+        "knn_brute_force, but scoring happens in a mapInPandas worker "
+        "with numpy (cumsum keeps the accumulation order identical to "
+        "the JVM fold, so the two implementations AND the oracle agree "
+        "bit-for-bit). Demonstrates the Pandas-UDF escape hatch for "
+        "vector math the built-ins can't express — same plan shape, "
+        "Arrow batches instead of codegen.",
+    tags=("similarity", "knn", "pandas-udf"),
+)
+def knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = np.asarray(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"],
+        dtype=np.float64)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # cumsum = strictly sequential accumulation -> bit-identical to
+        # the zip_with/aggregate fold and the DuckDB list_reduce oracle
+        # (np.dot's pairwise/SIMD summation would NOT match).
+        q_norm = float(np.sqrt(np.cumsum(qv * qv)[-1]))
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf["embedding"]])
+            dots = np.cumsum(mat * qv, axis=1)[:, -1]
+            norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].values,
+                "label": pdf["label"].values,
+                "cosine_sim": dots / (norms * q_norm),
+            })
+
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+         .select("vec_id", "label", "embedding")
+         .mapInPandas(score, "vec_id long, label int, cosine_sim double")
+         .orderBy(F.col("cosine_sim").desc(), "vec_id")
+         .limit(10)
+    )
+
+
 _SQL_IVF_CELLS = f"""
   seeds AS (
     -- deterministic coarse centroids: the lowest-vec_id vector of each

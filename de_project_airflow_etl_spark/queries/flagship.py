@@ -45,6 +45,37 @@ def daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "daily_events_skew_resistant",
+    oracle="""
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+               COUNT(DISTINCT user_id) AS user_count,
+               COUNT(*) AS event_count
+        FROM events
+        GROUP BY 1
+    """,
+    doc="Skew-resistant exact distinct: pre-aggregate on (day, user) so "
+        "the distinct work spreads over the full (day, user) key space, "
+        "then count per day — identical result to daily_events (same "
+        "oracle), but a hot day never lands on a single reducer. This "
+        "is the manual form of what AQE skew-join splitting does for "
+        "joins, applied to COUNT(DISTINCT) at 100 TB.",
+    tags=("aggregate", "flagship", "skew"),
+)
+def daily_events_skew_resistant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy(F.to_date("ts").cast("timestamp").alias("event_date"),
+                   "user_id")
+          .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_user.groupBy("event_date")
+                .agg(F.count(F.lit(1)).alias("user_count"),
+                     F.sum("cnt").alias("event_count"))
+    )
+
+
+@query(
     "daily_events_approx",
     oracle=None,  # HLL++ sketch is engine-specific; rows-only check.
     doc="100 TB-scale variant of the flagship: approx_count_distinct "

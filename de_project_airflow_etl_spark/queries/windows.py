@@ -173,3 +173,35 @@ def window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.col("w.start").alias("window_start"), "event_type",
                   "event_count", "user_count")
     )
+
+
+@query(
+    "window_sliding_events",
+    oracle="""
+        -- a 6h window sliding every 3h: each event lands in exactly 2
+        -- windows, starting at bucket3h(ts) and bucket3h(ts) - 3h
+        WITH w AS (
+          SELECT event_type,
+                 unnest([time_bucket(INTERVAL 3 HOURS, ts),
+                         time_bucket(INTERVAL 3 HOURS, ts)
+                           - INTERVAL 3 HOURS]) AS window_start
+          FROM events
+        )
+        SELECT window_start, event_type, COUNT(*) AS event_count
+        FROM w
+        GROUP BY 1, 2
+    """,
+    doc="Sliding (hopping) time windows: window(6h, slide 3h) expands "
+        "each row into its 2 overlapping windows before the hash agg — "
+        "Spark's Expand + partial-agg plan keeps the blow-up map-side.",
+    tags=("window", "time"),
+)
+def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"),
+                   "event_type")
+          .agg(F.count(F.lit(1)).alias("event_count"))
+          .select(F.col("w.start").alias("window_start"), "event_type",
+                  "event_count")
+    )
