@@ -158,6 +158,100 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-style pre-tokenization: letter runs / digit runs / punctuation
+# runs (ASCII classes only, so Java regex and RE2 agree byte-for-byte).
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+
+@query(
+    "text_regex_tokens",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS bpe_per_word
+        FROM documents
+    """,
+    doc="BPE-style pre-tokenization (letter/digit/punctuation runs) vs "
+        "whitespace tokens — the token-count estimator an LLM data "
+        "pipeline budgets with. Pure regexp_extract_all, codegen'd, "
+        "zero shuffles.",
+    tags=("text", "tokenize"),
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_ws = F.size(_tokens())
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_bpe.cast("double") / n_ws).alias("bpe_per_word"),
+    )
+
+
+# Polynomial (Rabin-Karp) rolling-hash parameters — int64-safe:
+# acc < P < 2^30, so acc*B + ascii < 2^36.
+RH_BASE = 31
+RH_MOD = 1_000_000_007
+RH_WINDOW = 4  # tokens per k-gram for the winnowed fingerprint
+
+
+@query(
+    "text_rolling_hash",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                              list_transform(string_split(text, ''), c -> ascii(c))),
+                 (acc, x) -> (acc * {RH_BASE} + x) % {RH_MOD}) AS doc_hash,
+               list_min(list_transform(
+                 generate_series(1, len(toks) - {RH_WINDOW - 1}),
+                 i -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                                     list_transform(
+                                       string_split(array_to_string(toks[i:i+{RH_WINDOW - 1}], ' '), ''),
+                                       c -> ascii(c))),
+                        (acc, x) -> (acc * {RH_BASE} + x) % {RH_MOD})))
+                 AS winnowed_min_hash
+        FROM t
+        WHERE len(toks) >= {RH_WINDOW}
+    """,
+    doc="Rolling-hash fingerprinting: a Rabin-Karp polynomial hash of "
+        "the whole document plus the minimum k-gram hash (winnowing's "
+        "min-sampling step) over 4-token windows. Integer arithmetic "
+        "mod 1e9+7 — bit-identical across engines; at 100 TB this is "
+        "the cheap candidate key a dedup cascade blocks on.",
+    tags=("text", "fingerprint", "rolling-hash"),
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    doc_hash = F.expr(
+        f"aggregate(transform(split(text, ''), c -> ascii(c)),"
+        f" cast(0 as bigint),"
+        f" (acc, x) -> (acc * {RH_BASE} + x) % {RH_MOD})")
+    win_hash = F.expr(
+        f"array_min(transform("
+        f" sequence(1, size(toks) - {RH_WINDOW - 1}),"
+        f" i -> aggregate("
+        f"   transform(split(concat_ws(' ', slice(toks, i, {RH_WINDOW})), ''),"
+        f"             c -> ascii(c)),"
+        f"   cast(0 as bigint),"
+        f"   (acc, x) -> (acc * {RH_BASE} + x) % {RH_MOD})))")
+    return (
+        d.withColumn("toks", _tokens())
+         .filter(F.size("toks") >= RH_WINDOW)
+         .select("doc_id",
+                 doc_hash.alias("doc_hash"),
+                 win_hash.alias("winnowed_min_hash"))
+    )
+
+
 @query(
     "text_fingerprint",
     oracle="""
