@@ -276,26 +276,33 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     e = load(spark, sf_dir, "embeddings")
     w_seed = Window.partitionBy("label").orderBy("vec_id")
+    # seeds are referenced twice (query-cell lookup + corpus
+    # assignment) and recomputed each time — cheaper than a persist
+    # barrier at this cardinality; in production the k-means fit ships
+    # as a tiny artifact and this subplan disappears entirely.
     seeds = (e.withColumn("rn", F.row_number().over(w_seed))
               .filter(F.col("rn") == 1)
               .select(F.col("label").alias("cell"),
                       F.col("embedding").alias("centroid")))
-    # centroids are tiny (k rows) -> broadcast; assignment is a
-    # map-side cross join + per-vector top-1, no shuffle of the big side
-    # beyond the row_number window on vec_id.
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), "cell")
-    assigned = (
-        e.crossJoin(F.broadcast(seeds))
-         .select("vec_id", "label", "embedding", "cell",
-                 cosine("embedding", "centroid").alias("sim"))
-         .withColumn("rnk", F.row_number().over(w_assign))
-         .filter(F.col("rnk") == 1)
-         .drop("sim", "rnk")
-    )
-    q = (assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
-                 .select(F.col("embedding").alias("qv"),
-                         F.col("cell").alias("qcell")))
+
+    def assign(df: DataFrame, w: Window) -> DataFrame:
+        """argmax-cosine coarse quantization against broadcast seeds."""
+        return (df.crossJoin(F.broadcast(seeds))
+                  .select("vec_id", "label", "embedding", "cell",
+                          cosine("embedding", "centroid").alias("sim"))
+                  .withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") == 1)
+                  .drop("sim", "rnk"))
+
+    # the query row is quantized on its own (k-row window), so the
+    # full-corpus assignment below is referenced exactly ONCE — the
+    # naive `assigned.filter(vec_id == q)` formulation doubled every
+    # exchange/sort in the plan.
+    q = (assign(e.filter(F.col("vec_id") == QUERY_VEC_ID),
+                Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell"))
+         .select(F.col("embedding").alias("qv"), F.col("cell").alias("qcell")))
+    assigned = assign(
+        e, Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell"))
     return (
         assigned.crossJoin(F.broadcast(q))
                 .filter((F.col("cell") == F.col("qcell"))

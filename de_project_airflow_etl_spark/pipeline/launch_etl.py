@@ -114,13 +114,11 @@ class LaunchPipeline:
         return path
 
     # -- stage 2: transform (S2 + T1-T4 + K2) -------------------------
-    def transform(self, run_date: str) -> None:
-        raw_path = os.path.join(self.raw_dir, f"{run_date}.json")
-        raw = (self.spark.read
-               .schema(RAW_LAUNCH_SCHEMA)
-               .option("multiLine", True)   # one document per file
-               .json(raw_path))
-        flat = (
+    @staticmethod
+    def _flatten(raw: DataFrame) -> DataFrame:
+        """T1-T4: unnest results, project/rename nested paths, cast the
+        partition key. Shared by the batch and streaming paths."""
+        return (
             raw.select(F.explode("results").alias("r"))    # T1 unnest
                .select(                                     # T2+T3 project/rename
                    F.col("r.id").alias("id"),
@@ -132,11 +130,47 @@ class LaunchPipeline:
                    F.to_date(F.to_timestamp("r.net")).alias("net"),  # T4 cast
                )
         )
-        (flat.write
+
+    def transform(self, run_date: str) -> None:
+        raw_path = os.path.join(self.raw_dir, f"{run_date}.json")
+        raw = (self.spark.read
+               .schema(RAW_LAUNCH_SCHEMA)
+               .option("multiLine", True)   # one document per file
+               .json(raw_path))
+        (self._flatten(raw).write
              .partitionBy("net")          # K2: hive-layout net=YYYY-MM-DD/
              .mode("overwrite")           # dynamic -> replaces only touched partitions
              .parquet(self.silver_dir))
         log.info("silver partition written for %s", run_date)
+
+    def transform_stream(self, checkpoint_dir: str) -> None:
+        """Streaming form of the incremental transform (SURVEY §7.2
+        item 3): a file-source stream on the raw zone drained with
+        ``availableNow``. The checkpoint remembers which raw days were
+        processed, so each run touches only newly landed files — the
+        streaming-native version of the reference's per-interval
+        re-runnable batch (O1-O3), and foreachBatch keeps K2's dynamic
+        partition overwrite semantics per micro-batch."""
+        raw = (self.spark.readStream
+               .schema(RAW_LAUNCH_SCHEMA)
+               .option("multiLine", True)
+               .option("pathGlobFilter", "*.json")
+               .json(self.raw_dir))
+
+        def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            (batch_df.write
+                     .partitionBy("net")
+                     .mode("overwrite")
+                     .parquet(self.silver_dir))
+
+        q = (self._flatten(raw).writeStream
+                 .foreachBatch(write_batch)
+                 .option("checkpointLocation", checkpoint_dir)
+                 .trigger(availableNow=True)
+                 .start())
+        q.awaitTermination()
+        self.spark.catalog.refreshByPath(self.silver_dir)
+        log.info("streaming transform drained into %s", self.silver_dir)
 
     # -- stage 3: publish / sign-off (S3 + T5 + K3) -------------------
     def read_silver(self) -> DataFrame:

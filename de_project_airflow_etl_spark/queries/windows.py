@@ -151,6 +151,41 @@ def window_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_distribution_functions",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
+               NTILE(4) OVER w AS quartile,
+               NTH_VALUE(c_custkey, 2) OVER (
+                 PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS second_richest
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="Distribution window functions: percent_rank / cume_dist / "
+        "ntile / nth_value per market segment (unique ORDER BY keeps "
+        "every value deterministic).",
+    tags=("window",),
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey")
+    w_frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.nth_value("c_custkey", 2).over(w_frame).alias("second_richest"),
+    )
+
+
+@query(
     "window_tumbling_events",
     oracle="""
         SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,

@@ -108,3 +108,49 @@ def test_empty_day(pipeline, spark):
     pipeline.run("2024-12-03", fetch)  # zero launches
     assert pipeline.read_silver().count() == 0
     assert pipeline.read_gold().count() == 0
+
+
+def test_streaming_transform_incremental(spark, tmp_path):
+    """transform_stream processes only newly landed raw days per run
+    (checkpointed file-source), and its silver output matches what the
+    batch transform produces for the same days."""
+    import glob
+    import os
+
+    from de_project_airflow_etl_spark.pipeline.fixtures import (
+        launch_day_payload, write_raw_fixture,
+    )
+    from de_project_airflow_etl_spark.pipeline.launch_etl import LaunchPipeline
+
+    base = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    p = LaunchPipeline(spark, base, table_name="stream_t1")
+    write_raw_fixture(p.raw_dir, {"2024-12-01": 5, "2024-12-02": 3})
+
+    p.transform_stream(ckpt)
+    silver = p.read_silver()
+    assert silver.count() == 6 + 4  # n + 1 duplicate record per day
+    assert {str(r["net"]) for r in silver.select("net").distinct().collect()} \
+        == {"2024-12-01", "2024-12-02"}
+
+    # batch/stream agreement on the same raw input
+    base2 = str(tmp_path / "lake_batch")
+    pb = LaunchPipeline(spark, base2, table_name="stream_t2")
+    write_raw_fixture(pb.raw_dir, {"2024-12-01": 5, "2024-12-02": 3})
+    pb.transform("2024-12-01")
+    pb.transform("2024-12-02")
+    a = sorted(map(tuple, silver.collect()))
+    b = sorted(map(tuple, pb.read_silver().collect()))
+    assert a == b
+
+    # a new raw day lands; the next drain must process ONLY it
+    day1_files = {f: os.path.getmtime(f) for f in glob.glob(
+        os.path.join(p.silver_dir, "net=2024-12-01", "*.parquet"))}
+    with open(os.path.join(p.raw_dir, "2024-12-04.json"), "w") as f:
+        import json
+        json.dump(launch_day_payload("2024-12-04", 2), f)
+    p.transform_stream(ckpt)
+    assert p.read_silver().filter("net = '2024-12-04'").count() == 3
+    # old partition files untouched (incremental, not a full rewrite)
+    for f, mtime in day1_files.items():
+        assert os.path.getmtime(f) == mtime, f
