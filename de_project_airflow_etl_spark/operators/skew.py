@@ -1,0 +1,65 @@
+"""Skew-mitigation utilities: key salting for joins and aggregations.
+
+AQE's skew-join splitting (enabled in session.py) handles most join
+skew at runtime, but two cases still need explicit salting at 100 TB:
+
+* aggregations where one key holds a disproportionate share of rows
+  (AQE cannot split a hash-aggregate group), and
+* joins against engines/plans where AQE is unavailable or the skew is
+  in the build of a single reducer's sort.
+
+Both helpers are deterministic (salt = hash of a high-cardinality
+column, never rand()) so re-runs and retries are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_column(unique_col: str, n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts): hash of a high-cardinality
+    column (retry-stable, unlike rand())."""
+    return F.pmod(F.hash(F.col(unique_col)), F.lit(n_salts))
+
+
+def salted_agg(df: DataFrame, key: str, unique_col: str,
+               aggs: list[tuple[str, str]], n_salts: int = 16) -> DataFrame:
+    """Two-phase aggregation over a skewed key: partial aggregate on
+    (key, salt) — spreading a hot key over n_salts reducers — then
+    final merge on key. ``aggs`` is a list of (column,
+    'sum'|'count'|'min'|'max') pairs (the re-aggregable functions;
+    avg = sum+count composed by the caller)."""
+    partial_exprs, final_exprs = [], []
+    for col, fn in aggs:
+        partial_name = f"__p_{fn}_{col}"
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(partial_name))
+            final_exprs.append(F.sum(partial_name).alias(f"count_{col}"))
+        elif fn in ("sum", "min", "max"):
+            partial_exprs.append(getattr(F, fn)(col).alias(partial_name))
+            final_exprs.append(
+                getattr(F, fn if fn != "sum" else "sum")(partial_name)
+                .alias(f"{fn}_{col}"))
+        else:
+            raise ValueError(f"non-reaggregable function {fn!r}")
+    return (
+        df.withColumn("__salt", salt_column(unique_col, n_salts))
+          .groupBy(key, "__salt")
+          .agg(*partial_exprs)
+          .groupBy(key)
+          .agg(*final_exprs)
+    )
+
+
+def salted_join(skewed: DataFrame, dim: DataFrame, key: str,
+                unique_col: str, n_salts: int = 16) -> DataFrame:
+    """Skew-spread equi-join: the skewed side gets a deterministic salt,
+    the (smaller) other side is replicated n_salts times, and the join
+    key becomes (key, salt) — a hot key's rows land on n_salts reducers
+    instead of one. Row-for-row equivalent to ``skewed.join(dim, key)``."""
+    salted = skewed.withColumn("__salt", salt_column(unique_col, n_salts))
+    replicated = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return salted.join(replicated, [key, "__salt"]).drop("__salt")
