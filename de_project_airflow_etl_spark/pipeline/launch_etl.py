@@ -131,6 +131,32 @@ class LaunchPipeline:
                )
         )
 
+    def validate_raw(self, run_date: str) -> int:
+        """Count records the declared schema cannot parse (PERMISSIVE
+        read with a corrupt-record column). The reference fails only on
+        HTTP errors (`raise_for_status`); a lakehouse also needs a gate
+        between landing and transform — callers treat a non-zero count
+        as a quality failure for the interval."""
+        raw_path = os.path.join(self.raw_dir, f"{run_date}.json")
+        schema = T.StructType(RAW_LAUNCH_SCHEMA.fields
+                              + [T.StructField("_corrupt_record", T.StringType())])
+        raw = (self.spark.read
+               .schema(schema)
+               .option("multiLine", True)
+               .option("mode", "PERMISSIVE")
+               .option("columnNameOfCorruptRecord", "_corrupt_record")
+               .json(raw_path))
+        # Spark disallows querying ONLY the corrupt-record column from a
+        # raw scan; the documented workaround is to materialize first.
+        raw = raw.cache()
+        try:
+            n_bad = raw.filter(F.col("_corrupt_record").isNotNull()).count()
+        finally:
+            raw.unpersist()
+        if n_bad:
+            log.warning("%d corrupt raw document(s) for %s", n_bad, run_date)
+        return n_bad
+
     def transform(self, run_date: str) -> None:
         raw_path = os.path.join(self.raw_dir, f"{run_date}.json")
         raw = (self.spark.read

@@ -210,3 +210,44 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("embedding").cast("double").alias("min_component"),
         F.array_max("embedding").cast("double").alias("max_component"),
     )
+
+
+@query(
+    "map_functions",
+    oracle="""
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id,
+               COUNT(*) AS n_types,
+               string_agg(event_type || ':' || cnt, ';' ORDER BY event_type)
+                 AS type_counts,
+               MAX(CASE WHEN event_type = 'click' THEN cnt END) AS click_count
+        FROM c GROUP BY user_id
+    """,
+    doc="MapType surface: per-user event_type->count built with "
+        "map_from_entries over sorted entries, read back via "
+        "map_entries / size / element_at. Output is stringified "
+        "entry-lists so the map content is portably comparable (pandas "
+        "renders Spark maps and DuckDB maps differently).",
+    tags=("scalar", "map"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    m = (counts.groupBy("user_id")
+               .agg(F.map_from_entries(
+                       F.array_sort(F.collect_list(
+                           F.struct("event_type", "cnt"))))
+                     .alias("m")))
+    entry_str = F.transform(
+        F.map_entries("m"),
+        lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")))
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.concat_ws(";", entry_str).alias("type_counts"),
+        F.element_at(F.col("m"), F.lit("click")).alias("click_count"),
+    )

@@ -154,3 +154,24 @@ def test_streaming_transform_incremental(spark, tmp_path):
     # old partition files untouched (incremental, not a full rewrite)
     for f, mtime in day1_files.items():
         assert os.path.getmtime(f) == mtime, f
+
+
+def test_validate_raw_flags_corrupt_documents(spark, tmp_path):
+    """A malformed raw landing must be detectable BEFORE transform
+    (which, with a declared schema, would silently produce zero rows)."""
+    import json
+    import os
+
+    from de_project_airflow_etl_spark.pipeline.fixtures import launch_day_payload
+    from de_project_airflow_etl_spark.pipeline.launch_etl import LaunchPipeline
+
+    base = str(tmp_path / "lake")
+    p = LaunchPipeline(spark, base, table_name="corrupt_t1")
+    os.makedirs(p.raw_dir)
+    with open(os.path.join(p.raw_dir, "2024-12-01.json"), "w") as f:
+        json.dump(launch_day_payload("2024-12-01", 3), f)
+    with open(os.path.join(p.raw_dir, "2024-12-02.json"), "w") as f:
+        f.write('{"count": 1, "results": [ TRUNCATED')
+
+    assert p.validate_raw("2024-12-01") == 0
+    assert p.validate_raw("2024-12-02") > 0
