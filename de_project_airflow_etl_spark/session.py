@@ -45,6 +45,14 @@ def get_spark(app_name: str = "de_project_airflow_etl_spark",
         # DuckDB's ns->us truncation yields for the oracle).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if os.path.isdir("/dev/shm"):
+        # local-mode only: tmpfs-backed ephemeral checkpoints for
+        # streaming queries that don't pass their own location. A real
+        # cluster points this at durable storage (HDFS/S3) instead —
+        # recoverability is the point of a checkpoint there.
+        builder = builder.config(
+            "spark.sql.streaming.checkpointLocation",
+            f"/dev/shm/spark_graft_ckpt_{os.getpid()}")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
