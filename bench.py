@@ -46,6 +46,7 @@ HEADLINE = (
     "event_value_quantiles",      # per-group sort + interpolation
     "streaming_windowed_counts",  # availableNow stream
     "streaming_stateful_sessions",  # applyInPandasWithState
+    "llm_corpus_prep",            # composite: quality -> dedup -> budget
 )
 
 

@@ -251,3 +251,33 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(";", entry_str).alias("type_counts"),
         F.element_at(F.col("m"), F.lit("click")).alias("click_count"),
     )
+
+
+@query(
+    "variant_json_events",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                          THEN 1 END) AS n_high
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="VARIANT type (Spark 4): parse_json once into a variant column, "
+        "then typed path extraction with try_variant_get — the "
+        "schema-on-read path for semi-structured columns, replacing "
+        "per-access get_json_object string re-parsing. Integer "
+        "aggregation keeps it engine-exact.",
+    tags=("scalar", "json", "variant"),
+)
+def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "long")
+    return (
+        v.select("event_type", k.alias("k"))
+         .groupBy("event_type")
+         .agg(F.sum("k").alias("sum_k"),
+              F.count(F.when(F.col("k") > 50, 1)).alias("n_high"))
+    )
