@@ -31,7 +31,10 @@ from __future__ import annotations
 
 from datetime import date, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 RAW_RECORD_DDL = (
     "id string, url string, name string, "
@@ -105,6 +108,43 @@ class LaunchLibraryReader(DataSourceReader):
             )
 
 
+class LaunchLibraryStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the ingest: the offset is the next unread day,
+    each micro-batch drains exactly one day (the reference's Airflow
+    data interval becomes a streaming offset). ``readBetweenOffsets``
+    replays committed ranges deterministically after a restart —
+    exactly-once for free because fixture payloads are pure functions
+    of the day."""
+
+    def __init__(self, options):
+        self.start = options["start"]
+        self.end = options.get("end")  # exclusive; None -> unbounded
+        self.fetcher = options.get("fetcher", "fixture")
+        self.fixture_n = int(options.get("fixture_n", "5"))
+
+    def initialOffset(self) -> dict:
+        return {"day": self.start}
+
+    def _rows_for(self, day: str):
+        return list(LaunchLibraryReader(
+            {"start": day, "fetcher": self.fetcher,
+             "fixture_n": str(self.fixture_n)}).read(DayPartition(day)))
+
+    def read(self, start: dict):
+        day = start["day"]
+        if self.end is not None and day >= self.end:
+            return iter([]), start  # caught up: empty batch, same offset
+        nxt = (date.fromisoformat(day) + timedelta(days=1)).isoformat()
+        return iter(self._rows_for(day)), {"day": nxt}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        d = date.fromisoformat(start["day"])
+        stop = date.fromisoformat(end["day"])
+        while d < stop:
+            yield from self._rows_for(d.isoformat())
+            d += timedelta(days=1)
+
+
 class LaunchLibraryDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -118,3 +158,8 @@ class LaunchLibraryDataSource(DataSource):
             raise ValueError("launch_library requires option 'start' "
                              "(ISO date; optional 'end' is exclusive)")
         return LaunchLibraryReader(self.options)
+
+    def simpleStreamReader(self, schema) -> LaunchLibraryStreamReader:
+        if "start" not in self.options:
+            raise ValueError("launch_library stream requires option 'start'")
+        return LaunchLibraryStreamReader(self.options)

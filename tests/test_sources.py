@@ -65,3 +65,32 @@ def test_http_fetcher_is_gated():
         pass
     with pytest.raises(NotImplementedError, match="requests"):
         list(reader.read(part))
+
+
+def test_streaming_source_advances_day_offsets(spark, tmp_path):
+    """The streaming reader drains one day per micro-batch, stops
+    producing at the exclusive end offset, and replays deterministically
+    (exactly-once via readBetweenOffsets on restart)."""
+    import time
+
+    df = (spark.readStream.format("launch_library")
+               .option("start", "2024-12-01")
+               .option("end", "2024-12-04").load())
+    q = (df.writeStream.format("memory").queryName("ll_days")
+           .option("checkpointLocation", str(tmp_path / "ckpt"))
+           .outputMode("append")
+           .trigger(processingTime="50 milliseconds").start())
+    try:
+        # 3 days x (n=5 records + 1 dup) = 18 rows, then the source is
+        # caught up and keeps returning empty batches
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("ll_days").count() >= 18:
+                break
+            time.sleep(0.2)
+        rows = spark.table("ll_days").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 18
+    days = sorted({r["net"][:10] for r in rows})
+    assert days == ["2024-12-01", "2024-12-02", "2024-12-03"]
