@@ -11,6 +11,11 @@ Scale notes:
 * Streaming dedup state is per-key; at 100 TB the production form is
   ``dropDuplicatesWithinWatermark`` so state is evicted once the
   watermark passes — unbounded-state dedup is a test-only luxury.
+* Spark 4's newer ``transformWithStateInPandas`` API (typed value/
+  list/map state, timers) is the successor surface; its python driver
+  worker requires ``google.protobuf``, which this environment does not
+  provide, so the operators here use ``applyInPandasWithState`` — the
+  same state semantics, stable since 3.4.
 * The stateful sessionizer is the ``applyInPandasWithState`` shape of
   the batch ``session_window`` aggregate: state is one open session per
   user, batches arrive Arrow-encoded, and the per-group work is
