@@ -234,3 +234,33 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.min("p_retailprice").alias("min_price"),
               F.max("p_retailprice").alias("max_price"))
     )
+
+
+@query(
+    "join_null_safe_nation_pairs",
+    oracle="""
+        WITH n AS (
+          SELECT n_nationkey, NULLIF(n_regionkey, 2) AS k FROM nation
+        )
+        SELECT a.n_nationkey AS nation_a, b.n_nationkey AS nation_b
+        FROM n a JOIN n b
+          ON a.k IS NOT DISTINCT FROM b.k
+         AND a.n_nationkey < b.n_nationkey
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+        "match each other — still hash-partitionable (NULLs co-locate "
+        "on one key), unlike a NULL-tolerant OR-condition join which "
+        "would degrade to a nested loop.",
+    tags=("join", "null"),
+)
+def join_null_safe_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = (load(spark, sf_dir, "nation")
+         .select("n_nationkey",
+                 F.nullif(F.col("n_regionkey"), F.lit(2)).alias("k")))
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.k").eqNullSafe(F.col("b.k"))
+                  & (F.col("a.n_nationkey") < F.col("b.n_nationkey")))
+         .select(F.col("a.n_nationkey").alias("nation_a"),
+                 F.col("b.n_nationkey").alias("nation_b"))
+    )
