@@ -190,3 +190,52 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .otherwise(F.lit(0))).cast("double") / 100).alias("discounted_revenue"),
           )
     )
+
+
+@query(
+    "stats_aggregates",
+    oracle="""
+        WITH c AS (
+          SELECT l_returnflag,
+                 CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      AS DECIMAL(19,0)) AS p,
+                 CAST(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                      AS DECIMAL(19,0)) AS q
+          FROM lineitem
+        )
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               (CAST(SUM(p * p) AS DOUBLE) / COUNT(*)
+                - (CAST(SUM(p) AS DOUBLE) / COUNT(*))
+                  * (CAST(SUM(p) AS DOUBLE) / COUNT(*))) / 1e4 AS var_pop_price,
+               (CAST(SUM(p * q) AS DOUBLE) / COUNT(*)
+                - (CAST(SUM(p) AS DOUBLE) / COUNT(*))
+                  * (CAST(SUM(q) AS DOUBLE) / COUNT(*))) / 1e4 AS covar_pop_price_qty
+        FROM c
+        GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates (population variance / covariance) via "
+        "the exact-moments formula: cents scaled to DECIMAL(19,0) so "
+        "the squared-term sums are exact at ANY row count (int64 "
+        "sum-of-squares would overflow ~1e12 cents^2-rows; decimal "
+        "headroom is 1e38 on both engines), then one engine-identical "
+        "double expression at the end — the built-in var_pop/covar_pop "
+        "use order-dependent streaming updates that never hash-match "
+        "across engines. Same one-shuffle partial-aggregate plan.",
+    tags=("aggregate", "stats"),
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = cents("l_extendedprice").cast("decimal(19,0)")
+    q = cents("l_quantity").cast("decimal(19,0)")
+    n = F.count(F.lit(1))
+    sp, sq = F.sum(p).cast("double"), F.sum(q).cast("double")
+    spp, spq = F.sum(p * p).cast("double"), F.sum(p * q).cast("double")
+    return (
+        li.groupBy("l_returnflag")
+          .agg(n.alias("n"),
+               ((spp / n - (sp / n) * (sp / n)) / F.lit(1e4))
+                   .alias("var_pop_price"),
+               ((spq / n - (sp / n) * (sq / n)) / F.lit(1e4))
+                   .alias("covar_pop_price_qty"))
+    )

@@ -102,6 +102,21 @@ def test_lsh_candidate_join_is_equi_join(spark, sf_dir):
     spark.catalog.clearCache()  # dedup_minhash_lsh persists its inputs
 
 
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Explicit strategy hints override the cost-based choice — the
+    manual control knob when statistics mislead the planner at scale."""
+    from de_project_airflow_etl_spark.tables import load
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cond = o.o_custkey == c.c_custkey
+    merge_plan = formatted_plan(o.join(c.hint("merge"), cond))
+    assert "SortMergeJoin" in merge_plan, merge_plan
+    shuffle_hash_plan = formatted_plan(o.join(c.hint("shuffle_hash"), cond))
+    assert "ShuffledHashJoin" in shuffle_hash_plan, shuffle_hash_plan
+    bcast_plan = formatted_plan(o.join(c.hint("broadcast"), cond))
+    assert "BroadcastHashJoin" in bcast_plan, bcast_plan
+
+
 def test_whole_stage_codegen_in_agg(spark, sf_dir):
     from de_project_airflow_etl_spark.queries.relational import pricing_summary
     df = pricing_summary(spark, sf_dir)
