@@ -38,6 +38,9 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
     """File-source stream over the events parquet. Schema must be
     explicit for streaming reads (no inference at run time)."""
     path = f"{sf_dir}/events.parquet"
+    # defensive for driver-supplied sessions (see tables.load): the
+    # NANOS timestamp is unreadable without this runtime-settable conf
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema  # file schema (ts = nanos long)
     # File-source streams take a directory; pathGlobFilter narrows it to
     # the events table only.

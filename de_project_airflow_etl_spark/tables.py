@@ -27,11 +27,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
+        # outright unless nanosAsLong is on. Our session factory sets
+        # it, but the driver may hand us a plain session — set it
+        # defensively (runtime-settable, idempotent) so every query
+        # works on any SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as a
-        # nanosecond long (legacy.parquet.nanosAsLong); truncate to
-        # microseconds exactly as DuckDB does when casting ns -> us.
+        # ts arrives as a nanosecond long; truncate to microseconds
+        # exactly as DuckDB does when casting ns -> us.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
         if isinstance(df.schema["ts"].dataType, T.LongType):
