@@ -239,3 +239,68 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                ((spq / n - (sp / n) * (sq / n)) / F.lit(1e4))
                    .alias("covar_pop_price_qty"))
     )
+
+
+@query(
+    "minmax_by_aggregates",
+    oracle="""
+        SELECT o_orderpriority,
+               max_by(o_orderkey, o_totalprice) AS biggest_order,
+               min_by(o_orderkey, o_totalprice) AS smallest_order,
+               CAST(MAX(o_totalprice * 100) AS BIGINT) AS max_price_cents
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Argmax/argmin aggregates (max_by/min_by): the single-pass "
+        "answer to 'which row holds the extreme' — replaces the "
+        "self-join-on-MAX anti-pattern with one hash aggregate. "
+        "o_totalprice is unique per priority group in the testdata, so "
+        "the chosen keys are deterministic.",
+    tags=("aggregate",),
+)
+def minmax_by_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+         .agg(F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+              F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+              F.max(cents("o_totalprice")).alias("max_price_cents"))
+    )
+
+
+@query(
+    "array_agg_top_balances",
+    oracle="""
+        WITH ranked AS (
+          SELECT n_name, c_custkey,
+                 ROW_NUMBER() OVER (PARTITION BY n_name
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name,
+               array_to_string(list(c_custkey ORDER BY rn), ',') AS top3_customers
+        FROM ranked
+        WHERE rn <= 3
+        GROUP BY n_name
+    """,
+    doc="Ordered array_agg: top-3 customer keys per nation collected "
+        "into an ordered list (rank first, then collect). Output is a "
+        "joined string because pandas renders Spark and DuckDB arrays "
+        "differently; the order inside the string is the point.",
+    tags=("aggregate", "array"),
+)
+def array_agg_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    ranked = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= 3))
+    return (
+        ranked.groupBy("n_name")
+              .agg(F.concat_ws(",", F.transform(
+                       F.array_sort(F.collect_list(F.struct("rn", "c_custkey"))),
+                       lambda s: s["c_custkey"].cast("string")))
+                    .alias("top3_customers"))
+    )
