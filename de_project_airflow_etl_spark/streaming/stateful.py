@@ -161,3 +161,80 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
               )
     )
     return _drain(sessions, spark, output_mode="update")
+
+
+@query(
+    "streaming_static_join_segments",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS event_count
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    doc="Stream-static join: the event stream enriched against the "
+        "static customer dimension (broadcast per micro-batch — the "
+        "dimension is re-read each batch, so slowly-changing dims stay "
+        "fresh), then a running aggregate; agrees with the batch join. "
+        "The canonical lakehouse enrichment topology at 100 TB: stream "
+        "facts, broadcast dims.",
+    tags=("streaming", "join"),
+)
+def streaming_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.tables import load as load_static
+    stream = read_event_stream(spark, sf_dir, with_watermark=None)
+    customers = load_static(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment"))
+    joined = stream.join(customers, stream.user_id == customers.c_custkey)
+    # exact COUNT(DISTINCT) is unsupported on streams (use
+    # streaming_dedup_events' dedup->count topology for that); the
+    # running event count per segment is the enrichment payload here.
+    agg = (joined.groupBy(F.col("c_mktsegment").alias("segment"))
+                 .agg(F.count(F.lit(1)).alias("event_count")))
+    return _drain(agg, spark, output_mode="complete")
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+        WITH clicks AS (
+          SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+          SELECT user_id, ts AS purchase_ts, event_id
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+        FROM purchases p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 1 HOUR
+                            AND p.purchase_ts
+    """,
+    doc="Stream-stream inner join with an event-time range bound "
+        "(purchases joined to clicks within the preceding hour) and "
+        "watermarks on both sides — the watermark + range constraint "
+        "is what lets the engine evict join state at 100 TB instead of "
+        "buffering both streams forever. Drained with availableNow; "
+        "agrees with the equivalent batch range join.",
+    tags=("streaming", "join"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_event_stream(spark, sf_dir, with_watermark=None)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", F.col("ts").alias("click_ts"))
+                .withWatermark("click_ts", "2 hours"))
+    ev2 = read_event_stream(spark, sf_dir, with_watermark=None)
+    purchases = (ev2.filter(F.col("event_type") == "purchase")
+                    .select(F.col("user_id").alias("p_user_id"),
+                            F.col("ts").alias("purchase_ts"), "event_id")
+                    .withWatermark("purchase_ts", "2 hours"))
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    )
+    out = joined.select(
+        "event_id", F.col("p_user_id").alias("user_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"))
+    return _drain(out, spark, output_mode="append")
