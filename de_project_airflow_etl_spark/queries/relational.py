@@ -304,3 +304,37 @@ def array_agg_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
                        lambda s: s["c_custkey"].cast("string")))
                     .alias("top3_customers"))
     )
+
+
+@query(
+    "hash_sampled_pricing",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS sample_rows,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS sample_revenue
+        FROM lineitem
+        WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                         || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+        GROUP BY l_returnflag
+    """,
+    doc="Deterministic 1/16 hash sample: rows whose md5(primary key) "
+        "starts with '0'. Unlike TABLESAMPLE/rand(), the sample is "
+        "identical on every engine, every run, and every retry — the "
+        "exploration/debugging workhorse at 100 TB, and the filter "
+        "evaluates inside the scan (no shuffle, no sort, no state).",
+    tags=("scan", "sample"),
+)
+def hash_sampled_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    bucket = F.substring(
+        F.md5(F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                          F.col("l_linenumber").cast("string"))
+               .cast("binary")), 1, 1)
+    return (
+        li.filter(bucket == "0")
+          .groupBy("l_returnflag")
+          .agg(F.count(F.lit(1)).alias("sample_rows"),
+               (F.sum(cents("l_extendedprice")).cast("double") / F.lit(100))
+                   .alias("sample_revenue"))
+    )
