@@ -281,3 +281,35 @@ def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.sum("k").alias("sum_k"),
               F.count(F.when(F.col("k") > 50, 1)).alias("n_high"))
     )
+
+
+@query(
+    "interval_arithmetic",
+    oracle="""
+        SELECT o_orderkey,
+               -- 45 DAY, not 90: DuckDB normalizes intervals at 30
+               -- days/month, so INTERVAL 90 DAY compares equal to
+               -- INTERVAL 3 MONTH and its expression CSE collapses the
+               -- two additions into one (calendar-wrong) result.
+               o_orderdate + INTERVAL 45 DAY AS due_date,
+               o_orderdate + INTERVAL 3 MONTH AS review_date,
+               CAST(date_diff('day', o_orderdate,
+                              TIMESTAMP '2000-01-01 00:00:00') AS INT)
+                 AS days_to_y2k
+        FROM orders
+        WHERE o_orderkey < 1000
+    """,
+    doc="Calendar interval arithmetic: day and month addition (both "
+        "engines clamp month-ends identically) and day-difference "
+        "against a fixed timestamp.",
+    tags=("scalar", "date", "interval"),
+)
+def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("review_date"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"),
+                   F.col("o_orderdate")).alias("days_to_y2k"),
+    )
