@@ -63,3 +63,33 @@ def salted_join(skewed: DataFrame, dim: DataFrame, key: str,
     replicated = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return salted.join(replicated, [key, "__salt"]).drop("__salt")
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from de_project_airflow_etl_spark.registry import query  # noqa: E402
+from de_project_airflow_etl_spark.tables import load  # noqa: E402
+
+
+@query(
+    "salted_event_counts",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS count_event_id,
+               MAX(event_id) AS max_event_id
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Skew-salted aggregation in the driver-facing surface: "
+        "salted_agg spreads each event_type over 16 deterministic salt "
+        "partials before the final merge — identical result to the "
+        "plain GROUP BY (same oracle), but a hot key occupies 16 "
+        "reducers. The manual counterpart of AQE's skew-join splitting, "
+        "for aggregations where AQE cannot help.",
+    tags=("aggregate", "skew"),
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return salted_agg(ev, "event_type", "event_id",
+                      [("event_id", "count"), ("event_id", "max")],
+                      n_salts=16)

@@ -61,7 +61,7 @@ def all_queries() -> dict[str, Query]:
         subqueries, timeseries,
     )
     from de_project_airflow_etl_spark.operators import (  # noqa: F401
-        corpus, dedup, multimodal, similarity, text, udtf_ops,
+        corpus, dedup, multimodal, similarity, skew, text, udtf_ops,
     )
     from de_project_airflow_etl_spark.streaming import (  # noqa: F401
         ingest, stateful,
