@@ -385,3 +385,104 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.expr(f"shiftleft(cast(1 as bigint), bit)"))
                          .otherwise(F.lit(0).cast("bigint"))).alias("simhash"))
     )
+
+
+# ------------------------------------------- duplicate-cluster resolve
+
+def _sql_lsh_pairs() -> str:
+    """DuckDB CTE chain ending in ``pairs(doc_a, doc_b)`` — the verified
+    near-dup pairs, textually identical to the dedup_minhash_lsh oracle."""
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(sig_{2*b} || sig_{2*b+1}) AS band_hash FROM sigs"
+        for b in range(N_BANDS))
+    return f"""
+        {_SQL_SHINGLED},
+        sigs AS (
+          SELECT doc_id, shingles, {_sql_minhash_cols()}
+          FROM shingled
+        ),
+        bands AS ({bands_union}),
+        cands AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+           AND x.doc_id < y.doc_id
+        ),
+        verified AS (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_intersect(sa.hs, sb.hs)) AS n_inter,
+                 len(sa.hs) AS na, len(sb.hs) AS nb
+          FROM cands c
+          JOIN shingled sa ON sa.doc_id = c.doc_a
+          JOIN shingled sb ON sb.doc_id = c.doc_b
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b FROM verified
+          WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {JACCARD_THRESHOLD}
+        )
+    """
+
+
+CC_MAX_ITERS = 25
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_sql_lsh_pairs()},
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach
+        GROUP BY src
+    """,
+    doc="Duplicate-cluster resolution: connected components over the "
+        "LSH-verified near-dup pairs via iterative min-label "
+        "propagation (each round, every node takes the min label among "
+        "itself and its neighbours; converges in O(diameter) rounds — "
+        "near-dup clusters are small, so 2-3 rounds in practice). Each "
+        "round is one shuffle join + one shuffle agg on doc_id; "
+        "localCheckpoint truncates lineage so plans stay flat at any "
+        "iteration count. The oracle is DuckDB's recursive CTE "
+        "transitive closure — an engine-independent spec of the same "
+        "clustering. component_id = min doc_id of the cluster, i.e. "
+        "the canonical document a dedup pass keeps.",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = sym.persist()
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+                   .withColumn("component_id", F.col("doc_id"))
+                   .localCheckpoint())
+    # Labels only ever decrease, so sum(component_id) is a strictly
+    # decreasing convergence witness: equal sums <=> fixpoint reached.
+    prev = None
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (edges.join(labels, edges.dst == labels.doc_id)
+                        .groupBy("src")
+                        .agg(F.min("component_id").alias("nbr_min")))
+        labels = (labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+                        .select(F.col("doc_id"),
+                                F.least(F.col("component_id"),
+                                        F.coalesce("nbr_min", "component_id"))
+                                 .alias("component_id"))
+                        .localCheckpoint())
+        cur = labels.agg(F.sum("component_id")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    edges.unpersist()
+    return labels

@@ -253,6 +253,69 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_top_terms",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.term, t.tf, d.df,
+                 CAST(t.tf AS DOUBLE) * (SELECT n_docs FROM n) / d.df AS tfidf
+          FROM tf t JOIN df d ON t.term = d.term
+        )
+        SELECT doc_id, term, tf, df, tfidf
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term) AS rn
+          FROM scored
+        )
+        WHERE rn <= 3
+    """,
+    doc="TF-IDF term weighting, top-3 most characteristic terms per "
+        "document. The document-frequency side is one global aggregate "
+        "over the (doc, term) relation — at 100 TB this is the classic "
+        "two-pass map-reduce: per-doc term counts (map-side combine), "
+        "then a broadcast-joinable term->df table (vocabulary << "
+        "corpus). The score keeps the raw N/df ratio instead of "
+        "log(N/df): monotonically equivalent for ranking, and exact "
+        "IEEE arithmetic on both engines (libm log differs at ulp "
+        "level across engines). Deterministic tiebreak on term.",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+          .crossJoin(F.broadcast(n_docs))
+          .select("doc_id", "term", "tf", "df",
+                  (F.col("tf").cast("double") * F.col("n_docs") / F.col("df"))
+                   .alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 3)
+              .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
         SELECT doc_id,

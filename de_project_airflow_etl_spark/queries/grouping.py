@@ -112,3 +112,39 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.coalesce("O", F.lit(0)).alias("status_o"),
                  F.coalesce("P", F.lit(0)).alias("status_p"))
     )
+
+
+@query(
+    "unpivot_nation_metrics",
+    oracle="""
+        WITH a AS (
+          SELECT c_nationkey,
+                 CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS bal_cents,
+                 COUNT(*) AS n_customers
+          FROM customer
+          GROUP BY c_nationkey
+        )
+        SELECT c_nationkey, 'bal_cents' AS metric, bal_cents AS value FROM a
+        UNION ALL
+        SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM a
+    """,
+    doc="UNPIVOT (wide -> long melt): per-nation metric columns melted "
+        "into (nation, metric, value) rows — the inverse of pivot, and "
+        "the shape feature stores / metric lakes ingest. Spark's "
+        ".unpivot is a zero-shuffle Expand over the aggregated rows "
+        "(the only shuffle is the aggregation itself); the oracle "
+        "spells it as the equivalent UNION ALL. Values are exact int64 "
+        "cents so both engines agree bit-for-bit.",
+    tags=("grouping", "unpivot"),
+)
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    agg = (
+        c.groupBy("c_nationkey")
+         .agg(F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+               .alias("bal_cents"),
+              F.count(F.lit(1)).alias("n_customers"))
+    )
+    return agg.unpivot(["c_nationkey"], ["bal_cents", "n_customers"],
+                       "metric", "value")

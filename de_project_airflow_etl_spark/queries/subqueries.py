@@ -123,3 +123,40 @@ def derived_table_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.join(F.broadcast(n), t.c_nationkey == n.n_nationkey)
          .select(F.col("n_name").alias("nation_name"), "customer_count")
     )
+
+
+@query(
+    "lateral_top_orders_per_nation",
+    oracle="""
+        SELECT n.n_name AS nation_name, t.o_orderkey, t.o_totalprice
+        FROM nation n
+        JOIN LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 2
+        ) t ON TRUE
+    """,
+    doc="LATERAL join with a correlated ORDER BY ... LIMIT inner query: "
+        "the top-2 orders per nation. Catalyst decorrelates the "
+        "per-row LIMIT into a single rank-window over the joined "
+        "relation (DecorrelateInnerQuery) — one shuffle on the "
+        "correlation key, not a re-executed subquery per outer row, "
+        "so it scales like the equivalent window query at 100 TB.",
+    tags=("subquery", "lateral"),
+)
+def lateral_top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("nation", "customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT n.n_name AS nation_name, t.o_orderkey, t.o_totalprice
+        FROM nation n
+        JOIN LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 2
+        ) t
+    """)

@@ -89,3 +89,46 @@ def run_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(spark, sf_dir)
+
+
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+@query(
+    "streaming_windowed_counts_rocksdb",
+    oracle="""
+        SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+               event_type,
+               COUNT(*) AS event_count
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="The same streaming tumbling-window aggregation with the "
+        "RocksDB state store provider (rocksdbjni ships with Spark). "
+        "The default HDFS-backed provider keeps all state keys on the "
+        "executor heap; RocksDB spills state to local SSD with "
+        "changelog checkpointing, which is what makes million-key "
+        "windowed state (100 TB event streams) feasible. Same oracle "
+        "as the default-provider query — the state backend must not "
+        "change results.",
+    tags=("streaming", "window", "rocksdb"),
+)
+def streaming_windowed_counts_rocksdb(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = None
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        pass
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        # run_available_now fully drains the stream before returning, so
+        # the provider conf is live for the whole query lifetime.
+        return run_available_now(spark, sf_dir)
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
