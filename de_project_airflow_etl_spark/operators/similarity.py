@@ -250,6 +250,54 @@ _SQL_IVF_CELLS = f"""
 """
 
 
+def _seed_centroids(e: DataFrame) -> DataFrame:
+    """Deterministic coarse centroids: the lowest-vec_id vector of each
+    label -> (cell, centroid)."""
+    from pyspark.sql import Window
+    w_seed = Window.partitionBy("label").orderBy("vec_id")
+    return (e.withColumn("rn", F.row_number().over(w_seed))
+             .filter(F.col("rn") == 1)
+             .select(F.col("label").alias("cell"),
+                     F.col("embedding").alias("centroid")))
+
+
+# argmax over the centroid list, evaluated per row with higher-order
+# functions: struct ordering makes array_max pick (max sim, then min
+# cell) — the same (sim DESC, cell ASC) tiebreak the oracle's
+# ROW_NUMBER spells. cosine keeps the oracle's exact expression tree
+# dot / (sqrt(dot(e,e)) * sqrt(dot(c,c))), so values — and therefore
+# the argmax — are bit-identical to the window formulation.
+_BEST_CELL = """
+    array_max(transform(cents, c -> struct(
+      aggregate(zip_with(embedding, c.centroid,
+                  (x, y) -> cast(x as double) * cast(y as double)),
+                0D, (acc, v) -> acc + v)
+      / (sqrt(aggregate(zip_with(embedding, embedding,
+                 (x, y) -> cast(x as double) * cast(y as double)),
+               0D, (acc, v) -> acc + v))
+         * sqrt(aggregate(zip_with(c.centroid, c.centroid,
+                  (x, y) -> cast(x as double) * cast(y as double)),
+                0D, (acc, v) -> acc + v))) AS sim,
+      -c.cell AS negcell)))
+"""
+
+
+def _assign_cells(df: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Coarse quantization as a ZERO-SHUFFLE map: collapse the (tiny)
+    centroid table to one array-of-structs row, broadcast it, and pick
+    the argmax-cosine cell per vector with array_max — no exchange, no
+    per-vector window sort. The previous formulation window-ranked a
+    vectors-x-centroids cross join, which shuffled the whole corpus by
+    vec_id twice; this one touches each row exactly once, which is the
+    difference between an O(corpus) map and an O(corpus) shuffle at
+    100 TB."""
+    cents = centroids.agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("cents"))
+    return (df.crossJoin(F.broadcast(cents))
+              .withColumn("cell", -F.expr(_BEST_CELL)["negcell"])
+              .drop("cents"))
+
+
 @query(
     "ann_ivf_search",
     oracle=f"""
@@ -268,41 +316,20 @@ _SQL_IVF_CELLS = f"""
         "cell (the inverted list), and the search probes only the "
         "query's cell before the exact re-rank. At 100 TB the cell id "
         "is the storage partition key, so a probe is a partition-pruned "
-        "scan of ~n/k vectors; centroids come from a k-means fit (here: "
-        "deterministic seed vectors, so the oracle is exact).",
+        "scan of ~n/k vectors; centroids come from a k-means fit (see "
+        "ann_ivf_kmeans_fit; seed vectors here keep the oracle exact). "
+        "Assignment is the zero-shuffle broadcast argmax map "
+        "(_assign_cells), bit-identical to the oracle's window argmax.",
     tags=("similarity", "ivf", "knn"),
 )
 def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
     e = load(spark, sf_dir, "embeddings")
-    w_seed = Window.partitionBy("label").orderBy("vec_id")
-    # seeds are referenced twice (query-cell lookup + corpus
-    # assignment) and recomputed each time — cheaper than a persist
-    # barrier at this cardinality; in production the k-means fit ships
-    # as a tiny artifact and this subplan disappears entirely.
-    seeds = (e.withColumn("rn", F.row_number().over(w_seed))
-              .filter(F.col("rn") == 1)
-              .select(F.col("label").alias("cell"),
-                      F.col("embedding").alias("centroid")))
-
-    def assign(df: DataFrame, w: Window) -> DataFrame:
-        """argmax-cosine coarse quantization against broadcast seeds."""
-        return (df.crossJoin(F.broadcast(seeds))
-                  .select("vec_id", "label", "embedding", "cell",
-                          cosine("embedding", "centroid").alias("sim"))
-                  .withColumn("rnk", F.row_number().over(w))
-                  .filter(F.col("rnk") == 1)
-                  .drop("sim", "rnk"))
-
-    # the query row is quantized on its own (k-row window), so the
-    # full-corpus assignment below is referenced exactly ONCE — the
-    # naive `assigned.filter(vec_id == q)` formulation doubled every
-    # exchange/sort in the plan.
-    q = (assign(e.filter(F.col("vec_id") == QUERY_VEC_ID),
-                Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell"))
+    seeds = _seed_centroids(e)
+    # the query row is quantized on its own, so the full-corpus
+    # assignment below is referenced exactly ONCE in the plan.
+    q = (_assign_cells(e.filter(F.col("vec_id") == QUERY_VEC_ID), seeds)
          .select(F.col("embedding").alias("qv"), F.col("cell").alias("qcell")))
-    assigned = assign(
-        e, Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell"))
+    assigned = _assign_cells(e, seeds)
     return (
         assigned.crossJoin(F.broadcast(q))
                 .filter((F.col("cell") == F.col("qcell"))
@@ -312,6 +339,49 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy(F.col("cosine_sim").desc(), "vec_id")
                 .limit(5)
     )
+
+
+KMEANS_ITERS = 3
+
+
+@query(
+    "ann_ivf_kmeans_fit",
+    oracle=None,
+    # No SQL oracle: Lloyd's algorithm is iterative (driver-side loop
+    # over DataFrame rounds) and double means are accumulation-order
+    # sensitive, so the driver records the weaker rows-only check.
+    doc="Lloyd's k-means refinement of the IVF coarse centroids "
+        "(3 rounds, seeded from the deterministic per-label seeds). "
+        "Assignment is the zero-shuffle broadcast argmax map shared "
+        "with ann_ivf_search; the update step is the relational "
+        "mean — posexplode(embedding) then AVG per (cell, dim) — "
+        "whose map-side partial aggregation reduces each partition to "
+        "k x d rows before the shuffle, so a round costs one "
+        "O(k*d*partitions) exchange regardless of corpus size. Output "
+        "is the fitted cell populations + centroid norms.",
+    tags=("similarity", "ivf", "kmeans", "iterative"),
+)
+def ann_ivf_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _seed_centroids(
+        load(spark, sf_dir, "embeddings")).localCheckpoint()
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign_cells(e, cents)
+        cents = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+                    .groupBy("cell", "pos")
+                    .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                    .groupBy("cell")
+                    .agg(F.expr("transform(array_sort(collect_list("
+                                "struct(pos, m))), s -> s.m)")
+                          .alias("centroid"))
+                    .localCheckpoint())
+    final = _assign_cells(e, cents)
+    counts = final.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    norms = cents.select(
+        "cell", F.sqrt(dot("centroid", "centroid")).alias("centroid_norm"))
+    return (counts.join(norms, "cell")
+                  .select("cell", "n_vectors", "centroid_norm"))
 
 
 @query(

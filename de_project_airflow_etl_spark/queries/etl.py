@@ -1,0 +1,196 @@
+"""Warehouse-maintenance operators: MERGE-style upsert, SCD2 history
+derivation, data-quality profiling, hash-stratified sampling.
+
+These generalize the reference's ETL core (idempotent partition
+overwrite + re-runnable daily intervals, SURVEY.md §2.3/§2.6) to the
+change-data patterns a lakehouse pipeline needs. Spark has no MERGE
+INTO without a table format like Delta/Iceberg, so the upsert is the
+canonical full-outer-join + coalesce formulation — exactly the plan
+those formats execute underneath (join updates to base on the key,
+rewrite matched files). All ops are single-shuffle and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.tables import load
+
+
+@query(
+    "merge_upsert_customers",
+    oracle="""
+        WITH updates AS (
+          SELECT c_custkey AS key, c_acctbal + 100.0 AS bal, c_name AS name
+          FROM customer WHERE c_custkey % 10 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000, c_acctbal, c_name
+          FROM customer WHERE c_custkey % 7 = 0
+        ),
+        base AS (
+          SELECT c_custkey AS key, c_acctbal AS bal, c_name AS name
+          FROM customer
+        )
+        SELECT COALESCE(b.key, u.key) AS key,
+               COALESCE(u.bal, b.bal) AS bal,
+               COALESCE(u.name, b.name) AS name,
+               CASE WHEN b.key IS NULL THEN 'insert'
+                    WHEN u.key IS NULL THEN 'keep'
+                    ELSE 'update' END AS merge_action
+        FROM base b FULL OUTER JOIN updates u ON b.key = u.key
+    """,
+    doc="MERGE INTO emulation (upsert): a deterministic update set "
+        "(balance bump for every 10th customer + brand-new keys) merged "
+        "into the base table via FULL OUTER JOIN + COALESCE, tagged "
+        "with the merge action. This is the physical plan Delta/"
+        "Iceberg MERGE lowers to; on a bucketed base table the join is "
+        "co-located, so an upsert costs one shuffle of the (small) "
+        "update side only.",
+    tags=("etl", "merge", "upsert"),
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    base = c.select(F.col("c_custkey").alias("key"),
+                    F.col("c_acctbal").alias("bal"),
+                    F.col("c_name").alias("name"))
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+         .select(F.col("c_custkey").alias("key"),
+                 (F.col("c_acctbal") + F.lit(100.0)).alias("bal"),
+                 F.col("c_name").alias("name"))
+         .unionAll(
+             c.filter(F.col("c_custkey") % 7 == 0)
+              .select((F.col("c_custkey") + 1000000).alias("key"),
+                      F.col("c_acctbal").alias("bal"),
+                      F.col("c_name").alias("name")))
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    return (
+        b.join(u, F.col("b.key") == F.col("u.key"), "full_outer")
+         .select(
+             F.coalesce("b.key", "u.key").alias("key"),
+             F.coalesce("u.bal", "b.bal").alias("bal"),
+             F.coalesce("u.name", "b.name").alias("name"),
+             F.when(F.col("b.key").isNull(), "insert")
+              .when(F.col("u.key").isNull(), "keep")
+              .otherwise("update").alias("merge_action"))
+    )
+
+
+@query(
+    "scd2_user_history",
+    oracle="""
+        SELECT user_id,
+               event_type,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to,
+               CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+    """,
+    doc="SCD Type-2 history build: turn a change stream (per-user "
+        "purchase/signup events) into validity intervals with "
+        "LEAD(ts) — each record's valid_to is the next change's "
+        "valid_from, the open-ended row is current. One window pass = "
+        "one shuffle on user_id; at 100 TB this partitions cleanly by "
+        "user and is the standard dimension-history derivation.",
+    tags=("etl", "scd2", "window"),
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id", "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"))
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+        SELECT 'o_orderstatus' AS column_name,
+               COUNT(*) AS n_rows,
+               COUNT(o_orderstatus) AS n_non_null,
+               COUNT(DISTINCT o_orderstatus) AS n_distinct
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+               COUNT(DISTINCT o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+               COUNT(DISTINCT o_custkey)
+        FROM orders
+    """,
+    doc="Data-quality column profiling: row/non-null/distinct counts "
+        "per column in ONE scan — all metrics are computed in a single "
+        "aggregate, then pivoted long with explode (the oracle spells "
+        "the same result as three scans). The one-scan shape is what "
+        "matters at 100 TB: profiling cost must not multiply by column "
+        "count.",
+    tags=("etl", "profiling"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.count("o_orderpriority").alias("nn_priority"),
+        F.countDistinct("o_orderpriority").alias("nd_priority"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+    )
+    row = F.explode(F.array(
+        F.struct(F.lit("o_orderstatus").alias("column_name"),
+                 F.col("n_rows"),
+                 F.col("nn_status").alias("n_non_null"),
+                 F.col("nd_status").alias("n_distinct")),
+        F.struct(F.lit("o_orderpriority").alias("column_name"),
+                 F.col("n_rows"),
+                 F.col("nn_priority").alias("n_non_null"),
+                 F.col("nd_priority").alias("n_distinct")),
+        F.struct(F.lit("o_custkey").alias("column_name"),
+                 F.col("n_rows"),
+                 F.col("nn_custkey").alias("n_non_null"),
+                 F.col("nd_custkey").alias("n_distinct")),
+    )).alias("r")
+    return agg.select(row).select("r.column_name", "r.n_rows",
+                                  "r.n_non_null", "r.n_distinct")
+
+
+@query(
+    "stratified_sample_documents",
+    oracle="""
+        SELECT doc_id, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hash_bucket
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < CASE WHEN lang = 'en' THEN '4000' ELSE '8000' END
+    """,
+    doc="Hash-stratified sampling: per-language sampling rates (25% "
+        "for en, 50% otherwise) via an md5 threshold on the key — "
+        "deterministic, reproducible, join-stable (the same doc is "
+        "sampled in every run and every table it appears in), and a "
+        "pure filter with zero shuffles. This is how a training-data "
+        "pipeline downsamples dominant languages at 100 TB; "
+        "DataFrame.sampleBy is per-run random and can't be "
+        "oracle-checked or joined against.",
+    tags=("etl", "sampling"),
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")),
+                         1, 4)
+    threshold = F.when(F.col("lang") == "en", "4000").otherwise("8000")
+    return (d.select("doc_id", "lang", bucket.alias("hash_bucket"))
+             .filter(F.col("hash_bucket") < threshold))

@@ -57,7 +57,7 @@ def all_queries() -> dict[str, Query]:
     """Import every query module and return the registry."""
     # Imports deferred so `import registry` never costs a Spark session.
     from de_project_airflow_etl_spark.queries import (  # noqa: F401
-        flagship, relational, joins, windows, setops, scalar, grouping,
+        etl, flagship, relational, joins, windows, setops, scalar, grouping,
         subqueries, timeseries,
     )
     from de_project_airflow_etl_spark.operators import (  # noqa: F401
