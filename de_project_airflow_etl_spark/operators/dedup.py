@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from de_project_airflow_etl_spark.operators import similarity as _similarity
 from de_project_airflow_etl_spark.registry import query
-from de_project_airflow_etl_spark.tables import load
+from de_project_airflow_etl_spark.tables import fan_out, load
 
 N_HASHES = 8          # minhash signature length
 N_BANDS = 4           # LSH bands (2 rows per band)
@@ -51,7 +51,7 @@ SIMHASH_BITS = 24     # bits drawn from the first 6 md5 hex digits
     tags=("dedup",),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     return (
         d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
          .agg(F.min("doc_id").alias("keep_doc_id"),
@@ -70,7 +70,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise re-run the md5 transform once per signature). Docs
     shorter than 3 tokens are excluded (none in the testdata; the
     guard keeps sequence() from going descending)."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     toks = F.split(F.col("text"), " ")
     return (
         d.withColumn("toks", toks)
@@ -298,7 +298,7 @@ COSINE_THRESHOLD = 0.35
     tags=("dedup", "embedding", "lsh"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").withColumn(
+    e = fan_out(load(spark, sf_dir, "embeddings"), spark).withColumn(
         "bucket", _similarity._bucket("embedding"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("bucket"),
                  F.col("embedding").alias("emb_a"))
@@ -365,7 +365,7 @@ def _token_hash_sql(token_expr: str) -> str:
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     toks = (
         d.select("doc_id",
                  F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))

@@ -282,17 +282,24 @@ _BEST_CELL = """
 """
 
 
-def _assign_cells(df: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Coarse quantization as a ZERO-SHUFFLE map: collapse the (tiny)
-    centroid table to one array-of-structs row, broadcast it, and pick
-    the argmax-cosine cell per vector with array_max — no exchange, no
-    per-vector window sort. The previous formulation window-ranked a
-    vectors-x-centroids cross join, which shuffled the whole corpus by
-    vec_id twice; this one touches each row exactly once, which is the
-    difference between an O(corpus) map and an O(corpus) shuffle at
-    100 TB."""
-    cents = centroids.agg(
+def _collect_cents(centroids: DataFrame) -> DataFrame:
+    """Collapse the (tiny) centroid table to ONE array-of-structs row,
+    ready to broadcast. Build it once per query so the seeds subplan
+    isn't re-executed for every assignment site."""
+    return centroids.agg(
         F.collect_list(F.struct("cell", "centroid")).alias("cents"))
+
+
+def _assign_cells(df: DataFrame, centroids: DataFrame,
+                  *, collected: bool = False) -> DataFrame:
+    """Coarse quantization as a ZERO-SHUFFLE map: broadcast the one-row
+    centroid array and pick the argmax-cosine cell per vector with
+    array_max — no exchange, no per-vector window sort. The previous
+    formulation window-ranked a vectors-x-centroids cross join, which
+    shuffled the whole corpus by vec_id twice; this one touches each
+    row exactly once, which is the difference between an O(corpus) map
+    and an O(corpus) shuffle at 100 TB."""
+    cents = centroids if collected else _collect_cents(centroids)
     return (df.crossJoin(F.broadcast(cents))
               .withColumn("cell", -F.expr(_BEST_CELL)["negcell"])
               .drop("cents"))
@@ -324,12 +331,15 @@ def _assign_cells(df: DataFrame, centroids: DataFrame) -> DataFrame:
 )
 def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    seeds = _seed_centroids(e)
+    # one-row centroid array, localCheckpointed so the seeds window
+    # subplan runs ONCE even though two assignment sites broadcast it.
+    cents = _collect_cents(_seed_centroids(e)).localCheckpoint()
     # the query row is quantized on its own, so the full-corpus
     # assignment below is referenced exactly ONCE in the plan.
-    q = (_assign_cells(e.filter(F.col("vec_id") == QUERY_VEC_ID), seeds)
+    q = (_assign_cells(e.filter(F.col("vec_id") == QUERY_VEC_ID), cents,
+                       collected=True)
          .select(F.col("embedding").alias("qv"), F.col("cell").alias("qcell")))
-    assigned = _assign_cells(e, seeds)
+    assigned = _assign_cells(e, cents, collected=True)
     return (
         assigned.crossJoin(F.broadcast(q))
                 .filter((F.col("cell") == F.col("qcell"))

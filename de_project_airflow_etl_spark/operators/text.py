@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from de_project_airflow_etl_spark.registry import query
-from de_project_airflow_etl_spark.tables import load
+from de_project_airflow_etl_spark.tables import fan_out, load
 
 # Tiny deterministic stopword lists per language for the heuristic
 # language scorer. The point is the *operator shape* (vocabulary-overlap
@@ -230,7 +230,7 @@ RH_WINDOW = 4  # tokens per k-gram for the winnowed fingerprint
     tags=("text", "fingerprint", "rolling-hash"),
 )
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     doc_hash = F.expr(
         f"aggregate(transform(split(text, ''), c -> ascii(c)),"
         f" cast(0 as bigint),"

@@ -45,6 +45,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Widen a narrow scan before CPU-heavy per-row work.
+
+    The local testdata ships ONE single-row-group parquet file per
+    table, so every scan is a single task no matter how
+    ``spark.sql.files.maxPartitionBytes`` is set (row groups are the
+    minimum split unit) — and a hashing-heavy operator then runs on one
+    of 32 cores. Repartitioning first costs a shuffle of the raw rows
+    (sub-MB here) and buys full-width parallelism for the expensive
+    map.
+
+    At production scale a 100 TB table spans thousands of files, the
+    scan is already wider than the core count, and this helper no-ops —
+    the condition, not the repartition, is the design.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    names: tuple[str, ...] = TABLES) -> None:
     """Register temp views for SQL-flavored queries."""
