@@ -47,6 +47,9 @@ HEADLINE = (
     "streaming_windowed_counts",  # availableNow stream
     "streaming_stateful_sessions",  # applyInPandasWithState
     "llm_corpus_prep",            # composite: quality -> dedup -> budget
+    "dedup_clusters",             # iterative connected components
+    "merge_upsert_customers",     # MERGE-style full-outer upsert
+    "text_tfidf_top_terms",       # two-pass TF-IDF + ranked window
 )
 
 
