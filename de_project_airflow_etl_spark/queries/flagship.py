@@ -88,3 +88,34 @@ def daily_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.to_date("ts").alias("event_date"))
           .agg(F.approx_count_distinct("user_id", 0.01).alias("user_count_approx"))
     )
+
+
+@query(
+    "daily_users_bitmap_exact",
+    oracle="""
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+               COUNT(DISTINCT user_id) AS user_count
+        FROM events
+        GROUP BY 1
+    """,
+    doc="Exact distinct via Spark 4 bitmap aggregates: user_id maps to "
+        "a (bucket, bit) position, bitmap_construct_agg ORs the bits "
+        "per (day, bucket), bitmap_count + SUM merges buckets per day. "
+        "Identical result to COUNT(DISTINCT) (same oracle), but the "
+        "partial state is a fixed-width bitmap instead of a hash set "
+        "of user_ids — mergeable, bounded-memory partials are how "
+        "warehouses keep exact distinct feasible on 100 TB fact "
+        "tables, and the bucketed layout spreads one day over many "
+        "reducers like the skew-resistant variant.",
+    tags=("aggregate", "flagship", "bitmap"),
+)
+def daily_users_bitmap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_bucket = (
+        ev.groupBy(F.to_date("ts").cast("timestamp").alias("event_date"),
+                   F.expr("bitmap_bucket_number(user_id)").alias("bkt"))
+          .agg(F.expr("bitmap_count(bitmap_construct_agg("
+                      "bitmap_bit_position(user_id)))").alias("part_count"))
+    )
+    return (per_bucket.groupBy("event_date")
+                      .agg(F.sum("part_count").alias("user_count")))

@@ -240,3 +240,37 @@ def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.col("w.start").alias("window_start"), "event_type",
                   "event_count")
     )
+
+
+@query(
+    "window_trailing_90d_revenue",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY epoch_us(o_orderdate)
+                 RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 100 AS trailing_90d_revenue
+        FROM orders
+    """,
+    doc="RANGE frame over event time: per-customer trailing-90-day "
+        "revenue (7776000000000 us = 90 days), ordered by epoch "
+        "microseconds so Spark's numeric rangeBetween and DuckDB's "
+        "RANGE INTERVAL agree exactly. Unlike a ROWS frame, the bound "
+        "is a time distance — the standard trailing-window metric "
+        "shape. One shuffle on the partition key; exact int64-cents "
+        "sum inside the frame.",
+    tags=("window", "range-frame"),
+)
+def window_trailing_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY unix_micros(CAST(o_orderdate AS TIMESTAMP))
+                 RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 100 AS trailing_90d_revenue
+        FROM orders
+    """)

@@ -126,3 +126,49 @@ def test_whole_stage_codegen_in_agg(spark, sf_dir):
     assert "codegen id" in plan, plan
     # and the aggregation is two-phase (map-side partial before the shuffle)
     assert "partial_sum" in plan, plan
+
+
+def test_stratified_sample_prunes_text(spark, sf_dir):
+    """The md5-threshold sample never touches the (heavy) text column:
+    the scan must read only doc_id + lang."""
+    from de_project_airflow_etl_spark.queries.etl import (
+        stratified_sample_documents,
+    )
+    df = stratified_sample_documents(spark, sf_dir)
+    schemas = scan_read_schema(df)
+    assert schemas and all("text" not in s for s in schemas), schemas
+
+
+def test_unpivot_single_shuffle(spark, sf_dir):
+    """UNPIVOT is an Expand over the aggregated rows — the only
+    exchange in the plan is the aggregation's own shuffle."""
+    from de_project_airflow_etl_spark.queries.grouping import (
+        unpivot_nation_metrics,
+    )
+    plan = formatted_plan(unpivot_nation_metrics(spark, sf_dir))
+    assert "Expand" in plan, plan
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 1, plan
+
+
+def test_bitmap_distinct_two_level_agg(spark, sf_dir):
+    """The bitmap distinct plans as two hash aggregates over fixed-width
+    bitmap partials — never an expand-based distinct of raw user_ids."""
+    from de_project_airflow_etl_spark.queries.flagship import (
+        daily_users_bitmap_exact,
+    )
+    plan = formatted_plan(daily_users_bitmap_exact(spark, sf_dir))
+    assert "bitmap_construct_agg" in plan, plan
+    assert "Expand" not in plan, plan
+
+
+def test_ivf_assignment_no_corpus_shuffle(spark, sf_dir):
+    """_assign_cells must not shuffle the embeddings corpus: the only
+    hash exchanges allowed belong to the tiny seeds/centroid subplan
+    (partitionBy label / collect_list), never a repartition of the
+    scored vectors by vec_id (the old window-argmax formulation)."""
+    from de_project_airflow_etl_spark.operators.similarity import (
+        ann_ivf_search,
+    )
+    plan = formatted_plan(ann_ivf_search(spark, sf_dir))
+    assert "hashpartitioning(vec_id" not in plan, plan
