@@ -257,3 +257,91 @@ def event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("pcts")[1].alias("p50"),
                   F.col("pcts")[2].alias("p75"))
     )
+
+
+@query(
+    "funnel_click_purchase",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                   AS first_click_us,
+                 MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS first_purchase_us
+          FROM events
+          GROUP BY user_id
+        )
+        SELECT user_id, first_click_us, first_purchase_us,
+               CASE WHEN first_click_us IS NOT NULL
+                     AND first_purchase_us IS NOT NULL
+                     AND first_purchase_us > first_click_us
+                     AND first_purchase_us - first_click_us <= 86400000000
+                    THEN 1 ELSE 0 END AS converted_24h
+        FROM firsts
+        WHERE first_click_us IS NOT NULL
+    """,
+    doc="Funnel conversion: per user, first click -> first purchase "
+        "within 24h. One conditional-MIN aggregate per user (single "
+        "shuffle on user_id, map-side combinable) — never a self-join "
+        "of the events table against itself. Time arithmetic in exact "
+        "epoch microseconds (unix_micros == epoch_us).",
+    tags=("timeseries", "funnel"),
+)
+def funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    first_click = F.min(F.when(F.col("event_type") == "click", us))
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", us))
+    f = (ev.groupBy("user_id")
+           .agg(first_click.alias("first_click_us"),
+                first_purchase.alias("first_purchase_us")))
+    converted = (
+        F.col("first_click_us").isNotNull()
+        & F.col("first_purchase_us").isNotNull()
+        & (F.col("first_purchase_us") > F.col("first_click_us"))
+        & (F.col("first_purchase_us") - F.col("first_click_us")
+           <= 86400000000)
+    )
+    return (f.filter(F.col("first_click_us").isNotNull())
+             .select("user_id", "first_click_us", "first_purchase_us",
+                     F.when(converted, 1).otherwise(0).alias("converted_24h")))
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+        WITH activity AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
+          FROM events
+        ),
+        cohorts AS (
+          SELECT user_id, MIN(active_day) AS cohort_day
+          FROM activity GROUP BY user_id
+        )
+        SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
+               datediff('day', c.cohort_day, a.active_day) AS day_offset,
+               COUNT(*) AS active_users
+        FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users grouped by first-seen day, counted on "
+        "each later activity day as (cohort_day, day_offset, "
+        "active_users) — the classic retention triangle. Two hash "
+        "aggregates plus one equi-join on user_id; the distinct "
+        "(user, day) pre-aggregation keeps every later step "
+        "per-user-day sized, and at 100 TB cohorts is broadcastable "
+        "after the first aggregation collapses users.",
+    tags=("timeseries", "cohort"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    activity = (ev.select("user_id", F.to_date("ts").alias("active_day"))
+                  .distinct())
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("active_day").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+                .groupBy(F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+                         F.datediff("active_day", "cohort_day").alias("day_offset"))
+                .agg(F.count(F.lit(1)).alias("active_users"))
+    )
