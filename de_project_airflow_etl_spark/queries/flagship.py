@@ -119,3 +119,25 @@ def daily_users_bitmap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (per_bucket.groupBy("event_date")
                       .agg(F.sum("part_count").alias("user_count")))
+
+
+@query(
+    "weekly_users_hll_rollup",
+    oracle=None,  # HLL sketch binaries are engine-specific; rows-only
+                  # check here, 5%-tolerance test in tests/test_sketches.py.
+    doc="Sketch store-and-merge: daily HLL sketches of user_id "
+        "(hll_sketch_agg) re-aggregated to weekly uniques with "
+        "hll_union_agg + hll_sketch_estimate — no second pass over raw "
+        "events. This is the 100 TB pattern the _approx variant only "
+        "hints at: persist tiny mergeable sketches per partition/day, "
+        "answer any coarser-grained distinct-count rollup from the "
+        "sketches alone.",
+    tags=("aggregate", "sketch", "hll"),
+)
+def weekly_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("event_date"))
+               .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    return (daily.groupBy(F.weekofyear("event_date").alias("week"))
+                 .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                       .alias("approx_users")))
