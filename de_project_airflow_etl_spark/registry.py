@@ -64,6 +64,6 @@ def all_queries() -> dict[str, Query]:
         corpus, dedup, multimodal, similarity, skew, text, udtf_ops,
     )
     from de_project_airflow_etl_spark.streaming import (  # noqa: F401
-        ingest, stateful,
+        ingest, stateful, upsert,
     )
     return dict(_REGISTRY)

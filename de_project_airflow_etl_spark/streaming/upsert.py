@@ -1,0 +1,117 @@
+"""Streaming MERGE: foreachBatch upsert of per-key running state into
+a lake table.
+
+The reference's incremental daily ingest (SURVEY.md §2.6) generalizes
+to "apply each new slice of events to a keyed state table". Structured
+Streaming's file sinks are append-only, so keyed upserts go through
+``foreachBatch``: every micro-batch is aggregated, merged into the
+current state table with the same full-outer-join + coalesce plan the
+batch MERGE operator uses (queries/etl.py), and atomically swapped in.
+A ``_applied_batches`` marker makes re-delivered batches no-ops, which
+is how exactly-once state is built on the engine's at-least-once
+``foreachBatch`` contract — the same recipe Delta/Iceberg sinks use
+internally (idempotent commits keyed by batchId).
+
+At 100 TB the state table is bucketed by the merge key so each
+micro-batch merge is a co-located join against only the buckets the
+batch touches; the full-overwrite here is the local-FS stand-in.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.streaming.ingest import read_event_stream
+
+
+def _merge_batch(state_dir: str, batch_agg: DataFrame) -> None:
+    """Full-outer merge of a micro-batch aggregate into the state table
+    (count partials add; max partials take greatest)."""
+    spark = batch_agg.sparkSession
+    cur_path = os.path.join(state_dir, "current")
+    if os.path.exists(cur_path):
+        cur = spark.read.parquet(cur_path)
+        c, b = cur.alias("c"), batch_agg.alias("b")
+        merged = (
+            c.join(b, F.col("c.user_id") == F.col("b.user_id"), "full_outer")
+             .select(
+                 F.coalesce("c.user_id", "b.user_id").alias("user_id"),
+                 (F.coalesce("c.event_count", F.lit(0))
+                  + F.coalesce("b.event_count", F.lit(0))).alias("event_count"),
+                 F.greatest(
+                     F.coalesce("c.last_seen_us", F.lit(-(1 << 62))),
+                     F.coalesce("b.last_seen_us", F.lit(-(1 << 62))))
+                  .alias("last_seen_us"))
+        )
+    else:
+        merged = batch_agg
+    # write-new-then-swap: readers never observe a half-written table
+    tmp_path = os.path.join(state_dir, f"swap_{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").parquet(tmp_path)
+    old = cur_path + ".old"
+    if os.path.exists(cur_path):
+        os.rename(cur_path, old)
+    os.rename(tmp_path, cur_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def run_streaming_upsert(spark: SparkSession, sf_dir: str,
+                         state_dir: str) -> DataFrame:
+    """Drain the events stream with availableNow, merging per-user
+    totals into ``state_dir/current`` via foreachBatch; returns the
+    final state table. Re-delivered batch ids are skipped (marker
+    files), so a crash-replayed batch cannot double-count."""
+    os.makedirs(state_dir, exist_ok=True)
+    applied_dir = os.path.join(state_dir, "_applied_batches")
+    os.makedirs(applied_dir, exist_ok=True)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, str(batch_id))
+        if os.path.exists(marker):  # re-delivery after a crash: no-op
+            return
+        agg = (batch_df.groupBy("user_id")
+                       .agg(F.count(F.lit(1)).alias("event_count"),
+                            F.max(F.unix_micros("ts")).alias("last_seen_us")))
+        _merge_batch(state_dir, agg)
+        open(marker, "w").close()
+
+    stream = read_event_stream(spark, sf_dir, with_watermark=None)
+    q = (stream.writeStream
+               .foreachBatch(apply_batch)
+               .option("checkpointLocation",
+                       os.path.join(state_dir, "checkpoint"))
+               .trigger(availableNow=True)
+               .start())
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(state_dir, "current"))
+
+
+@query(
+    "streaming_upsert_user_totals",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS event_count,
+               MAX(epoch_us(ts)) AS last_seen_us
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Streaming MERGE into a keyed lake table: foreachBatch "
+        "aggregates each micro-batch and full-outer-merges it into the "
+        "running per-user state with additive count / greatest "
+        "last-seen partials, gated by applied-batch markers so "
+        "re-delivered batches are no-ops (exactly-once state over the "
+        "engine's at-least-once foreachBatch). The drained result must "
+        "equal the one-shot batch aggregate — the oracle.",
+    tags=("streaming", "merge", "upsert"),
+)
+def streaming_upsert_user_totals(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    state_dir = tempfile.mkdtemp(prefix="stream_upsert_")
+    return run_streaming_upsert(spark, sf_dir, state_dir)
