@@ -194,3 +194,96 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = F.when(F.col("lang") == "en", "4000").otherwise("8000")
     return (d.select("doc_id", "lang", bucket.alias("hash_bucket"))
              .filter(F.col("hash_bucket") < threshold))
+
+
+@query(
+    "snapshot_diff_customers",
+    oracle="""
+        WITH old AS (
+          SELECT c_custkey AS key,
+                 md5(c_name || '|' || CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR))
+                   AS row_hash
+          FROM customer
+        ),
+        new AS (
+          SELECT c_custkey AS key,
+                 md5(c_name || '|' || CAST(CAST(ROUND(
+                       (CASE WHEN c_custkey % 10 = 0
+                             THEN c_acctbal + 100.0 ELSE c_acctbal END) * 100)
+                     AS BIGINT) AS VARCHAR)) AS row_hash
+          FROM customer
+          WHERE c_custkey % 13 <> 0
+          UNION ALL
+          SELECT c_custkey + 1000000,
+                 md5(c_name || '|' || CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR))
+          FROM customer WHERE c_custkey % 7 = 0
+        )
+        SELECT COALESCE(o.key, n.key) AS key,
+               CASE WHEN o.key IS NULL THEN 'insert'
+                    WHEN n.key IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type
+        FROM old o FULL OUTER JOIN new n ON o.key = n.key
+        WHERE o.key IS NULL OR n.key IS NULL OR o.row_hash <> n.row_hash
+    """,
+    doc="Snapshot-diff CDC: detect inserts/deletes/updates between two "
+        "table snapshots by full-outer-joining on the key and comparing "
+        "md5 row hashes (exact int64-cents in the hash input so both "
+        "engines hash identical strings). The new snapshot is derived "
+        "deterministically (balance bump %10, drop %13, insert %7). "
+        "Unchanged rows are filtered out, so downstream work is sized "
+        "by the change rate, not the table — how you bootstrap CDC "
+        "when the source system offers only periodic full dumps.",
+    tags=("etl", "cdc", "diff"),
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long").cast("string")
+    row_hash = F.md5(F.concat_ws("|", F.col("c_name"), cents).cast("binary"))
+    old = c.select(F.col("c_custkey").alias("key"), row_hash.alias("row_hash"))
+    bumped = F.when(F.col("c_custkey") % 10 == 0,
+                    F.col("c_acctbal") + F.lit(100.0)).otherwise(F.col("c_acctbal"))
+    new_cents = F.round(bumped * 100).cast("long").cast("string")
+    new_hash = F.md5(F.concat_ws("|", F.col("c_name"), new_cents).cast("binary"))
+    new = (
+        c.filter(F.col("c_custkey") % 13 != 0)
+         .select(F.col("c_custkey").alias("key"), new_hash.alias("row_hash"))
+         .unionAll(
+             c.filter(F.col("c_custkey") % 7 == 0)
+              .select((F.col("c_custkey") + 1000000).alias("key"),
+                      row_hash.alias("row_hash")))
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return (
+        o.join(n, F.col("o.key") == F.col("n.key"), "full_outer")
+         .filter(F.col("o.key").isNull() | F.col("n.key").isNull()
+                 | (F.col("o.row_hash") != F.col("n.row_hash")))
+         .select(F.coalesce("o.key", "n.key").alias("key"),
+                 F.when(F.col("o.key").isNull(), "insert")
+                  .when(F.col("n.key").isNull(), "delete")
+                  .otherwise("update").alias("change_type"))
+    )
+
+
+@query(
+    "file_provenance_counts",
+    oracle="""
+        SELECT 'lineitem.parquet' AS file_name, COUNT(*) AS row_count
+        FROM lineitem
+    """,
+    doc="Row-level file provenance via Spark's hidden _metadata column: "
+        "per-source-file row counts, the audit primitive behind "
+        "quarantining a bad upstream file at 100 TB (group by "
+        "_metadata.file_path, then anti-join the quarantine list). The "
+        "oracle pins the known single-file layout of the testdata; at "
+        "scale the same query returns one row per lake file with zero "
+        "extra I/O (the path is scan metadata, not data).",
+    tags=("etl", "lineage"),
+)
+def file_provenance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.regexp_extract(F.col("_metadata.file_path"),
+                                   "[^/]+$", 0).alias("file_name"))
+          .groupBy("file_name")
+          .agg(F.count(F.lit(1)).alias("row_count"))
+    )
