@@ -486,3 +486,89 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = cur
     edges.unpersist()
     return labels
+
+
+# ------------------------------------------------- centrality (pagerank)
+
+PR_SCALE = 10**12      # fixed-point rank unit (1.0 == 10^12)
+PR_ITERS = 3
+
+
+def _sql_pagerank_iter(prev: str, out: str) -> str:
+    """One unrolled PageRank round in pure BIGINT arithmetic."""
+    return f"""
+        c_{out} AS (
+          SELECT e.dst AS doc_id, SUM(r.r // dg.d) AS s
+          FROM edges e
+          JOIN {prev} r ON e.src = r.doc_id
+          JOIN deg dg ON e.src = dg.src
+          GROUP BY e.dst
+        ),
+        {out} AS (
+          SELECT n.doc_id,
+                 (15 * {PR_SCALE}) // (100 * (SELECT n FROM n_cnt))
+                 + (85 * COALESCE(c.s, 0)) // 100 AS r
+          FROM nodes n LEFT JOIN c_{out} c ON n.doc_id = c.doc_id
+        )
+    """
+
+
+@query(
+    "pagerank_dup_graph",
+    oracle=f"""
+        WITH {_sql_lsh_pairs()},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        n_cnt AS (SELECT COUNT(*) AS n FROM nodes),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        r0 AS (
+          SELECT doc_id,
+                 CAST({PR_SCALE} AS BIGINT) // (SELECT n FROM n_cnt) AS r
+          FROM nodes
+        ),
+        {_sql_pagerank_iter('r0', 'r1')},
+        {_sql_pagerank_iter('r1', 'r2')},
+        {_sql_pagerank_iter('r2', 'r3')}
+        SELECT doc_id, CAST(r AS BIGINT) AS rank_e12 FROM r3
+    """,
+    doc="Fixed-point PageRank (damping 0.85, 3 rounds) over the "
+        "near-dup graph — a centrality score for picking the canonical "
+        "document of a duplicate cluster. All arithmetic is BIGINT "
+        "with floor division on a 10^12 fixed-point scale, so the "
+        "iterative Spark loop and the oracle's unrolled SQL rounds "
+        "agree EXACTLY (double-based PageRank could never hash-match "
+        "across engines). Each round is one edge->rank join + one "
+        "aggregate on dst — the standard message-passing shape; "
+        "localCheckpoint keeps the plan flat per round.",
+    tags=("dedup", "graph", "iterative", "pagerank"),
+)
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+                  .union(pairs.select(F.col("doc_b").alias("src"),
+                                      F.col("doc_a").alias("dst")))
+                  .persist())
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    n = nodes.count()  # one driver scalar, mirrored by the oracle's n_cnt
+    base = (15 * PR_SCALE) // (100 * n)
+    r = nodes.withColumn("r", F.lit(PR_SCALE // n)).localCheckpoint()
+    for _ in range(PR_ITERS):
+        contrib = (edges.join(r, edges.src == r.doc_id)
+                        .join(deg, "src")
+                        .select(F.col("dst").alias("doc_id"),
+                                F.expr("r div d").alias("c")))
+        sums = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
+        r = (nodes.join(sums, "doc_id", "left")
+                  .select("doc_id",
+                          (F.lit(base)
+                           + F.expr("(85 * coalesce(s, 0)) div 100"))
+                           .alias("r"))
+                  .localCheckpoint())
+    edges.unpersist()
+    return r.select("doc_id", F.col("r").cast("long").alias("rank_e12"))
