@@ -42,6 +42,27 @@ def create_external_table(spark: SparkSession, name: str, location: str,
     sync_partitions(spark, name)
 
 
+def analyze_table(spark: SparkSession, name: str,
+                  columns: tuple[str, ...] = ()) -> None:
+    """ANALYZE TABLE: collect table row/size stats (and optional
+    per-column NDV/min/max histograms) into the catalog. At 100 TB
+    these statistics are what lets the cost-based optimizer pick
+    broadcast vs shuffle joins and reorder multi-way joins — without
+    them Catalyst falls back to size-on-disk heuristics."""
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS "
+                  f"FOR COLUMNS {', '.join(columns)}")
+
+
+def table_stats(spark: SparkSession, name: str) -> dict[str, str]:
+    """The catalog's view of a table's statistics (from DESCRIBE
+    EXTENDED's Statistics row)."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    return {r["col_name"]: r["data_type"] for r in rows
+            if r["col_name"] in ("Statistics",)}
+
+
 def sync_partitions(spark: SparkSession, name: str) -> None:
     """Register on-disk partition dirs with the catalog (D3):
     ``sync_partition_metadata('ADD')`` == ``MSCK REPAIR``; the refresh

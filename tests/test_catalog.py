@@ -90,3 +90,25 @@ def test_compaction_preserves_rows_and_reduces_files(spark, lake):
     # untouched partitions keep their rows
     assert spark.read.parquet(lake).filter(
         F.col("day") == "2024-12-02").count() == 10
+
+
+def test_analyze_table_collects_stats(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE must land row-count statistics in the catalog —
+    the input the cost-based optimizer sizes joins with."""
+    from de_project_airflow_etl_spark import catalog as cat
+    from de_project_airflow_etl_spark.tables import load
+
+    path = str(tmp_path / "orders_tbl")
+    load(spark, sf_dir, "orders").write.mode("overwrite").parquet(path)
+    name = "analyze_stats_t1"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"CREATE TABLE {name} USING PARQUET LOCATION '{path}'")
+    cat.analyze_table(spark, name, columns=("o_custkey", "o_totalprice"))
+    stats = cat.table_stats(spark, name)
+    assert "Statistics" in stats, stats
+    assert "rows" in stats["Statistics"], stats
+    # column-level NDV visible via DESCRIBE EXTENDED <table> <col>
+    col = spark.sql(
+        f"DESCRIBE TABLE EXTENDED {name} o_custkey").collect()
+    info = {r["info_name"]: r["info_value"] for r in col}
+    assert info.get("distinct_count") not in (None, "NULL"), info
