@@ -60,3 +60,58 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d,
              LATERAL split_sentences(d.text) s
     """)
+
+
+@query(
+    "udtf_user_gap_stats",
+    oracle="""
+        WITH gaps AS (
+          SELECT user_id,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts) AS gap
+          FROM events
+        )
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               COALESCE(MAX(gap), 0) AS max_gap_us
+        FROM gaps
+        GROUP BY user_id
+    """,
+    doc="Polymorphic Python UDTF over a TABLE argument with "
+        "PARTITION BY/ORDER BY (Spark 4): each partition (one user's "
+        "ordered events) streams through eval(), terminate() emits the "
+        "per-user summary — the escape hatch for per-group logic a "
+        "window can't express, with the engine handling the shuffle "
+        "and ordering. Gap arithmetic uses exact timedelta floor "
+        "division (no float microseconds), so the result hash-matches "
+        "the relational LAG-window oracle — the Python path is held to "
+        "the same exactness bar as the built-ins.",
+    tags=("udtf", "timeseries"),
+)
+def udtf_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import timedelta
+
+    @udtf(returnType="user_id bigint, n_events int, max_gap_us bigint")
+    class GapStats:
+        def __init__(self) -> None:
+            self.user = None
+            self.ts = []
+
+        def eval(self, row) -> None:
+            self.user = row["user_id"]
+            self.ts.append(row["ts"])
+
+        def terminate(self):
+            if self.user is None:
+                return
+            ts = sorted(self.ts)
+            us = timedelta(microseconds=1)
+            gaps = [(b - a) // us for a, b in zip(ts, ts[1:])]
+            yield self.user, len(ts), max(gaps) if gaps else 0
+
+    spark.udtf.register("gap_stats", GapStats)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql("""
+        SELECT * FROM gap_stats(TABLE(SELECT user_id, ts FROM events)
+                                PARTITION BY user_id ORDER BY ts)
+    """)

@@ -102,6 +102,32 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, spark, output_mode="complete")
 
 
+@query(
+    "streaming_dedup_bounded_state",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Bounded-state streaming dedup: dropDuplicatesWithinWatermark "
+        "keeps a key in state only until the watermark passes it, so "
+        "dedup state is sized by the lateness bound instead of growing "
+        "with the whole stream — the difference between a dedup that "
+        "runs forever on a 100 TB/day stream and one that OOMs. Same "
+        "oracle as the unbounded variant: within the watermark horizon "
+        "the semantics coincide (testdata has no cross-horizon "
+        "duplicates).",
+    tags=("streaming", "dedup", "watermark"),
+)
+def streaming_dedup_bounded_state(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir, with_watermark="90 days")
+    agg = (stream.dropDuplicatesWithinWatermark(["event_id"])
+                 .groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n_unique")))
+    return _drain(agg, spark, output_mode="complete")
+
+
 def _sessionize_group(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
