@@ -32,8 +32,8 @@ from __future__ import annotations
 from datetime import date, timedelta
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, InputPartition,
-    SimpleDataSourceStreamReader,
+    DataSource, DataSourceReader, DataSourceWriter, InputPartition,
+    SimpleDataSourceStreamReader, WriterCommitMessage,
 )
 
 RAW_RECORD_DDL = (
@@ -145,6 +145,75 @@ class LaunchLibraryStreamReader(SimpleDataSourceStreamReader):
             d += timedelta(days=1)
 
 
+class JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: where the task staged its file and how
+    many rows it holds."""
+
+    def __init__(self, tmp_path: str, n_rows: int) -> None:
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """JSONL sink with a two-phase commit: every task writes to a
+    staging file and reports it in its commit message; only the driver
+    commit renames staged files into place and stamps ``_SUCCESS`` with
+    a manifest. A failed/speculative task's staging file is never
+    visible, and abort() removes the staging dir — the same
+    all-or-nothing contract Spark's file committers give parquet,
+    re-implemented on the Python Data Source API (the reference's
+    pyarrow-to-MinIO put is a driver-side single write; this is its
+    parallel, atomic counterpart)."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        if "path" not in options:
+            raise ValueError("jsonl sink requires option 'path'")
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> JsonlCommit:
+        import json
+        import os
+        import uuid
+
+        stage = os.path.join(self.path, "_staging")
+        os.makedirs(stage, exist_ok=True)
+        tmp = os.path.join(stage, f"task-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(recursive=True),
+                                   default=str) + "\n")
+                n += 1
+        return JsonlCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+        import shutil
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-"):
+                    os.remove(os.path.join(self.path, name))
+        manifest = []
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+            manifest.append({"file": os.path.basename(final),
+                             "rows": m.n_rows})
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"files": manifest,
+                       "total_rows": sum(e["rows"] for e in manifest)}, f)
+        shutil.rmtree(os.path.join(self.path, "_staging"),
+                      ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+        shutil.rmtree(os.path.join(self.path, "_staging"),
+                      ignore_errors=True)
+
+
 class LaunchLibraryDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -163,3 +232,6 @@ class LaunchLibraryDataSource(DataSource):
         if "start" not in self.options:
             raise ValueError("launch_library stream requires option 'start'")
         return LaunchLibraryStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options, overwrite)

@@ -94,3 +94,38 @@ def test_streaming_source_advances_day_offsets(spark, tmp_path):
     assert len(rows) == 18
     days = sorted({r["net"][:10] for r in rows})
     assert days == ["2024-12-01", "2024-12-02", "2024-12-03"]
+
+
+def test_jsonl_sink_two_phase_commit(spark, sf_dir, tmp_path):
+    """The Python Data Source writer must stage-then-commit: all rows
+    land in part files, _SUCCESS carries an accurate manifest, and no
+    staging residue survives."""
+    import json
+    import os
+
+    from de_project_airflow_etl_spark.sources.launch_library import (
+        LaunchLibraryDataSource,
+    )
+    from de_project_airflow_etl_spark.tables import load
+
+    spark.dataSource.register(LaunchLibraryDataSource)
+    out = str(tmp_path / "jsonl_sink")
+    os.makedirs(out, exist_ok=True)
+    src = load(spark, sf_dir, "nation")
+    (src.repartition(4).write.format("launch_library")
+        .option("path", out).mode("append").save())
+
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["total_rows"] == src.count()
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+    back = spark.read.schema(src.schema).json(f"{out}/part-*.jsonl")
+    assert sorted(r["n_name"] for r in back.collect()) \
+        == sorted(r["n_name"] for r in src.collect())
+
+    # overwrite mode replaces prior part files instead of appending
+    (src.limit(5).repartition(1).write.format("launch_library")
+        .option("path", out).mode("overwrite").save())
+    manifest2 = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest2["total_rows"] == 5
+    assert spark.read.schema(src.schema).json(f"{out}/part-*.jsonl").count() == 5
