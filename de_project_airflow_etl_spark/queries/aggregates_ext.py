@@ -1,0 +1,296 @@
+"""Extended aggregate surface: regression, boolean/bit aggregates,
+deterministic mode, ordered list-aggregation, histograms, and
+z-score outlier detection.
+
+Generalizes the reference's single-aggregate query layer (SURVEY.md
+§2.4) with the remaining ANSI/Spark aggregate families. Every query
+keeps the determinism contract of ``queries/util.py``: monetary doubles
+go through exact int64 cents; multi-sum combinations that could exceed
+int64 are combined in DECIMAL(38,0) (exact, order-insensitive); the
+final cast to DOUBLE is the single rounding step and is identical on
+both engines.
+
+Scale notes: all of these are single hash-aggregate shapes (one
+shuffle on the group key) or aggregate+broadcast-join shapes — they
+survive a 1000-executor scale-up unchanged because the reduced side is
+O(groups), never O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.tables import load
+from de_project_airflow_etl_spark.queries.util import cents, sql_cents
+
+
+# --------------------------------------------------------------- regression
+
+# Least-squares fit of y = extendedprice (cents) on x = quantity (cents),
+# per return flag. The per-group sums (n, sx, sy, sxy, sxx) are exact
+# BIGINTs; the normal-equation combination n*sxy - sx*sy can reach ~1e22
+# at sf0.1 so it is done in DECIMAL(38,0) (exact on both engines), and
+# only the final slope/intercept division happens in DOUBLE. The SQL
+# fragments below are evaluated verbatim by BOTH Spark (via F.expr) and
+# DuckDB, so every double op has identical operand order.
+_SLOPE = ("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+          " / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)")
+# intercept in dollars: (mean_y - slope * mean_x) / 100, all in DOUBLE
+# with a fixed operand order shared by both engines.
+_INTERCEPT = ("(CAST(sy AS DOUBLE) / n - slope * (CAST(sx AS DOUBLE) / n)) / 100")
+
+
+@query(
+    "regression_aggregates",
+    oracle=f"""
+        SELECT l_returnflag, n, slope, {_INTERCEPT} AS intercept,
+               CAST(sx AS DOUBLE) / n / 100 AS avg_x,
+               CAST(sy AS DOUBLE) / n / 100 AS avg_y
+        FROM (
+          SELECT l_returnflag, n, sx, sy, {_SLOPE} AS slope
+          FROM (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(xc) AS sx, SUM(yc) AS sy,
+                   SUM(xc * yc) AS sxy, SUM(xc * xc) AS sxx
+            FROM (
+              SELECT l_returnflag,
+                     {sql_cents('l_quantity')} AS xc,
+                     {sql_cents('l_extendedprice')} AS yc
+              FROM lineitem
+            )
+            GROUP BY l_returnflag
+          )
+        )
+    """,
+    doc="regr_slope/regr_intercept/regr_avgx/regr_avgy semantics with "
+        "exact arithmetic: BIGINT moment sums per group, DECIMAL(38,0) "
+        "normal-equation combination, one final DOUBLE division. "
+        "Single hash aggregate (map-side partial), no second shuffle.",
+    tags=("aggregate", "statistics"),
+)
+def regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    base = (
+        li.select("l_returnflag",
+                  cents("l_quantity").alias("xc"),
+                  cents("l_extendedprice").alias("yc"))
+          .groupBy("l_returnflag")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum("xc").alias("sx"), F.sum("yc").alias("sy"),
+               F.sum(F.col("xc") * F.col("yc")).alias("sxy"),
+               F.sum(F.col("xc") * F.col("xc")).alias("sxx"))
+    )
+    with_slope = base.select("l_returnflag", "n", "sx", "sy",
+                             F.expr(_SLOPE).alias("slope"))
+    return with_slope.select(
+        "l_returnflag", "n", "slope",
+        F.expr(_INTERCEPT).alias("intercept"),
+        F.expr("CAST(sx AS DOUBLE) / n / 100").alias("avg_x"),
+        F.expr("CAST(sy AS DOUBLE) / n / 100").alias("avg_y"),
+    )
+
+
+# ------------------------------------------------------- boolean / bit aggs
+
+@query(
+    "boolean_bit_aggregates",
+    oracle="""
+        SELECT o_orderstatus,
+               bool_and(o_totalprice > 5000) AS all_above_5k,
+               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+               bit_and(o_orderkey) AS key_bit_and,
+               bit_or(o_orderkey) AS key_bit_or,
+               bit_xor(o_orderkey) AS key_bit_xor
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Boolean-logic and bitwise aggregates (bool_and/bool_or/"
+        "count_if/bit_and/bit_or/bit_xor) — all exact integer/boolean "
+        "lattice operations, order-insensitive by construction, so no "
+        "determinism scaffolding is needed. One hash aggregate.",
+    tags=("aggregate",),
+)
+def boolean_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("bool_and(o_totalprice > 5000)").alias("all_above_5k"),
+        F.expr("bool_or(o_orderpriority = '1-URGENT')").alias("any_urgent"),
+        F.expr("count_if(o_orderpriority = '1-URGENT')").alias("n_urgent"),
+        F.expr("bit_and(o_orderkey)").alias("key_bit_and"),
+        F.expr("bit_or(o_orderkey)").alias("key_bit_or"),
+        F.expr("bit_xor(o_orderkey)").alias("key_bit_xor"),
+    )
+
+
+# ------------------------------------------------------- deterministic mode
+
+@query(
+    "mode_per_group",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority AS modal_priority, cnt
+        FROM (
+          SELECT o_orderstatus, o_orderpriority, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY cnt DESC, o_orderpriority) AS rn
+          FROM (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+            FROM orders
+            GROUP BY o_orderstatus, o_orderpriority
+          )
+        )
+        WHERE rn = 1
+    """,
+    doc="MODE() with a deterministic tie-break (highest count, then "
+        "lexicographically smallest value) — native mode() leaves ties "
+        "engine-defined, so both sides use the same count+row_number "
+        "construction. Two-phase: hash agg on (group, value) shrinks "
+        "the data to O(distinct pairs) BEFORE the window shuffle, so "
+        "the window runs on group cardinality, not row count.",
+    tags=("aggregate", "window"),
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    o = load(spark, sf_dir, "orders")
+    counted = (o.groupBy("o_orderstatus", "o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority"))
+    return (counted.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") == 1)
+                   .select("o_orderstatus",
+                           F.col("o_orderpriority").alias("modal_priority"),
+                           "cnt"))
+
+
+# --------------------------------------------------------- ordered listagg
+
+@query(
+    "listagg_nations",
+    oracle="""
+        SELECT r.r_name,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    doc="LISTAGG / string_agg WITHIN GROUP (ORDER BY): Spark side "
+        "collects then array_sort + concat_ws, which is "
+        "order-insensitive across partitions (the sort happens after "
+        "collection), matching DuckDB's ordered string_agg exactly. "
+        "Small-dimension aggregate over a broadcast join.",
+    tags=("aggregate", "join"),
+)
+def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .groupBy("r_name")
+         .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name")))
+               .alias("nations"),
+              F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+# -------------------------------------------------------------- histogram
+
+# 20 equi-width buckets over [0, 500_000.00] dollars. Bucketing is done
+# in exact integer cents (floor division), sidestepping the ulp-level
+# boundary differences a double width_bucket() could produce between
+# engines. Bucket width = 2_500_000 cents = $25,000.
+_HIST_BUCKETS = 20
+_HIST_CAP_CENTS = 50_000_000
+
+
+@query(
+    "value_histogram",
+    oracle=f"""
+        SELECT bucket,
+               CAST((bucket - 1) * {_HIST_CAP_CENTS // _HIST_BUCKETS} AS DOUBLE) / 100 AS bucket_lo,
+               CAST(bucket * {_HIST_CAP_CENTS // _HIST_BUCKETS} AS DOUBLE) / 100 AS bucket_hi,
+               COUNT(*) AS cnt
+        FROM (
+          SELECT LEAST({_HIST_BUCKETS},
+                       1 + {sql_cents('o_totalprice')} // {_HIST_CAP_CENTS // _HIST_BUCKETS}) AS bucket
+          FROM orders
+        )
+        GROUP BY bucket
+    """,
+    doc="width_bucket-style equi-width histogram, computed with exact "
+        "integer-cents floor division so bucket edges are bit-identical "
+        "across engines. Single hash aggregate on a derived key; at "
+        "100 TB this is the canonical map-side-combine shape (20 "
+        "groups) — the shuffle moves 20 rows per task.",
+    tags=("aggregate", "statistics"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    width = _HIST_CAP_CENTS // _HIST_BUCKETS
+    # integer floor-div (`div`) keeps bucket edges exact — no double math
+    bucket = F.least(
+        F.lit(_HIST_BUCKETS).cast("long"),
+        (F.lit(1) + F.expr(f"{sql_cents('o_totalprice')} div {width}")).cast("long"))
+    return (
+        o.select(bucket.alias("bucket"))
+         .groupBy("bucket")
+         .agg(F.count(F.lit(1)).alias("cnt"))
+         .select("bucket",
+                 (F.col("bucket") - 1).cast("double").alias("_lo_raw"),
+                 "cnt")
+         .select("bucket",
+                 (F.col("_lo_raw") * width / 100).alias("bucket_lo"),
+                 ((F.col("bucket")).cast("double") * width / 100).alias("bucket_hi"),
+                 "cnt")
+    )
+
+
+# ------------------------------------------------------- z-score outliers
+
+# Population stats per priority class, computed from exact BIGINT
+# moments; the z-threshold comparison happens in DOUBLE with identical
+# operand order on both engines.
+_AVG_C = "CAST(sx AS DOUBLE) / n"
+_SD_C = f"sqrt(CAST(sxx AS DOUBLE) / n - ({_AVG_C}) * ({_AVG_C}))"
+
+
+@query(
+    "outlier_zscore_orders",
+    oracle=f"""
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+               ({sql_cents('o.o_totalprice')} - ({_AVG_C})) / ({_SD_C}) AS zscore
+        FROM orders o
+        JOIN (
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 SUM({sql_cents('o_totalprice')}) AS sx,
+                 SUM({sql_cents('o_totalprice')} * {sql_cents('o_totalprice')}) AS sxx
+          FROM orders
+          GROUP BY o_orderpriority
+        ) s ON s.o_orderpriority = o.o_orderpriority
+        WHERE {sql_cents('o.o_totalprice')} > ({_AVG_C}) + 1.5 * ({_SD_C})
+    """,
+    doc="Per-group z-score outlier detection: exact BIGINT moment sums "
+        "per priority class, broadcast back onto the fact table, filter "
+        "at z > 1.5 (the testdata price distribution is near-uniform, max |z| ~ sqrt(3)). The stats side is O(groups) so the join is always "
+        "broadcast — no shuffle of the fact table at any scale; the "
+        "sqrt/divide are IEEE ops with identical operand order on both "
+        "engines.",
+    tags=("aggregate", "statistics", "join"),
+)
+def outlier_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    stats = (o.groupBy("o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(c).alias("sx"),
+                   F.sum(c * c).alias("sxx")))
+    joined = o.join(F.broadcast(stats), "o_orderpriority")
+    return (
+        joined.filter(F.expr(f"{sql_cents('o_totalprice')} > ({_AVG_C}) + 1.5 * ({_SD_C})"))
+              .select("o_orderkey", "o_orderpriority", "o_totalprice",
+                      F.expr(f"({sql_cents('o_totalprice')} - ({_AVG_C})) / ({_SD_C})")
+                       .alias("zscore"))
+    )

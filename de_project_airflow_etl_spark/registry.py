@@ -57,8 +57,8 @@ def all_queries() -> dict[str, Query]:
     """Import every query module and return the registry."""
     # Imports deferred so `import registry` never costs a Spark session.
     from de_project_airflow_etl_spark.queries import (  # noqa: F401
-        etl, flagship, relational, joins, windows, setops, scalar, grouping,
-        subqueries, timeseries,
+        aggregates_ext, etl, flagship, relational, joins, windows, setops,
+        scalar, grouping, subqueries, timeseries,
     )
     from de_project_airflow_etl_spark.operators import (  # noqa: F401
         corpus, dedup, multimodal, similarity, skew, text, udtf_ops,
