@@ -572,3 +572,38 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .localCheckpoint())
     edges.unpersist()
     return r.select("doc_id", F.col("r").cast("long").alias("rank_e12"))
+
+
+# --------------------------------------------------- triangle counting
+
+@query(
+    "triangle_count_dup_graph",
+    oracle=f"""
+        WITH {_sql_lsh_pairs()}
+        SELECT COUNT(*) AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    """,
+    doc="Triangle count over the LSH-verified near-dup graph — the "
+        "standard cluster-cohesion metric (triangles/wedges "
+        "distinguishes tight duplicate cliques from chain-shaped "
+        "false-positive paths). Uses the ordered-edge identity: each "
+        "triangle a<b<c is counted exactly once by joining "
+        "(a,b)x(b,c)x(a,c). The edge list is localCheckpoint-ed so "
+        "the 3-way self-join scans the materialized pairs instead of "
+        "re-running MinHash three times; at scale the join is "
+        "edge-partitioned (shuffle on the join key each hop) — the "
+        "same message-passing shape as PageRank.",
+    tags=("dedup", "graph"),
+)
+def triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (dedup_minhash_lsh(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+          .join(e3, (F.col("e3.doc_a") == F.col("e1.doc_a"))
+                    & (F.col("e3.doc_b") == F.col("e2.doc_b")))
+          .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

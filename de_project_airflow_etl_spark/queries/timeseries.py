@@ -345,3 +345,113 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.datediff("active_day", "cohort_day").alias("day_offset"))
                 .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+# ------------------------------------------------ gap fill + forward fill
+
+# events.value is a full-precision double (not 2-decimal), so exact
+# integerization uses FLOOR(value*100) — floor of a double is exact and
+# bit-identical on both engines (unlike ROUND, whose half-way rule can
+# differ). The sum is then order-insensitive int64.
+_VAL_INT = "CAST(FLOOR(value * 100) AS BIGINT)"
+
+
+@query(
+    "gap_fill_forward_fill",
+    oracle=f"""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS d,
+                 SUM({_VAL_INT}) AS rev_c
+          FROM events
+          GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        span AS (
+          SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id
+        ),
+        spine AS (
+          SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+          FROM span
+        )
+        SELECT s.user_id, CAST(s.d AS TIMESTAMP) AS day,
+               dl.rev_c IS NOT NULL AS observed,
+               CAST(last_value(dl.rev_c IGNORE NULLS) OVER (
+                      PARTITION BY s.user_id ORDER BY s.d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / 100 AS daily_value
+        FROM spine s LEFT JOIN daily dl
+          ON dl.user_id = s.user_id AND dl.d = s.d
+    """,
+    doc="Time-series gap fill: a per-key daily date spine "
+        "(sequence+explode — generated distributedly, never a driver "
+        "loop) left-joined to observed daily sums, missing days "
+        "forward-filled with a running last(ignoreNulls) window. The "
+        "spine join and the fill share the same user_id partitioning, "
+        "so the whole query is one shuffle on user_id + one window "
+        "scan; spine size is O(keys x days), independent of event "
+        "count, so it shrinks relative to the data at scale.",
+    tags=("timeseries", "gapfill", "window"),
+)
+def gap_fill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+               .agg(F.sum(F.expr(_VAL_INT)).alias("rev_c")))
+    span = daily.groupBy("user_id").agg(F.min("d").alias("d0"),
+                                        F.max("d").alias("d1"))
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d"))
+    w = (Window.partitionBy("user_id").orderBy("d")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+             .select("user_id",
+                     F.col("d").cast("timestamp").alias("day"),
+                     F.col("rev_c").isNotNull().alias("observed"),
+                     (F.last("rev_c", ignorenulls=True).over(w)
+                       .cast("double") / 100).alias("daily_value"))
+    )
+
+
+# ------------------------------------------------- interval overlap join
+
+OVERLAP_WINDOW_DAYS = 30
+
+
+@query(
+    "interval_overlap_orders",
+    oracle=f"""
+        SELECT a.o_custkey,
+               a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+               {OVERLAP_WINDOW_DAYS + 1} - abs(date_diff('day',
+                   CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE)))
+                 AS overlap_days
+        FROM orders a JOIN orders b
+          ON a.o_custkey = b.o_custkey
+         AND a.o_orderkey < b.o_orderkey
+         AND abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                           CAST(b.o_orderdate AS DATE))) <= {OVERLAP_WINDOW_DAYS}
+    """,
+    doc="Interval-overlap self-join: each order spans "
+        f"[date, date+{OVERLAP_WINDOW_DAYS}d]; emit overlapping pairs "
+        "per customer with the overlap length in days (exact integer "
+        "date arithmetic). The equi-key (o_custkey) rides the shuffle "
+        "— the inequality is evaluated only within a customer's "
+        "bounded order set, so the plan is a plain sort-merge join, "
+        "never a cartesian range join; at 100 TB the same shape holds "
+        "because pairs-per-key is bounded by orders-per-customer.",
+    tags=("timeseries", "join", "interval"),
+)
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("d"))
+    a = o.alias("a")
+    b = o.alias("b")
+    dd = F.abs(F.datediff(F.col("a.d"), F.col("b.d")))
+    return (
+        a.join(b, (F.col("a.o_custkey") == F.col("b.o_custkey"))
+                  & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+                  & (dd <= OVERLAP_WINDOW_DAYS))
+         .select(F.col("a.o_custkey").alias("o_custkey"),
+                 F.col("a.o_orderkey").alias("key_a"),
+                 F.col("b.o_orderkey").alias("key_b"),
+                 (F.lit(OVERLAP_WINDOW_DAYS + 1) - dd).alias("overlap_days"))
+    )

@@ -264,3 +264,30 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("p_user_id").alias("user_id"),
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"))
     return _drain(out, spark, output_mode="append")
+
+
+@query(
+    "streaming_session_window",
+    oracle=_SESSION_ORACLE,
+    doc="Built-in streaming session windows: the same "
+        "``session_window`` operator the batch sessionize query uses, "
+        "run in streaming mode (merging-session state store) and "
+        "drained with availableNow in complete mode — the engine-native "
+        "counterpart of the custom applyInPandasWithState sessionizer, "
+        "verified against the identical batch oracle. In production "
+        "this runs in append mode behind a watermark so closed "
+        "sessions are finalized and state is evicted; complete mode "
+        "here keeps the whole (small) result so the test sees every "
+        "session.",
+    tags=("streaming", "session", "window"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir, with_watermark=None)
+    agg = (stream.groupBy("user_id",
+                          F.session_window("ts", "30 minutes").alias("w"))
+                 .agg(F.min("ts").alias("session_start"),
+                      F.max("ts").alias("session_end"),
+                      F.count(F.lit(1)).alias("n_events"))
+                 .select("user_id", "session_start", "session_end",
+                         "n_events"))
+    return _drain(agg, spark, output_mode="complete")
