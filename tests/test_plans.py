@@ -172,3 +172,52 @@ def test_ivf_assignment_no_corpus_shuffle(spark, sf_dir):
     )
     plan = formatted_plan(ann_ivf_search(spark, sf_dir))
     assert "hashpartitioning(vec_id" not in plan, plan
+
+
+def test_interval_overlap_join_rides_equi_key(spark, sf_dir):
+    """The interval-overlap self-join must plan as an equi-join on
+    o_custkey (the date inequality as a post-join residual) — a
+    range-only formulation would degenerate to a cartesian/BNL plan
+    that is quadratic in table size."""
+    from de_project_airflow_etl_spark.queries.timeseries import (
+        interval_overlap_orders,
+    )
+    plan = formatted_plan(interval_overlap_orders(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_gap_fill_spine_is_distributed(spark, sf_dir):
+    """The date spine must come from sequence+explode (Generate node),
+    never a driver-side loop, and the fill window must not add a
+    second exchange beyond the user_id shuffles of the joins."""
+    from de_project_airflow_etl_spark.queries.timeseries import (
+        gap_fill_forward_fill,
+    )
+    plan = formatted_plan(gap_fill_forward_fill(spark, sf_dir))
+    assert "Generate" in plan, plan  # explode(sequence(...))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mode_window_runs_on_aggregated_input(spark, sf_dir):
+    """mode_per_group's row_number window must sit above the hash
+    aggregate (O(distinct pairs) rows), not above the raw scan."""
+    from de_project_airflow_etl_spark.queries.aggregates_ext import (
+        mode_per_group,
+    )
+    plan = formatted_plan(mode_per_group(spark, sf_dir))
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1, plan
+    # the formatted tree prints top-down: the window (consumer) must
+    # appear above, i.e. before, the aggregate that feeds it
+    assert win_pos < agg_pos, plan
+
+
+def test_zscore_stats_join_is_broadcast(spark, sf_dir):
+    """The O(groups) stats side must broadcast — the fact table is
+    never shuffled for the outlier filter."""
+    from de_project_airflow_etl_spark.queries.aggregates_ext import (
+        outlier_zscore_orders,
+    )
+    assert has_broadcast_join(outlier_zscore_orders(spark, sf_dir))
