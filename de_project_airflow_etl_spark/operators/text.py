@@ -339,3 +339,48 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).cast("binary"))
             .alias("shuffle_invariant_fingerprint"),
     )
+
+
+# ----------------------------------------------------------- bigrams
+
+TOP_BIGRAMS = 25
+
+
+@query(
+    "text_bigram_counts",
+    oracle=f"""
+        WITH toks AS (
+          SELECT string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+          SELECT UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i + 1])) AS bigram
+          FROM toks
+        )
+        SELECT bigram, COUNT(*) AS cnt
+        FROM grams
+        GROUP BY bigram
+        ORDER BY cnt DESC, bigram
+        LIMIT {TOP_BIGRAMS}
+    """,
+    doc="Corpus bigram counts (top-25, tie-broken on the bigram for "
+        "determinism) — the n-gram language-model building block. "
+        "Bigrams come from zip_with over two shifted slices of the "
+        "token array (pure expression, whole-stage codegen); the "
+        "count+top-k is a hash aggregate feeding TakeOrderedAndProject "
+        "— per-partition heaps, no global sort, so the reduce side "
+        "moves k rows per partition regardless of corpus size.",
+    tags=("text", "ngram", "aggregate"),
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(F.expr(
+            "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+            "         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),"
+            "         (a, b) -> concat(a, ' ', b))"
+        )).alias("bigram"))
+    return (grams.groupBy("bigram")
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .orderBy(F.col("cnt").desc(), F.col("bigram"))
+                 .limit(TOP_BIGRAMS))

@@ -455,3 +455,66 @@ def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("b.o_orderkey").alias("key_b"),
                  (F.lit(OVERLAP_WINDOW_DAYS + 1) - dd).alias("overlap_days"))
     )
+
+
+# ---------------------------------------------- last-touch attribution
+
+@query(
+    "last_touch_attribution",
+    oracle=f"""
+        WITH purchases AS (
+          SELECT user_id, ts, {_VAL_INT} AS rev_c
+          FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+          SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+        ),
+        attributed AS (
+          SELECT p.rev_c, c.click_ts
+          FROM purchases p
+          ASOF LEFT JOIN clicks c
+            ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        )
+        SELECT CAST(CAST(click_ts AS DATE) AS TIMESTAMP) AS click_day,
+               click_ts IS NOT NULL AS attributed,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(rev_c) AS DOUBLE) / 100 AS attributed_revenue
+        FROM attributed
+        GROUP BY CAST(CAST(click_ts AS DATE) AS TIMESTAMP),
+                 click_ts IS NOT NULL
+    """,
+    doc="Last-touch revenue attribution: every purchase's value is "
+        "credited to the day of the same user's most recent preceding "
+        "click (purchases with no prior click fall into an "
+        "unattributed bucket). Same single-shuffle as-of mechanics as "
+        "asof_join_click_purchase — tagged union + running "
+        "last(ignoreNulls) — followed by a tiny day-level rollup; no "
+        "range join anywhere, so the plan is linear at any scale.",
+    tags=("timeseries", "asof", "attribution"),
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts",
+                        F.col("ts").alias("click_ts"),
+                        F.lit(None).cast("long").alias("rev_c"),
+                        F.lit(0).alias("tag")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", "ts",
+                           F.lit(None).cast("timestamp").alias("click_ts"),
+                           F.expr(_VAL_INT).alias("rev_c"),
+                           F.lit(1).alias("tag")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "tag")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        clicks.unionByName(purchases)
+              .withColumn("click_ts",
+                          F.last("click_ts", ignorenulls=True).over(w))
+              .filter(F.col("tag") == 1)
+              .groupBy(F.col("click_ts").cast("date").cast("timestamp")
+                        .alias("click_day"),
+                       F.col("click_ts").isNotNull().alias("attributed"))
+              .agg(F.count(F.lit(1)).alias("n_purchases"),
+                   (F.sum("rev_c").cast("double") / 100)
+                    .alias("attributed_revenue"))
+    )
