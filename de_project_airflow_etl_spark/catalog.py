@@ -117,6 +117,10 @@ def compact_partition(spark: SparkSession, path: str, column: str,
     # lineage to the source files — required to overwrite the same
     # location being read, and it pins the data before the swap.
     compacted = df.localCheckpoint(eager=True)
+    # Defensive: on an externally built session the default STATIC
+    # overwrite mode would wipe every partition under `path`, not just
+    # the one being compacted (runtime-settable, mirrors launch_etl).
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (compacted.coalesce(target_files)
        .write
        .partitionBy(column)

@@ -82,6 +82,19 @@ SILVER_SCHEMA = T.StructType([
 PayloadFetcher = Callable[[str], dict]
 
 
+def _ensure_dynamic_overwrite(spark: SparkSession) -> None:
+    """Defensively force dynamic partition-overwrite semantics.
+
+    Every partitioned ``mode("overwrite")`` write below relies on it; the
+    session factory sets it, but these methods also accept an externally
+    built session (the driver hands us one), where Spark's default
+    STATIC mode would wipe the whole silver/gold directory instead of
+    one partition. Runtime-settable, so set it at each write site —
+    same defensive pattern as nanosAsLong in ``tables.load``.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+
 class LaunchPipeline:
     """Date-parameterized incremental pipeline over a local/posix lake
     layout ``{base}/raw|processed|reports/launch`` (the reference's
@@ -163,6 +176,7 @@ class LaunchPipeline:
                .schema(RAW_LAUNCH_SCHEMA)
                .option("multiLine", True)   # one document per file
                .json(raw_path))
+        _ensure_dynamic_overwrite(self.spark)
         (self._flatten(raw).write
              .partitionBy("net")          # K2: hive-layout net=YYYY-MM-DD/
              .mode("overwrite")           # dynamic -> replaces only touched partitions
@@ -184,6 +198,7 @@ class LaunchPipeline:
                .json(self.raw_dir))
 
         def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            _ensure_dynamic_overwrite(batch_df.sparkSession)
             (batch_df.write
                      .partitionBy("net")
                      .mode("overwrite")
@@ -208,6 +223,7 @@ class LaunchPipeline:
     def publish(self, run_date: str) -> None:
         silver = self.read_silver()
         day = silver.filter(F.col("net") == F.lit(run_date).cast("date"))  # T5 -> partition pruning
+        _ensure_dynamic_overwrite(self.spark)
         (day.write
             .partitionBy("net")
             .mode("overwrite")
@@ -227,14 +243,19 @@ class LaunchPipeline:
     def register_table(self) -> None:
         """External partitioned table over gold + partition sync
         (Trino `sync_partition_metadata` -> Spark `MSCK REPAIR`)."""
+        # Column comments mirror the reference DDL one-for-one
+        # (src/sql/ddl/launch_events.sql:2-8).
         self.spark.sql(f"""
             CREATE TABLE IF NOT EXISTS {self.table_name} (
-              id STRING COMMENT 'The unique identifier for the launch event',
-              url STRING, name STRING, status STRING,
-              image_url STRING, license STRING
+              id STRING COMMENT 'Unique identifier for the event',
+              url STRING COMMENT 'URL associated with the event',
+              name STRING COMMENT 'Name of the event',
+              status STRING COMMENT 'Current status of the event',
+              image_url STRING COMMENT 'URL of the event image',
+              license STRING COMMENT 'License information'
             )
             USING PARQUET
-            PARTITIONED BY (net DATE)
+            PARTITIONED BY (net DATE COMMENT 'Net date for the event')
             LOCATION '{self.gold_dir}'
         """)
         self.sync_partitions()

@@ -54,16 +54,24 @@ def query(name: str, oracle: str | None, doc: str = "",
 
 
 def all_queries() -> dict[str, Query]:
-    """Import every query module and return the registry."""
+    """Import every query module and return the registry.
+
+    Import order == registration order == the order the driver walks
+    ``queries()``.  The driver's per-round correctness run can truncate
+    (round 1 stopped after 50 entries), so the families that most need a
+    driver oracle row — the LLM-pipeline operators, streaming, and
+    timeseries — register FIRST, ahead of the long-green relational
+    families.
+    """
     # Imports deferred so `import registry` never costs a Spark session.
-    from de_project_airflow_etl_spark.queries import (  # noqa: F401
-        aggregates_ext, etl, flagship, relational, joins, windows, setops,
-        scalar, grouping, subqueries, timeseries,
-    )
     from de_project_airflow_etl_spark.operators import (  # noqa: F401
-        corpus, dedup, multimodal, similarity, skew, text, udtf_ops,
+        dedup, similarity, text, multimodal, corpus, skew, udtf_ops,
     )
     from de_project_airflow_etl_spark.streaming import (  # noqa: F401
         ingest, stateful, upsert,
+    )
+    from de_project_airflow_etl_spark.queries import (  # noqa: F401
+        timeseries, scalar, subqueries, grouping,
+        flagship, etl, aggregates_ext, relational, joins, windows, setops,
     )
     return dict(_REGISTRY)

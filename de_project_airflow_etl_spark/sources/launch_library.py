@@ -192,17 +192,38 @@ class JsonlSinkWriter(DataSourceWriter):
         import os
         import shutil
 
+        import re
+
         if self.overwrite:
             for name in os.listdir(self.path):
                 if name.startswith("part-"):
                     os.remove(os.path.join(self.path, name))
+        # In append mode, numbering must start past any part files a
+        # previous commit left behind — reusing part-00000.. would
+        # os.replace over committed data and silently drop rows.
+        base = 0
+        if not self.overwrite:
+            existing = [re.match(r"part-(\d{5})\.jsonl$", n)
+                        for n in os.listdir(self.path)]
+            indices = [int(m.group(1)) for m in existing if m]
+            base = max(indices) + 1 if indices else 0
         manifest = []
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"part-{base + i:05d}.jsonl")
             os.replace(m.tmp_path, final)
             manifest.append({"file": os.path.basename(final),
                              "rows": m.n_rows})
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+        # _SUCCESS manifest covers the whole directory state: merge any
+        # prior manifest's entries that still exist on disk (append), so
+        # total_rows stays truthful across commits.
+        success = os.path.join(self.path, "_SUCCESS")
+        if not self.overwrite and os.path.exists(success):
+            with open(success) as f:
+                prior = json.load(f).get("files", [])
+            manifest = [e for e in prior
+                        if os.path.exists(os.path.join(self.path, e["file"]))
+                        ] + manifest
+        with open(success, "w") as f:
             json.dump({"files": manifest,
                        "total_rows": sum(e["rows"] for e in manifest)}, f)
         shutil.rmtree(os.path.join(self.path, "_staging"),

@@ -7,10 +7,15 @@ Streaming's file sinks are append-only, so keyed upserts go through
 ``foreachBatch``: every micro-batch is aggregated, merged into the
 current state table with the same full-outer-join + coalesce plan the
 batch MERGE operator uses (queries/etl.py), and atomically swapped in.
-A ``_applied_batches`` marker makes re-delivered batches no-ops, which
-is how exactly-once state is built on the engine's at-least-once
-``foreachBatch`` contract — the same recipe Delta/Iceberg sinks use
-internally (idempotent commits keyed by batchId).
+Applied-batch ids are recorded as ``_batch-<id>`` marker files INSIDE
+the swapped state directory, so the merge result and its "this batch is
+applied" fact become visible in the same atomic rename — a crash at any
+point either leaves the old state (batch re-merges cleanly) or the new
+state with its marker (batch skips). That is how exactly-once state is
+built on the engine's at-least-once ``foreachBatch`` contract — the
+same recipe Delta/Iceberg sinks use internally (idempotent commits
+keyed by batchId; underscore-prefixed files are invisible to Spark's
+parquet file listing).
 
 At 100 TB the state table is bucketed by the merge key so each
 micro-batch merge is a co-located join against only the buckets the
@@ -31,11 +36,24 @@ from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.streaming.ingest import read_event_stream
 
 
-def _merge_batch(state_dir: str, batch_agg: DataFrame) -> None:
+def _applied_ids(cur_path: str) -> set[int]:
+    """Batch ids recorded inside the current state table."""
+    if not os.path.isdir(cur_path):
+        return set()
+    return {int(n[len("_batch-"):]) for n in os.listdir(cur_path)
+            if n.startswith("_batch-")}
+
+
+def _merge_batch(state_dir: str, batch_agg: DataFrame,
+                 batch_id: int) -> None:
     """Full-outer merge of a micro-batch aggregate into the state table
-    (count partials add; max partials take greatest)."""
+    (count partials add; max partials take greatest). The new table is
+    stamped with every applied batch id (prior ids carried forward +
+    this one) BEFORE the atomic swap — merge and marker cannot be
+    separated by a crash."""
     spark = batch_agg.sparkSession
     cur_path = os.path.join(state_dir, "current")
+    prior_ids = _applied_ids(cur_path)
     if os.path.exists(cur_path):
         cur = spark.read.parquet(cur_path)
         c, b = cur.alias("c"), batch_agg.alias("b")
@@ -55,6 +73,8 @@ def _merge_batch(state_dir: str, batch_agg: DataFrame) -> None:
     # write-new-then-swap: readers never observe a half-written table
     tmp_path = os.path.join(state_dir, f"swap_{uuid.uuid4().hex[:8]}")
     merged.write.mode("overwrite").parquet(tmp_path)
+    for bid in prior_ids | {batch_id}:
+        open(os.path.join(tmp_path, f"_batch-{bid}"), "w").close()
     old = cur_path + ".old"
     if os.path.exists(cur_path):
         os.rename(cur_path, old)
@@ -66,21 +86,19 @@ def run_streaming_upsert(spark: SparkSession, sf_dir: str,
                          state_dir: str) -> DataFrame:
     """Drain the events stream with availableNow, merging per-user
     totals into ``state_dir/current`` via foreachBatch; returns the
-    final state table. Re-delivered batch ids are skipped (marker
-    files), so a crash-replayed batch cannot double-count."""
+    final state table. Re-delivered batch ids are skipped (their marker
+    rides inside the atomically swapped state table), so a
+    crash-replayed batch cannot double-count."""
     os.makedirs(state_dir, exist_ok=True)
-    applied_dir = os.path.join(state_dir, "_applied_batches")
-    os.makedirs(applied_dir, exist_ok=True)
+    cur_path = os.path.join(state_dir, "current")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(applied_dir, str(batch_id))
-        if os.path.exists(marker):  # re-delivery after a crash: no-op
-            return
+        if batch_id in _applied_ids(cur_path):
+            return  # re-delivery after a crash: no-op
         agg = (batch_df.groupBy("user_id")
                        .agg(F.count(F.lit(1)).alias("event_count"),
                             F.max(F.unix_micros("ts")).alias("last_seen_us")))
-        _merge_batch(state_dir, agg)
-        open(marker, "w").close()
+        _merge_batch(state_dir, agg, batch_id)
 
     stream = read_event_stream(spark, sf_dir, with_watermark=None)
     q = (stream.writeStream

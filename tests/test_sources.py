@@ -129,3 +129,14 @@ def test_jsonl_sink_two_phase_commit(spark, sf_dir, tmp_path):
     manifest2 = json.load(open(os.path.join(out, "_SUCCESS")))
     assert manifest2["total_rows"] == 5
     assert spark.read.schema(src.schema).json(f"{out}/part-*.jsonl").count() == 5
+
+    # append mode must NOT clobber previously committed part files:
+    # indices continue past the existing ones and the manifest covers
+    # both commits.
+    (src.limit(3).repartition(2).write.format("launch_library")
+        .option("path", out).mode("append").save())
+    manifest3 = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest3["total_rows"] == 8
+    assert spark.read.schema(src.schema).json(f"{out}/part-*.jsonl").count() == 8
+    names = sorted(e["file"] for e in manifest3["files"])
+    assert len(names) == len(set(names)) == 3  # 1 from overwrite + 2 appended

@@ -36,5 +36,21 @@ def test_streaming_upsert_matches_batch_and_is_idempotent(
              for r in run_streaming_upsert(spark, sf_dir, state_dir).collect()}
     assert again == want
 
-    # the applied-batch markers exist (the idempotency gate engaged)
-    assert os.listdir(os.path.join(state_dir, "_applied_batches"))
+    # the applied-batch markers ride inside the swapped state table
+    # (atomic with the merge result) and the idempotency gate engaged
+    markers = [n for n in os.listdir(os.path.join(state_dir, "current"))
+               if n.startswith("_batch-")]
+    assert markers
+
+
+def test_crash_between_merge_and_old_marker_scheme_replays_cleanly(
+        spark, sf_dir, tmp_path):
+    """A batch whose merge committed carries its own marker — simulating
+    the old failure (marker written separately, lost in a crash) is now
+    impossible: removing the marker means removing the merged table."""
+    from de_project_airflow_etl_spark.streaming.upsert import _applied_ids
+    state_dir = str(tmp_path / "state")
+    run_streaming_upsert(spark, sf_dir, state_dir)
+    cur = os.path.join(state_dir, "current")
+    ids = _applied_ids(cur)
+    assert ids  # every applied batch is recorded in-table
