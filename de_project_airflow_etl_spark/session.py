@@ -45,6 +45,7 @@ def get_spark(app_name: str = "de_project_airflow_etl_spark",
         # DuckDB's ns->us truncation yields for the oracle).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    builder = _apply_object_store_profile(builder)
     if os.path.isdir("/dev/shm"):
         # local-mode only: tmpfs-backed ephemeral checkpoints for
         # streaming queries that don't pass their own location. A real
@@ -53,6 +54,73 @@ def get_spark(app_name: str = "de_project_airflow_etl_spark",
         builder = builder.config(
             "spark.sql.streaming.checkpointLocation",
             f"/dev/shm/spark_graft_ckpt_{os.getpid()}")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _apply_object_store_profile(builder):
+    """Wire s3a object-store credentials/endpoint from the environment,
+    mirroring the reference's MinIO profile
+    (/root/reference/hive/conf/metastore-site.xml:43-50 and
+    trino/catalog/hive.properties:3-6): endpoint + path-style access +
+    static keys. With no SPARK_GRAFT_S3_ENDPOINT set this is a no-op —
+    local runs read file:// paths; on a cluster the same lake-relative
+    code paths read s3a:// URIs through these confs."""
+    endpoint = os.environ.get("SPARK_GRAFT_S3_ENDPOINT")
+    if not endpoint:
+        return builder
+    return (
+        builder
+        .config("spark.hadoop.fs.s3a.endpoint", endpoint)
+        .config("spark.hadoop.fs.s3a.access.key",
+                os.environ.get("SPARK_GRAFT_S3_ACCESS_KEY", ""))
+        .config("spark.hadoop.fs.s3a.secret.key",
+                os.environ.get("SPARK_GRAFT_S3_SECRET_KEY", ""))
+        .config("spark.hadoop.fs.s3a.path.style.access", "true")
+        .config("spark.hadoop.fs.s3a.connection.ssl.enabled",
+                os.environ.get("SPARK_GRAFT_S3_SSL", "false"))
+        # directory-structured committer: atomic task commit without
+        # the O(data) copy of the default FileOutputCommitter v1 rename
+        # on object stores
+        .config("spark.hadoop.fs.s3a.committer.name", "directory")
+    )
+
+
+def get_hive_spark(warehouse_dir: str,
+                   app_name: str = "de_project_airflow_etl_spark_hive",
+                   cpus: int = 4) -> SparkSession:
+    """Hive-metastore-backed session (embedded derby) — the catalog
+    topology the reference runs: every query resolves tables through a
+    Hive metastore service (metastore-site.xml;
+    docker-compose.yaml:295-307), which Trino and Spark share. Locally
+    the service collapses to derby-in-a-directory; on a cluster you
+    point ``hive.metastore.uris`` at the shared service instead and the
+    calling code is unchanged.
+
+    MUST be the first session in the JVM: ``spark.sql.catalogImplementation``
+    is static, so a process that already built an in-memory-catalog
+    session cannot switch (tests exercise this factory in a
+    subprocess).
+    """
+    os.makedirs(warehouse_dir, exist_ok=True)
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.catalogImplementation", "hive")
+        .config("spark.sql.warehouse.dir",
+                os.path.join(warehouse_dir, "warehouse"))
+        .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={warehouse_dir}/metastore_db;"
+                "create=true")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .enableHiveSupport()
+    )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -14,13 +14,38 @@ engine on the same input.
 
 from __future__ import annotations
 
+import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
+
+# Stateful streaming queries carry one state-store instance per shuffle
+# partition per stateful operator (a stream-stream join carries four).
+# Unlike batch shuffles, these are NOT free to over-provision: every
+# store pays open/snapshot/commit per micro-batch. So streaming sizes
+# shuffle partitions to expected STATE VOLUME, not core count — small
+# local fixtures run 8; a 100 TB stream raises this (it is baked into
+# the checkpoint at first start, so production picks it deliberately).
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+
+
+@contextmanager
+def stream_shuffle_sizing(spark: SparkSession):
+    """Temporarily size shuffle partitions for stateful streaming;
+    restores the batch setting afterwards."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def windowed_counts(events: DataFrame) -> DataFrame:
@@ -60,16 +85,17 @@ def run_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return the materialized aggregate."""
     sink = f"stream_windowed_{uuid.uuid4().hex[:8]}"
     stream = read_event_stream(spark, sf_dir, with_watermark=None)
-    q = (
-        windowed_counts(stream)
-        .writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_sizing(spark):
+        q = (
+            windowed_counts(stream)
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 

@@ -39,7 +39,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from de_project_airflow_etl_spark.registry import query
-from de_project_airflow_etl_spark.streaming.ingest import read_event_stream
+from de_project_airflow_etl_spark.streaming.ingest import (
+    read_event_stream, stream_shuffle_sizing,
+)
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
@@ -71,13 +73,14 @@ _SESSION_ORACLE = f"""
 def _drain(stream_df: DataFrame, spark: SparkSession,
            output_mode: str = "update") -> DataFrame:
     sink = f"stream_{uuid.uuid4().hex[:8]}"
-    q = (stream_df.writeStream
-                  .format("memory")
-                  .queryName(sink)
-                  .outputMode(output_mode)
-                  .trigger(availableNow=True)
-                  .start())
-    q.awaitTermination()
+    with stream_shuffle_sizing(spark):
+        q = (stream_df.writeStream
+                      .format("memory")
+                      .queryName(sink)
+                      .outputMode(output_mode)
+                      .trigger(availableNow=True)
+                      .start())
+        q.awaitTermination()
     return spark.table(sink)
 
 

@@ -100,14 +100,18 @@ def run_streaming_upsert(spark: SparkSession, sf_dir: str,
                             F.max(F.unix_micros("ts")).alias("last_seen_us")))
         _merge_batch(state_dir, agg, batch_id)
 
+    from de_project_airflow_etl_spark.streaming.ingest import (
+        stream_shuffle_sizing,
+    )
     stream = read_event_stream(spark, sf_dir, with_watermark=None)
-    q = (stream.writeStream
-               .foreachBatch(apply_batch)
-               .option("checkpointLocation",
-                       os.path.join(state_dir, "checkpoint"))
-               .trigger(availableNow=True)
-               .start())
-    q.awaitTermination()
+    with stream_shuffle_sizing(spark):
+        q = (stream.writeStream
+                   .foreachBatch(apply_batch)
+                   .option("checkpointLocation",
+                           os.path.join(state_dir, "checkpoint"))
+                   .trigger(availableNow=True)
+                   .start())
+        q.awaitTermination()
     return spark.read.parquet(os.path.join(state_dir, "current"))
 
 

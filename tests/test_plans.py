@@ -96,10 +96,26 @@ def test_embedding_dedup_is_equi_join(spark, sf_dir):
 
 
 def test_lsh_candidate_join_is_equi_join(spark, sf_dir):
-    from de_project_airflow_etl_spark.operators.dedup import dedup_minhash_lsh
-    plan = formatted_plan(dedup_minhash_lsh(spark, sf_dir))
+    # Inspect the un-materialized pairs plan (the public query returns
+    # an eagerly checkpointed result whose plan is an opaque RDD scan).
+    from de_project_airflow_etl_spark.operators.dedup import (
+        _lsh_pairs_plan, _shingled,
+    )
+    digests = _shingled(spark, sf_dir).select("doc_id", "hs")
+    plan = formatted_plan(_lsh_pairs_plan(digests))
     assert "CartesianProduct" not in plan, plan
-    spark.catalog.clearCache()  # dedup_minhash_lsh persists its inputs
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lsh_query_leaves_no_cached_relations(spark, sf_dir):
+    """Round-1 leak regression: after the materialized pairs relation
+    is built, no persisted DataFrame may remain registered in the
+    CacheManager (pinned executor memory at 100 TB)."""
+    from de_project_airflow_etl_spark.operators import dedup
+    dedup.clear_pairs_cache()
+    spark.catalog.clearCache()
+    dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_join_strategy_hints_are_honored(spark, sf_dir):
