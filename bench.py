@@ -8,6 +8,13 @@ ONE JSON line:
 Each query is fully materialized via a count over its result (collect
 would bottleneck on driver transfer for wide results; count forces the
 same computation).
+
+``--gate`` compares the run against BENCH_BASELINE.json (the recorded
+round-1 numbers) AFTER printing the JSON line, and exits non-zero if
+the total exceeds 2x the baseline or any single query regresses >1.5x —
+the in-repo perf-regression bar (VERDICT r1 next-round #6). Machine
+load can double local numbers; gate failures on a loaded box should be
+re-run before being believed.
 """
 
 from __future__ import annotations
@@ -92,6 +99,40 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
+    if "--gate" in sys.argv:
+        baseline_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_BASELINE.json")
+        baseline = json.load(open(baseline_path))
+        if float(sf if isinstance(sf, str) else sf) == baseline["sf"]:
+            failures = gate_failures(total, timings,
+                                     baseline["value"], baseline["queries"])
+            if failures:
+                print("BENCH GATE FAILED:\n  " + "\n  ".join(failures),
+                      file=sys.stderr)
+                sys.exit(1)
+            print(f"bench gate OK: {total:.3f}s vs baseline "
+                  f"{baseline['value']:.3f}s", file=sys.stderr)
+
+
+def gate_failures(total: float, timings: dict[str, float],
+                  base_total: float, base_queries: dict[str, float],
+                  total_factor: float = 2.0,
+                  query_factor: float = 1.5) -> list[str]:
+    """Regression findings vs the recorded baseline (empty == pass).
+    Only queries present in both runs are compared; new headline
+    queries grow the set without tripping the gate."""
+    failures = []
+    if total > total_factor * base_total:
+        failures.append(
+            f"total {total:.3f}s > {total_factor}x baseline "
+            f"{base_total:.3f}s")
+    for name, t in timings.items():
+        base = base_queries.get(name)
+        if base is not None and t > query_factor * base:
+            failures.append(
+                f"{name}: {t:.3f}s > {query_factor}x baseline {base:.3f}s")
+    return failures
 
 
 def _warm_streaming(spark) -> None:
