@@ -352,46 +352,183 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KMEANS_ITERS = 3
+KMEANS_SCALE = 1000  # fixed-point quantization scale (see below)
+EMB_DIM = 64         # embeddings table dimension (TESTDATA.md)
+
+# Fixed-point Lloyd's, exactly reproducible across engines.  The r2
+# version used double AVG means, whose accumulation order differs
+# between Spark partial aggregation and any oracle — so it could only
+# carry a rows-only check.  This version makes every step exact:
+#
+# * Quantize: e_i = FLOOR(double(v) * 1000) as BIGINT — identical
+#   IEEE multiply + floor in Spark and DuckDB.  K-means on the
+#   quantized vectors is still k-means, just on data both engines
+#   agree on bit-for-bit.
+# * Update: integer addition is associative, so the per-(cell, dim)
+#   BIGINT SUM is exact and order-insensitive; the new component is
+#   (1000 * sum) DIV count — truncating integer division, which Spark
+#   DIV and DuckDB // both implement.  Renormalizing to ~scale·10^3
+#   keeps magnitudes corpus-size-independent (|c_i| <= 530'000
+#   whatever n is), so nothing ever approaches 2^53.
+# * Assignment: cosine is scale-invariant, so the score is
+#   int_dot(e, c) / sqrt(int_dot(c, c)) — both operands are exact
+#   integers < 2^53, their DOUBLE casts are exact, and IEEE divide /
+#   sqrt are correctly rounded in both engines => bit-identical
+#   scores, therefore an identical argmax (ties broken by cell ASC).
+
+_QUANT = ("transform(embedding, v -> "
+          "CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0D) AS BIGINT))")
+
+
+def _idot(a: str, b: str) -> Column:
+    """Exact BIGINT dot product (associative — no fold-order issues)."""
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+                  f" 0L, (acc, v) -> acc + v)")
+
+
+def _sql_idot(a: str, b: str) -> str:
+    return (f"list_aggregate(list_transform(generate_series(1, {EMB_DIM}),"
+            f" i -> {a}[i] * {b}[i]), 'sum')")
+
+
+# argmax over the integer-centroid list: score = idot(e,c)/sqrt(idot(c,c))
+_INT_BEST_CELL = """
+    array_max(transform(cents, c -> struct(
+      CAST(aggregate(zip_with(ei, c.centroid, (x, y) -> x * y),
+                     0L, (acc, v) -> acc + v) AS DOUBLE)
+      / sqrt(CAST(aggregate(zip_with(c.centroid, c.centroid, (x, y) -> x * y),
+                            0L, (acc, v) -> acc + v) AS DOUBLE)) AS sim,
+      -c.cell AS negcell)))
+"""
+
+
+def _assign_cells_int(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Zero-shuffle broadcast argmax over integer centroids (same plan
+    shape as _assign_cells: one-row centroid array, per-row array_max)."""
+    return (e.crossJoin(F.broadcast(cents))
+              .withColumn("cell", -F.expr(_INT_BEST_CELL)["negcell"])
+              .drop("cents"))
+
+
+def _sql_kmeans_score(e: str, c: str) -> str:
+    return (f"CAST({_sql_idot(e + '.ei', c + '.centroid')} AS DOUBLE)"
+            f" / SQRT(CAST({_sql_idot(c + '.centroid', c + '.centroid')}"
+            f" AS DOUBLE))")
+
+
+def _sql_kmeans_round(n: int, cents_prev: str) -> str:
+    """One unrolled Lloyd's round: assign (window argmax) + update
+    (exact integer mean at fixed point)."""
+    return f"""
+  a{n} AS (
+    SELECT vec_id, ei, cell FROM (
+      SELECT e.vec_id, e.ei, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_kmeans_score('e', 'c')} DESC, c.cell
+             ) AS rnk
+      FROM eint e CROSS JOIN {cents_prev} c
+    ) WHERE rnk = 1
+  ),
+  c{n} AS (
+    SELECT cell, list(comp ORDER BY pos) AS centroid FROM (
+      SELECT cell, t.i AS pos,
+             CAST(({KMEANS_SCALE} * SUM(a.ei[t.i])) // COUNT(*) AS BIGINT)
+               AS comp
+      FROM a{n} a CROSS JOIN range(1, {EMB_DIM + 1}) t(i)
+      GROUP BY cell, t.i
+    ) GROUP BY cell
+  )"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH eint AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)) AS ei
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT label AS cell, ei AS centroid
+      FROM eint e
+      WHERE vec_id = (SELECT MIN(vec_id) FROM eint s WHERE s.label = e.label)
+    ),{_sql_kmeans_round(1, 'c0')},{_sql_kmeans_round(2, 'c1')},{_sql_kmeans_round(3, 'c2')},
+    afinal AS (
+      SELECT cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_kmeans_score('e', 'c')} DESC, c.cell
+               ) AS rnk
+        FROM eint e CROSS JOIN c{KMEANS_ITERS} c
+      ) WHERE rnk = 1
+    )
+    SELECT f.cell,
+           f.n_vectors,
+           SQRT(CAST({_sql_idot('c.centroid', 'c.centroid')} AS DOUBLE))
+             AS centroid_norm,
+           CAST(list_aggregate(c.centroid, 'sum') AS BIGINT)
+             AS centroid_checksum
+    FROM (SELECT cell, COUNT(*) AS n_vectors FROM afinal GROUP BY cell) f
+    JOIN c{KMEANS_ITERS} c USING (cell)
+"""
 
 
 @query(
     "ann_ivf_kmeans_fit",
-    oracle=None,
-    # No SQL oracle: Lloyd's algorithm is iterative (driver-side loop
-    # over DataFrame rounds) and double means are accumulation-order
-    # sensitive, so the driver records the weaker rows-only check.
+    oracle=_KMEANS_ORACLE,
     doc="Lloyd's k-means refinement of the IVF coarse centroids "
-        "(3 rounds, seeded from the deterministic per-label seeds). "
-        "Assignment is the zero-shuffle broadcast argmax map shared "
-        "with ann_ivf_search; the update step is the relational "
-        "mean — posexplode(embedding) then AVG per (cell, dim) — "
+        "(3 rounds, seeded from the deterministic per-label seeds), in "
+        "exact fixed-point arithmetic so the iterative fit is fully "
+        "value-verified against an unrolled-SQL oracle (the "
+        "pagerank_dup_graph technique: quantize once, then only "
+        "associative integer sums + truncating integer division + "
+        "pointwise IEEE ops — every intermediate is bit-identical "
+        "across engines). Assignment is the zero-shuffle broadcast "
+        "argmax map shared with ann_ivf_search; the update step is the "
+        "relational mean — posexplode then SUM/COUNT per (cell, dim) — "
         "whose map-side partial aggregation reduces each partition to "
         "k x d rows before the shuffle, so a round costs one "
         "O(k*d*partitions) exchange regardless of corpus size. Output "
-        "is the fitted cell populations + centroid norms.",
+        "is the fitted cell populations + centroid norms/checksums.",
     tags=("similarity", "ivf", "kmeans", "iterative"),
 )
 def ann_ivf_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = _seed_centroids(
-        load(spark, sf_dir, "embeddings")).localCheckpoint()
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.expr(_QUANT).alias("ei"))
+    from pyspark.sql import Window
+    w_seed = Window.partitionBy("label").orderBy("vec_id")
+    cents_tbl = (emb.withColumn("rn", F.row_number().over(w_seed))
+                    .filter(F.col("rn") == 1)
+                    .select(F.col("label").alias("cell"),
+                            F.expr(_QUANT).alias("centroid")))
+    cents = _collect_cents(cents_tbl).localCheckpoint()
     for _ in range(KMEANS_ITERS):
-        assigned = _assign_cells(e, cents)
-        cents = (
-            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+        assigned = _assign_cells_int(e, cents)
+        cents_tbl = (
+            assigned.select("cell", F.posexplode("ei").alias("pos", "v"))
                     .groupBy("cell", "pos")
-                    .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                    .agg(F.sum("v").alias("s"),
+                         F.count(F.lit(1)).alias("cnt"))
+                    .withColumn(
+                        "comp",
+                        F.expr(f"({KMEANS_SCALE} * s) DIV cnt"))
                     .groupBy("cell")
                     .agg(F.expr("transform(array_sort(collect_list("
-                                "struct(pos, m))), s -> s.m)")
-                          .alias("centroid"))
-                    .localCheckpoint())
-    final = _assign_cells(e, cents)
+                                "struct(pos, comp))), x -> x.comp)")
+                          .alias("centroid")))
+        cents = _collect_cents(cents_tbl).localCheckpoint()
+    final = _assign_cells_int(e, cents)
     counts = final.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
-    norms = cents.select(
-        "cell", F.sqrt(dot("centroid", "centroid")).alias("centroid_norm"))
-    return (counts.join(norms, "cell")
-                  .select("cell", "n_vectors", "centroid_norm"))
+    stats = cents_tbl.select(
+        "cell",
+        F.sqrt(_idot("centroid", "centroid").cast("double"))
+         .alias("centroid_norm"),
+        F.expr("aggregate(centroid, 0L, (acc, v) -> acc + v)")
+         .alias("centroid_checksum"))
+    return (counts.join(stats, "cell")
+                  .select("cell", "n_vectors", "centroid_norm",
+                          "centroid_checksum"))
 
 
 @query(

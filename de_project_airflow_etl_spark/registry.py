@@ -53,15 +53,46 @@ def query(name: str, oracle: str | None, doc: str = "",
     return wrap
 
 
+# The driver's per-round correctness run truncates (~50 rows/round,
+# walking ``queries()`` order).  Rounds 1+2 covered 100/124 queries; the
+# 24 below never received a driver row because they sat past the cap in
+# both orderings.  They are pinned FIRST so round 3 closes the gap, with
+# ``ann_ivf_kmeans_fit`` (newly oracle-verified) alongside them.
+#
+# Truncation is never the only correctness signal: the full registry is
+# exercised locally by ``tests/test_correctness.py`` (exact values, all
+# queries) and ``scripts/profile_correctness.py`` (hash replica of the
+# driver's check) — see those for the complete picture.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # queries/scalar.py — 10, never driver-tested
+    "string_functions", "like_regexp_filter", "date_functions",
+    "math_functions", "json_extraction", "null_handling",
+    "array_functions", "map_functions", "variant_json_events",
+    "interval_arithmetic",
+    # queries/subqueries.py — 5, never driver-tested
+    "scalar_subquery_above_avg", "in_subquery_building_orders",
+    "correlated_exists_recent_buyers", "derived_table_top_nations",
+    "lateral_top_orders_per_nation",
+    # queries/grouping.py — 5, never driver-tested
+    "rollup_quantity", "cube_order_priority", "grouping_sets_flags",
+    "pivot_status_by_segment", "unpivot_nation_metrics",
+    # set-op ALL variants — never driver-tested
+    "intersect_all_nations", "except_all_nations",
+    # timeseries tail — never driver-tested
+    "interval_overlap_orders", "last_touch_attribution",
+    # newly value-verified this round (was rows-only in r2)
+    "ann_ivf_kmeans_fit",
+)
+
+
 def all_queries() -> dict[str, Query]:
     """Import every query module and return the registry.
 
-    Import order == registration order == the order the driver walks
-    ``queries()``.  The driver's per-round correctness run can truncate
-    (round 1 stopped after 50 entries), so the families that most need a
-    driver oracle row — the LLM-pipeline operators, streaming, and
-    timeseries — register FIRST, ahead of the long-green relational
-    families.
+    Returned order == the order the driver walks ``queries()``.  The
+    driver truncates at ~50 rows/round, so ``_DRIVER_PRIORITY`` (the
+    queries still missing a driver CORRECTNESS row) comes first; the
+    remainder follows in registration order as re-confirmation of
+    already-green queries.
     """
     # Imports deferred so `import registry` never costs a Spark session.
     from de_project_airflow_etl_spark.operators import (  # noqa: F401
@@ -74,4 +105,10 @@ def all_queries() -> dict[str, Query]:
         timeseries, scalar, subqueries, grouping,
         flagship, etl, aggregates_ext, relational, joins, windows, setops,
     )
-    return dict(_REGISTRY)
+    ordered: dict[str, Query] = {}
+    for name in _DRIVER_PRIORITY:
+        ordered[name] = _REGISTRY[name]
+    for name, q in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered
