@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+from de_project_airflow_etl_spark.operators.dedup import clear_pairs_cache
 from de_project_airflow_etl_spark.registry import all_queries
 from de_project_airflow_etl_spark.session import get_spark
 
@@ -42,6 +43,9 @@ HEADLINE = (
     "window_top3_orders_per_customer",  # ranked window
     "window_running_revenue",     # running frame
     "rollup_quantity",            # multi-dim agg
+    "cube_order_priority",        # CUBE grouping-sets agg
+    "lateral_top_orders_per_nation",  # correlated top-n subquery
+    "variant_json_events",        # semi-structured JSON path extraction
     "dedup_minhash_lsh",          # shingle/LSH dedup
     "dedup_embedding_cosine",     # vector near-dup (LSH-blocked)
     "text_token_stats",           # text map-heavy
@@ -87,8 +91,14 @@ def main() -> None:
         df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         # queries are measured in isolation: drop any persist() state a
-        # query materialized so it neither feeds nor starves the next one
+        # query materialized so it neither feeds nor starves the next
+        # one — including the module-level verified-pairs cache, which
+        # survives clearCache() and would otherwise let dedup_clusters
+        # reuse the relation dedup_minhash_lsh materialized during its
+        # own timed run (the cache stays on as a feature for real
+        # sessions; the bench measures each query cold).
         spark.catalog.clearCache()
+        clear_pairs_cache()
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -104,7 +114,15 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)),
             "BENCH_BASELINE.json")
         baseline = json.load(open(baseline_path))
-        if float(sf if isinstance(sf, str) else sf) == baseline["sf"]:
+        try:
+            sf_num = float(sf)
+        except ValueError:
+            # sf_dir not named sf<number>: no comparable baseline —
+            # skip the gate instead of crashing after the results line
+            print(f"bench gate skipped: unknown sf {sf!r}",
+                  file=sys.stderr)
+            return
+        if sf_num == baseline["sf"]:
             failures = gate_failures(total, timings,
                                      baseline["value"], baseline["queries"])
             if failures:

@@ -203,12 +203,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pagerank_dup_graph, triangle_count_dup_graph) consume the identical
 # pairs relation; deriving it once per session is the local analog of a
 # shared materialized view — at 100 TB you would persist the verified
-# pairs as a lake table and point all graph jobs at it.
+# pairs as a lake table and point all graph jobs at it. Bounded LRU
+# (a long-lived session touching many sf_dirs would otherwise pin a
+# localCheckpoint RDD per dir forever): inserting past the cap evicts
+# the least-recently-used entry, whose checkpoint blocks the
+# ContextCleaner reclaims once callers drop the DataFrame.
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_CACHE_MAX = 4
 
 
 def clear_pairs_cache() -> None:
     _PAIRS_CACHE.clear()
+
+
+def _pairs_cache_put(key: tuple[str, str], df: DataFrame) -> None:
+    while len(_PAIRS_CACHE) >= _PAIRS_CACHE_MAX:
+        _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE)))
+    _PAIRS_CACHE[key] = df
 
 
 def _lsh_pairs_plan(digests: DataFrame) -> DataFrame:
@@ -253,6 +264,7 @@ def _lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     stayed pinned after the query returned; VERDICT r1 #3)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = _PAIRS_CACHE.pop(key)  # LRU touch
         return _PAIRS_CACHE[key]
     digests = _shingled(spark, sf_dir).select("doc_id", "hs").persist()
     try:
@@ -260,7 +272,7 @@ def _lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .localCheckpoint(eager=True))  # materialize, THEN unpersist
     finally:
         digests.unpersist()
-    _PAIRS_CACHE[key] = verified
+    _pairs_cache_put(key, verified)
     return verified
 
 

@@ -73,7 +73,16 @@ def decode_image(payload: bytes) -> dict:
                 i += 1 if marker == 0xFF else 2  # fill bytes / standalone
                 continue
             (seg_len,) = struct.unpack(">H", payload[i + 2:i + 4])
+            if seg_len < 2:
+                raise ValueError(f"malformed JPEG: segment length "
+                                 f"{seg_len} at {i}")
             if marker in _JPEG_SOF_MARKERS:
+                # SOF payload: precision u8 @ i+4, height/width u16be
+                # @ i+5..i+8, ncomp u8 @ i+9 — bounds-check so a
+                # truncated stream is a ValueError like every other
+                # malformed case, not a struct.error
+                if i + 10 > len(payload):
+                    raise ValueError("truncated JPEG: short SOF header")
                 height, width = struct.unpack(">HH", payload[i + 5:i + 9])
                 n_comp = payload[i + 9]
                 return {"width": width, "height": height,
@@ -81,6 +90,8 @@ def decode_image(payload: bytes) -> dict:
             i += 2 + seg_len
         raise ValueError("malformed JPEG: no SOF frame header")
     if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF: short screen descriptor")
         width, height = struct.unpack("<HH", payload[6:10])
         return {"width": width, "height": height,
                 "channels": 3, "format": "gif"}

@@ -9,13 +9,19 @@ current state table with the same full-outer-join + coalesce plan the
 batch MERGE operator uses (queries/etl.py), and atomically swapped in.
 Applied-batch ids are recorded as ``_batch-<id>`` marker files INSIDE
 the swapped state directory, so the merge result and its "this batch is
-applied" fact become visible in the same atomic rename — a crash at any
-point either leaves the old state (batch re-merges cleanly) or the new
-state with its marker (batch skips). That is how exactly-once state is
-built on the engine's at-least-once ``foreachBatch`` contract — the
-same recipe Delta/Iceberg sinks use internally (idempotent commits
-keyed by batchId; underscore-prefixed files are invisible to Spark's
-parquet file listing).
+applied" fact become visible in the same rename — after recovery, a
+crash at any point leaves either the old state (batch re-merges
+cleanly) or the new state with its marker (batch skips). The swap
+itself is two renames (current -> current.old, swap_tmp -> current), so
+there is a crash window where ``current`` is missing while
+``current.old`` holds the pre-batch state; ``_recover`` heals it by
+restoring ``current`` from ``current.old`` on the next startup /
+batch — the restored state lacks the in-flight batch's marker, so that
+batch re-merges. That is how exactly-once state is built on the
+engine's at-least-once ``foreachBatch`` contract — the same recipe
+Delta/Iceberg sinks use internally (idempotent commits keyed by
+batchId; underscore-prefixed files are invisible to Spark's parquet
+file listing).
 
 At 100 TB the state table is bucketed by the merge key so each
 micro-batch merge is a co-located join against only the buckets the
@@ -36,8 +42,26 @@ from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.streaming.ingest import read_event_stream
 
 
+def _recover(cur_path: str) -> None:
+    """Heal the two-rename crash window: if ``current`` is missing but
+    ``current.old`` exists, the process died between the two renames —
+    restore the pre-batch state (its markers lack the in-flight batch,
+    so that batch re-merges). Also clears a stale ``current.old`` left
+    by a crash after the second rename, which would otherwise fail the
+    next swap's os.rename with ENOTEMPTY."""
+    old = cur_path + ".old"
+    if not os.path.isdir(old):
+        return
+    if not os.path.isdir(cur_path):
+        os.rename(old, cur_path)
+    else:
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def _applied_ids(cur_path: str) -> set[int]:
-    """Batch ids recorded inside the current state table."""
+    """Batch ids recorded inside the current state table (after
+    crash-window recovery)."""
+    _recover(cur_path)
     if not os.path.isdir(cur_path):
         return set()
     return {int(n[len("_batch-"):]) for n in os.listdir(cur_path)
@@ -76,6 +100,9 @@ def _merge_batch(state_dir: str, batch_agg: DataFrame,
     for bid in prior_ids | {batch_id}:
         open(os.path.join(tmp_path, f"_batch-{bid}"), "w").close()
     old = cur_path + ".old"
+    # a stale .old from a crash after a previous swap's second rename
+    # must go BEFORE the first rename, or os.rename fails ENOTEMPTY
+    shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(cur_path):
         os.rename(cur_path, old)
     os.rename(tmp_path, cur_path)

@@ -61,6 +61,23 @@ def test_decode_rejects_garbage():
         decode_image(b"\xff\xd8\xff\xd9")
 
 
+def test_decode_truncated_payloads_raise_value_error():
+    """Truncated streams are ValueError like every other malformed case
+    — never struct.error (which would crash a mapInPandas worker with a
+    different, uncatchable-by-contract exception)."""
+    # JPEG cut off inside the SOF header (after the 4 len/marker bytes)
+    full = encode_jpeg_header(64, 64, 3)
+    sof_at = full.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        decode_image(full[:sof_at + 7])
+    # zero/undersized segment length can no longer loop or mis-walk
+    with pytest.raises(ValueError, match="segment length"):
+        decode_image(b"\xff\xd8\xff\xe0\x00\x01rest")
+    # GIF cut off inside the logical screen descriptor
+    with pytest.raises(ValueError, match="truncated GIF"):
+        decode_image(b"GIF89a\x40")
+
+
 def test_map_in_pandas_features(spark, sf_dir):
     feats = multimodal_features(spark, sf_dir)
     rows = feats.collect()

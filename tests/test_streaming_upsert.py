@@ -54,3 +54,52 @@ def test_crash_between_merge_and_old_marker_scheme_replays_cleanly(
     cur = os.path.join(state_dir, "current")
     ids = _applied_ids(cur)
     assert ids  # every applied batch is recorded in-table
+
+
+def test_crash_between_swap_renames_recovers_pre_batch_state(
+        spark, sf_dir, tmp_path):
+    """Simulate the window between the two swap renames (current moved
+    to current.old, replacement not yet in place): recovery must
+    restore current — with its markers — from current.old, and a
+    subsequent run over the same checkpoint must still equal the batch
+    truth. (In a real mid-batch crash the engine also re-delivers the
+    uncommitted batch, whose marker is absent from the restored state,
+    so it re-merges cleanly.)"""
+    state_dir = str(tmp_path / "state")
+    run_streaming_upsert(spark, sf_dir, state_dir)
+    cur = os.path.join(state_dir, "current")
+
+    # simulate the window: current renamed away, second rename never ran
+    os.rename(cur, cur + ".old")
+    from de_project_airflow_etl_spark.streaming.upsert import _applied_ids
+    ids = _applied_ids(cur)  # triggers recovery
+    assert os.path.isdir(cur) and not os.path.isdir(cur + ".old")
+    assert ids  # pre-batch markers restored with the table
+
+    want = {r["user_id"]: (r["event_count"], r["last_seen_us"])
+            for r in _batch_truth(spark, sf_dir).collect()}
+    got = {r["user_id"]: (r["event_count"], r["last_seen_us"])
+           for r in run_streaming_upsert(spark, sf_dir, state_dir).collect()}
+    assert got == want
+
+
+def test_stale_current_old_does_not_break_next_swap(
+        spark, sf_dir, tmp_path):
+    """A crash after the second rename but before the rmtree leaves a
+    non-empty current.old; the next merge's swap must clear it instead
+    of dying with ENOTEMPTY on os.rename."""
+    import shutil
+
+    from de_project_airflow_etl_spark.streaming.upsert import _merge_batch
+    state_dir = str(tmp_path / "state")
+    run_streaming_upsert(spark, sf_dir, state_dir)
+    cur = os.path.join(state_dir, "current")
+    shutil.copytree(cur, cur + ".old")  # the stale leftover
+
+    extra = spark.createDataFrame(
+        [(999_999, 1, 1)], "user_id bigint, event_count bigint, "
+                           "last_seen_us bigint")
+    _merge_batch(state_dir, extra, batch_id=10_000)  # must not raise
+    assert not os.path.isdir(cur + ".old")
+    got = spark.read.parquet(cur).filter(F.col("user_id") == 999_999)
+    assert got.count() == 1
