@@ -111,12 +111,39 @@ class LaunchPipeline:
         self.table_name = table_name
 
     # -- stage 1: ingest (S1 + K1) ------------------------------------
+    def _hadoop_path(self, path_str: str):
+        """(FileSystem, Path) for a URI through Spark's Hadoop conf —
+        how the raw put reaches s3a://, hdfs://, or file:// zones (the
+        reference puts raw JSON to MinIO via s3fs,
+        dags/rocket_launch_etl.py:72-76; fs.s3a.* session confs apply
+        here automatically)."""
+        jvm = self.spark.sparkContext._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+        return jpath.getFileSystem(hconf), jpath
+
     def ingest(self, run_date: str, fetch: PayloadFetcher) -> str:
         """Fetch the day's payload and put it in the raw zone,
         idempotently (skip if the key exists — reference behavior,
-        dags/rocket_launch_etl.py:53-63)."""
-        os.makedirs(self.raw_dir, exist_ok=True)
+        dags/rocket_launch_etl.py:53-63). Local bare paths use the OS
+        directly; URI bases (s3a://, file://, hdfs://) go through the
+        Hadoop FileSystem so the same pipeline runs against an object
+        store unchanged."""
         path = os.path.join(self.raw_dir, f"{run_date}.json")
+        if "://" in self.base:
+            fs, jpath = self._hadoop_path(path)
+            if fs.exists(jpath):
+                log.info("raw key exists, skipping upload: %s", path)
+                return path
+            payload = fetch(run_date)
+            out = fs.create(jpath, False)  # no overwrite: idempotent put
+            try:
+                out.write(bytearray(json.dumps(payload).encode("utf-8")))
+            finally:
+                out.close()
+            log.info("uploaded raw launch data: %s", path)
+            return path
+        os.makedirs(self.raw_dir, exist_ok=True)
         if os.path.exists(path):
             log.info("raw key exists, skipping upload: %s", path)
             return path

@@ -137,6 +137,32 @@ p.run("2024-12-02", lambda d: launch_day_payload(d, 4))
 counts = {r["net"].isoformat(): r["event_count"]
           for r in p.daily_launch_events().collect()}
 assert counts == {"2024-12-01": 5, "2024-12-02": 4, "2024-12-03": 3}
+
+# External LOCATION as an explicit filesystem URI (file://...), the
+# sandbox analog of the reference's s3a://lake/... locations
+# (trino/catalog/hive.properties + metastore-site.xml fs.s3a keys):
+# the metastore must store and resolve the URI form, and MSCK must
+# discover partitions through the Hadoop FileSystem for that scheme —
+# the exact code path a MinIO deployment exercises with s3a URIs.
+spark.sql(f'''
+    CREATE TABLE launch_events_uri (
+      id STRING, url STRING, name STRING, status STRING,
+      image_url STRING, license STRING
+    )
+    USING PARQUET
+    PARTITIONED BY (net DATE)
+    LOCATION 'file://{os.path.join(base, "lake", "reports", "launch")}'
+''')
+spark.sql("MSCK REPAIR TABLE launch_events_uri")
+uri_counts = {r["net"].isoformat(): r["n"]
+              for r in spark.sql(
+                  "SELECT net, COUNT(DISTINCT id) AS n "
+                  "FROM launch_events_uri GROUP BY net").collect()}
+assert uri_counts == counts, (uri_counts, counts)
+loc = [r["data_type"] for r in
+       spark.sql("DESCRIBE FORMATTED launch_events_uri").collect()
+       if r["col_name"] == "Location"]
+assert loc and loc[0].startswith("file:"), loc
 print("HIVE_E2E_OK")
 """
 

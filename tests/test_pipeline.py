@@ -27,6 +27,25 @@ def fetch(day: str) -> dict:
     return launch_day_payload(day, DEFAULT_DAYS.get(day, 2))
 
 
+def test_end_to_end_over_filesystem_uri(spark, tmp_path):
+    """Run the whole pipeline with a ``file://`` URI base: the raw put
+    goes through the Hadoop FileSystem API (the code path an s3a://
+    base uses — see tests/test_object_store.py for the live MinIO
+    variant), parquet zones are written/read via URIs, and idempotent
+    re-ingest is enforced by FileSystem.create(overwrite=False)."""
+    base = f"file://{tmp_path}/uri_lake"
+    p = LaunchPipeline(spark, base, table_name="launch_events_uri_base")
+    for day in DEFAULT_DAYS:
+        p.run(day, fetch)
+    # idempotent put through the Hadoop FS path: re-ingest is a no-op
+    p.ingest("2024-12-01", lambda d: (_ for _ in ()).throw(
+        AssertionError("fetch must not run for an existing raw key")))
+    p.register_table()
+    result = {str(r["net"]): r["event_count"]
+              for r in p.daily_launch_events().collect()}
+    assert result == {"2024-12-01": 5, "2024-12-02": 3}
+
+
 def test_end_to_end_flagship(pipeline, spark):
     for day in DEFAULT_DAYS:
         pipeline.run(day, fetch)
