@@ -58,6 +58,7 @@ HEADLINE = (
     "streaming_windowed_counts",  # availableNow stream
     "streaming_stateful_sessions",  # applyInPandasWithState
     "llm_corpus_prep",            # composite: quality -> dedup -> budget
+    "contamination_check",        # n-gram inverted-index join vs eval set
     "dedup_clusters",             # iterative connected components
     "merge_upsert_customers",     # MERGE-style full-outer upsert
     "text_tfidf_top_terms",       # two-pass TF-IDF + ranked window

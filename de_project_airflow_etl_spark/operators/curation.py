@@ -1,0 +1,381 @@
+"""Corpus curation operators for a large-scale training-data pipeline:
+deterministic splits/sampling, context-window packing, benchmark
+contamination checks, dataset profiling, and layout/EWMA utilities.
+
+These extend the LLM-pipeline surface (dedup/text/similarity/corpus
+modules) with the remaining operations a pretraining data pipeline
+runs at 100 TB. Every operator is deterministic and oracle-checked:
+
+* Randomness is replaced by content hashes (md5 of the key) — the
+  standard trick for reproducible splits/samples across engines and
+  re-runs: lexicographic comparison on fixed-width lowercase hex is
+  numeric comparison, so a threshold string encodes a sampling rate
+  exactly, with no RNG and no engine-specific ``rand()``.
+* Sequential semantics (packing offsets, EWMA) are expressed as
+  window cumulative sums / ordered folds whose operation order is
+  pinned, so doubles and integers match the oracle bit-for-bit
+  (EWMA uses alpha = 0.5: multiplying by 0.5 is exact in binary
+  floating point, leaving the one rounding per step to the addition,
+  which both engines perform in the same order).
+
+Scale design: hash split/sample are stateless per-row maps (no
+shuffle); packing is a per-source window (shuffle on source, the
+shard key a real pipeline would already partition by); contamination
+is an inverted-index equi-join on n-gram hashes (never corpus x eval
+cross product); profiling is one aggregation pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.tables import load
+
+# ------------------------------------------------------ hash splits
+
+
+def _hex_threshold(rate: float) -> str:
+    """8-hex-digit threshold encoding ``rate`` exactly: a doc is kept
+    iff the first 8 hex chars of md5(key) compare below it."""
+    return format(int(rate * 16 ** 8), "08x")
+
+
+_TRAIN_THR = _hex_threshold(0.8)   # 'cccccccc'
+_VAL_THR = _hex_threshold(0.9)     # 'e6666666'
+
+_SPLIT_EXPR = f"""
+    CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 8) < '{_TRAIN_THR}'
+         THEN 'train'
+         WHEN substring(md5(CAST(doc_id AS STRING)), 1, 8) < '{_VAL_THR}'
+         THEN 'val'
+         ELSE 'test' END
+"""
+
+_SQL_SPLIT_EXPR = f"""
+    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_TRAIN_THR}'
+         THEN 'train'
+         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_VAL_THR}'
+         THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@query(
+    "corpus_hash_split",
+    oracle=f"""
+        SELECT {_SQL_SPLIT_EXPR} AS split, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    doc="Deterministic 80/10/10 train/val/test split by md5(doc_id) "
+        "hex threshold — reproducible across engines, re-runs, and "
+        "cluster sizes; a stateless per-row map with no shuffle until "
+        "the reporting aggregate. The per-(split, lang) histogram is "
+        "the verification surface.",
+    tags=("curation", "split", "hash"),
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (d.withColumn("split", F.expr(_SPLIT_EXPR))
+             .groupBy("split", "lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").alias("sum_chars")))
+
+
+# ------------------------------------------------ stratified sampling
+
+# Per-stratum rate derived from the source name (even-numbered sources
+# keep 1/2, odd keep 1/4) — stands in for a real pipeline's per-source
+# quality weights.
+_EVEN_THR = _hex_threshold(0.5)
+_ODD_THR = _hex_threshold(0.25)
+
+_RATE_THR_EXPR = f"""
+    CASE WHEN CAST(substring(source, 4, 10) AS BIGINT) % 2 = 0
+         THEN '{_EVEN_THR}' ELSE '{_ODD_THR}' END
+"""
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle=f"""
+        SELECT doc_id, source, lang
+        FROM documents
+        WHERE substring(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < CASE WHEN CAST(substring(source, 4, 10) AS BIGINT) % 2 = 0
+                     THEN '{_EVEN_THR}' ELSE '{_ODD_THR}' END
+    """,
+    doc="Stratified sampling with per-source rates via salted-hash "
+        "thresholds ('sample|' salt decorrelates from the train/test "
+        "split hash). Stateless filter — no shuffle, no RNG; the exact "
+        "sampled id set is the verification surface.",
+    tags=("curation", "sampling", "hash"),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    keep = (F.expr("substring(md5(concat('sample|', CAST(doc_id AS STRING)"
+                   ")), 1, 8)")
+            < F.expr(_RATE_THR_EXPR))
+    return d.filter(keep).select("doc_id", "source", "lang")
+
+
+# ------------------------------------------------- sequence packing
+
+PACK_BUDGET = 128  # context-window token budget
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+        ), offs AS (
+          SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM toks
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS start_offset,
+               CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS first_bin,
+               CAST((cum - 1) // {PACK_BUDGET} AS BIGINT) AS last_bin
+        FROM offs
+    """,
+    doc="Context-window packing: concatenate each source shard's "
+        "documents in doc_id order and cut at fixed token budgets "
+        "(the standard pretraining packing layout). Every document "
+        "gets its global token offset and the bin range it spans — a "
+        "per-source window cumulative sum, so the only shuffle is on "
+        "the shard key the data would already be partitioned by at "
+        "100 TB; integer arithmetic end-to-end.",
+    tags=("curation", "packing", "window"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offs = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    return offs.select(
+        "doc_id", "source", "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+        F.expr(f"(cum - n_tokens) DIV {PACK_BUDGET}").alias("first_bin"),
+        F.expr(f"(cum - 1) DIV {PACK_BUDGET}").alias("last_bin"))
+
+
+# -------------------------------------------- contamination checking
+
+NGRAM_N = 3
+EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out benchmark set
+
+
+def _ngram_hashes() -> F.Column:
+    """Distinct md5 hashes of word 3-grams (fixed width -> an
+    equi-join key; at 100 TB the hash, not the raw n-gram string, is
+    what ships through the exchange)."""
+    return F.expr(f"""
+        array_distinct(transform(
+          sequence(1, size(split(text, ' ')) - {NGRAM_N - 1}),
+          i -> md5(concat_ws(' ', slice(split(text, ' '), i, {NGRAM_N})))))
+    """)
+
+
+_SQL_NGRAMS = f"""
+    list_distinct(list_transform(
+      generate_series(1, len(string_split(text, ' ')) - {NGRAM_N - 1}),
+      i -> md5(array_to_string(
+             list_slice(string_split(text, ' '), i, i + {NGRAM_N - 1}),
+             ' '))))
+"""
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+        WITH grams AS (
+          SELECT doc_id, UNNEST({_SQL_NGRAMS}) AS gh
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= {NGRAM_N}
+        ),
+        eval_grams AS (
+          SELECT doc_id AS eval_doc_id, gh FROM grams
+          WHERE doc_id % {EVAL_MOD} = 0
+        ),
+        corpus_grams AS (
+          SELECT doc_id, gh FROM grams WHERE doc_id % {EVAL_MOD} <> 0
+        )
+        SELECT c.doc_id, e.eval_doc_id,
+               COUNT(*) AS n_shared_ngrams
+        FROM corpus_grams c JOIN eval_grams e USING (gh)
+        GROUP BY c.doc_id, e.eval_doc_id
+    """,
+    doc="Benchmark-contamination check: flag training documents "
+        "sharing any word 3-gram with the held-out eval set "
+        "(doc_id % 97 == 0 stands in for the benchmark). An "
+        "inverted-index equi-join on n-gram hashes — the eval side is "
+        "tiny and broadcast, so at 100 TB this is one map-side join "
+        "over the corpus, never a corpus x eval cross product.",
+    tags=("curation", "contamination", "join"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (load(spark, sf_dir, "documents")
+         .filter(F.size(F.split("text", " ")) >= NGRAM_N))
+    grams = d.select("doc_id", F.explode(_ngram_hashes()).alias("gh"))
+    eval_g = (grams.filter(F.col("doc_id") % EVAL_MOD == 0)
+                   .withColumnRenamed("doc_id", "eval_doc_id"))
+    corpus_g = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return (corpus_g.join(F.broadcast(eval_g), "gh")
+                    .groupBy("doc_id", "eval_doc_id")
+                    .agg(F.count(F.lit(1)).alias("n_shared_ngrams")))
+
+
+# ------------------------------------------------------- profiling
+
+
+@query(
+    "profile_documents",
+    oracle="""
+        SELECT 'n_rows' AS metric, COUNT(*) AS value FROM documents
+        UNION ALL
+        SELECT 'n_null_text', COUNT(*) - COUNT(text) FROM documents
+        UNION ALL
+        SELECT 'n_distinct_lang', COUNT(DISTINCT lang) FROM documents
+        UNION ALL
+        SELECT 'n_distinct_source', COUNT(DISTINCT source) FROM documents
+        UNION ALL
+        SELECT 'min_chars', MIN(n_chars) FROM documents
+        UNION ALL
+        SELECT 'max_chars', MAX(n_chars) FROM documents
+        UNION ALL
+        SELECT 'total_chars', CAST(SUM(n_chars) AS BIGINT) FROM documents
+    """,
+    doc="Dataset profiling in ONE aggregation pass (the oracle's "
+        "7-way UNION ALL is the naive formulation; the Spark plan "
+        "computes all metrics in a single scan + partial agg, then "
+        "unpivots with stack). The narrow (metric, value) shape is "
+        "what a data-quality monitor ingests.",
+    tags=("curation", "profiling",),
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("text")).alias("n_null_text"),
+        F.countDistinct("lang").alias("n_distinct_lang"),
+        F.countDistinct("source").alias("n_distinct_source"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"))
+    return agg.selectExpr("""
+        stack(7,
+          'n_rows', n_rows,
+          'n_null_text', n_null_text,
+          'n_distinct_lang', n_distinct_lang,
+          'n_distinct_source', n_distinct_source,
+          'min_chars', min_chars,
+          'max_chars', max_chars,
+          'total_chars', total_chars) AS (metric, value)
+    """)
+
+
+# ----------------------------------------------------------- EWMA
+
+
+@query(
+    "ewma_user_values",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               list_reduce(list(value ORDER BY ts, event_id),
+                           (acc, x) -> 0.5 * acc + 0.5 * x) AS ewma_value
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Per-user EWMA of event value (alpha = 0.5), an ordered "
+        "sequential fold: sort each user's events once, then reduce. "
+        "alpha = 0.5 makes both multiplications exact in binary FP, "
+        "so the only rounding per step is the addition — performed in "
+        "the same order by both engines -> bit-identical. Per-user "
+        "state is bounded, so at 100 TB this is one shuffle on "
+        "user_id and a linear in-partition pass.",
+    tags=("curation", "timeseries", "ewma"),
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               F.expr("array_sort(collect_list(struct("
+                      "unix_micros(ts) AS t, event_id AS e, value AS v)))")
+                .alias("seq"))
+          .select(
+              "user_id", "n_events",
+              F.expr("aggregate(slice(seq, 2, size(seq) - 1), seq[0].v,"
+                     " (acc, s) -> 0.5D * acc + 0.5D * s.v)")
+               .alias("ewma_value")))
+
+
+# ------------------------------------------------------ z-order layout
+
+
+def _interleave(a: str, b: str) -> str:
+    """16-bit Morton code: bit i of a -> bit 2i, bit i of b -> bit
+    2i+1. Pure shifts/masks — identical in both engines."""
+    return (f"aggregate(sequence(0, 7), 0L, (acc, i) -> acc"
+            f" + shiftleft(shiftright({a}, i) & 1, 2 * i)"
+            f" + shiftleft(shiftright({b}, i) & 1, 2 * i + 1))")
+
+
+_SQL_INTERLEAVE = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(generate_series(0, 7), i ->"
+    " CAST((((a >> i) & 1) << (2 * i)) + (((b >> i) & 1) << (2 * i + 1))"
+    " AS BIGINT))), (acc, v) -> acc + v)")
+
+
+@query(
+    "zorder_locality_events",
+    oracle=f"""
+        WITH dims AS (
+          SELECT ((user_id % 256) + 256) % 256 AS a,
+                 ((CAST(FLOOR(value) AS BIGINT) % 256) + 256) % 256 AS b
+          FROM events
+        )
+        SELECT {_SQL_INTERLEAVE} // 256 AS ztile,
+               COUNT(*) AS n_events,
+               MIN(a) AS min_user_bucket, MAX(a) AS max_user_bucket,
+               MIN(b) AS min_value_bucket, MAX(b) AS max_value_bucket
+        FROM dims
+        GROUP BY 1
+    """,
+    doc="Z-order (Morton) clustering key over two dimensions "
+        "(user bucket x value bucket) + per-tile extents. Sorting "
+        "files by ztile before writing gives min/max pruning on BOTH "
+        "dimensions at 100 TB (each 256-code tile covers a 16x16 "
+        "rectangle, so the per-tile extents the query reports are "
+        "exactly the file-skipping statistics a reader would use). "
+        "Bit arithmetic end-to-end — engine-exact.",
+    tags=("curation", "layout", "zorder"),
+)
+def zorder_locality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dims = ev.select(
+        F.expr("((user_id % 256) + 256) % 256").alias("a"),
+        F.expr("((CAST(FLOOR(value) AS BIGINT) % 256) + 256) % 256")
+         .alias("b"))
+    return (dims.select(F.expr(_interleave("a", "b")).alias("z"),
+                        "a", "b")
+                .groupBy(F.expr("z DIV 256").alias("ztile"))
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.min("a").alias("min_user_bucket"),
+                     F.max("a").alias("max_user_bucket"),
+                     F.min("b").alias("min_value_bucket"),
+                     F.max("b").alias("max_value_bucket")))

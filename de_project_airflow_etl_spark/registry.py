@@ -82,6 +82,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "interval_overlap_orders", "last_touch_attribution",
     # newly value-verified this round (was rows-only in r2)
     "ann_ivf_kmeans_fit",
+    # new in round 3: corpus-curation operators (operators/curation.py)
+    "corpus_hash_split", "corpus_stratified_sample", "pack_sequences",
+    "contamination_check", "profile_documents", "ewma_user_values",
+    "zorder_locality_events",
 )
 
 
@@ -96,7 +100,8 @@ def all_queries() -> dict[str, Query]:
     """
     # Imports deferred so `import registry` never costs a Spark session.
     from de_project_airflow_etl_spark.operators import (  # noqa: F401
-        dedup, similarity, text, multimodal, corpus, skew, udtf_ops,
+        curation, dedup, similarity, text, multimodal, corpus, skew,
+        udtf_ops,
     )
     from de_project_airflow_etl_spark.streaming import (  # noqa: F401
         ingest, stateful, upsert,

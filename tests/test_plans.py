@@ -237,3 +237,36 @@ def test_zscore_stats_join_is_broadcast(spark, sf_dir):
         outlier_zscore_orders,
     )
     assert has_broadcast_join(outlier_zscore_orders(spark, sf_dir))
+
+
+def test_contamination_eval_side_broadcasts(spark, sf_dir):
+    """The tiny eval-set n-gram side must broadcast: at 100 TB the
+    corpus is never shuffled for the contamination join, and nothing
+    degenerates to a cartesian product."""
+    from de_project_airflow_etl_spark.operators.curation import (
+        contamination_check,
+    )
+    plan = formatted_plan(contamination_check(spark, sf_dir))
+    assert has_broadcast_join(contamination_check(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pack_sequences_single_shuffle_on_shard_key(spark, sf_dir):
+    """Packing is one exchange on the shard key (source) feeding the
+    window — no global sort, no second shuffle."""
+    from de_project_airflow_etl_spark.operators.curation import (
+        pack_sequences,
+    )
+    plan = formatted_plan(pack_sequences(spark, sf_dir))
+    assert plan.count("Exchange (") == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_hash_split_is_map_side_until_report_agg(spark, sf_dir):
+    """The split assignment itself is a stateless projection: exactly
+    the one exchange the reporting aggregate requires, nothing else."""
+    from de_project_airflow_etl_spark.operators.curation import (
+        corpus_hash_split,
+    )
+    plan = formatted_plan(corpus_hash_split(spark, sf_dir))
+    assert plan.count("Exchange (") == 1, plan
