@@ -178,13 +178,14 @@ EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out benchmark set
 
 
 def _ngram_hashes() -> F.Column:
-    """Distinct md5 hashes of word 3-grams (fixed width -> an
-    equi-join key; at 100 TB the hash, not the raw n-gram string, is
-    what ships through the exchange)."""
+    """Distinct md5 hashes of word 3-grams over a pre-split ``toks``
+    column (split once per row, not once per n-gram site; fixed-width
+    hash -> an equi-join key, so at 100 TB the 16-byte digest, not the
+    raw n-gram string, is what ships through the exchange)."""
     return F.expr(f"""
         array_distinct(transform(
-          sequence(1, size(split(text, ' ')) - {NGRAM_N - 1}),
-          i -> md5(concat_ws(' ', slice(split(text, ' '), i, {NGRAM_N})))))
+          sequence(1, size(toks) - {NGRAM_N - 1}),
+          i -> md5(concat_ws(' ', slice(toks, i, {NGRAM_N})))))
     """)
 
 
@@ -227,7 +228,8 @@ _SQL_NGRAMS = f"""
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (load(spark, sf_dir, "documents")
-         .filter(F.size(F.split("text", " ")) >= NGRAM_N))
+         .select("doc_id", F.split("text", " ").alias("toks"))
+         .filter(F.size("toks") >= NGRAM_N))
     grams = d.select("doc_id", F.explode(_ngram_hashes()).alias("gh"))
     eval_g = (grams.filter(F.col("doc_id") % EVAL_MOD == 0)
                    .withColumnRenamed("doc_id", "eval_doc_id"))
@@ -379,3 +381,50 @@ def zorder_locality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.max("a").alias("max_user_bucket"),
                      F.min("b").alias("min_value_bucket"),
                      F.max("b").alias("max_value_bucket")))
+
+
+# ------------------------------------------- training-order shuffle
+
+N_SHARDS = 8
+
+
+@query(
+    "corpus_shuffle_shards",
+    oracle=f"""
+        WITH keyed AS (
+          SELECT doc_id,
+                 md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS ok
+          FROM documents
+        ), sharded AS (
+          SELECT doc_id, ok,
+                 (ascii(substring(ok, 1, 1))
+                  - CASE WHEN ascii(substring(ok, 1, 1)) >= 97
+                         THEN 87 ELSE 48 END) // 2 AS shard
+          FROM keyed
+        )
+        SELECT doc_id, CAST(shard AS INT) AS shard,
+               ROW_NUMBER() OVER (PARTITION BY shard
+                                  ORDER BY ok, doc_id) AS pos_in_shard
+        FROM sharded
+    """,
+    doc="Deterministic training-order shuffle: every document gets a "
+        "pseudo-random but reproducible (epoch-stable) position — "
+        "shard = first hex nibble of the salted md5 (8 shards), "
+        "position = rank of the hash within the shard. No RNG, no "
+        "global sort: the only ordering work is a per-shard window, "
+        "so at 100 TB each shard's order materializes in parallel and "
+        "a training job streams shard files sequentially.",
+    tags=("curation", "shuffle", "hash"),
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.expr("md5(concat('shuffle|', CAST(doc_id AS STRING)))").alias("ok"))
+    hexv = ("(ascii(substring(ok, 1, 1)) - CASE WHEN "
+            "ascii(substring(ok, 1, 1)) >= 97 THEN 87 ELSE 48 END)")
+    sharded = keyed.withColumn("shard",
+                               F.expr(f"CAST({hexv} DIV 2 AS INT)"))
+    w = Window.partitionBy("shard").orderBy("ok", "doc_id")
+    return sharded.select("doc_id", "shard",
+                          F.row_number().over(w).alias("pos_in_shard"))

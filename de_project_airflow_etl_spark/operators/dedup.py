@@ -63,11 +63,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, shingles: array<string>, hs: array<string>)
-    distinct 3-token shingles plus each shingle's 64-hex digest (two
-    seeded md5s). Digests are a separate materialized column so the
-    md5 work happens ONCE per shingle; the 8 min-hash signatures are
-    then just substring-mins over it (projection collapse would
-    otherwise re-run the md5 transform once per signature). Docs
+    distinct 3-token shingles plus each shingle's 32-hex md5 digest.
+    Digests are a separate materialized column so the md5 work happens
+    ONCE per shingle; the 8 min-hash signatures are then just
+    substring-mins over disjoint 4-hex windows (projection collapse
+    would otherwise re-run the md5 transform once per signature).
+    16-bit signature windows trade a slightly higher band-collision
+    rate (~52^2/2^16 = 4% sig ties at the testdata shingle counts) for
+    HALF the md5 work of the previous two-seeded-md5 scheme — safe
+    because band collisions only create candidates, and every
+    candidate is verified with exact Jaccard before emission. Docs
     shorter than 3 tokens are excluded (none in the testdata; the
     guard keeps sequence() from going descending)."""
     d = fan_out(load(spark, sf_dir, "documents"), spark)
@@ -83,9 +88,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
              )).alias("shingles"))
          .select(
              "doc_id", "shingles",
-             F.expr("transform(shingles,"
-                    " s -> concat(md5(cast('0|' || s AS BINARY)),"
-                    "             md5(cast('1|' || s AS BINARY))))")
+             F.expr("transform(shingles, s -> md5(cast(s AS BINARY)))")
               .alias("hs"))
     )
 
@@ -102,21 +105,20 @@ _SQL_SHINGLED = """
   ),
   shingled AS (
     SELECT doc_id, shingles,
-           list_transform(shingles,
-             s -> md5('0|' || s) || md5('1|' || s)) AS hs
+           list_transform(shingles, s -> md5(s)) AS hs
     FROM pre_shingled
   )
 """
 
 
 def _minhash_cols() -> list[Column]:
-    """8 min-hashes over the precomputed 64-hex shingle digests: the
-    i-th signature is the min of the i-th disjoint 8-hex window
-    (independent uniform 32-bit hashes; lexicographic min == numeric
-    min on fixed-width hex). 4x less hashing than one seeded md5 per
-    signature."""
+    """8 min-hashes over the precomputed 32-hex shingle digests: the
+    i-th signature is the min of the i-th disjoint 4-hex window
+    (independent uniform 16-bit hashes; lexicographic min == numeric
+    min on fixed-width hex). 8x less hashing than one seeded md5 per
+    signature; collision tradeoff documented on _shingled."""
     return [
-        F.expr(f"array_min(transform(hs, h -> substr(h, {i * 8 + 1}, 8)))")
+        F.expr(f"array_min(transform(hs, h -> substr(h, {i * 4 + 1}, 4)))")
             .alias(f"sig_{i}")
         for i in range(N_HASHES)
     ]
@@ -124,7 +126,7 @@ def _minhash_cols() -> list[Column]:
 
 def _sql_minhash_cols() -> str:
     return ",\n".join(
-        f"list_min(list_transform(hs, h -> substr(h, {i * 8 + 1}, 8))) AS sig_{i}"
+        f"list_min(list_transform(hs, h -> substr(h, {i * 4 + 1}, 4))) AS sig_{i}"
         for i in range(N_HASHES)
     )
 
@@ -136,8 +138,9 @@ def _sql_minhash_cols() -> str:
         SELECT doc_id, {_sql_minhash_cols()}
         FROM shingled
     """,
-    doc="MinHash signatures (8 md5-seeded min-hashes over distinct "
-        "3-token shingles). Checked bit-for-bit against the oracle — "
+    doc="MinHash signatures (8 min-hashes over distinct 3-token "
+        "shingles, drawn from disjoint 4-hex windows of each "
+        "shingle's md5). Checked bit-for-bit against the oracle — "
         "verifies the whole shingle->hash->min pipeline.",
     tags=("dedup", "minhash"),
 )
@@ -146,8 +149,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _band_hash(b: int) -> Column:
+    # the 8-hex sig concatenation IS the band key — fixed width, so
+    # equality joins work directly and no extra hash pass is needed
     lo, hi = 2 * b, 2 * b + 1
-    return F.md5(F.concat(F.col(f"sig_{lo}"), F.col(f"sig_{hi}")).cast("binary"))
+    return F.concat(F.col(f"sig_{lo}"), F.col(f"sig_{hi}"))
 
 
 @query(
@@ -160,7 +165,7 @@ def _band_hash(b: int) -> Column:
         ),
         bands AS (
           {" UNION ALL ".join(
-              f"SELECT doc_id, {b} AS band_idx, md5(sig_{2*b} || sig_{2*b+1}) AS band_hash FROM sigs"
+              f"SELECT doc_id, {b} AS band_idx, sig_{2*b} || sig_{2*b+1} AS band_hash FROM sigs"
               for b in range(N_BANDS))}
         ),
         cands AS (
@@ -442,7 +447,7 @@ def _sql_lsh_pairs() -> str:
     """DuckDB CTE chain ending in ``pairs(doc_a, doc_b)`` — the verified
     near-dup pairs, textually identical to the dedup_minhash_lsh oracle."""
     bands_union = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, md5(sig_{2*b} || sig_{2*b+1}) AS band_hash FROM sigs"
+        f"SELECT doc_id, {b} AS band_idx, sig_{2*b} || sig_{2*b+1} AS band_hash FROM sigs"
         for b in range(N_BANDS))
     return f"""
         {_SQL_SHINGLED},

@@ -287,3 +287,51 @@ def file_provenance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("file_name")
           .agg(F.count(F.lit(1)).alias("row_count"))
     )
+
+
+INCR_CUTOFF = "2024-01-30"  # "yesterday's" partition boundary
+
+
+@query(
+    "incremental_week_rollup",
+    oracle="""
+        SELECT CAST(weekofyear(ts) AS INT) AS week,
+               event_type,
+               COUNT(*) AS event_count,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Incremental aggregate maintenance: the weekly rollup is "
+        "refreshed by merging yesterday's partition's PARTIAL "
+        "aggregates into the stored base partials — the delta path "
+        "scans only the new partition, never the history. Partials "
+        "are distributive (BIGINT count + exact cents sum), so "
+        "base ++ delta re-aggregation is exact and order-insensitive; "
+        "the oracle is the full recompute over all events, which the "
+        "merged result must equal bit-for-bit. At 100 TB this is the "
+        "difference between an O(day) and an O(history) refresh.",
+    tags=("etl", "incremental", "rollup"),
+)
+def incremental_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.queries.util import cents
+    ev = load(spark, sf_dir, "events").withColumn(
+        "week", F.weekofyear(F.to_date("ts")))
+
+    def partials(df: DataFrame) -> DataFrame:
+        return (df.groupBy("week", "event_type")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(cents("value")).alias("c")))
+
+    # base = the stored rollup state (everything before the cutoff);
+    # delta = the newly landed partition. In a lake deployment `base`
+    # is read back from the rollup table, not recomputed — it is
+    # derived here only because the bench/driver run is stateless.
+    base = partials(ev.filter(F.col("ts") < F.lit(INCR_CUTOFF)))
+    delta = partials(ev.filter(F.col("ts") >= F.lit(INCR_CUTOFF)))
+    return (base.unionByName(delta)
+                .groupBy("week", "event_type")
+                .agg(F.sum("n").alias("event_count"),
+                     (F.sum("c").cast("double") / F.lit(100))
+                      .alias("value_sum")))

@@ -83,9 +83,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # newly value-verified this round (was rows-only in r2)
     "ann_ivf_kmeans_fit",
     # new in round 3: corpus-curation operators (operators/curation.py)
+    # + incremental rollup maintenance (queries/etl.py)
     "corpus_hash_split", "corpus_stratified_sample", "pack_sequences",
     "contamination_check", "profile_documents", "ewma_user_values",
-    "zorder_locality_events",
+    "zorder_locality_events", "corpus_shuffle_shards",
+    "incremental_week_rollup",
 )
 
 

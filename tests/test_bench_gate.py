@@ -1,5 +1,6 @@
 """The perf-regression gate: BENCH_BASELINE.json is the recorded bar
-(round-1 driver bench); ``python bench.py --gate`` fails when the
+(re-recorded in round 3 under the best-of-2 cold-cache methodology —
+see its "note" field); ``python bench.py --gate`` fails when the
 headline set regresses. The comparison logic is unit-tested here so
 the gate itself stays trustworthy; the full sf0.1 bench run is a
 per-round CLI step, not a pytest fixture cost."""
