@@ -428,3 +428,85 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("shard").orderBy("ok", "doc_id")
     return sharded.select("doc_id", "shard",
                           F.row_number().over(w).alias("pos_in_shard"))
+
+
+# -------------------------------------------- event stream cleaning
+
+# events within 30min of the previous same-(user, type) event count as
+# repeats — sized so the filter actually fires on the testdata's event
+# density (~91 drops at sf0.01); a click pipeline would use ~1s
+DUP_WINDOW_US = 1_800_000_000
+
+
+@query(
+    "dedup_consecutive_events",
+    oracle=f"""
+        WITH lagged AS (
+          SELECT event_id, user_id, event_type, ts,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap_us
+          FROM events
+        )
+        SELECT event_id, user_id, event_type, ts
+        FROM lagged
+        WHERE gap_us IS NULL OR gap_us > {DUP_WINDOW_US}
+    """,
+    doc="Event-level near-duplicate removal (double-click / bot-retry "
+        "filtering): drop an event arriving within the repeat window "
+        "of the previous event of the same (user, type). Declarative "
+        "LAG formulation — "
+        "one shuffle on the user key, no stateful pass; the batch "
+        "sibling of streaming_dedup_events' watermarked "
+        "dropDuplicates. (LAG compares to the previous RAW event, not "
+        "the previous KEPT one — the standard relational semantic; "
+        "the chained-burst variant is the stateful streaming op.)",
+    tags=("curation", "dedup", "window", "events"),
+)
+def dedup_consecutive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (ev.withColumn("gap_us", gap)
+              .filter(F.col("gap_us").isNull()
+                      | (F.col("gap_us") > DUP_WINDOW_US))
+              .select("event_id", "user_id", "event_type", "ts"))
+
+
+# ------------------------------------------------- feature binning
+
+N_BINS = 10
+
+
+@query(
+    "value_decile_bins",
+    oracle=f"""
+        WITH binned AS (
+          SELECT event_type, value,
+                 NTILE({N_BINS}) OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS decile
+          FROM events
+        )
+        SELECT event_type, decile,
+               COUNT(*) AS n_events,
+               MIN(value) AS lo, MAX(value) AS hi
+        FROM binned
+        GROUP BY event_type, decile
+    """,
+    doc="Equal-frequency feature binning: per-type value deciles via "
+        "NTILE over a total order (value, event_id tiebreak -> "
+        "deterministic bin assignment on both engines), reported as "
+        "per-bin boundaries — the discretization table a feature "
+        "pipeline persists. Partitioned by event_type, so each type's "
+        "sort runs in parallel; at 100 TB swap NTILE for "
+        "approx_percentile cut points and a broadcast range join.",
+    tags=("curation", "binning", "window"),
+)
+def value_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (ev.withColumn("decile", F.ntile(N_BINS).over(w))
+              .groupBy("event_type", "decile")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.min("value").alias("lo"),
+                   F.max("value").alias("hi")))

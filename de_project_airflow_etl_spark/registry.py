@@ -87,7 +87,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_hash_split", "corpus_stratified_sample", "pack_sequences",
     "contamination_check", "profile_documents", "ewma_user_values",
     "zorder_locality_events", "corpus_shuffle_shards",
-    "incremental_week_rollup",
+    "incremental_week_rollup", "dedup_consecutive_events",
+    "value_decile_bins",
 )
 
 
