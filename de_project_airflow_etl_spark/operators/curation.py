@@ -473,6 +473,202 @@ def dedup_consecutive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("event_id", "user_id", "event_type", "ts"))
 
 
+# ------------------------------------------- weighted mixture sampling
+
+# Per-language mixture weights in tenths (sum 10): the target share of
+# the training budget each language should receive, regardless of its
+# natural share of the corpus.
+_MIX_WEIGHTS = {"en": 4, "es": 2, "fr": 2, "de": 1, "zh": 1}
+# Total budget = half the corpus (in characters): every language is
+# genuinely downsampled, at a rate proportional to weight/share.
+_BUDGET_DENOM = 2
+
+_W_CASE = ("CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items()) + " ELSE 0 END")
+
+# hex32: the first 8 hex chars of a salted md5 as a BIGINT in
+# [0, 2^32) — a uniform deterministic per-doc draw.
+_HEX32_SPARK = (
+    "aggregate(sequence(1, 8), CAST(0 AS BIGINT), (acc, i) -> acc * 16 + "
+    "(ascii(substring(h, i, 1)) - CASE WHEN substring(h, i, 1) >= 'a' "
+    "THEN 87 ELSE 48 END))")
+_HEX32_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, 8), i -> "
+    "CAST(ascii(substring(h, i, 1)) - CASE WHEN substring(h, i, 1) >= 'a' "
+    "THEN 87 ELSE 48 END AS BIGINT))), (acc, x) -> acc * 16 + x)")
+
+
+@query(
+    "mixture_weighted_sample",
+    oracle=f"""
+        WITH tot AS (
+          SELECT CAST(SUM(n_chars) AS BIGINT) AS tot_chars FROM documents
+        ), lang_tot AS (
+          SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS lang_chars
+          FROM documents GROUP BY lang
+        ), thr AS (
+          SELECT lang,
+                 (({_W_CASE}) * tot_chars * 4294967296)
+                   // ({10 * _BUDGET_DENOM} * lang_chars) AS thr
+          FROM lang_tot, tot
+        ), drawn AS (
+          SELECT doc_id, lang, n_chars,
+                 md5('mix|' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM drawn d JOIN thr USING (lang)
+        WHERE {_HEX32_SQL} < thr.thr
+    """,
+    doc="Weighted mixture sampling: downsample each language to a "
+        "target share of the training budget (weights 4/2/2/1/1 "
+        "tenths over half the corpus), the data-mixing step of "
+        "pretraining-corpus assembly. The per-language keep rate "
+        "budget/share is encoded as an exact integer threshold "
+        "(rate * 2^32, truncating division — Spark DIV == DuckDB //) "
+        "against a salted-md5 32-bit draw, so the sampled id set is "
+        "reproducible bit-for-bit with no RNG. Plan shape: two tiny "
+        "aggregates (corpus total, per-language totals) produce a "
+        "5-row threshold table that broadcast-joins onto the corpus "
+        "scan — one map-side join, no corpus shuffle. At 100 TB "
+        "promote the BIGINT threshold arithmetic to DECIMAL(38,0) "
+        "(total_chars * 2^32 approaches 2^63 near ~2 PB of text).",
+    tags=("curation", "sampling", "mixture"),
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tot = d.agg(F.sum("n_chars").cast("bigint").alias("tot_chars"))
+    lang_tot = (d.groupBy("lang")
+                 .agg(F.sum("n_chars").cast("bigint").alias("lang_chars")))
+    thr = (lang_tot.crossJoin(F.broadcast(tot))
+                   .select("lang",
+                           F.expr(f"(({_W_CASE}) * tot_chars * 4294967296L)"
+                                  f" DIV ({10 * _BUDGET_DENOM} * lang_chars)")
+                            .alias("thr")))
+    drawn = d.select(
+        "doc_id", "lang", "n_chars",
+        F.expr("md5(concat('mix|', CAST(doc_id AS STRING)))").alias("h"))
+    return (drawn.join(F.broadcast(thr), "lang")
+                 .filter(F.expr(_HEX32_SPARK) < F.col("thr"))
+                 .select("doc_id", "lang", "n_chars"))
+
+
+# ------------------------------------------------ sliding-window chunking
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ), counted AS (
+          SELECT doc_id, t, n,
+                 1 + CASE WHEN n > {CHUNK_TOKENS}
+                          THEN (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                               // {CHUNK_STRIDE}
+                          ELSE 0 END AS n_chunks
+          FROM toks
+        ), chunks AS (
+          SELECT doc_id, t, n,
+                 UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+          FROM counted
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+               CAST(LEAST({CHUNK_TOKENS},
+                          n - chunk_idx * {CHUNK_STRIDE}) AS BIGINT)
+                 AS chunk_len,
+               md5(array_to_string(
+                 list_slice(t, chunk_idx * {CHUNK_STRIDE} + 1,
+                            chunk_idx * {CHUNK_STRIDE}
+                            + LEAST({CHUNK_TOKENS},
+                                    n - chunk_idx * {CHUNK_STRIDE})),
+                 ' ')) AS chunk_md5
+        FROM chunks
+    """,
+    doc="Sliding-window chunking (32-token windows, stride 24 — 8 "
+        "tokens of overlap), the RAG / long-document segmentation "
+        "layout. Each document expands to its chunk table with global "
+        "token offsets and an md5 of the chunk text as the "
+        "verification surface. A per-row explode of a small computed "
+        "sequence — no shuffle at all; at 100 TB the expansion factor "
+        "is bounded by doc length / stride and the explode is "
+        "absorbed into the scan stage.",
+    tags=("curation", "chunking",),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"))
+    counted = toks.withColumn(
+        "n_chunks",
+        F.expr(f"1 + CASE WHEN n > {CHUNK_TOKENS} THEN "
+               f"(n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) DIV {CHUNK_STRIDE} "
+               f"ELSE 0 END"))
+    chunks = counted.select(
+        "doc_id", "t", "n",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_idx"))
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.expr(f"CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS BIGINT)")
+         .alias("start_tok"),
+        F.expr(f"CAST(LEAST({CHUNK_TOKENS}, n - chunk_idx * {CHUNK_STRIDE})"
+               f" AS BIGINT)").alias("chunk_len"),
+        F.expr(f"md5(concat_ws(' ', slice(t, chunk_idx * {CHUNK_STRIDE} + 1,"
+               f" LEAST({CHUNK_TOKENS}, n - chunk_idx * {CHUNK_STRIDE}))))")
+         .alias("chunk_md5"))
+
+
+# ---------------------------------------------------- per-source caps
+
+SOURCE_CAP = 15
+
+
+@query(
+    "source_cap_docs",
+    oracle=f"""
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rank_in_source
+          FROM documents
+        )
+        SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source
+        FROM ranked
+        WHERE rank_in_source <= {SOURCE_CAP}
+    """,
+    doc="Per-source document cap (keep at most 15 per source, chosen "
+        "by salted-hash order — a uniform reproducible draw, not "
+        "first-N bias): the per-domain cap CommonCrawl-style "
+        "pipelines apply so no single site dominates the corpus. One "
+        "window per source key; at 100 TB a hot domain concentrates "
+        "on one partition, so production would pre-filter with a "
+        "per-source approximate count and only rank sources over the "
+        "cap — the semantics verified here are the exact rule.",
+    tags=("curation", "sampling", "cap"),
+)
+def source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source")
+               .orderBy(F.expr("md5(concat('cap|', CAST(doc_id AS STRING)))"),
+                        "doc_id"))
+    return (d.select("doc_id", "source",
+                     F.row_number().over(w).cast("bigint")
+                      .alias("rank_in_source"))
+             .filter(F.col("rank_in_source") <= SOURCE_CAP))
+
+
 # ------------------------------------------------- feature binning
 
 N_BINS = 10

@@ -89,6 +89,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "zorder_locality_events", "corpus_shuffle_shards",
     "incremental_week_rollup", "dedup_consecutive_events",
     "value_decile_bins",
+    # new in round 3, second batch: quality/repetition family
+    # (operators/quality.py) + mixture/chunk/cap curation ops +
+    # int8 embedding quantization
+    "gopher_repetition_stats", "collapse_repeated_tokens",
+    "bpe_pair_counts", "mixture_weighted_sample", "doc_chunk_windows",
+    "source_cap_docs", "embedding_int8_quantize",
 )
 
 
@@ -103,8 +109,8 @@ def all_queries() -> dict[str, Query]:
     """
     # Imports deferred so `import registry` never costs a Spark session.
     from de_project_airflow_etl_spark.operators import (  # noqa: F401
-        curation, dedup, similarity, text, multimodal, corpus, skew,
-        udtf_ops,
+        curation, dedup, quality, similarity, text, multimodal, corpus,
+        skew, udtf_ops,
     )
     from de_project_airflow_etl_spark.streaming import (  # noqa: F401
         ingest, stateful, upsert,

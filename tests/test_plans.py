@@ -270,3 +270,54 @@ def test_hash_split_is_map_side_until_report_agg(spark, sf_dir):
     )
     plan = formatted_plan(corpus_hash_split(spark, sf_dir))
     assert plan.count("Exchange (") == 1, plan
+
+
+def test_repetition_stats_zero_shuffle(spark, sf_dir):
+    """The Gopher-style per-doc statistics are pure array-lambda
+    expressions — the plan must contain NO exchange at all (the naive
+    explode+groupBy formulation would cost two)."""
+    from de_project_airflow_etl_spark.operators.quality import (
+        collapse_repeated_tokens, gopher_repetition_stats,
+    )
+    for fn in (gopher_repetition_stats, collapse_repeated_tokens):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "Exchange (" not in plan, plan
+
+
+def test_chunking_and_quantize_zero_shuffle(spark, sf_dir):
+    """Chunk expansion and int8 quantization are per-row maps riding
+    the scan stage — no exchange."""
+    from de_project_airflow_etl_spark.operators.curation import (
+        doc_chunk_windows,
+    )
+    from de_project_airflow_etl_spark.operators.similarity import (
+        embedding_int8_quantize,
+    )
+    for fn in (doc_chunk_windows, embedding_int8_quantize):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "Exchange (" not in plan, plan
+
+
+def test_mixture_thresholds_broadcast_onto_corpus(spark, sf_dir):
+    """The 5-row language-threshold table must broadcast-join onto the
+    corpus scan: no sort-merge join, no corpus-side exchange for the
+    join itself (the only exchanges feed the two tiny aggregates)."""
+    from de_project_airflow_etl_spark.operators.curation import (
+        mixture_weighted_sample,
+    )
+    df = mixture_weighted_sample(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bpe_pairs_partial_agg_and_topk(spark, sf_dir):
+    """Pair counting must partial-aggregate before the exchange
+    (absorbing the explode) and plan the top-20 as
+    TakeOrderedAndProject, not a global sort."""
+    from de_project_airflow_etl_spark.operators.quality import (
+        bpe_pair_counts,
+    )
+    plan = formatted_plan(bpe_pair_counts(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
