@@ -669,6 +669,134 @@ def source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("rank_in_source") <= SOURCE_CAP))
 
 
+# ------------------------------------------------ exact-N eval holdout
+
+HOLDOUT_N = 50
+
+
+@query(
+    "eval_holdout_sample",
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        ORDER BY md5('eval|' || CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT {HOLDOUT_N}
+    """,
+    doc="Exact-N evaluation holdout: draw exactly 50 documents by "
+        "salted-hash order — the fixed-size eval-set draw (rate-based "
+        "hash sampling can't hit an exact count; hash-ordered top-N "
+        "can, and stays reproducible and growth-stable: a doc only "
+        "leaves the holdout when a smaller-hashed doc arrives). Plans "
+        "as TakeOrderedAndProject — per-partition top-50 heaps merged "
+        "on the driver, no global sort, no full shuffle at 100 TB.",
+    tags=("curation", "sampling", "holdout"),
+)
+def eval_holdout_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (d.select("doc_id", "lang", "source",
+                     F.expr("md5(concat('eval|', CAST(doc_id AS STRING)))")
+                      .alias("h"))
+             .orderBy("h", "doc_id")
+             .limit(HOLDOUT_N)
+             .select("doc_id", "lang", "source"))
+
+
+# -------------------------------------- temporal split + leakage check
+
+SPLIT_CUTOFF = "2024-01-22"
+STRADDLE_GAP_US = 86_400_000_000  # < 24h across the cutoff = leakage risk
+
+
+@query(
+    "temporal_split_leakage",
+    oracle=f"""
+        WITH split AS (
+          SELECT user_id, ts,
+                 ts < TIMESTAMP '{SPLIT_CUTOFF}' AS is_train
+          FROM events
+        ), per_user AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train,
+                 CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_test,
+                 MAX(CASE WHEN is_train THEN ts END) AS last_train_ts,
+                 MIN(CASE WHEN NOT is_train THEN ts END) AS first_test_ts
+          FROM split
+          GROUP BY user_id
+        )
+        SELECT user_id, n_train, n_test, last_train_ts, first_test_ts,
+               (n_train > 0 AND n_test > 0 AND
+                epoch_us(first_test_ts) - epoch_us(last_train_ts)
+                  < {STRADDLE_GAP_US}) AS straddle_risk
+        FROM per_user
+    """,
+    doc="Temporal train/test split (cutoff 2024-01-22) with a leakage "
+        "audit: per user, the event counts on each side plus a "
+        "straddle-risk flag — true when the user's last train event "
+        "and first test event are under a day apart, i.e. one "
+        "behavioral session crosses the cutoff and test labels leak "
+        "into training features. One shuffle on user_id; conditional "
+        "aggregates, exact int64 microsecond arithmetic.",
+    tags=("curation", "split", "leakage"),
+)
+def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    is_train = F.col("ts") < F.lit(SPLIT_CUTOFF).cast("timestamp")
+    per_user = (
+        ev.select("user_id", "ts", is_train.alias("is_train"))
+          .groupBy("user_id")
+          .agg(F.sum(F.when(F.col("is_train"), 1).otherwise(0))
+                .cast("bigint").alias("n_train"),
+               F.sum(F.when(F.col("is_train"), 0).otherwise(1))
+                .cast("bigint").alias("n_test"),
+               F.max(F.when(F.col("is_train"), F.col("ts")))
+                .alias("last_train_ts"),
+               F.min(F.when(~F.col("is_train"), F.col("ts")))
+                .alias("first_test_ts")))
+    gap = (F.unix_micros("first_test_ts") - F.unix_micros("last_train_ts"))
+    return per_user.withColumn(
+        "straddle_risk",
+        (F.col("n_train") > 0) & (F.col("n_test") > 0)
+        & (gap < STRADDLE_GAP_US))
+
+
+# ------------------------------------------- event-transition matrix
+
+
+@query(
+    "user_event_transitions",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_type
+          FROM events
+        )
+        SELECT event_type, next_type, COUNT(*) AS n_transitions
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+    doc="First-order behavioral transition matrix: for every user's "
+        "time-ordered event sequence, count (event_type -> next "
+        "event_type) transitions — the sufficient statistic for "
+        "Markov behavior models and the sequence-corpus sanity check "
+        "before next-event-prediction training. One shuffle on "
+        "user_id for the LEAD window, then a 25-cell "
+        "map-side-combinable count.",
+    tags=("curation", "sequences", "window"),
+)
+def user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lead("event_type").over(w).alias("next_type"))
+    return (seq.filter(F.col("next_type").isNotNull())
+               .groupBy("event_type", "next_type")
+               .agg(F.count(F.lit(1)).alias("n_transitions")))
+
+
 # ------------------------------------------------- feature binning
 
 N_BINS = 10

@@ -179,3 +179,140 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.count(F.lit(1)).alias("n_occurrences"))
                  .orderBy(F.desc("n_occurrences"), "pair")
                  .limit(TOP_PAIRS))
+
+
+# --------------------------------------------------- blocklist filter
+
+# Stand-in for the term blocklists (NSFW, boilerplate markers, machine-
+# generated-text signatures) a curation pipeline applies. Tokens chosen
+# to actually occur in the synthetic vocabulary.
+BLOCKLIST = ("spark", "dup")
+
+_BLOCK_ARRAY_SPARK = "array(" + ", ".join(f"'{w}'" for w in BLOCKLIST) + ")"
+_BLOCK_ARRAY_SQL = "[" + ", ".join(f"'{w}'" for w in BLOCKLIST) + "]"
+
+
+@query(
+    "blocklist_filter",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(t,
+                 x -> list_contains({_BLOCK_ARRAY_SQL}, x))) AS BIGINT)
+                 AS n_blocked,
+               len(list_filter(t,
+                 x -> list_contains({_BLOCK_ARRAY_SQL}, x))) = 0 AS keep
+        FROM toks
+    """,
+    doc="Term-blocklist filtering: count blocklisted token occurrences "
+        "per document and emit the keep/drop verdict — the shape of "
+        "NSFW/boilerplate blocklist passes in crawl curation. The "
+        "blocklist is a compile-time array literal folded into the "
+        "row expression (a production list of ~10^5 terms would "
+        "broadcast a hash set instead); zero shuffles either way.",
+    tags=("quality", "blocklist", "filter"),
+)
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_blocked = F.expr(
+        f"CAST(size(filter(split(text, ' '), "
+        f"x -> array_contains({_BLOCK_ARRAY_SPARK}, x))) AS BIGINT)")
+    return d.select("doc_id", n_blocked.alias("n_blocked")) \
+            .withColumn("keep", F.col("n_blocked") == 0)
+
+
+# ----------------------------------------------- data-quality gate
+
+MIN_DOC_CHARS = 60
+_KNOWN_LANGS = "('en', 'es', 'fr', 'de', 'zh')"
+
+
+@query(
+    "dq_expectations",
+    oracle=f"""
+        SELECT 'null_text' AS rule,
+               CAST(COUNT(*) - COUNT(text) AS BIGINT) AS n_violations
+        FROM documents
+        UNION ALL
+        SELECT 'chars_mismatch',
+               CAST(SUM(CASE WHEN n_chars <> length(text)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'unknown_lang',
+               CAST(SUM(CASE WHEN lang NOT IN {_KNOWN_LANGS}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'too_short',
+               CAST(SUM(CASE WHEN n_chars < {MIN_DOC_CHARS}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'dup_doc_id',
+               CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+        FROM documents
+    """,
+    doc="Deequ-style data-quality gate: declarative expectations "
+        "(non-null text, n_chars consistent with the text itself, "
+        "language in the known set, minimum length, doc_id unique) "
+        "evaluated as ONE aggregation pass — every rule is a "
+        "conditional count sharing the same scan, vs the oracle's "
+        "naive 5-way UNION ALL. The (rule, n_violations) report is "
+        "what a pipeline health check ingests; a real deployment "
+        "fails the run when any count exceeds its tolerance.",
+    tags=("quality", "dq", "profiling"),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    agg = d.agg(
+        (F.count(F.lit(1)) - F.count("text")).alias("null_text"),
+        F.sum(F.expr("CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END"))
+         .alias("chars_mismatch"),
+        F.sum(F.expr(f"CASE WHEN lang NOT IN {_KNOWN_LANGS} "
+                     f"THEN 1 ELSE 0 END")).alias("unknown_lang"),
+        F.sum(F.expr(f"CASE WHEN n_chars < {MIN_DOC_CHARS} "
+                     f"THEN 1 ELSE 0 END")).alias("too_short"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("dup_doc_id"))
+    return agg.selectExpr("""
+        stack(5,
+          'null_text', null_text,
+          'chars_mismatch', chars_mismatch,
+          'unknown_lang', unknown_lang,
+          'too_short', too_short,
+          'dup_doc_id', dup_doc_id) AS (rule, n_violations)
+    """)
+
+
+# ------------------------------------------------- numeric masking
+
+
+@query(
+    "mask_numeric_props",
+    oracle="""
+        SELECT event_id,
+               regexp_replace(props, '[0-9]+', '#', 'g') AS masked_props,
+               CAST(length(props) -
+                    length(regexp_replace(props, '[0-9]', '', 'g'))
+                 AS BIGINT) AS n_digits
+        FROM events
+    """,
+    doc="Numeric-token masking over the event payload column — the "
+        "redaction shape of PII scrubbing (account numbers, phone "
+        "fragments) before payloads enter a training corpus: every "
+        "digit run collapses to '#', with the per-row digit count as "
+        "the audit metric. A stateless regexp projection (simple "
+        "character-class patterns behave identically in Java and RE2 "
+        "regex engines); no shuffle, runs inside the scan stage.",
+    tags=("quality", "masking", "regexp"),
+)
+def mask_numeric_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("masked_props"),
+        (F.length("props")
+         - F.length(F.regexp_replace("props", "[0-9]", "")))
+         .cast("bigint").alias("n_digits"))

@@ -95,6 +95,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "gopher_repetition_stats", "collapse_repeated_tokens",
     "bpe_pair_counts", "mixture_weighted_sample", "doc_chunk_windows",
     "source_cap_docs", "embedding_int8_quantize",
+    # third batch: blocklist/DQ-gate/masking + holdout/temporal-split/
+    # transition-matrix ops — 49 priority entries total, still within
+    # the driver's ~50-row window
+    "blocklist_filter", "dq_expectations", "mask_numeric_props",
+    "eval_holdout_sample", "temporal_split_leakage",
+    "user_event_transitions",
 )
 
 

@@ -321,3 +321,39 @@ def test_bpe_pairs_partial_agg_and_topk(spark, sf_dir):
     plan = formatted_plan(bpe_pair_counts(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_holdout_plans_take_ordered(spark, sf_dir):
+    """Exact-N holdout must plan per-partition top-N heaps, not a
+    global sort."""
+    from de_project_airflow_etl_spark.operators.curation import (
+        eval_holdout_sample,
+    )
+    plan = formatted_plan(eval_holdout_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_blocklist_and_masking_zero_shuffle(spark, sf_dir):
+    """Blocklist counting and digit masking are stateless projections
+    riding the scan — no exchange."""
+    from de_project_airflow_etl_spark.operators.quality import (
+        blocklist_filter, mask_numeric_props,
+    )
+    for fn in (blocklist_filter, mask_numeric_props):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "Exchange (" not in plan, plan
+
+
+def test_dq_gate_single_agg_pass(spark, sf_dir):
+    """All five expectations must share ONE scan (not the oracle's
+    five). The uniqueness rule's COUNT(DISTINCT) costs Spark's
+    standard two-level distinct rewrite — two exchanges of
+    partial-agg rows, still a single pass over the data."""
+    from de_project_airflow_etl_spark.operators.quality import (
+        dq_expectations,
+    )
+    import re
+    plan = formatted_plan(dq_expectations(spark, sf_dir))
+    # one "(n) Scan parquet" detail header per scan node
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert plan.count("Exchange (") <= 2, plan
