@@ -65,6 +65,8 @@ HEADLINE = (
     "dedup_clusters",             # iterative connected components
     "merge_upsert_customers",     # MERGE-style full-outer upsert
     "text_tfidf_top_terms",       # two-pass TF-IDF + ranked window
+    "gopher_repetition_stats",    # zero-shuffle repetition filter
+    "mixture_weighted_sample",    # broadcast-threshold mixture sampling
 )
 
 

@@ -71,8 +71,15 @@ MAX_TOP_FRAC = 0.12
     tags=("quality", "repetition", "filter"),
 )
 def gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    stats = d.select(
+    return repetition_stats_plan(load(spark, sf_dir, "documents"))
+
+
+def repetition_stats_plan(docs: DataFrame) -> DataFrame:
+    """The repetition-stats projection over any ``documents``-shaped
+    relation — batch or streaming (it is stateless, so the same plan
+    serves `readStream` ingest unchanged; tests/test_streaming_quality
+    asserts batch/stream agreement)."""
+    stats = docs.select(
         "doc_id",
         F.expr("split(text, ' ')").alias("t"),
     ).select(
@@ -215,12 +222,17 @@ _BLOCK_ARRAY_SQL = "[" + ", ".join(f"'{w}'" for w in BLOCKLIST) + "]"
     tags=("quality", "blocklist", "filter"),
 )
 def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    return blocklist_plan(load(spark, sf_dir, "documents"))
+
+
+def blocklist_plan(docs: DataFrame) -> DataFrame:
+    """Blocklist projection over any ``documents``-shaped relation
+    (stateless — identical semantics on batch and streaming input)."""
     n_blocked = F.expr(
         f"CAST(size(filter(split(text, ' '), "
         f"x -> array_contains({_BLOCK_ARRAY_SPARK}, x))) AS BIGINT)")
-    return d.select("doc_id", n_blocked.alias("n_blocked")) \
-            .withColumn("keep", F.col("n_blocked") == 0)
+    return docs.select("doc_id", n_blocked.alias("n_blocked")) \
+               .withColumn("keep", F.col("n_blocked") == 0)
 
 
 # ----------------------------------------------- data-quality gate

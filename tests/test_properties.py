@@ -188,3 +188,132 @@ def test_contamination_pairs_share_a_trigram(spark, sf_dir):
     for r in pairs[:50]:
         shared = grams(r["doc_id"]) & grams(r["eval_doc_id"])
         assert len(shared) == r["n_shared_ngrams"], r
+
+
+def test_collapse_is_idempotent_and_run_free(spark, sf_dir):
+    """Collapsing consecutive duplicates is a projection onto run-free
+    strings: re-collapsing changes nothing, and a Python recompute of
+    the run-free form md5-matches the reported clean_md5."""
+    import hashlib
+
+    from de_project_airflow_etl_spark.operators.quality import (
+        collapse_repeated_tokens,
+    )
+    from de_project_airflow_etl_spark.tables import load
+    rows = {r["doc_id"]: r
+            for r in collapse_repeated_tokens(spark, sf_dir).collect()}
+    texts = {r["doc_id"]: r["text"]
+             for r in load(spark, sf_dir, "documents").collect()}
+    assert rows
+    changed = 0
+    for doc_id, r in rows.items():
+        toks = texts[doc_id].split(" ")
+        ref = [t for i, t in enumerate(toks) if i == 0 or t != toks[i - 1]]
+        assert r["n_after"] == len(ref), doc_id
+        assert r["clean_md5"] == hashlib.md5(
+            " ".join(ref).encode()).hexdigest(), doc_id
+        # idempotence: the run-free form has no adjacent duplicates
+        assert all(a != b for a, b in zip(ref, ref[1:])), doc_id
+        changed += r["n_after"] < r["n_tokens"]
+    assert changed  # the testdata actually contains runs
+
+
+def test_chunks_tile_documents(spark, sf_dir):
+    """Per document: chunk indexes are dense from 0, starts advance by
+    the stride, every chunk is non-empty and within the window budget,
+    and the final chunk reaches exactly the end of the document."""
+    from de_project_airflow_etl_spark.operators.curation import (
+        CHUNK_STRIDE, CHUNK_TOKENS, doc_chunk_windows,
+    )
+    rows = doc_chunk_windows(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["start_tok"] == c["chunk_idx"] * CHUNK_STRIDE + 1
+            assert 1 <= c["chunk_len"] <= CHUNK_TOKENS
+        last = chunks[-1]
+        n_tokens = last["start_tok"] + last["chunk_len"] - 1
+        # every earlier chunk is full-width; the doc ends inside the last
+        for c in chunks[:-1]:
+            assert c["chunk_len"] == CHUNK_TOKENS
+        if len(chunks) > 1:
+            assert n_tokens > (last["chunk_idx"] - 1) * CHUNK_STRIDE + \
+                CHUNK_TOKENS - CHUNK_STRIDE  # last chunk adds new tokens
+
+
+def test_mixture_sample_hits_language_budgets(spark, sf_dir):
+    """The kept set is a subset of the corpus and each language's
+    achieved keep rate tracks its budget/share target (wide tolerance:
+    the md5 draw is uniform but finite-sample)."""
+    from de_project_airflow_etl_spark.operators.curation import (
+        _BUDGET_DENOM, _MIX_WEIGHTS, mixture_weighted_sample,
+    )
+    from de_project_airflow_etl_spark.tables import load
+    kept = mixture_weighted_sample(spark, sf_dir).collect()
+    corpus = load(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "n_chars").collect()
+    ids = {r["doc_id"] for r in corpus}
+    assert kept and all(r["doc_id"] in ids for r in kept)
+    tot = sum(r["n_chars"] for r in corpus)
+    by_lang_tot: dict[str, int] = {}
+    for r in corpus:
+        by_lang_tot[r["lang"]] = by_lang_tot.get(r["lang"], 0) + r["n_chars"]
+    by_lang_kept: dict[str, int] = {}
+    for r in kept:
+        by_lang_kept[r["lang"]] = by_lang_kept.get(r["lang"], 0) + 1
+    n_by_lang = {
+        lang: sum(1 for r in corpus if r["lang"] == lang)
+        for lang in by_lang_tot
+    }
+    for lang, w in _MIX_WEIGHTS.items():
+        target = min(1.0, w * tot / (10 * _BUDGET_DENOM * by_lang_tot[lang]))
+        achieved = by_lang_kept.get(lang, 0) / n_by_lang[lang]
+        assert abs(achieved - target) < 0.2, (lang, achieved, target)
+
+
+def test_quantize_codes_reconstruct_within_one_step(spark, sf_dir):
+    """int8 codes recompute exactly in NumPy-free Python and the
+    dequantized value is within one quantization step of the input."""
+    import hashlib
+
+    from de_project_airflow_etl_spark.operators.similarity import (
+        embedding_int8_quantize,
+    )
+    from de_project_airflow_etl_spark.tables import load
+    import math
+    out = {r["vec_id"]: r
+           for r in embedding_int8_quantize(spark, sf_dir).collect()}
+    vecs = {r["vec_id"]: r["embedding"]
+            for r in load(spark, sf_dir, "embeddings").limit(50).collect()}
+    for vec_id, emb in vecs.items():
+        r = out[vec_id]
+        max_abs = max(abs(float(x)) for x in emb)
+        assert r["max_abs"] == max_abs
+        codes = [0] * len(emb) if max_abs == 0 else [
+            math.floor(float(x) * (127.0 / max_abs)) for x in emb]
+        assert r["code_sum"] == sum(codes), vec_id
+        assert r["code_md5"] == hashlib.md5(
+            "|".join(str(c) for c in codes).encode()).hexdigest(), vec_id
+        step = max_abs / 127.0 if max_abs else 0.0
+        for x, c in zip(emb, codes):
+            assert abs(c * step - float(x)) <= step + 1e-12
+
+
+def test_transition_counts_sum_to_events_minus_users(spark, sf_dir):
+    """Each user's time-ordered sequence of n events contributes
+    exactly n-1 transitions, so the matrix total is fixed."""
+    from de_project_airflow_etl_spark.operators.curation import (
+        user_event_transitions,
+    )
+    from de_project_airflow_etl_spark.tables import load
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    total = sum(r["n_transitions"]
+                for r in user_event_transitions(spark, sf_dir).collect())
+    assert total == n_events - n_users
