@@ -357,3 +357,38 @@ def test_dq_gate_single_agg_pass(spark, sf_dir):
     # one "(n) Scan parquet" detail header per scan node
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert plan.count("Exchange (") <= 2, plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime Bloom-filter join pruning: with a selective filter on
+    the build side, Spark injects a bloom_filter_agg on the creation
+    side and a might_contain predicate on the probe-side scan — at
+    100 TB this drops most probe rows BEFORE the shuffle. Local data
+    is below the default thresholds, so the test lowers them to prove
+    the engine wiring; production relies on the defaults."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        sel = orders.filter(F.col("o_totalprice") > 400000) \
+                    .select("o_orderkey")
+        j = lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey)
+        plan = formatted_plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
