@@ -41,3 +41,30 @@ def test_non_convergence_raises(spark):
     chain = _pairs(spark, [(i, i + 1) for i in range(300)])
     with pytest.raises(RuntimeError, match="did not converge"):
         _connected_components(chain, max_iters=1)
+
+
+def test_scale_stress_chain_plus_rings(spark):
+    """Scale-shaped stress: a 50k-node path (diameter 50k) unioned with
+    1000 disjoint 10-node rings, generated DISTRIBUTED via spark.range
+    (no driver-side edge list). Star contraction must label all ~60k
+    nodes within the default 25-round budget (log2(50k) ~ 16) — the
+    property that makes the operator viable on a 100 TB dup graph,
+    where min-label propagation would need 50k rounds."""
+    from pyspark.sql import functions as F
+    chain = spark.range(0, 50_000).selectExpr(
+        "id AS doc_a", "id + 1 AS doc_b")
+    base = 1_000_000
+    rings = spark.range(0, 10_000).selectExpr(
+        f"{base} + (id DIV 10) * 10 + (id % 10) AS doc_a",
+        f"{base} + (id DIV 10) * 10 + ((id % 10) + 1) % 10 AS doc_b")
+    # canonicalize doc_a < doc_b as the LSH pairs relation guarantees
+    pairs = chain.union(rings).selectExpr(
+        "LEAST(doc_a, doc_b) AS doc_a", "GREATEST(doc_a, doc_b) AS doc_b")
+    out = _connected_components(pairs)
+    sizes = {r["component_id"]: r["n"] for r in
+             out.groupBy("component_id").agg(
+                 F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes.pop(0) == 50_001                     # the chain
+    assert len(sizes) == 1000                         # the rings
+    assert set(sizes.values()) == {10}
+    assert set(sizes.keys()) == {base + r * 10 for r in range(1000)}
