@@ -66,15 +66,22 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
     # defensive for driver-supplied sessions (see tables.load): the
     # NANOS timestamp is unreadable without this runtime-settable conf
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema  # file schema (ts = nanos long)
+    schema = spark.read.parquet(path).schema  # file schema
     # File-source streams take a directory; pathGlobFilter narrows it to
     # the events table only.
     stream = (spark.readStream.schema(schema)
                    .format("parquet")
                    .option("pathGlobFilter", "events.parquet")
                    .load(sf_dir))
-    if dict(stream.dtypes).get("ts") == "bigint":
+    # Same ts normalization as tables._normalize_event_ts: the stream
+    # side must agree with the batch side on the event-time type or the
+    # batch/stream-agreement oracles drift.
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     if with_watermark:
         stream = stream.withWatermark("ts", with_watermark)
     return stream

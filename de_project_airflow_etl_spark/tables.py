@@ -36,12 +36,38 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts arrives as a nanosecond long; truncate to microseconds
-        # exactly as DuckDB does when casting ns -> us.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_event_ts(spark, df)
+    return df
+
+
+def _normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Give ``events.ts`` one canonical type (TIMESTAMP, UTC instant).
+
+    The driver's generator has shipped two physical encodings so far:
+    TIMESTAMP(NANOS) (readable only as a nanosecond long under
+    ``nanosAsLong``) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (read as TIMESTAMP_NTZ). Every downstream operator — epoch math
+    via ``unix_micros``, watermarks, stream-stream interval joins —
+    assumes a plain TIMESTAMP whose instant equals the file's naive
+    value read as UTC, which is also exactly how the DuckDB oracle
+    treats it (naive timestamp, ``epoch()`` == UTC). Normalizing here,
+    in the one loader every query goes through, keeps the 148 query
+    implementations encoding-agnostic.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        # nanosecond long -> truncate to micros exactly as DuckDB does
+        # when casting ns -> us.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        # NTZ -> TIMESTAMP interprets the naive value in the session
+        # zone; pin it to UTC (runtime-settable, idempotent — same
+        # defensive pattern as nanosAsLong above) so the resulting
+        # instant is the naive value read as UTC on ANY session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
