@@ -1,0 +1,261 @@
+"""Corpus-level statistics operators: cross-document boilerplate
+detection, vocabulary / out-of-vocabulary analysis, and scalable
+global ordering for curriculum schedules.
+
+These are the corpus-WIDE counterparts of ``operators/quality.py``
+(whose statistics are per-document expressions): each operator here
+needs one or two corpus-scale aggregation passes, and the point of
+the implementation is that those passes stay linear — an inverted
+index (gram -> doc frequency) or a top-k vocabulary, never a
+document x document comparison.
+
+* ``boilerplate_ngram_stats`` — the C4/RefinedWeb boilerplate rule
+  re-expressed at n-gram granularity (the synthetic corpus has no
+  line structure): a 5-gram occurring in >=2 distinct documents is
+  boilerplate; documents dominated by such grams get flagged. Shape:
+  explode distinct grams, one doc-frequency hash aggregate, one
+  broadcast-able join back — O(total grams), map-side combinable.
+* ``vocab_oov_stats`` — top-k vocabulary by global token frequency
+  (TakeOrderedAndProject, never a full sort), then per-document OOV
+  rates via a broadcast left join of the exploded tokens against the
+  k-row vocabulary.
+* ``curriculum_global_rank`` — a TOTAL ordering of the corpus (for
+  curriculum/length-bucketed training schedules) without the naive
+  single-partition global window: range-repartition on the sort key,
+  count rows per range, prefix-sum the (tiny) per-partition counts,
+  and add the broadcast offset to each range's local row_number.
+  Work per partition is local; the only global object is the
+  #partitions-row offset table.
+
+Determinism: flags use integer cross-multiplication (``n_boiler * 5
+>= n_grams`` for a 0.2 threshold) instead of double division, and
+vocabulary tie-breaks are pinned by (count DESC, token ASC), so the
+DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.tables import load
+
+# ------------------------------------------------- boilerplate grams
+
+GRAM_N = 5          # n-gram width
+BOILER_MIN_DF = 2   # grams in >= this many docs are boilerplate
+# flag a doc when boilerplate grams are >= 1/5 of its distinct grams
+BOILER_FRAC_NUM, BOILER_FRAC_DEN = 1, 5
+
+# Distinct 5-grams per document, as an expression (no UDF): guard the
+# sequence bound because Spark's sequence(1, n) DESCENDS when n < 1.
+_GRAMS_EXPR = f"""
+    CASE WHEN size(split(text, ' ')) >= {GRAM_N}
+         THEN array_distinct(transform(
+                sequence(1, size(split(text, ' ')) - {GRAM_N - 1}),
+                i -> array_join(slice(split(text, ' '), i, {GRAM_N}), ' ')))
+         ELSE array() END
+"""
+
+_SQL_GRAMS = f"""
+    docs_g AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - {GRAM_N - 2}),
+               i -> array_to_string(
+                      list_slice(string_split(text, ' '), i, i + {GRAM_N - 1}),
+                      ' '))) AS grams
+      FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, source, unnest(grams) AS gram FROM docs_g
+    ),
+    boiler AS (
+      SELECT gram FROM exploded GROUP BY gram
+      HAVING COUNT(*) >= {BOILER_MIN_DF}
+    )
+"""
+
+
+@query(
+    "boilerplate_ngram_stats",
+    oracle=f"""
+        WITH {_SQL_GRAMS},
+        per_doc AS (
+          SELECT e.doc_id, e.source,
+                 COUNT(*) AS n_grams,
+                 SUM(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS n_boiler
+          FROM exploded e LEFT JOIN boiler b USING (gram)
+          GROUP BY 1, 2
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+               CAST(SUM(n_boiler) AS BIGINT) AS sum_boiler_grams,
+               CAST(SUM(CASE WHEN n_boiler * {BOILER_FRAC_DEN}
+                             >= n_grams * {BOILER_FRAC_NUM}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        FROM per_doc
+        GROUP BY source
+    """,
+    doc="C4/RefinedWeb-style cross-document boilerplate detection at "
+        "5-gram granularity: grams present in >=2 distinct documents "
+        "are boilerplate; documents where they make up >=20% of "
+        "distinct grams are flagged, reported per source. One "
+        "doc-frequency hash aggregate over the exploded gram inverted "
+        "index + one equi-join back — linear in total grams, never "
+        "doc x doc.",
+    tags=("curation", "boilerplate", "dedup"),
+)
+def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    exploded = (docs.select("doc_id", "source",
+                            F.explode(F.expr(_GRAMS_EXPR)).alias("gram")))
+    # Doc frequency per gram; grams were already distinct-ed per doc,
+    # so COUNT(*) == COUNT(DISTINCT doc_id) without the distinct pass.
+    boiler = (exploded.groupBy("gram")
+                      .agg(F.count(F.lit(1)).alias("df"))
+                      .filter(F.col("df") >= BOILER_MIN_DF)
+                      .select("gram"))
+    per_doc = (exploded
+               # boilerplate grams are a small fraction of the gram
+               # space; the join stays an equi-join on gram either way
+               # and AQE picks broadcast when boiler fits.
+               .join(boiler.withColumn("is_boiler", F.lit(1)),
+                     "gram", "left")
+               .groupBy("doc_id", "source")
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.coalesce("is_boiler", F.lit(0))).alias("n_boiler")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_grams").alias("sum_grams"),
+                 F.sum("n_boiler").alias("sum_boiler_grams"),
+                 F.sum(F.when(F.col("n_boiler") * BOILER_FRAC_DEN
+                              >= F.col("n_grams") * BOILER_FRAC_NUM, 1)
+                        .otherwise(0)).alias("n_flagged")))
+
+
+# ------------------------------------------------------- vocab / OOV
+
+VOCAB_K = 20          # vocabulary size (top tokens by corpus frequency)
+HIGH_OOV_NUM, HIGH_OOV_DEN = 1, 2   # "high OOV" = oov rate >= 1/2
+
+
+@query(
+    "vocab_oov_stats",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        vocab AS (
+          SELECT tok FROM toks GROUP BY tok
+          ORDER BY COUNT(*) DESC, tok LIMIT {VOCAB_K}
+        ),
+        per_doc AS (
+          SELECT t.doc_id, t.lang,
+                 COUNT(*) AS n_tok,
+                 SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+          FROM toks t LEFT JOIN vocab v USING (tok)
+          GROUP BY 1, 2
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+               CAST(SUM(n_oov) AS BIGINT) AS sum_oov,
+               CAST(SUM(CASE WHEN n_oov * {HIGH_OOV_DEN}
+                             >= n_tok * {HIGH_OOV_NUM}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_high_oov
+        FROM per_doc
+        GROUP BY lang
+    """,
+    doc="Top-20 corpus vocabulary by global token frequency (ties "
+        "pinned by token; TakeOrderedAndProject, no full sort), then "
+        "per-document out-of-vocabulary rates via a broadcast left "
+        "join of exploded tokens against the 20-row vocabulary — the "
+        "coverage check run before committing to a tokenizer vocab.",
+    tags=("curation", "vocab", "text"),
+)
+def vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang",
+                       F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (toks.groupBy("tok")
+                 .agg(F.count(F.lit(1)).alias("c"))
+                 .orderBy(F.desc("c"), F.asc("tok"))
+                 .limit(VOCAB_K)
+                 .select("tok"))
+    per_doc = (toks.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))),
+                         "tok", "left")
+                   .groupBy("doc_id", "lang")
+                   .agg(F.count(F.lit(1)).alias("n_tok"),
+                        F.sum(F.when(F.col("in_vocab").isNull(), 1)
+                               .otherwise(0)).alias("n_oov")))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("sum_tokens"),
+                 F.sum("n_oov").alias("sum_oov"),
+                 F.sum(F.when(F.col("n_oov") * HIGH_OOV_DEN
+                              >= F.col("n_tok") * HIGH_OOV_NUM, 1)
+                        .otherwise(0)).alias("n_high_oov")))
+
+
+# ------------------------------------------- global curriculum rank
+
+RANK_PARTITIONS = 16
+
+
+@query(
+    "curriculum_global_rank",
+    oracle="""
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+                 AS global_rank
+        FROM documents
+    """,
+    doc="Total corpus ordering (longest documents first — a "
+        "length-curriculum schedule) computed scalably: bucket rows "
+        "by VALUE range on the sort key (a deterministic pure "
+        "function of the row — unlike repartitionByRange, whose "
+        "sampled boundaries can differ between re-executions of the "
+        "same subtree), count rows per bucket, prefix-sum the tiny "
+        "per-bucket counts, and add the broadcast offset to each "
+        "bucket's local row_number. The naive row_number() OVER "
+        "(ORDER BY ...) funnels the whole corpus through one "
+        "partition; here every full-data exchange is hash(bucket)-"
+        "partitioned and the only single-partition object is the "
+        "#buckets-row offset table.",
+    tags=("curation", "ordering", "scale"),
+)
+def curriculum_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # Value-range bucketing: bucket 0 holds the longest documents and
+    # every n_chars in bucket b sorts before every n_chars in b+1
+    # (floor of a monotone map), so bucket index + local rank gives
+    # the exact global rank. min/max come from a broadcast 1-row agg.
+    stats = docs.agg(F.max("n_chars").alias("mx"), F.min("n_chars").alias("mn"))
+    bucketed = (docs.crossJoin(F.broadcast(stats))
+                    .withColumn(
+                        "bkt",
+                        F.least(
+                            F.lit(RANK_PARTITIONS - 1),
+                            F.floor(((F.col("mx") - F.col("n_chars"))
+                                     * RANK_PARTITIONS)
+                                    / (F.col("mx") - F.col("mn") + 1))
+                        ).cast("int")))
+    counts = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    # Prefix sum over at most RANK_PARTITIONS rows — the single-
+    # partition window is bounded by the bucket count, not the data.
+    offsets = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("n").over(Window.orderBy("bkt")
+                            .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0))).select("bkt", "off")
+    local = Window.partitionBy("bkt").orderBy(F.desc("n_chars"),
+                                              F.asc("doc_id"))
+    return (bucketed.join(F.broadcast(offsets), "bkt")
+                    .select("doc_id", "n_chars",
+                            (F.row_number().over(local) + F.col("off"))
+                            .alias("global_rank")))

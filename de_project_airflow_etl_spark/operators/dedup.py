@@ -720,3 +720,93 @@ def triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("e3.doc_b") == F.col("e2.doc_b")))
           .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# --------------------------------------- incremental (delta) dedup
+
+# "New batch" = the newest 20% of doc ids — stands in for today's
+# crawl shard arriving against an already-deduped corpus.
+NEW_BATCH_FRAC_NUM, NEW_BATCH_FRAC_DEN = 4, 5
+
+
+@query(
+    "incremental_dedup_new_docs",
+    oracle=f"""
+        WITH {{lsh_pairs}},
+        cutoff AS (
+          SELECT (MAX(doc_id) + 1) * {NEW_BATCH_FRAC_NUM}
+                 / {NEW_BATCH_FRAC_DEN} AS c
+          FROM documents
+        ),
+        corpus_md5 AS (
+          SELECT DISTINCT md5(text) AS h
+          FROM documents, cutoff WHERE doc_id < c
+        ),
+        new_docs AS (
+          SELECT doc_id, source, md5(text) AS h
+          FROM documents, cutoff WHERE doc_id >= c
+        ),
+        near_corpus AS (
+          SELECT DISTINCT p.doc_b AS doc_id
+          FROM pairs p, cutoff WHERE p.doc_a < c AND p.doc_b >= c
+        ),
+        near_batch AS (
+          SELECT DISTINCT p.doc_b AS doc_id
+          FROM pairs p, cutoff WHERE p.doc_a >= c
+        ),
+        classified AS (
+          SELECT n.source,
+                 CASE WHEN cm.h IS NOT NULL THEN 'dup_exact_corpus'
+                      WHEN nc.doc_id IS NOT NULL THEN 'dup_near_corpus'
+                      WHEN nb.doc_id IS NOT NULL THEN 'dup_near_batch'
+                      ELSE 'admitted' END AS status
+          FROM new_docs n
+          LEFT JOIN corpus_md5 cm ON cm.h = n.h
+          LEFT JOIN near_corpus nc ON nc.doc_id = n.doc_id
+          LEFT JOIN near_batch nb ON nb.doc_id = n.doc_id
+        )
+        SELECT source, status, COUNT(*) AS n_docs
+        FROM classified GROUP BY 1, 2
+    """.format(lsh_pairs=_sql_lsh_pairs()),
+    doc="Incremental (delta) dedup: today's batch (newest 20% of doc "
+        "ids) screened against the existing corpus — exact dups via a "
+        "content-hash equi-join on md5(text), near-dups via the "
+        "verified MinHash-LSH pairs relation restricted to edges that "
+        "cross the batch boundary (or fall inside the batch, keeping "
+        "the earlier doc). This is the shape that makes dedup "
+        "sustainable at 100 TB: the daily cost is O(batch x bands) "
+        "against the corpus index, never a corpus x corpus recompute; "
+        "the pairs relation is the same shared materialization the "
+        "graph queries consume. Precedence exact > near-corpus > "
+        "near-batch is encoded as a CASE over left joins.",
+    tags=("dedup", "incremental", "lsh"),
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cut = docs.agg(((F.max("doc_id") + 1) * NEW_BATCH_FRAC_NUM
+                    / NEW_BATCH_FRAC_DEN).alias("c"))
+    docs_c = docs.crossJoin(F.broadcast(cut))
+    corpus_md5 = (docs_c.filter(F.col("doc_id") < F.col("c"))
+                        .select(F.md5("text").alias("h")).distinct())
+    new_docs = (docs_c.filter(F.col("doc_id") >= F.col("c"))
+                      .select("doc_id", "source", F.md5("text").alias("h")))
+    pairs = (_lsh_verified(spark, sf_dir)
+             .select("doc_a", "doc_b").crossJoin(F.broadcast(cut)))
+    near_corpus = (pairs.filter((F.col("doc_a") < F.col("c"))
+                                & (F.col("doc_b") >= F.col("c")))
+                        .select(F.col("doc_b").alias("doc_id")).distinct()
+                        .withColumn("near_c", F.lit(1)))
+    near_batch = (pairs.filter(F.col("doc_a") >= F.col("c"))
+                       .select(F.col("doc_b").alias("doc_id")).distinct()
+                       .withColumn("near_b", F.lit(1)))
+    exact = corpus_md5.withColumn("dup_exact", F.lit(1))
+    status = (F.when(F.col("dup_exact").isNotNull(), "dup_exact_corpus")
+               .when(F.col("near_c").isNotNull(), "dup_near_corpus")
+               .when(F.col("near_b").isNotNull(), "dup_near_batch")
+               .otherwise("admitted"))
+    return (new_docs
+            .join(exact, "h", "left")
+            .join(near_corpus, "doc_id", "left")
+            .join(near_batch, "doc_id", "left")
+            .groupBy("source", status.alias("status"))
+            .agg(F.count(F.lit(1)).alias("n_docs")))

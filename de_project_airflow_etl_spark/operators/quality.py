@@ -328,3 +328,70 @@ def mask_numeric_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("props")
          - F.length(F.regexp_replace("props", "[0-9]", "")))
          .cast("bigint").alias("n_digits"))
+
+
+# ------------------------------------------- robust outlier gating
+
+# Median/MAD outlier rule: |value - median| > 3 * MAD. Robust to the
+# heavy tails that break z-scores (a handful of corrupt feed values
+# shifts a mean, not a median) — the standard numeric-column gate in a
+# data-quality pass.
+MAD_K = 3
+
+
+@query(
+    "mad_outlier_events",
+    oracle=f"""
+        WITH e AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cv
+          FROM events
+        ),
+        med AS (
+          SELECT event_type, quantile_cont(cv, 0.5) AS med
+          FROM e GROUP BY 1
+        ),
+        dev AS (
+          SELECT e.event_type, e.cv, m.med, ABS(e.cv - m.med) AS adev
+          FROM e JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY 1
+        )
+        SELECT d.event_type,
+               COUNT(*) AS n_events,
+               ANY_VALUE(d.med) / 100 AS median_value,
+               ANY_VALUE(m.mad) / 100 AS mad_value,
+               CAST(SUM(CASE WHEN d.adev > {MAD_K} * m.mad
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY 1
+    """,
+    doc="Median/MAD robust outlier gate per event type: exact medians "
+        "over integer cents (so the even-count midpoint interpolation "
+        "is exact in double on both engines — multiples of 0.25 cents "
+        "at worst), deviations and the 3xMAD cutoff all in exact "
+        "arithmetic. Two sort-based aggregate passes (median is not "
+        "map-side combinable) + two broadcast joins of the 5-row "
+        "per-type statistics — the second pass is the price of MAD "
+        "and is inherent, not a plan artifact.",
+    tags=("quality", "outlier", "robust-stats"),
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (load(spark, sf_dir, "events")
+         .select("event_type",
+                 F.round(F.col("value") * 100).cast("long").alias("cv")))
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(cv, 0.5)").alias("med"))
+    dev = (e.join(F.broadcast(med), "event_type")
+            .withColumn("adev", F.abs(F.col("cv") - F.col("med"))))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (dev.join(F.broadcast(mad), "event_type")
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    (F.first("med") / 100).alias("median_value"),
+                    (F.first("mad") / 100).alias("mad_value"),
+                    F.sum(F.when(F.col("adev") > MAD_K * F.col("mad"), 1)
+                           .otherwise(0)).alias("n_outliers")))

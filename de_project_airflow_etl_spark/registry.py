@@ -115,8 +115,8 @@ def all_queries() -> dict[str, Query]:
     """
     # Imports deferred so `import registry` never costs a Spark session.
     from de_project_airflow_etl_spark.operators import (  # noqa: F401
-        curation, dedup, quality, similarity, text, multimodal, corpus,
-        skew, udtf_ops,
+        corpus_stats, curation, dedup, quality, similarity, text,
+        multimodal, corpus, skew, udtf_ops,
     )
     from de_project_airflow_etl_spark.streaming import (  # noqa: F401
         ingest, stateful, upsert,

@@ -392,3 +392,57 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
+    """The top-k vocabulary must plan as TakeOrderedAndProject (never a
+    full sort of the token counts) and join onto the exploded tokens as
+    a broadcast — the corpus side never shuffles for the join."""
+    from de_project_airflow_etl_spark.operators.corpus_stats import (
+        vocab_oov_stats,
+    )
+    df = vocab_oov_stats(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert has_broadcast_join(df), plan
+
+
+def test_curriculum_rank_has_no_global_sort(spark, sf_dir):
+    """Global ranking must NOT funnel the corpus through a single
+    partition: no range exchange / global Sort over the full data; the
+    only single-partition object is the #buckets-row offset table
+    (whose window input is an aggregate, not the corpus)."""
+    from de_project_airflow_etl_spark.operators.corpus_stats import (
+        curriculum_global_rank,
+    )
+    plan = formatted_plan(curriculum_global_rank(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower(), plan
+    # the corpus-side window partitions by bucket — a hash exchange
+    assert "hashpartitioning(bkt" in plan, plan
+
+
+def test_boilerplate_and_incremental_never_cartesian(spark, sf_dir):
+    """Boilerplate gram flagging and incremental dedup are equi-joins
+    end-to-end (gram / content-hash / doc_id keys) — a cartesian or
+    broadcast nested loop anywhere means candidate generation
+    degenerated to doc x doc. The only loop-join allowed is the 1-row
+    broadcast of the cutoff/threshold scalar."""
+    from de_project_airflow_etl_spark.operators.corpus_stats import (
+        boilerplate_ngram_stats,
+    )
+    from de_project_airflow_etl_spark.operators.dedup import (
+        incremental_dedup_new_docs,
+    )
+    plan = formatted_plan(boilerplate_ngram_stats(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    plan = formatted_plan(incremental_dedup_new_docs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # The 1-row cutoff broadcast plans as a nested-loop join and the
+    # subtree is duplicated wherever docs/pairs branch, so several BNLJ
+    # instances are expected — but each must be the scalar (its build
+    # side is a 1-row aggregate, so no BNLJ may sit above a parquet
+    # scan on BOTH inputs). The data-bearing joins (content hash,
+    # doc_id, LSH bands) must all be equi-joins.
+    assert plan.count("BroadcastNestedLoopJoin") <= 10, plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 3, plan
