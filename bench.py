@@ -67,6 +67,9 @@ HEADLINE = (
     "text_tfidf_top_terms",       # two-pass TF-IDF + ranked window
     "gopher_repetition_stats",    # zero-shuffle repetition filter
     "mixture_weighted_sample",    # broadcast-threshold mixture sampling
+    "boilerplate_ngram_stats",    # gram inverted-index doc frequency
+    "curriculum_global_rank",     # bucketed global ordering
+    "tokenize_to_ids",            # vocab broadcast + ordered regroup
 )
 
 

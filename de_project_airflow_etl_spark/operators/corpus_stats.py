@@ -259,3 +259,62 @@ def curriculum_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .select("doc_id", "n_chars",
                             (F.row_number().over(local) + F.col("off"))
                             .alias("global_rank")))
+
+
+# ------------------------------------------------- token id encoding
+
+
+@query(
+    "tokenize_to_ids",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents
+        ),
+        counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        vocab AS (
+          SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS tok_id
+          FROM counts ORDER BY c DESC, tok LIMIT {VOCAB_K}
+        )
+        SELECT t.doc_id,
+               list(COALESCE(v.tok_id, 0) ORDER BY t.pos) AS token_ids,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov
+        FROM toks t LEFT JOIN vocab v USING (tok)
+        GROUP BY t.doc_id
+    """,
+    doc="Vocabulary-id encoding (the tokenize step a training pipeline "
+        "runs after committing to a vocab): token ids are frequency "
+        "ranks over the top-20 vocabulary (ties pinned by token), OOV "
+        "maps to id 0, and per-document id sequences preserve token "
+        "order via position-sorted re-aggregation. The vocabulary is "
+        "TakeOrderedAndProject + a 20-row window (never a corpus-wide "
+        "rank), then broadcast onto the exploded tokens; the only "
+        "corpus-scale exchange is the per-document regroup.",
+    tags=("curation", "tokenize", "vocab"),
+)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # rank only the K surviving rows: TakeOrdered bounds the input, so
+    # the single-partition row_number window sees 20 rows, not the
+    # (possibly millions-entry) distinct-token space.
+    vocab = (counts.orderBy(F.desc("c"), F.asc("tok")).limit(VOCAB_K)
+                   .withColumn("tok_id",
+                               F.row_number().over(
+                                   Window.orderBy(F.desc("c"), F.asc("tok")))
+                                .cast("long"))
+                   .select("tok", "tok_id"))
+    ids = (toks.join(F.broadcast(vocab), "tok", "left")
+               .withColumn("tid", F.coalesce("tok_id", F.lit(0)).cast("long")))
+    return (ids.groupBy("doc_id")
+               .agg(F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                        lambda s: s["tid"]).alias("token_ids"),
+                    F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum(F.when(F.col("tok_id").isNull(), 1)
+                           .otherwise(0)).alias("n_oov")))

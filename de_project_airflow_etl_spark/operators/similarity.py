@@ -630,3 +630,155 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("code_sum"),
         F.expr("md5(concat_ws('|', transform(codes, "
                "x -> CAST(x AS STRING))))").alias("code_md5"))
+
+
+# ------------------------------------- PCA direction (power iteration)
+
+PCA_SCALE = 1000   # fixed-point quantization scale (floor(v * 1000))
+PCA_ITERS = 3      # unrolled power-iteration rounds
+
+
+def _sql_pca_iter(prev: str, out: str) -> str:
+    """One unrolled power-iteration round in DuckDB SQL: integer
+    mat-vec against the Gram CTE, then max-abs renormalization back to
+    ~PCA_SCALE via truncating integer division (DuckDB ``//`` and
+    Spark ``div`` both truncate toward zero, verified for negatives)."""
+    return f"""
+        r_{out} AS (
+          SELECT g.i AS j, SUM(g.g * v.val) AS raw
+          FROM gram g JOIN v_{prev} v ON g.j = v.j GROUP BY 1
+        ),
+        m_{out} AS (SELECT GREATEST(MAX(ABS(raw)), 1) AS m FROM r_{out}),
+        v_{out} AS (
+          SELECT j, (raw * {PCA_SCALE}) // m AS val FROM r_{out}, m_{out}
+        )
+    """
+
+
+@query(
+    "embedding_pca_power_iter",
+    oracle=f"""
+        WITH quant AS (
+          SELECT vec_id,
+                 generate_subscripts(embedding, 1) AS i,
+                 CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                            * {PCA_SCALE}) AS BIGINT) AS q
+          FROM embeddings
+        ),
+        gram AS (
+          SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS g
+          FROM quant a JOIN quant b USING (vec_id) GROUP BY 1, 2
+        ),
+        v_0 AS (
+          SELECT DISTINCT i AS j, CAST({PCA_SCALE} AS BIGINT) AS val
+          FROM quant
+        ),
+        {",".join(_sql_pca_iter(str(k), str(k + 1)) for k in range(PCA_ITERS))},
+        proj AS (
+          SELECT q.vec_id, CAST(SUM(q.q * v.val) AS BIGINT) AS proj
+          FROM quant q JOIN v_{PCA_ITERS} v ON q.i = v.j GROUP BY 1
+        )
+        SELECT p.vec_id, e.label, p.proj
+        FROM proj p JOIN embeddings e ON e.vec_id = p.vec_id
+    """,
+    doc="Dominant principal direction of the embedding cloud "
+        "(uncentered PCA / top right-singular vector) by power "
+        "iteration made EXACTLY cross-engine-verifiable with the "
+        "pagerank/k-means fixed-point technique: quantize components "
+        "to integers (floor(v*1000)), accumulate the 64x64 Gram "
+        "matrix in exact BIGINT sums (order-insensitive), run "
+        "unrolled integer mat-vec rounds renormalized by max-abs "
+        "truncating division, and project every vector onto the "
+        "result as an exact integer dot product. Scale shape: the "
+        "corpus contributes through ONE self-join-free pass per "
+        "vector pair-of-dims (d^2 explode with map-side combine into "
+        "4096 groups — shuffle volume is O(d^2 x partitions), not "
+        "O(n)); the iteration itself runs on the 4096-row Gram "
+        "relation, and the final projection is a broadcast of the "
+        "64-row direction onto the corpus. Ref: standard power "
+        "iteration; reference has no PCA — this extends the "
+        "similarity family for embedding triage (outlier/direction "
+        "audits before ANN indexing).",
+    tags=("similarity", "pca", "iterative"),
+)
+def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    quant = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("i0", "v"),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("v").cast("double") * PCA_SCALE).cast("long").alias("q"),
+    )
+    a, b = quant.alias("a"), quant.alias("b")
+    # d^2 rows per vector stream into a 4096-group hash aggregate —
+    # partial aggregation keeps the exchange at O(d^2) per task.
+    # localCheckpoint: the corpus pass runs ONCE; the 3 iteration
+    # rounds and the projection reuse the materialized 4096-row Gram.
+    gram = (a.join(b, "vec_id")
+             .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+             .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("g"))
+             .localCheckpoint())
+    v = (quant.select(F.col("i").alias("j")).distinct()
+              .withColumn("val", F.lit(PCA_SCALE).cast("long")))
+    for _ in range(PCA_ITERS):
+        raw = (gram.join(v, "j")
+                   .groupBy(F.col("i").alias("j2"))
+                   .agg(F.sum(F.col("g") * F.col("val")).alias("raw"))
+                   .withColumnRenamed("j2", "j"))
+        m = raw.agg(F.greatest(F.max(F.abs("raw")), F.lit(1)).alias("m"))
+        v = (raw.crossJoin(F.broadcast(m))
+                .select("j", F.expr(f"(raw * {PCA_SCALE}) div m").alias("val")))
+    proj = (quant.join(F.broadcast(v), quant.i == v.j)
+                 .groupBy("vec_id")
+                 .agg(F.sum(F.col("q") * F.col("val")).alias("proj")))
+    return proj.join(e.select("vec_id", "label"), "vec_id")
+
+
+@query(
+    "embedding_rank_normalize",
+    oracle="""
+        WITH comp AS (
+          SELECT vec_id,
+                 generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings
+        ),
+        ranked AS (
+          SELECT vec_id, i,
+                 percent_rank() OVER (PARTITION BY i ORDER BY v) AS pr
+          FROM comp
+        )
+        SELECT r.vec_id, ANY_VALUE(e.label) AS label,
+               list(r.pr ORDER BY r.i) AS normalized
+        FROM ranked r JOIN embeddings e USING (vec_id)
+        GROUP BY r.vec_id
+    """,
+    doc="Per-dimension rank (quantile) normalization of the embedding "
+        "matrix — the distribution-free rescaling used before "
+        "mixing embedding sources with different scales. Exact "
+        "percent_rank is (rank-1)/(n-1), an integer ratio both "
+        "engines compute identically in double. Shape: explode to "
+        "(dim, value), ONE hash exchange into 64 dim-partitions "
+        "(equal-sized by construction — no skew), per-partition sort "
+        "for exact ranks, then regroup per vector with position-"
+        "sorted re-aggregation. At 100 TB exact ranks per dim are a "
+        "sort per dim-partition; the approximate path swaps in "
+        "approx_percentile bins with the same plan shape.",
+    tags=("similarity", "normalize", "window"),
+)
+def embedding_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    comp = (e.select("vec_id", F.posexplode("embedding").alias("i0", "v0"))
+             .select("vec_id", (F.col("i0") + 1).alias("i"),
+                     F.col("v0").cast("double").alias("v")))
+    from pyspark.sql import Window as W
+    ranked = comp.withColumn(
+        "pr", F.percent_rank().over(W.partitionBy("i").orderBy("v")))
+    return (ranked.groupBy("vec_id")
+                  .agg(F.transform(
+                          F.array_sort(F.collect_list(F.struct("i", "pr"))),
+                          lambda s: s["pr"]).alias("normalized"))
+                  .join(e.select("vec_id", "label"), "vec_id")
+                  .select("vec_id", "label", "normalized"))

@@ -32,10 +32,25 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
 
     def cell(v):
+        import numpy as np
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<null>"
-        if isinstance(v, float):
-            return repr(v)  # shortest round-trip repr — exact
+        if isinstance(v, (float, np.floating)):
+            if math.isnan(v):
+                return "<null>"
+            return repr(float(v))  # shortest round-trip repr — exact
+        if isinstance(v, (np.integer,)):
+            return str(int(v))
+        # Containers element-wise: Spark (Arrow off) hands Python
+        # lists, DuckDB hands numpy arrays — str() of those differ in
+        # FORMAT (and ndarray str truncates floats to ~8 digits, which
+        # would silently weaken the exact-value claim for float-array
+        # queries). Recurse so every element gets the exact repr.
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "[" + ", ".join(cell(x) for x in v) + "]"
+        if isinstance(v, dict):
+            return "{" + ", ".join(
+                f"{k!r}: {cell(x)}" for k, x in sorted(v.items())) + "}"
         return str(v)
 
     out = df.map(cell)
