@@ -395,3 +395,66 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.first("mad") / 100).alias("mad_value"),
                     F.sum(F.when(F.col("adev") > MAD_K * F.col("mad"), 1)
                            .otherwise(0)).alias("n_outliers")))
+
+
+# -------------------------------------- referential integrity audit
+
+_FK_RELATIONS = (
+    # (name, child table, child key, parent table, parent key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+        SELECT 'lineitem->orders' AS relation, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'orders->customer', COUNT(*),
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'customer->nation', COUNT(*),
+               CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        UNION ALL
+        SELECT 'nation->region', COUNT(*),
+               CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="Foreign-key audit across the star schema: for each child-> "
+        "parent relation, total child rows and orphans (child keys "
+        "with no parent) via a left join + null count — the standard "
+        "pre-publish warehouse gate. Each relation is one pass; "
+        "parent sides are dimension-sized and broadcast, so the audit "
+        "costs a scan per child table and no fact-fact shuffle. At "
+        "100 TB the deduped parent keyset can stand in for the "
+        "dimension (a semi-join-reduced broadcast).",
+    tags=("quality", "integrity", "join"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for name, child_t, child_k, parent_t, parent_k in _FK_RELATIONS:
+        child = load(spark, sf_dir, child_t).select(child_k)
+        parent = (load(spark, sf_dir, parent_t)
+                  .select(F.col(parent_k).alias("__pk")).distinct())
+        parts.append(
+            child.join(F.broadcast(parent),
+                       child[child_k] == F.col("__pk"), "left")
+                 .agg(F.lit(name).alias("relation"),
+                      F.count(F.lit(1)).alias("n_rows"),
+                      F.sum(F.when(F.col("__pk").isNull(), 1)
+                             .otherwise(0)).alias("n_orphans")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

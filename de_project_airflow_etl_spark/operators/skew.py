@@ -93,3 +93,37 @@ def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg(ev, "event_type", "event_id",
                       [("event_id", "count"), ("event_id", "max")],
                       n_salts=16)
+
+
+@query(
+    "salted_segment_join_revenue",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """,
+    doc="Skew-spread fact-dim equi-join in the driver-facing surface: "
+        "the orders side gets a deterministic 16-way salt (hash of "
+        "o_orderkey, retry-stable), the customer side is replicated "
+        "per salt, and the join key becomes (custkey, salt) — a hot "
+        "customer's orders land on 16 reducers instead of one. "
+        "Row-for-row equivalent to the plain join (same oracle as a "
+        "plain join+agg). This is the manual fallback when AQE skew "
+        "splitting can't see the skew (e.g. the skewed side is an "
+        "exchange-free scan or the join is inside a stream).",
+    tags=("join", "skew"),
+)
+def salted_segment_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.queries.util import dsum
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                                  "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        orders, cust.withColumnRenamed("c_custkey", "o_custkey"),
+        key="o_custkey", unique_col="o_orderkey", n_salts=16)
+    return (joined.groupBy(F.col("c_mktsegment").alias("segment"))
+                  .agg(F.count(F.lit(1)).alias("n_orders"),
+                       dsum("o_totalprice", "revenue")))
