@@ -518,3 +518,76 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.sum("rev_c").cast("double") / 100)
                     .alias("attributed_revenue"))
     )
+
+
+# --------------------------------------------- recursive date spine
+
+RARE_VALUE_THRESHOLD = 330  # purchases above this are rare (~1%)
+
+
+@query(
+    "recursive_spine_fill",
+    oracle=f"""
+        WITH RECURSIVE bounds AS (
+          -- CAST is load-bearing: DuckDB date_trunc('day', ts) yields
+          -- DATE, and a DATE-typed recursive column truncates the
+          -- +12h step back to midnight -> infinite recursion.
+          SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS lo,
+                 MAX(ts) AS hi
+          FROM events
+        ),
+        spine(bucket, hi) AS (
+          SELECT lo, hi FROM bounds
+          UNION ALL
+          SELECT bucket + INTERVAL 12 HOUR, hi FROM spine
+          WHERE bucket + INTERVAL 12 HOUR <= hi
+        ),
+        rare AS (
+          SELECT time_bucket(INTERVAL 12 HOURS, ts) AS bucket,
+                 COUNT(*) AS n
+          FROM events
+          WHERE event_type = 'purchase'
+            AND value > {RARE_VALUE_THRESHOLD}
+          GROUP BY 1
+        )
+        SELECT s.bucket, COALESCE(r.n, CAST(0 AS BIGINT)) AS n_rare
+        FROM spine s LEFT JOIN rare r USING (bucket)
+    """,
+    doc="Spark 4 recursive CTE (WITH RECURSIVE, SQL-surface parity "
+        "with the DuckDB oracle): generate the complete 12-hour "
+        "bucket spine between the corpus' first day and last event "
+        "by linear recursion, then left-join sparse rare-event "
+        "counts so empty buckets surface as zeros — the dense-"
+        "calendar report shape. Linear recursion terminates by "
+        "construction (bucket strictly increases toward a fixed "
+        "upper bound; depth = #buckets, within Spark's "
+        "cteRecursionLevelLimit of 100); the spine is metadata-"
+        "sized, so the only corpus-scale work is the one aggregate "
+        "over the filtered scan. Complements gap_fill_forward_fill "
+        "(sequence()-based spine) by exercising the engine-native "
+        "recursive-query surface.",
+    tags=("timeseries", "recursive-cte", "spine"),
+)
+def recursive_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(f"""
+        WITH RECURSIVE bounds AS (
+          SELECT date_trunc('DAY', MIN(ts)) AS lo, MAX(ts) AS hi
+          FROM events
+        ),
+        spine(bucket, hi) AS (
+          SELECT lo, hi FROM bounds
+          UNION ALL
+          SELECT bucket + INTERVAL 12 HOUR, hi FROM spine
+          WHERE bucket + INTERVAL 12 HOUR <= hi
+        ),
+        rare AS (
+          SELECT window(ts, '12 hours').start AS bucket, COUNT(*) AS n
+          FROM events
+          WHERE event_type = 'purchase'
+            AND value > {RARE_VALUE_THRESHOLD}
+          GROUP BY 1
+        )
+        SELECT s.bucket, COALESCE(r.n, CAST(0 AS BIGINT)) AS n_rare
+        FROM spine s LEFT JOIN rare r ON s.bucket = r.bucket
+    """)

@@ -126,9 +126,56 @@ def all_queries() -> dict[str, Query]:
         flagship, etl, aggregates_ext, relational, joins, windows, setops,
     )
     ordered: dict[str, Query] = {}
+    verified = _driver_verified()
+    # 1. Statically-pinned priority entries that still lack a verified
+    #    driver row (the hand-curated plan for the current round).
     for name in _DRIVER_PRIORITY:
-        ordered[name] = _REGISTRY[name]
+        if name in _REGISTRY and name not in verified:
+            ordered[name] = _REGISTRY[name]
+    # 2. Every other query without a verified row, in registration
+    #    order — freshly-added operators self-promote into the window.
+    for name, q in _REGISTRY.items():
+        if name not in ordered and name not in verified:
+            ordered[name] = q
+    # 3. Already-verified queries as re-confirmation, registration
+    #    order.
     for name, q in _REGISTRY.items():
         if name not in ordered:
             ordered[name] = q
     return ordered
+
+
+def _driver_verified() -> set[str]:
+    """Query names that already carry a SATISFIED driver CORRECTNESS
+    row in any past round's ``CORRECTNESS_r*.json``: hash-verified, or
+    rows-only-checked for a query that (still) has no oracle.
+
+    The driver truncates its per-round pass at ~50 rows walking
+    ``queries()`` order, so ``all_queries`` floats unverified entries
+    to the front. Reading the recorded rounds makes that rotation
+    self-maintaining: a query whose verification bar rose (e.g. it
+    gained an oracle after a rows-only round) automatically counts as
+    unverified again. Missing/corrupt files degrade to the static
+    ordering."""
+    import glob
+    import json
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or name not in _REGISTRY:
+                continue
+            if row.get("hash_match") is True:
+                verified.add(name)
+            elif (row.get("err") == "no_oracle"
+                  and _REGISTRY[name].oracle is None
+                  and row.get("spark_rows") is not None):
+                verified.add(name)
+    return verified

@@ -27,3 +27,23 @@ def test_all_queries_run_at_smoke_sf(spark):
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_driver_order_floats_unverified_first():
+    """The driver truncates at ~50 rows walking queries() order; every
+    query without a satisfied CORRECTNESS row from a past round must
+    sort before every already-verified one, with the hand-pinned
+    priority block (this round's plan) leading."""
+    from de_project_airflow_etl_spark.registry import (
+        _DRIVER_PRIORITY, _driver_verified, all_queries,
+    )
+    names = list(all_queries())
+    verified = _driver_verified()
+    first_verified = next(
+        (i for i, n in enumerate(names) if n in verified), len(names))
+    late_unverified = [n for n in names[first_verified:]
+                       if n not in verified]
+    assert not late_unverified, (
+        f"unverified queries sorted after verified ones: {late_unverified}")
+    pinned_unverified = [n for n in _DRIVER_PRIORITY if n not in verified]
+    assert names[:len(pinned_unverified)] == pinned_unverified
