@@ -53,3 +53,38 @@ def test_lsh_recovers_exactly_the_planted_pairs(spark, planted_corpus):
     assert len(labels) == 2 * len(planted)
     for a, b in planted:
         assert labels[a] == labels[b] == a
+
+
+N_INC = 50_000
+INC_CUTOFF = N_INC * 4 // 5          # the operator's 80% boundary
+COPY_EVERY = 100                     # every 100th new doc copies corpus
+
+
+def test_incremental_dedup_classifies_planted_copies(spark, tmp_path):
+    """50k docs; the newest 20% contains exact copies of corpus docs
+    every 100th id. The incremental screen must classify exactly those
+    as dup_exact_corpus and admit everything else (hash-derived texts
+    collide with ~zero probability at this vocab)."""
+    docs = spark.range(N_INC).selectExpr(
+        "id AS doc_id",
+        f"CASE WHEN id >= {INC_CUTOFF} AND id % {COPY_EVERY} = 0 "
+        f"THEN id - {INC_CUTOFF} ELSE id END AS seed",
+    ).selectExpr(
+        "doc_id",
+        "concat_ws(' ', transform(sequence(0, 19), j -> "
+        "concat('tok', pmod(hash(seed * 131 + j), 500)))) AS text",
+        "'en' AS lang", "'synth' AS source",
+    ).selectExpr("doc_id", "text", "lang", "source",
+                 "length(text) AS n_chars")
+    out = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    counts = {r["status"]: r["n_docs"]
+              for r in dedup.incremental_dedup_new_docs(spark, out).collect()}
+    n_new = N_INC - INC_CUTOFF
+    n_copies = len(range(INC_CUTOFF, N_INC, COPY_EVERY))
+    assert counts.get("dup_exact_corpus", 0) == n_copies
+    assert counts.get("admitted", 0) == n_new - n_copies
+    assert counts.get("dup_near_corpus", 0) == 0
+    assert counts.get("dup_near_batch", 0) == 0
+    dedup.clear_pairs_cache()
