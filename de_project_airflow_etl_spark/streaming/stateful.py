@@ -294,3 +294,83 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("user_id", "session_start", "session_end",
                          "n_events"))
     return _drain(agg, spark, output_mode="complete")
+
+
+@query(
+    "streaming_stream_stream_left_join",
+    oracle="""
+        WITH clicks AS (
+          SELECT user_id, ts AS click_ts FROM events
+          WHERE event_type = 'click'
+        ),
+        purchases AS (
+          SELECT user_id, ts AS purchase_ts, event_id
+          FROM events WHERE event_type = 'purchase'
+        ),
+        -- The engine's global event-time watermark: per side,
+        -- max event time floored to MILLISECONDS (Spark tracks
+        -- event-time stats at ms precision) minus the 1s delay;
+        -- globally the MIN over sides. An unmatched left row emits
+        -- its null result only once the watermark passes it.
+        wm AS (
+          SELECT LEAST(
+            (SELECT (epoch_us(MAX(click_ts)) // 1000) * 1000
+             FROM clicks),
+            (SELECT (epoch_us(MAX(purchase_ts)) // 1000) * 1000
+             FROM purchases)) - 1000000 AS wm_us
+        ),
+        matched AS (
+          SELECT p.event_id, p.user_id,
+                 epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+          FROM purchases p JOIN clicks c
+            ON p.user_id = c.user_id
+           AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 1 HOUR
+                              AND p.purchase_ts
+        ),
+        unmatched AS (
+          SELECT p.event_id, p.user_id, CAST(NULL AS BIGINT) AS gap_us
+          FROM purchases p, wm
+          WHERE NOT EXISTS (
+            SELECT 1 FROM clicks c
+            WHERE c.user_id = p.user_id
+              AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 1 HOUR
+                                 AND p.purchase_ts)
+            AND epoch_us(p.purchase_ts) < wm.wm_us
+        )
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    doc="Stream-stream LEFT OUTER join with watermarks: purchases "
+        "joined to clicks in the preceding hour; purchases with no "
+        "click emit a null-gap row — but only once the global "
+        "event-time watermark passes them, because an outer result "
+        "is only safe to emit when no future match can arrive. The "
+        "oracle encodes the engine's eviction rule exactly "
+        "(min-over-sides of ms-floored max event time minus the "
+        "delay), so the check verifies not just the join but the "
+        "outer-emission semantics that make unbounded stream joins "
+        "state-bounded at 100 TB.",
+    tags=("streaming", "join", "outer"),
+)
+def streaming_stream_stream_left_join(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    ev = read_event_stream(spark, sf_dir, with_watermark=None)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", F.col("ts").alias("click_ts"))
+                .withWatermark("click_ts", "1 second"))
+    ev2 = read_event_stream(spark, sf_dir, with_watermark=None)
+    purchases = (ev2.filter(F.col("event_type") == "purchase")
+                    .select(F.col("user_id").alias("p_user_id"),
+                            F.col("ts").alias("purchase_ts"), "event_id")
+                    .withWatermark("purchase_ts", "1 second"))
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("click_ts")
+           >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "leftOuter")
+    out = joined.select(
+        "event_id", F.col("p_user_id").alias("user_id"),
+        (F.unix_micros("purchase_ts")
+         - F.unix_micros("click_ts")).alias("gap_us"))
+    return _drain(out, spark, output_mode="append")
