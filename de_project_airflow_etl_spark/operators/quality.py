@@ -458,3 +458,60 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ------------------------------------------------ k-anonymity audit
+
+K_ANON = 10          # groups with fewer distinct users are risky
+VALUE_BUCKET = 10    # quasi-identifier value coarsening (dollars)
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+        WITH groups AS (
+          SELECT event_type,
+                 CAST(ts AS DATE) AS day,
+                 CAST(FLOOR(value / {VALUE_BUCKET}) AS BIGINT) AS vbucket,
+                 COUNT(DISTINCT user_id) AS n_users,
+                 COUNT(*) AS n_rows
+          FROM events
+          GROUP BY 1, 2, 3
+        )
+        SELECT event_type,
+               COUNT(*) AS n_groups,
+               MIN(n_users) AS min_group_users,
+               CAST(SUM(CASE WHEN n_users < {K_ANON} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_risky_groups,
+               CAST(SUM(CASE WHEN n_users < {K_ANON} THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS n_risky_rows
+        FROM groups
+        GROUP BY 1
+    """,
+    doc="k-anonymity audit over the quasi-identifier (event_type, "
+        "day, value bucket): per event type, how many quasi-groups "
+        "fall below k=10 distinct users and how many rows sit in "
+        "them — the re-identification screen a pipeline runs before "
+        "releasing event-level data for training. Two aggregation "
+        "levels (group sizes, then risk rollup), both map-side "
+        "combinable except the COUNT(DISTINCT user_id), which Spark "
+        "plans as the standard two-phase expand-aggregate.",
+    tags=("quality", "privacy", "aggregate"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    groups = (e.groupBy(
+                  "event_type",
+                  F.col("ts").cast("date").alias("day"),
+                  F.floor(F.col("value") / VALUE_BUCKET).cast("long")
+                   .alias("vbucket"))
+               .agg(F.countDistinct("user_id").alias("n_users"),
+                    F.count(F.lit(1)).alias("n_rows")))
+    return (groups.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.min("n_users").alias("min_group_users"),
+                 F.sum(F.when(F.col("n_users") < K_ANON, 1)
+                        .otherwise(0)).alias("n_risky_groups"),
+                 F.sum(F.when(F.col("n_users") < K_ANON,
+                              F.col("n_rows")).otherwise(0))
+                  .alias("n_risky_rows")))
