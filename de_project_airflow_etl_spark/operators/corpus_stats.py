@@ -110,8 +110,16 @@ _SQL_GRAMS = f"""
 )
 def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    exploded = (docs.select("doc_id", "source",
-                            F.explode(F.expr(_GRAMS_EXPR)).alias("gram")))
+    # The gram explode feeds BOTH the doc-frequency aggregate and
+    # the per-doc probe side, so it executes twice. Deliberate:
+    # materializing it (localCheckpoint) measured ~50% SLOWER at
+    # bench scale — the explode is cheap codegen while the
+    # checkpoint pays serialize+store+read of the widened relation.
+    # At 100 TB the tokenized/gram relation would be a persisted
+    # lake table shared by all corpus statistics, not an in-job
+    # checkpoint.
+    exploded = docs.select("doc_id", "source",
+                           F.explode(F.expr(_GRAMS_EXPR)).alias("gram"))
     # Doc frequency per gram; grams were already distinct-ed per doc,
     # so COUNT(*) == COUNT(DISTINCT doc_id) without the distinct pass.
     boiler = (exploded.groupBy("gram")
@@ -179,6 +187,9 @@ HIGH_OOV_NUM, HIGH_OOV_DEN = 1, 2   # "high OOV" = oov rate >= 1/2
 )
 def vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # referenced by the vocabulary count AND the per-doc probe;
+    # recompute beats materialization here (see the note in
+    # boilerplate_ngram_stats)
     toks = docs.select("doc_id", "lang",
                        F.explode(F.split("text", " ")).alias("tok"))
     vocab = (toks.groupBy("tok")
@@ -297,8 +308,10 @@ def curriculum_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # recompute-over-materialize: see boilerplate_ngram_stats note
     toks = docs.select("doc_id",
-                       F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+                       F.posexplode(F.split("text", " "))
+                        .alias("pos", "tok"))
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     # rank only the K surviving rows: TakeOrdered bounds the input, so
     # the single-partition row_number window sees 20 rows, not the

@@ -515,3 +515,58 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("n_users") < K_ANON,
                               F.col("n_rows")).otherwise(0))
                   .alias("n_risky_rows")))
+
+
+# ------------------------------------------- observed (piggyback) DQ
+
+
+@query(
+    "observed_ingest_metrics",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_negative_values,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS sum_value,
+               MAX(ts) AS max_ts
+        FROM events
+    """,
+    doc="Spark Observation API: data-quality metrics (row count, "
+        "negative-value count, exact-cents value sum, max event time) "
+        "collected as a SIDE OBSERVATION of a real pipeline action — "
+        "the metrics ride the same scan that computes the pipeline's "
+        "own result (here a purchase count), costing zero extra "
+        "passes. This is how a 100 TB ingest job gets its freshness/"
+        "volume/validity telemetry without doubling its I/O; the "
+        "returned 1-row frame is the driver-side metric record a "
+        "real pipeline would publish to its metadata store.",
+    tags=("quality", "observe", "pipeline"),
+)
+def observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+    from pyspark.sql import types as T
+
+    e = load(spark, sf_dir, "events")
+    obs = Observation(f"dq_{_uuid.uuid4().hex[:8]}")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+         .alias("n_negative_values"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+         / 100).alias("sum_value"),
+        F.max("ts").alias("max_ts"))
+    # the observation piggybacks on the pipeline's own action
+    observed.filter(F.col("event_type") == "purchase").count()
+    m = obs.get
+    schema = T.StructType([
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_negative_values", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("max_ts", T.TimestampType()),
+    ])
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_negative_values"], m["sum_value"],
+          m["max_ts"])], schema)

@@ -648,9 +648,12 @@ def _sql_pca_iter(prev: str, out: str) -> str:
           SELECT g.i AS j, SUM(g.g * v.val) AS raw
           FROM gram g JOIN v_{prev} v ON g.j = v.j GROUP BY 1
         ),
-        m_{out} AS (SELECT GREATEST(MAX(ABS(raw)), 1) AS m FROM r_{out}),
+        m_{out} AS (
+          SELECT (GREATEST(MAX(ABS(raw)), 1) // {PCA_SCALE}) + 1 AS d
+          FROM r_{out}
+        ),
         v_{out} AS (
-          SELECT j, (raw * {PCA_SCALE}) // m AS val FROM r_{out}, m_{out}
+          SELECT j, raw // d AS val FROM r_{out}, m_{out}
         )
     """
 
@@ -727,9 +730,10 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .groupBy(F.col("i").alias("j2"))
                    .agg(F.sum(F.col("g") * F.col("val")).alias("raw"))
                    .withColumnRenamed("j2", "j"))
-        m = raw.agg(F.greatest(F.max(F.abs("raw")), F.lit(1)).alias("m"))
+        m = raw.agg((F.expr(f"greatest(max(abs(raw)), 1) div {PCA_SCALE}")
+                     + F.lit(1)).alias("d"))
         v = (raw.crossJoin(F.broadcast(m))
-                .select("j", F.expr(f"(raw * {PCA_SCALE}) div m").alias("val")))
+                .select("j", F.expr("raw div d").alias("val")))
     proj = (quant.join(F.broadcast(v), quant.i == v.j)
                  .groupBy("vec_id")
                  .agg(F.sum(F.col("q") * F.col("val")).alias("proj")))

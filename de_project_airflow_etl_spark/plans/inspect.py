@@ -38,3 +38,49 @@ def has_partition_filter(df: DataFrame, fragment: str) -> bool:
     plan = formatted_plan(df)
     return any("PartitionFilters" in line and fragment in line
                for line in plan.splitlines())
+
+
+def _walk_jplan(jnode):
+    yield jnode
+    children = jnode.children()
+    for i in range(children.size()):
+        yield from _walk_jplan(children.apply(i))
+
+
+def bnlj_builds_are_scalar(df: DataFrame) -> list[str]:
+    """Structural check on every BroadcastNestedLoopJoin in the
+    physical plan: its broadcast side must be a SCALAR subtree — one
+    containing a global (no-grouping) aggregate — i.e. the 1-row
+    cutoff/threshold broadcast pattern. A data x data nested-loop
+    join (candidate generation degenerated to all-pairs) has a
+    broadcast side with no global aggregate and is reported.
+
+    Returns the offending node descriptions (empty == pass). Walks
+    the pre-AQE plan (queryExecution().sparkPlan()) because the
+    adaptive wrapper hides its children from the TreeNode API.
+    """
+    offenders: list[str] = []
+    jplan = df._jdf.queryExecution().sparkPlan()
+
+    def has_global_agg(side) -> bool:
+        for m in _walk_jplan(side):
+            if "Aggregate" in m.getClass().getSimpleName():
+                try:
+                    if m.groupingExpressions().isEmpty():
+                        return True
+                except Exception:  # py4j: node without the accessor
+                    continue
+        return False
+
+    # NOTE: sparkPlan() precedes EnsureRequirements, so the
+    # BroadcastExchange wrapper is not in the tree yet — the BNLJ
+    # node itself implies one side broadcasts. "Some side is a
+    # scalar (global-aggregate) subtree" is the invariant.
+    for node in _walk_jplan(jplan):
+        if "BroadcastNestedLoopJoin" not in node.nodeName():
+            continue
+        children = node.children()
+        sides = [children.apply(i) for i in range(children.size())]
+        if not any(has_global_agg(s) for s in sides):
+            offenders.append(node.simpleStringWithNodeId())
+    return offenders

@@ -161,21 +161,36 @@ def _driver_verified() -> set[str]:
     import json
     import os
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    verified: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    # Latest round wins per query: a name verified in r1 but recorded
+    # FAILING in a later round must demote back into the unverified
+    # window, or a regression could hide in the verified tail forever.
+    latest: dict[str, dict] = {}
+
+    def _round_no(path: str) -> int:
+        digits = "".join(ch for ch in os.path.basename(path)
+                         if ch.isdigit())
+        return int(digits) if digits else 0
+
+    # numeric sort: lexicographic would order r10 before r9 and break
+    # latest-wins once rounds pass single digits / padding varies
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+                       key=_round_no):
         try:
-            rows = json.load(open(path))
+            with open(path) as f:
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict) or name not in _REGISTRY:
-                continue
-            if row.get("hash_match") is True:
-                verified.add(name)
-            elif (row.get("err") == "no_oracle"
-                  and _REGISTRY[name].oracle is None
-                  and row.get("spark_rows") is not None):
-                verified.add(name)
+            if isinstance(row, dict) and name in _REGISTRY:
+                latest[name] = row
+    verified: set[str] = set()
+    for name, row in latest.items():
+        if row.get("hash_match") is True:
+            verified.add(name)
+        elif (row.get("err") == "no_oracle"
+              and _REGISTRY[name].oracle is None
+              and row.get("spark_rows") is not None):
+            verified.add(name)
     return verified

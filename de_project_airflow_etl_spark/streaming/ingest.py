@@ -73,15 +73,12 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
                    .format("parquet")
                    .option("pathGlobFilter", "events.parquet")
                    .load(sf_dir))
-    # Same ts normalization as tables._normalize_event_ts: the stream
-    # side must agree with the batch side on the event-time type or the
-    # batch/stream-agreement oracles drift.
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # One normalizer for batch AND stream: the stream side must agree
+    # with the batch side on the event-time type or the batch/stream-
+    # agreement oracles drift (and a second inline copy of the logic
+    # would, eventually).
+    from de_project_airflow_etl_spark.tables import _normalize_event_ts
+    stream = _normalize_event_ts(spark, stream)
     if with_watermark:
         stream = stream.withWatermark("ts", with_watermark)
     return stream

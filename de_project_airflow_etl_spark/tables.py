@@ -56,17 +56,19 @@ def _normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+    # Pin the session zone for EVERY encoding (runtime-settable,
+    # idempotent — same defensive pattern as nanosAsLong above): the
+    # NTZ cast interprets the naive value in the session zone, and
+    # even for already-instant encodings every downstream
+    # date/day-granularity cast (cast('date'), date_trunc) renders in
+    # the session zone — the oracle treats all of these as UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     dt = df.schema["ts"].dataType
     if isinstance(dt, T.LongType):
         # nanosecond long -> truncate to micros exactly as DuckDB does
         # when casting ns -> us.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(dt, T.TimestampNTZType):
-        # NTZ -> TIMESTAMP interprets the naive value in the session
-        # zone; pin it to UTC (runtime-settable, idempotent — same
-        # defensive pattern as nanosAsLong above) so the resulting
-        # instant is the naive value read as UTC on ANY session.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -436,13 +436,18 @@ def test_boilerplate_and_incremental_never_cartesian(spark, sf_dir):
     plan = formatted_plan(boilerplate_ngram_stats(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    plan = formatted_plan(incremental_dedup_new_docs(spark, sf_dir))
+    df = incremental_dedup_new_docs(spark, sf_dir)
+    plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     # The 1-row cutoff broadcast plans as a nested-loop join and the
-    # subtree is duplicated wherever docs/pairs branch, so several BNLJ
-    # instances are expected — but each must be the scalar (its build
-    # side is a 1-row aggregate, so no BNLJ may sit above a parquet
-    # scan on BOTH inputs). The data-bearing joins (content hash,
-    # doc_id, LSH bands) must all be equi-joins.
-    assert plan.count("BroadcastNestedLoopJoin") <= 10, plan
+    # subtree is duplicated wherever docs/pairs branch, so several
+    # BNLJ instances are expected — but each must be the SCALAR
+    # pattern: structurally verified (every BNLJ has a global-
+    # aggregate side; a data x data nested loop has none). The
+    # data-bearing joins (content hash, doc_id, LSH bands) must all
+    # be equi-joins.
+    from de_project_airflow_etl_spark.plans.inspect import (
+        bnlj_builds_are_scalar,
+    )
+    assert bnlj_builds_are_scalar(df) == [], plan
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 3, plan
