@@ -786,3 +786,52 @@ def embedding_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                           lambda s: s["pr"]).alias("normalized"))
                   .join(e.select("vec_id", "label"), "vec_id")
                   .select("vec_id", "label", "normalized"))
+
+
+@query(
+    "knn_arrow_native",
+    oracle=_KNN_ORACLE,
+    doc="Arrow-native kNN via mapInArrow: the same brute-force search "
+        "as knn_brute_force/knn_pandas_udf, but the worker consumes "
+        "pyarrow RecordBatches directly — no pandas materialization "
+        "between Arrow transport and numpy math, the lowest-overhead "
+        "Python escape hatch Spark offers. Scoring uses cumsum "
+        "(strictly sequential accumulation) so the values are "
+        "bit-identical to the JVM zip_with/aggregate fold, the pandas "
+        "variant, AND the DuckDB list_reduce oracle — three "
+        "implementations, one exact answer.",
+    tags=("similarity", "knn", "arrow"),
+)
+def knn_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = np.asarray(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"],
+        dtype=np.float64)
+
+    def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        q_norm = float(np.sqrt(np.cumsum(qv * qv)[-1]))
+        for batch in batches:
+            emb = batch.column("embedding")
+            # FixedSizeList/List of float -> (n, d) float64 matrix,
+            # zero-copy from the Arrow buffers where possible
+            flat = np.asarray(emb.values, dtype=np.float64)
+            mat = flat.reshape(len(batch), -1)
+            dots = np.cumsum(mat * qv, axis=1)[:, -1]
+            norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), batch.column("label"),
+                 pa.array(dots / (norms * q_norm), type=pa.float64())],
+                names=["vec_id", "label", "cosine_sim"])
+
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+         .select("vec_id", "label", "embedding")
+         .mapInArrow(score, "vec_id long, label int, cosine_sim double")
+         .orderBy(F.col("cosine_sim").desc(), "vec_id")
+         .limit(10)
+    )

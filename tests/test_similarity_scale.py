@@ -45,3 +45,54 @@ def test_planted_twin_tops_brute_force_and_lsh(spark, planted_embeddings):
     lsh = similarity.ann_lsh_search(spark, planted_embeddings).collect()
     assert lsh and lsh[0]["vec_id"] == PLANTED_ID
     assert lsh[0]["cosine_sim"] == 1.0
+
+
+N_PCA = 160_000   # above the pre-fix overflow bound (~1.4e5 vectors)
+PCA_DIM = 64
+
+
+def test_pca_power_iter_exact_at_160k_vectors(spark, tmp_path):
+    """Unit-scale synthetic embeddings at 160k vectors: the ORIGINAL
+    renormalization (raw * 1000 before the divide) would overflow
+    int64 here and raise under ANSI; the divisor form must run AND
+    stay exactly equal to a numpy fixed-point replica of the same
+    integer algorithm (sign-corrected truncating division — numpy //
+    floors, Spark div truncates)."""
+    import numpy as np
+
+    docs = spark.range(N_PCA).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(0, {PCA_DIM - 1}), j -> "
+        f"  CAST((pmod(hash(id * 97 + j), 2001) - 1000) / 1000.0"
+        f"       AS FLOAT)) AS embedding",
+        "CAST(pmod(id, 4) AS INT) AS label",
+    )
+    out = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    from de_project_airflow_etl_spark.operators.similarity import (
+        PCA_ITERS, PCA_SCALE, embedding_pca_power_iter,
+    )
+    got = (embedding_pca_power_iter(spark, out)
+           .orderBy("vec_id").toPandas())
+    assert len(got) == N_PCA
+
+    # numpy replica of the exact integer algorithm
+    emb = (docs.selectExpr(
+               "vec_id",
+               f"transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE)"
+               f" * {PCA_SCALE}) AS BIGINT)) AS q")
+               .orderBy("vec_id").toPandas())
+    q = np.stack(emb["q"].to_numpy()).astype(np.int64)
+    gram = q.T @ q                                   # exact in int64
+    v = np.full(PCA_DIM, PCA_SCALE, dtype=np.int64)
+
+    def trunc_div(a: np.ndarray, d: int) -> np.ndarray:
+        return np.sign(a) * (np.abs(a) // d)         # Spark div semantics
+
+    for _ in range(PCA_ITERS):
+        raw = gram @ v
+        d = int(max(np.max(np.abs(raw)), 1)) // PCA_SCALE + 1
+        v = trunc_div(raw, d)
+    proj = q @ v
+    assert np.array_equal(got["proj"].to_numpy(), proj)
