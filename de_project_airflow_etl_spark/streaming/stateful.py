@@ -15,7 +15,14 @@ Scale notes:
   list/map state, timers) is the successor surface; its python driver
   worker requires ``google.protobuf``, which this environment does not
   provide, so the operators here use ``applyInPandasWithState`` — the
-  same state semantics, stable since 3.4.
+  same state semantics, stable since 3.4. The same dependency gate
+  applies to Spark 4.1's Declarative Pipelines (``spark-pipelines``
+  CLI): it drives everything through Spark Connect, which needs
+  ``grpcio``/``protobuf`` (verified: the CLI aborts on import in this
+  environment). The declarative-pipeline SEMANTICS the reference's
+  DAG encodes — date-parameterized idempotent stages, materialized
+  outputs, restart-safe incremental refresh — are covered by
+  ``pipeline/launch_etl.py`` + ``streaming/upsert.py`` instead.
 * The stateful sessionizer is the ``applyInPandasWithState`` shape of
   the batch ``session_window`` aggregate: state is one open session per
   user, batches arrive Arrow-encoded, and the per-group work is
