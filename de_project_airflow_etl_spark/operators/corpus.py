@@ -90,3 +90,178 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("n_tokens").alias("total_tokens"),
                     F.sum(F.col("n_copies") - 1).alias("n_dups_removed"))
     )
+
+
+# ------------------------------------------ release funnel manifest
+
+# Stage keys sort in pipeline order
+_STAGES = ("0_raw", "1_repetition", "2_boilerplate",
+           "3_decontaminated", "4_exact_dedup", "5_near_dedup")
+
+
+def _release_oracle() -> str:
+    from de_project_airflow_etl_spark.operators.corpus_stats import (
+        _SQL_GRAMS, BOILER_FRAC_DEN, BOILER_FRAC_NUM,
+    )
+    from de_project_airflow_etl_spark.operators.curation import (
+        _SQL_NGRAMS, EVAL_MOD, NGRAM_N,
+    )
+    from de_project_airflow_etl_spark.operators.dedup import _sql_lsh_pairs
+    from de_project_airflow_etl_spark.operators.quality import (
+        MAX_TOP_FRAC, MIN_DISTINCT_RATIO,
+    )
+    stage_select = " UNION ALL ".join(
+        f"SELECT '{key}' AS stage, lang, COUNT(*) AS n_docs, "
+        f"CAST(SUM(n_tokens) AS BIGINT) AS total_tokens "
+        f"FROM s{i} GROUP BY lang"
+        for i, key in enumerate(_STAGES))
+    return f"""
+        WITH {_sql_lsh_pairs()},
+        {_SQL_GRAMS},
+        per_doc_boiler AS (
+          SELECT e.doc_id, COUNT(*) AS n_grams,
+                 SUM(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS n_boiler
+          FROM exploded e LEFT JOIN boiler b USING (gram)
+          GROUP BY 1
+        ),
+        ngrams AS (
+          SELECT doc_id, UNNEST({_SQL_NGRAMS}) AS gh
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= {NGRAM_N}
+        ),
+        contaminated AS (
+          SELECT DISTINCT c.doc_id
+          FROM (SELECT doc_id, gh FROM ngrams
+                WHERE doc_id % {EVAL_MOD} <> 0) c
+          JOIN (SELECT gh FROM ngrams
+                WHERE doc_id % {EVAL_MOD} = 0) e USING (gh)
+        ),
+        s0 AS (
+          SELECT doc_id, lang, text,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                 list_max(list_transform(
+                   list_distinct(string_split(text, ' ')),
+                   w -> len(list_filter(string_split(text, ' '),
+                                        x -> x = w)))) AS top_cnt
+          FROM documents
+        ),
+        s1 AS (
+          SELECT * FROM s0
+          WHERE n_distinct / n_tokens >= {MIN_DISTINCT_RATIO}
+            AND top_cnt / n_tokens <= {MAX_TOP_FRAC}
+        ),
+        s2 AS (
+          SELECT s1.* FROM s1 LEFT JOIN per_doc_boiler pb USING (doc_id)
+          WHERE pb.doc_id IS NULL
+             OR pb.n_boiler * {BOILER_FRAC_DEN}
+                < pb.n_grams * {BOILER_FRAC_NUM}
+        ),
+        s3 AS (
+          SELECT * FROM s2
+          WHERE doc_id % {EVAL_MOD} <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        s4 AS (
+          SELECT * FROM s3
+          WHERE doc_id IN (SELECT MIN(doc_id) FROM s3 GROUP BY md5(text))
+        ),
+        s5 AS (
+          SELECT * FROM s4
+          WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+        )
+        {stage_select}
+    """
+
+
+@query(
+    "corpus_release_manifest",
+    oracle=_release_oracle(),
+    doc="The round-3 capstone composition — a full training-data "
+        "release funnel built from this engine's verified operators, "
+        "reported per (stage, lang) so every gate's effect is "
+        "visible: repetition gate (gopher thresholds) -> cross-doc "
+        "boilerplate gate (5-gram doc frequency) -> benchmark "
+        "decontamination (word-3-gram inverted index vs the held-out "
+        "slice, eval docs excluded) -> exact dedup (keep lowest "
+        "doc_id per content hash) -> near-dup removal (verified "
+        "MinHash-LSH pairs, keep-earliest). Each stage reuses the "
+        "standalone operator's exact expressions (imported "
+        "constants/plan builders, not copies), so the oracle verifies "
+        "the COMPOSITION under one optimizer pass. Scale shape: "
+        "gates are scans + one inverted-index join each; dedup is "
+        "one hash shuffle; the near-dup screen is an anti-join "
+        "against the shared materialized pairs relation.",
+    tags=("corpus", "composite", "curation", "dedup"),
+)
+def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.operators.corpus_stats import (
+        _GRAMS_EXPR, BOILER_FRAC_DEN, BOILER_FRAC_NUM, BOILER_MIN_DF,
+    )
+    from de_project_airflow_etl_spark.operators.curation import (
+        EVAL_MOD, NGRAM_N, _ngram_hashes,
+    )
+    from de_project_airflow_etl_spark.operators.dedup import _lsh_verified
+    from de_project_airflow_etl_spark.operators.quality import (
+        repetition_stats_plan,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    s0 = docs.select("doc_id", "lang", "text",
+                     F.size(toks).alias("n_tokens"))
+
+    # stage 1: repetition gate (exact gopher plan, imported)
+    rep_keep = repetition_stats_plan(docs).filter("keep").select("doc_id")
+    s1 = s0.join(rep_keep, "doc_id", "left_semi")
+
+    # stage 2: cross-doc boilerplate gate
+    exploded = docs.select("doc_id",
+                           F.explode(F.expr(_GRAMS_EXPR)).alias("gram"))
+    boiler = (exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+                      .filter(F.col("df") >= BOILER_MIN_DF).select("gram"))
+    per_doc_boiler = (exploded.join(boiler.withColumn("b", F.lit(1)),
+                                    "gram", "left")
+                      .groupBy("doc_id")
+                      .agg(F.count(F.lit(1)).alias("n_grams"),
+                           F.sum(F.coalesce("b", F.lit(0))).alias("n_boiler")))
+    s2 = (s1.join(per_doc_boiler, "doc_id", "left")
+            .filter(F.col("n_grams").isNull()
+                    | (F.col("n_boiler") * BOILER_FRAC_DEN
+                       < F.col("n_grams") * BOILER_FRAC_NUM))
+            .select(*s1.columns))
+
+    # stage 3: benchmark decontamination
+    grams = (docs.select("doc_id", toks.alias("toks"))
+                 .filter(F.size("toks") >= NGRAM_N)
+                 .select("doc_id", F.explode(_ngram_hashes()).alias("gh")))
+    eval_g = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gh").distinct()
+    contaminated = (grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+                         .join(F.broadcast(eval_g), "gh")
+                         .select("doc_id").distinct())
+    s3 = (s2.filter(F.col("doc_id") % EVAL_MOD != 0)
+            .join(contaminated, "doc_id", "left_anti"))
+
+    # stage 4: exact dedup, keep lowest doc_id per content hash
+    keep_ids = (s3.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+                  .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    s4 = s3.join(keep_ids, "doc_id", "left_semi")
+
+    # stage 5: near-dup removal against the shared verified pairs
+    dup_b = _lsh_verified(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")).distinct()
+    s5 = s4.join(dup_b, "doc_id", "left_anti")
+
+    stages = (s0, s1, s2, s3, s4, s5)
+    parts = [
+        s.groupBy("lang")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("n_tokens").alias("total_tokens"))
+         .select(F.lit(key).alias("stage"), "lang", "n_docs",
+                 "total_tokens")
+        for key, s in zip(_STAGES, stages)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
