@@ -162,3 +162,70 @@ def streaming_windowed_counts_rocksdb(spark: SparkSession,
             spark.conf.set(key, prev)
         else:
             spark.conf.unset(key)
+
+
+@query(
+    "streaming_observed_ingest_metrics",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_negative_values,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS sum_value,
+               epoch_us(MAX(ts)) AS max_ts_us
+        FROM events
+    """,
+    doc="Streaming observability: the same Observation-API DQ metrics "
+        "as observed_ingest_metrics, attached to a STREAM — metrics "
+        "ride each micro-batch and surface through "
+        "StreamingQueryProgress.observedMetrics, summed across data "
+        "batches. Freshness is carried as unix_micros (a BIGINT) "
+        "because progress serialization truncates timestamp metrics "
+        "to seconds — a real integration gotcha this oracle locks in. "
+        "This is how a 100 TB streaming ingest emits volume/validity/"
+        "freshness telemetry per batch with zero extra passes.",
+    tags=("streaming", "quality", "observe"),
+)
+def streaming_observed_ingest_metrics(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    stream = read_event_stream(spark, sf_dir, with_watermark=None)
+    observed = stream.observe(
+        f"ingest_dq_{_uuid.uuid4().hex[:8]}",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+         .alias("n_negative_values"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+         / 100).alias("sum_value"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"))
+    sink = f"stream_obs_{_uuid.uuid4().hex[:8]}"
+    with stream_shuffle_sizing(spark):
+        q = (observed.groupBy("event_type")
+                     .agg(F.count(F.lit(1)).alias("n"))
+                     .writeStream.format("memory").queryName(sink)
+                     .outputMode("complete")
+                     .trigger(availableNow=True).start())
+        q.awaitTermination()
+    totals = {"n_rows": 0, "n_negative_values": 0, "sum_value": 0.0,
+              "max_ts_us": None}
+    for progress in q.recentProgress:
+        for metrics in (progress.observedMetrics or {}).values():
+            totals["n_rows"] += metrics["n_rows"]
+            totals["n_negative_values"] += metrics["n_negative_values"]
+            totals["sum_value"] += metrics["sum_value"]
+            ts = metrics["max_ts_us"]
+            if totals["max_ts_us"] is None or (ts is not None
+                                               and ts > totals["max_ts_us"]):
+                totals["max_ts_us"] = ts
+    schema = T.StructType([
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_negative_values", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("max_ts_us", T.LongType()),
+    ])
+    return spark.createDataFrame(
+        [(totals["n_rows"], totals["n_negative_values"],
+          totals["sum_value"], totals["max_ts_us"])], schema)
