@@ -317,3 +317,92 @@ def test_transition_counts_sum_to_events_minus_users(spark, sf_dir):
     total = sum(r["n_transitions"]
                 for r in user_event_transitions(spark, sf_dir).collect())
     assert total == n_events - n_users
+
+
+@given(lengths=st.lists(st.integers(min_value=0, max_value=500),
+                        min_size=1, max_size=60))
+@prop
+def test_curriculum_rank_equals_sorted_enumerate(spark, tmp_path_factory,
+                                                 lengths):
+    """For ANY multiset of lengths, the bucketed global rank must
+    equal plain sorted-enumerate semantics (n_chars DESC, doc_id
+    ASC)."""
+    tmp = tmp_path_factory.mktemp("rank")
+    rows = [(i, "x", "en", "s", n) for i, n in enumerate(lengths)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    from de_project_airflow_etl_spark.operators.corpus_stats import (
+        curriculum_global_rank,
+    )
+    got = {r["doc_id"]: r["global_rank"]
+           for r in curriculum_global_rank(spark, str(tmp)).collect()}
+    expected = {doc_id: rank for rank, (doc_id, n) in enumerate(
+        sorted(enumerate(lengths), key=lambda p: (-p[1], p[0])), start=1)}
+    assert got == expected
+
+
+@given(vals=st.lists(
+    st.integers(min_value=-500_00, max_value=500_00),  # cents
+    min_size=3, max_size=40))
+@prop
+def test_mad_outliers_match_python_statistics(spark, tmp_path_factory,
+                                              vals):
+    """MAD gate vs a pure-python median reference for ANY value set:
+    identical median, MAD, and outlier count."""
+    import statistics
+
+    tmp = tmp_path_factory.mktemp("mad")
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(minutes=i), i, "t", c / 100.0, "{}")
+            for i, c in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    from de_project_airflow_etl_spark.operators.quality import (
+        MAD_K, mad_outlier_events,
+    )
+    row = mad_outlier_events(spark, str(tmp)).collect()[0]
+    med = statistics.median(vals)               # exact: ints or .5 steps
+    adev = [abs(c - med) for c in vals]
+    mad = statistics.median(adev)
+    n_out = sum(1 for d in adev if d > MAD_K * mad)
+    assert row["median_value"] == med / 100
+    assert row["mad_value"] == mad / 100
+    assert row["n_outliers"] == n_out
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from([f"t{i}" for i in range(30)]),  # 30 > VOCAB_K
+             min_size=1, max_size=12).map(" ".join),
+    min_size=1, max_size=25))
+@prop
+def test_tokenize_ids_roundtrip_in_vocab(spark, tmp_path_factory, texts):
+    """For ANY corpus over a tiny alphabet: every token sequence maps
+    to an id sequence of the same length, id 0 is exactly the OOV
+    channel, and in-vocab ids decode back to the original tokens."""
+    tmp = tmp_path_factory.mktemp("tok")
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    from collections import Counter
+
+    from de_project_airflow_etl_spark.operators.corpus_stats import (
+        VOCAB_K, tokenize_to_ids,
+    )
+    counts = Counter(tok for t in texts for tok in t.split(" "))
+    vocab = [tok for tok, _ in sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0]))][:VOCAB_K]
+    id_of = {tok: i + 1 for i, tok in enumerate(vocab)}
+    out = {r["doc_id"]: r for r in tokenize_to_ids(spark, str(tmp)).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        ids = out[i]["token_ids"]
+        assert len(ids) == len(toks) == out[i]["n_tokens"]
+        for tok, tid in zip(toks, ids):
+            assert tid == id_of.get(tok, 0)
+        assert out[i]["n_oov"] == sum(1 for tok in toks if tok not in id_of)
