@@ -294,3 +294,81 @@ def outlier_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.expr(f"({sql_cents('o_totalprice')} - ({_AVG_C})) / ({_SD_C})")
                        .alias("zscore"))
     )
+
+
+# ---------------------------------------------------- RFM segmentation
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                           (SELECT MAX(CAST(o_orderdate AS DATE))
+                            FROM orders)) AS recency_days,
+                 COUNT(*) AS frequency,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100 AS monetary
+          FROM orders
+          GROUP BY o_custkey
+        ),
+        scored AS (
+          SELECT o_custkey,
+                 NTILE(4) OVER (ORDER BY recency_days, o_custkey)
+                   AS r_quartile,
+                 NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)
+                   AS f_quartile,
+                 NTILE(4) OVER (ORDER BY monetary DESC, o_custkey)
+                   AS m_quartile,
+                 monetary
+          FROM per_cust
+        )
+        SELECT r_quartile, f_quartile, m_quartile,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(ROUND(monetary * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS segment_monetary
+        FROM scored
+        GROUP BY 1, 2, 3
+    """,
+    doc="RFM (recency/frequency/monetary) customer segmentation — the "
+        "classic warehouse marketing workload: per-customer recency "
+        "vs the corpus max date, order count, exact-cents spend, then "
+        "NTILE(4) quartiles on each axis (ties pinned by custkey) "
+        "rolled up into the 64-cell segment matrix. The NTILE windows "
+        "run over the AGGREGATED customer dimension (orders of "
+        "magnitude smaller than the fact table — the per-customer "
+        "aggregate is the only fact-scale shuffle); at extreme "
+        "dimension sizes the curriculum_global_rank bucketing "
+        "replaces the global window.",
+    tags=("aggregate", "window", "segmentation"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    max_date = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("corpus_max"))
+    per_cust = (o.groupBy("o_custkey")
+                 .agg(F.max(F.col("o_orderdate").cast("date")).alias("last"),
+                      F.count(F.lit(1)).alias("frequency"),
+                      (F.sum(F.round(F.col("o_totalprice") * 100)
+                              .cast("long")).cast("double") / 100)
+                      .alias("monetary"))
+                 .crossJoin(F.broadcast(max_date))
+                 .select("o_custkey",
+                         F.datediff("corpus_max", "last")
+                          .alias("recency_days"),
+                         "frequency", "monetary"))
+    scored = per_cust.select(
+        "o_custkey", "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey"))
+         .alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+         .alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+         .alias("m_quartile"))
+    return (scored.groupBy("r_quartile", "f_quartile", "m_quartile")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 (F.sum(F.round(F.col("monetary") * 100).cast("long"))
+                   .cast("double") / 100).alias("segment_monetary")))
