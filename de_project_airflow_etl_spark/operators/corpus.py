@@ -208,60 +208,96 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    s0 = docs.select("doc_id", "lang", "text",
-                     F.size(toks).alias("n_tokens"))
 
-    # stage 1: repetition gate (exact gopher plan, imported)
-    rep_keep = repetition_stats_plan(docs).filter("keep").select("doc_id")
-    s1 = s0.join(rep_keep, "doc_id", "left_semi")
+    # Per-doc gate flags, each derived ONCE; the funnel is conjunctive,
+    # so six stage aggregates over one flags relation replace the naive
+    # chain of filtered subframes (which re-executes every prefix —
+    # O(stages^2) corpus passes; review finding).
+    rep_keep = (repetition_stats_plan(docs).filter("keep")
+                .select("doc_id").withColumn("f_rep", F.lit(1)))
 
-    # stage 2: cross-doc boilerplate gate
     exploded = docs.select("doc_id",
                            F.explode(F.expr(_GRAMS_EXPR)).alias("gram"))
     boiler = (exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
                       .filter(F.col("df") >= BOILER_MIN_DF).select("gram"))
-    per_doc_boiler = (exploded.join(boiler.withColumn("b", F.lit(1)),
-                                    "gram", "left")
-                      .groupBy("doc_id")
-                      .agg(F.count(F.lit(1)).alias("n_grams"),
-                           F.sum(F.coalesce("b", F.lit(0))).alias("n_boiler")))
-    s2 = (s1.join(per_doc_boiler, "doc_id", "left")
-            .filter(F.col("n_grams").isNull()
-                    | (F.col("n_boiler") * BOILER_FRAC_DEN
-                       < F.col("n_grams") * BOILER_FRAC_NUM))
-            .select(*s1.columns))
+    boiler_keep = (exploded.join(boiler.withColumn("b", F.lit(1)),
+                                 "gram", "left")
+                   .groupBy("doc_id")
+                   .agg(F.count(F.lit(1)).alias("n_grams"),
+                        F.sum(F.coalesce("b", F.lit(0))).alias("n_boiler"))
+                   .filter(F.col("n_boiler") * BOILER_FRAC_DEN
+                           < F.col("n_grams") * BOILER_FRAC_NUM)
+                   .select("doc_id").withColumn("f_boil", F.lit(1)))
+    # docs with <5 tokens have no grams and pass the boilerplate gate
+    no_grams = (docs.filter(F.size(toks) < 5)
+                    .select("doc_id").withColumn("f_boil", F.lit(1)))
+    boiler_keep = boiler_keep.unionAll(no_grams)
 
-    # stage 3: benchmark decontamination
     grams = (docs.select("doc_id", toks.alias("toks"))
                  .filter(F.size("toks") >= NGRAM_N)
                  .select("doc_id", F.explode(_ngram_hashes()).alias("gh")))
-    eval_g = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gh").distinct()
+    eval_g = (grams.filter(F.col("doc_id") % EVAL_MOD == 0)
+                   .select("gh").distinct())
     contaminated = (grams.filter(F.col("doc_id") % EVAL_MOD != 0)
                          .join(F.broadcast(eval_g), "gh")
-                         .select("doc_id").distinct())
-    s3 = (s2.filter(F.col("doc_id") % EVAL_MOD != 0)
-            .join(contaminated, "doc_id", "left_anti"))
+                         .select("doc_id").distinct()
+                         .withColumn("contam", F.lit(1)))
 
-    # stage 4: exact dedup, keep lowest doc_id per content hash
-    keep_ids = (s3.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
-                  .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
-    s4 = s3.join(keep_ids, "doc_id", "left_semi")
+    dup_b = (_lsh_verified(spark, sf_dir)
+             .select(F.col("doc_b").alias("doc_id")).distinct()
+             .withColumn("is_dup_b", F.lit(1)))
 
-    # stage 5: near-dup removal against the shared verified pairs
-    dup_b = _lsh_verified(spark, sf_dir).select(
-        F.col("doc_b").alias("doc_id")).distinct()
-    s5 = s4.join(dup_b, "doc_id", "left_anti")
+    flagged = (docs.select("doc_id", "lang", "text",
+                           F.size(toks).alias("n_tokens"))
+                   .join(rep_keep, "doc_id", "left")
+                   .join(boiler_keep, "doc_id", "left")
+                   .join(contaminated, "doc_id", "left")
+                   .join(dup_b, "doc_id", "left")
+                   .select(
+                       "doc_id", "lang", "text", "n_tokens",
+                       F.col("f_rep").isNotNull().alias("f_rep"),
+                       F.col("f_boil").isNotNull().alias("f_boil"),
+                       ((F.col("doc_id") % EVAL_MOD != 0)
+                        & F.col("contam").isNull()).alias("f_dec"),
+                       F.col("is_dup_b").isNull().alias("f_near")))
 
-    stages = (s0, s1, s2, s3, s4, s5)
+    # exact-dedup keep set is defined over the decontaminated survivors
+    s3_docs = flagged.filter("f_rep AND f_boil AND f_dec")
+    keep_ids = (s3_docs.groupBy(F.md5(F.col("text").cast("binary"))
+                                .alias("h"))
+                       .agg(F.min("doc_id").alias("doc_id"))
+                       .select("doc_id").withColumn("k", F.lit(1)))
+    flagged = (flagged.join(keep_ids, "doc_id", "left")
+                      .select("doc_id", "lang", "n_tokens", "f_rep",
+                              "f_boil", "f_dec", "f_near",
+                              F.col("k").isNotNull().alias("f_exact"))
+                      # flags-only relation (text dropped): one corpus
+                      # pass materializes it; the six stage aggregates
+                      # below each scan ~5 small columns of it
+                      .localCheckpoint(eager=False))
+
+    conds = {
+        "0_raw": F.lit(True),
+        "1_repetition": F.col("f_rep"),
+        "2_boilerplate": F.col("f_rep") & F.col("f_boil"),
+        "3_decontaminated": F.col("f_rep") & F.col("f_boil")
+                            & F.col("f_dec"),
+        "4_exact_dedup": F.col("f_rep") & F.col("f_boil")
+                         & F.col("f_dec") & F.col("f_exact"),
+        "5_near_dedup": F.col("f_rep") & F.col("f_boil")
+                        & F.col("f_dec") & F.col("f_exact")
+                        & F.col("f_near"),
+    }
     parts = [
-        s.groupBy("lang")
-         .agg(F.count(F.lit(1)).alias("n_docs"),
-              F.sum("n_tokens").alias("total_tokens"))
-         .select(F.lit(key).alias("stage"), "lang", "n_docs",
-                 "total_tokens")
-        for key, s in zip(_STAGES, stages)
+        flagged.filter(conds[key])
+               .groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tokens").alias("total_tokens"))
+               .select(F.lit(key).alias("stage"), "lang", "n_docs",
+                       "total_tokens")
+        for key in _STAGES
     ]
     out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
+    for p_ in parts[1:]:
+        out = out.unionAll(p_)
     return out

@@ -520,6 +520,26 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- observed (piggyback) DQ
 
 
+def dq_observation_metrics() -> list:
+    """The DQ metric expressions shared by the batch and streaming
+    observation surfaces (observed_ingest_metrics and
+    streaming/ingest.streaming_observed_ingest_metrics) — ONE
+    definition so the two can never silently desynchronize. The value
+    sum is emitted as exact integer CENTS: per-batch doubles would
+    accumulate float error when a caller merges metrics across
+    micro-batches; integer cents sum exactly and divide once at the
+    end."""
+    return [
+        F.count(F.lit(1)).alias("n_rows"),
+        # coalesce: SUM over a zero-row batch observes NULL, and
+        # callers accumulate across batches with +=
+        F.coalesce(F.sum(F.when(F.col("value") < 0, 1).otherwise(0)),
+                   F.lit(0)).alias("n_negative_values"),
+        F.coalesce(F.sum(F.round(F.col("value") * 100).cast("long")),
+                   F.lit(0)).alias("sum_value_cents"),
+    ]
+
+
 @query(
     "observed_ingest_metrics",
     oracle="""
@@ -550,14 +570,8 @@ def observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     obs = Observation(f"dq_{_uuid.uuid4().hex[:8]}")
-    observed = e.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
-         .alias("n_negative_values"),
-        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-         / 100).alias("sum_value"),
-        F.max("ts").alias("max_ts"))
+    observed = e.observe(obs, *dq_observation_metrics(),
+                         F.max("ts").alias("max_ts"))
     # the observation piggybacks on the pipeline's own action
     observed.filter(F.col("event_type") == "purchase").count()
     m = obs.get
@@ -568,5 +582,5 @@ def observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("max_ts", T.TimestampType()),
     ])
     return spark.createDataFrame(
-        [(m["n_rows"], m["n_negative_values"], m["sum_value"],
-          m["max_ts"])], schema)
+        [(m["n_rows"], m["n_negative_values"],
+          m["sum_value_cents"] / 100, m["max_ts"])], schema)

@@ -817,9 +817,11 @@ def knn_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_norm = float(np.sqrt(np.cumsum(qv * qv)[-1]))
         for batch in batches:
             emb = batch.column("embedding")
-            # FixedSizeList/List of float -> (n, d) float64 matrix,
-            # zero-copy from the Arrow buffers where possible
-            flat = np.asarray(emb.values, dtype=np.float64)
+            # FixedSizeList/List of float -> (n, d) float64 matrix.
+            # flatten(), not .values: .values returns the raw child
+            # buffer IGNORING the array's offset, which silently
+            # shifts every row if a sliced batch ever arrives.
+            flat = np.asarray(emb.flatten(), dtype=np.float64)
             mat = flat.reshape(len(batch), -1)
             dots = np.cumsum(mat * qv, axis=1)[:, -1]
             norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])

@@ -62,15 +62,25 @@ def bnlj_builds_are_scalar(df: DataFrame) -> list[str]:
     offenders: list[str] = []
     jplan = df._jdf.queryExecution().sparkPlan()
 
-    def has_global_agg(side) -> bool:
-        for m in _walk_jplan(side):
-            if "Aggregate" in m.getClass().getSimpleName():
+    def is_scalar_side(side) -> bool:
+        """True iff the side's ROOT REGION is a global (no-grouping)
+        aggregate — i.e. the subtree produces one row. Peeling only
+        unary wrappers (Project/Filter/Exchange/...) is what makes
+        this sound: a data x data join ABOVE scalar subtrees peels
+        into the 2-child join node and is rejected, even though
+        global aggregates exist deeper in both branches."""
+        node = side
+        while True:
+            cls = node.getClass().getSimpleName()
+            if "Aggregate" in cls:
                 try:
-                    if m.groupingExpressions().isEmpty():
-                        return True
+                    return node.groupingExpressions().isEmpty()
                 except Exception:  # py4j: node without the accessor
-                    continue
-        return False
+                    return False
+            children = node.children()
+            if children.size() != 1:
+                return False
+            node = children.apply(0)
 
     # NOTE: sparkPlan() precedes EnsureRequirements, so the
     # BroadcastExchange wrapper is not in the tree yet — the BNLJ
@@ -81,6 +91,6 @@ def bnlj_builds_are_scalar(df: DataFrame) -> list[str]:
             continue
         children = node.children()
         sides = [children.apply(i) for i in range(children.size())]
-        if not any(has_global_agg(s) for s in sides):
+        if not any(is_scalar_side(s) for s in sides):
             offenders.append(node.simpleStringWithNodeId())
     return offenders

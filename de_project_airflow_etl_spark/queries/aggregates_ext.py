@@ -301,15 +301,14 @@ def outlier_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rfm_customer_segments",
-    oracle="""
+    oracle=f"""
         WITH per_cust AS (
           SELECT o_custkey,
                  date_diff('day', MAX(CAST(o_orderdate AS DATE)),
                            (SELECT MAX(CAST(o_orderdate AS DATE))
                             FROM orders)) AS recency_days,
                  COUNT(*) AS frequency,
-                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                      AS DOUBLE) / 100 AS monetary
+                 CAST(SUM({sql_cents('o_totalprice')}) AS DOUBLE) / 100 AS monetary
           FROM orders
           GROUP BY o_custkey
         ),
@@ -326,7 +325,7 @@ def outlier_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT r_quartile, f_quartile, m_quartile,
                COUNT(*) AS n_customers,
-               CAST(SUM(CAST(ROUND(monetary * 100) AS BIGINT))
+               CAST(SUM({sql_cents('monetary')})
                     AS DOUBLE) / 100 AS segment_monetary
         FROM scored
         GROUP BY 1, 2, 3
@@ -352,8 +351,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (o.groupBy("o_custkey")
                  .agg(F.max(F.col("o_orderdate").cast("date")).alias("last"),
                       F.count(F.lit(1)).alias("frequency"),
-                      (F.sum(F.round(F.col("o_totalprice") * 100)
-                              .cast("long")).cast("double") / 100)
+                      (F.sum(cents("o_totalprice")).cast("double") / 100)
                       .alias("monetary"))
                  .crossJoin(F.broadcast(max_date))
                  .select("o_custkey",
@@ -370,5 +368,5 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("m_quartile"))
     return (scored.groupBy("r_quartile", "f_quartile", "m_quartile")
             .agg(F.count(F.lit(1)).alias("n_customers"),
-                 (F.sum(F.round(F.col("monetary") * 100).cast("long"))
-                   .cast("double") / 100).alias("segment_monetary")))
+                 (F.sum(cents("monetary")).cast("double") / 100)
+                  .alias("segment_monetary")))

@@ -192,14 +192,14 @@ def streaming_observed_ingest_metrics(spark: SparkSession,
 
     from pyspark.sql import types as T
 
+    from de_project_airflow_etl_spark.operators.quality import (
+        dq_observation_metrics,
+    )
+
     stream = read_event_stream(spark, sf_dir, with_watermark=None)
     observed = stream.observe(
         f"ingest_dq_{_uuid.uuid4().hex[:8]}",
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
-         .alias("n_negative_values"),
-        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-         / 100).alias("sum_value"),
+        *dq_observation_metrics(),
         F.unix_micros(F.max("ts")).alias("max_ts_us"))
     sink = f"stream_obs_{_uuid.uuid4().hex[:8]}"
     with stream_shuffle_sizing(spark):
@@ -209,13 +209,16 @@ def streaming_observed_ingest_metrics(spark: SparkSession,
                      .outputMode("complete")
                      .trigger(availableNow=True).start())
         q.awaitTermination()
-    totals = {"n_rows": 0, "n_negative_values": 0, "sum_value": 0.0,
+    # cross-batch accumulation in exact integer cents — dividing once
+    # at the end instead of summing per-batch doubles keeps the result
+    # bit-equal to the oracle's SUM(cents)/100 under ANY batching
+    totals = {"n_rows": 0, "n_negative_values": 0, "sum_value_cents": 0,
               "max_ts_us": None}
     for progress in q.recentProgress:
         for metrics in (progress.observedMetrics or {}).values():
             totals["n_rows"] += metrics["n_rows"]
             totals["n_negative_values"] += metrics["n_negative_values"]
-            totals["sum_value"] += metrics["sum_value"]
+            totals["sum_value_cents"] += metrics["sum_value_cents"]
             ts = metrics["max_ts_us"]
             if totals["max_ts_us"] is None or (ts is not None
                                                and ts > totals["max_ts_us"]):
@@ -228,4 +231,4 @@ def streaming_observed_ingest_metrics(spark: SparkSession,
     ])
     return spark.createDataFrame(
         [(totals["n_rows"], totals["n_negative_values"],
-          totals["sum_value"], totals["max_ts_us"])], schema)
+          totals["sum_value_cents"] / 100, totals["max_ts_us"])], schema)
