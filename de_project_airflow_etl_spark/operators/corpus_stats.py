@@ -331,3 +331,109 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count(F.lit(1)).alias("n_tokens"),
                     F.sum(F.when(F.col("tok_id").isNull(), 1)
                            .otherwise(0)).alias("n_oov")))
+
+
+# ------------------------------------------------ source scorecard
+
+
+@query(
+    "source_quality_scorecard",
+    oracle=f"""
+        WITH rep AS (
+          SELECT doc_id, source,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                 (len(list_distinct(string_split(text, ' ')))
+                    / len(string_split(text, ' ')) >= 0.55
+                  AND list_max(list_transform(
+                        list_distinct(string_split(text, ' ')),
+                        w -> len(list_filter(string_split(text, ' '),
+                                             x -> x = w))))
+                      / len(string_split(text, ' ')) <= 0.12) AS keep
+          FROM documents
+        ),
+        {_SQL_GRAMS},
+        per_doc_b AS (
+          SELECT e.doc_id, COUNT(*) AS n_grams,
+                 SUM(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS n_boiler
+          FROM exploded e LEFT JOIN boiler b USING (gram)
+          GROUP BY 1
+        ),
+        toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        vocab AS (
+          SELECT tok FROM toks GROUP BY tok
+          ORDER BY COUNT(*) DESC, tok LIMIT {VOCAB_K}
+        ),
+        oov AS (
+          SELECT t.doc_id,
+                 SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+          FROM toks t LEFT JOIN vocab v USING (tok)
+          GROUP BY 1
+        )
+        SELECT r.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN r.keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_repetition_keep,
+               CAST(SUM(r.n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(SUM(r.n_distinct) AS BIGINT) AS sum_distinct_tokens,
+               CAST(SUM(COALESCE(pb.n_boiler, 0)) AS BIGINT)
+                 AS sum_boiler_grams,
+               CAST(SUM(COALESCE(pb.n_grams, 0)) AS BIGINT) AS sum_grams,
+               CAST(SUM(o.n_oov) AS BIGINT) AS sum_oov
+        FROM rep r
+        LEFT JOIN per_doc_b pb USING (doc_id)
+        JOIN oov o USING (doc_id)
+        GROUP BY r.source
+    """,
+    doc="Per-source quality scorecard — the report a curation team "
+        "reads to decide which sources to keep, composing three "
+        "already-verified per-document relations in one pass each: "
+        "repetition keep-rate (gopher thresholds), boilerplate gram "
+        "fractions (cross-doc df inverted index), and OOV sums "
+        "against the top-20 vocabulary. All integer sums, so the "
+        "per-source rollup is exact; rates are left to the reader "
+        "(ratios of exact integers) rather than averaged doubles.",
+    tags=("curation", "quality", "report"),
+)
+def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.operators.quality import (
+        repetition_stats_plan,
+    )
+    docs = load(spark, sf_dir, "documents")
+    rep = (repetition_stats_plan(docs)
+           .join(docs.select("doc_id", "source"), "doc_id")
+           .select("doc_id", "source", "n_tokens", "n_distinct", "keep"))
+    exploded = docs.select("doc_id",
+                           F.explode(F.expr(_GRAMS_EXPR)).alias("gram"))
+    boiler = (exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+                      .filter(F.col("df") >= BOILER_MIN_DF).select("gram"))
+    per_doc_b = (exploded.join(boiler.withColumn("b", F.lit(1)),
+                               "gram", "left")
+                 .groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_grams"),
+                      F.sum(F.coalesce("b", F.lit(0))).alias("n_boiler")))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+                 .orderBy(F.desc("c"), F.asc("tok")).limit(VOCAB_K)
+                 .select("tok"))
+    oov = (toks.join(F.broadcast(vocab.withColumn("v", F.lit(1))),
+                     "tok", "left")
+               .groupBy("doc_id")
+               .agg(F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+                     .alias("n_oov")))
+    return (rep.join(per_doc_b, "doc_id", "left")
+               .join(oov, "doc_id")
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                     .alias("n_repetition_keep"),
+                    F.sum("n_tokens").alias("sum_tokens"),
+                    F.sum("n_distinct").alias("sum_distinct_tokens"),
+                    F.sum(F.coalesce("n_boiler", F.lit(0)))
+                     .alias("sum_boiler_grams"),
+                    F.sum(F.coalesce("n_grams", F.lit(0)))
+                     .alias("sum_grams"),
+                    F.sum("n_oov").alias("sum_oov")))

@@ -591,3 +591,47 @@ def recursive_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.bucket, COALESCE(r.n, CAST(0 AS BIGINT)) AS n_rare
         FROM spine s LEFT JOIN rare r ON s.bucket = r.bucket
     """)
+
+
+@query(
+    "daily_value_quartile_bands",
+    oracle="""
+        WITH e AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cv
+          FROM events
+        )
+        SELECT day, event_type,
+               COUNT(*) AS n_events,
+               quantile_cont(cv, 0.25) / 100 AS p25,
+               quantile_cont(cv, 0.50) / 100 AS p50,
+               quantile_cont(cv, 0.75) / 100 AS p75
+        FROM e
+        GROUP BY 1, 2
+    """,
+    doc="Daily value quartile bands per event type — the percentile "
+        "trend panel every ops dashboard draws. Exact interpolated "
+        "quartiles over integer cents: 0.25/0.5/0.75 are exactly "
+        "representable in binary, so pos = p*(n-1), its fractional "
+        "part, and the (b-a)*frac interpolation are ALL exact IEEE "
+        "operations on both engines regardless of their interpolation "
+        "formula — which is precisely why this query uses quartiles "
+        "and not p95 (0.95 is inexact and the engines' formulae may "
+        "round the last ulp differently). One sort-based aggregate "
+        "per group; groups (day x type) are small and numerous, so "
+        "the per-group sort parallelizes.",
+    tags=("timeseries", "quantile", "aggregate"),
+)
+def daily_value_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day as midnight TIMESTAMP: DuckDB DATE lands in pandas as
+    # datetime64, so a Spark DATE would string-render differently
+    # (same convention as events_time_rollup).
+    e = (load(spark, sf_dir, "events")
+         .select(F.col("ts").cast("date").cast("timestamp").alias("day"),
+                 "event_type",
+                 F.round(F.col("value") * 100).cast("long").alias("cv")))
+    return (e.groupBy("day", "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  (F.expr("percentile(cv, 0.25)") / 100).alias("p25"),
+                  (F.expr("percentile(cv, 0.50)") / 100).alias("p50"),
+                  (F.expr("percentile(cv, 0.75)") / 100).alias("p75")))
