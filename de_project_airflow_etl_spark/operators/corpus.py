@@ -118,10 +118,22 @@ def _release_oracle() -> str:
     return f"""
         WITH {_sql_lsh_pairs()},
         {_SQL_GRAMS},
+        uniq_docs AS (
+          -- boilerplate df over DEDUPLICATED text: byte-identical
+          -- copies must not make each other "boilerplate", or the
+          -- gate annihilates BOTH copies of every duplicated doc
+          -- before exact dedup can keep its canonical one
+          SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        ),
+        boiler_u AS (
+          SELECT e.gram FROM exploded e
+          JOIN uniq_docs u USING (doc_id)
+          GROUP BY e.gram HAVING COUNT(*) >= 2
+        ),
         per_doc_boiler AS (
           SELECT e.doc_id, COUNT(*) AS n_grams,
                  SUM(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS n_boiler
-          FROM exploded e LEFT JOIN boiler b USING (gram)
+          FROM exploded e LEFT JOIN boiler_u b ON b.gram = e.gram
           GROUP BY 1
         ),
         ngrams AS (
@@ -218,7 +230,16 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exploded = docs.select("doc_id",
                            F.explode(F.expr(_GRAMS_EXPR)).alias("gram"))
-    boiler = (exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # boilerplate df over DEDUPLICATED text (min doc_id per text):
+    # byte-identical copies must not make each other "boilerplate",
+    # or this gate annihilates BOTH copies of every duplicated doc
+    # and the exact-dedup stage (which keeps a canonical copy)
+    # becomes unreachable for them — surfaced by the 50k planted
+    # funnel stress.
+    uniq_ids = (docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+                    .select("doc_id"))
+    boiler = (exploded.join(uniq_ids, "doc_id", "left_semi")
+                      .groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
                       .filter(F.col("df") >= BOILER_MIN_DF).select("gram"))
     boiler_keep = (exploded.join(boiler.withColumn("b", F.lit(1)),
                                  "gram", "left")

@@ -1,0 +1,131 @@
+"""Scale-shaped stress for the corpus_release_manifest capstone: a
+50k-document corpus with PLANTED per-stage classes, checked against a
+pure-Python reference implementation of the whole funnel.
+
+Classes (by doc_id % 10):
+* 1 -> degenerate repetition (one token x20, unique per doc): must die
+  at the repetition gate;
+* 2 -> boilerplate (a shared 10-token segment + 10 unique tokens —
+  identical FULL texts would be duplicates, not boilerplate, under
+  the manifest's dedup-safe gram df): passes the repetition gate,
+  dies at the boilerplate gate (6/16 grams sit inside the shared
+  segment, over the 20% threshold);
+* 3 -> exact copy of the preceding clean doc (doc_id - 3): survives
+  the gates, dies at exact dedup (keep-lowest-id);
+* else -> clean hash-unique text over a 100k-token vocabulary (3-gram
+  space ~1e15, so cross-doc gram collisions are absent and the python
+  reference's set arithmetic is exact).
+
+Eval membership (doc_id % 97 == 0) cuts across all classes — the
+python reference applies the same conjunctive funnel, so the
+interactions (an eval boiler doc, a contaminated clean doc) are
+covered without hand-counting.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+N_DOCS = 50_000
+EVAL_MOD = 97            # must match operators/curation.py
+GRAM_N = 5               # must match operators/corpus_stats.py
+NGRAM_N = 3              # must match operators/curation.py
+
+
+def _texts() -> list[str]:
+    rng = random.Random(42)
+    boiler_seg = " ".join(f"b{i}" for i in range(10))
+    out = []
+    for i in range(N_DOCS):
+        cls = i % 10
+        if cls == 1:
+            out.append(" ".join([f"r{i}"] * 20))
+        elif cls == 2:
+            out.append(boiler_seg + " " + " ".join(
+                f"u{rng.randrange(100_000)}" for _ in range(10)))
+        elif cls == 3:
+            out.append(out[i - 3])      # exact copy of a clean doc
+        else:
+            out.append(" ".join(
+                f"t{rng.randrange(100_000)}" for _ in range(20)))
+    return out
+
+
+def _python_funnel(texts: list[str]) -> dict[str, tuple[int, int]]:
+    """Reference implementation of stages 0-5 (stage 5 expects no
+    near-dups among the planted classes that reach it)."""
+    toks = [t.split(" ") for t in texts]
+    n_tok = [len(ts) for ts in toks]
+
+    def survives_repetition(ts: list[str]) -> bool:
+        c = Counter(ts)
+        return (len(c) / len(ts) >= 0.55
+                and max(c.values()) / len(ts) <= 0.12)
+
+    s1 = [i for i in range(N_DOCS) if survives_repetition(toks[i])]
+
+    grams = {i: {" ".join(toks[i][j:j + GRAM_N])
+                 for j in range(len(toks[i]) - GRAM_N + 1)}
+             for i in range(N_DOCS)}
+    # df over deduplicated text (min doc_id per unique text) — the
+    # manifest's dedup-safe boilerplate definition
+    uniq = {}
+    for i, t in enumerate(texts):
+        uniq.setdefault(t, i)
+    df = Counter(g for i in uniq.values() for g in grams[i])
+    def boiler_frac_ok(i: int) -> bool:
+        gs = grams[i]
+        if not gs:
+            return True
+        n_boiler = sum(1 for g in gs if df[g] >= 2)
+        return n_boiler * 5 < len(gs) * 1
+    s2 = [i for i in s1 if boiler_frac_ok(i)]
+
+    ngrams = {i: {" ".join(toks[i][j:j + NGRAM_N])
+                  for j in range(len(toks[i]) - NGRAM_N + 1)}
+              for i in range(N_DOCS)}
+    eval_grams = set().union(*(ngrams[i] for i in range(N_DOCS)
+                               if i % EVAL_MOD == 0))
+    s3 = [i for i in s2 if i % EVAL_MOD != 0
+          and not (ngrams[i] & eval_grams)]
+
+    keep: dict[str, int] = {}
+    for i in s3:
+        keep.setdefault(texts[i], i)
+    kept = set(keep.values())
+    s4 = [i for i in s3 if i in kept]
+    s5 = s4  # no near-dups planted among survivors
+
+    stages = {"0_raw": range(N_DOCS), "1_repetition": s1,
+              "2_boilerplate": s2, "3_decontaminated": s3,
+              "4_exact_dedup": s4, "5_near_dedup": s5}
+    return {k: (len(list(v)), sum(n_tok[i] for i in v))
+            for k, v in stages.items()}
+
+
+def test_release_funnel_matches_python_reference_at_50k(spark, tmp_path):
+    texts = _texts()
+    rows = [(i, t, "en", "synth", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    from de_project_airflow_etl_spark.operators.corpus import (
+        corpus_release_manifest,
+    )
+    from de_project_airflow_etl_spark.operators.dedup import (
+        clear_pairs_cache,
+    )
+    got = {r["stage"]: (r["n_docs"], r["total_tokens"])
+           for r in corpus_release_manifest(spark, str(tmp_path)).collect()}
+    clear_pairs_cache()
+    expected = _python_funnel(texts)
+    assert got == expected
+    # the planted classes actually exercised their stages
+    n0, n1 = expected["0_raw"][0], expected["1_repetition"][0]
+    assert n0 - n1 >= N_DOCS // 10               # repetition drops
+    assert n1 - expected["2_boilerplate"][0] >= N_DOCS // 10 - 1
+    assert expected["3_decontaminated"][0] < expected["2_boilerplate"][0]
+    assert expected["4_exact_dedup"][0] < expected["3_decontaminated"][0]
