@@ -652,25 +652,35 @@ def daily_value_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
         GROUP BY d.day
     """,
-    doc="Rolling 7-day distinct users (WAU) per day — EXACT, via "
-        "per-day user sets merged over a 6-preceding-days RANGE "
-        "window: the corpus collapses to one set row per day before "
-        "any window work, so the window input is #days rows no "
-        "matter the event volume. This is the exact sibling of "
-        "weekly_users_hll_rollup: at 100 TB per-day exact sets grow "
-        "with cardinality and the HLL sketch rollup (mergeable, "
-        "fixed-size) takes over with the same merge shape.",
+    doc="Rolling 7-day distinct users (WAU) per day — EXACT, and "
+        "scale-safe with no global window: each distinct (day, user) "
+        "pair is exploded into the <=7 window days it contributes to "
+        "(sequence(day, day+6)), then a plain "
+        "groupBy(window_day).countDistinct(user_id) — Spark's "
+        "standard two-phase distinct, fully parallel on the day key. "
+        "Row replication is bounded at 7x the distinct pairs; no "
+        "task ever holds a per-day user set. Output days are "
+        "semi-joined (broadcast, #days rows) to the days actually "
+        "present, matching the oracle's days CTE. This is the exact "
+        "sibling of weekly_users_hll_rollup: at extreme user "
+        "cardinality the HLL sketch rollup (mergeable, fixed-size) "
+        "takes over with the same merge shape.",
     tags=("timeseries", "window", "distinct"),
 )
 def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    daily_sets = (ev.groupBy(F.col("ts").cast("date").alias("day"))
-                    .agg(F.collect_set("user_id").alias("users"))
-                    .withColumn("day_no",
-                                F.datediff("day", F.lit("1970-01-01"))))
-    w = (Window.orderBy("day_no").rangeBetween(-6, 0))
-    return (daily_sets
-            .select(F.col("day").cast("timestamp").alias("day"),
-                    F.size(F.array_distinct(
-                        F.flatten(F.collect_list("users").over(w))))
-                     .cast("long").alias("wau")))
+    ev = (load(spark, sf_dir, "events")
+          .select(F.col("ts").cast("date").alias("day"), "user_id"))
+    observed_days = ev.select("day").distinct()
+    # distinct (day, user) first: map-side partial dedup shrinks the
+    # 7x explode input to active-users-per-day, not raw event volume.
+    contrib = (ev.distinct()
+                 .select(F.explode(
+                             F.sequence(F.col("day"),
+                                        F.date_add(F.col("day"), 6)))
+                          .alias("day"),
+                         "user_id"))
+    return (contrib
+            .join(F.broadcast(observed_days), "day", "left_semi")
+            .groupBy("day")
+            .agg(F.count_distinct("user_id").alias("wau"))
+            .select(F.col("day").cast("timestamp").alias("day"), "wau"))

@@ -1,0 +1,68 @@
+"""High-cardinality stress for the exact rolling-7-day WAU plan:
+1M events / 40 days / ~150k distinct users, generated DISTRIBUTED
+(spark.range, no driver-side data). The re-planned
+``rolling_7d_distinct_users`` (explode-into-contributing-days +
+two-phase distinct) must match the DuckDB oracle exactly AND its
+physical plan must contain neither a Window operator nor a
+single-partition exchange — the two shapes the old set-window plan
+would have shown.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import duckdb
+
+from de_project_airflow_etl_spark.plans.inspect import formatted_plan
+from de_project_airflow_etl_spark.registry import all_queries
+from tests.harness import compare
+
+N_EVENTS = 1_000_000
+N_DAYS = 40
+N_USERS = 150_000
+
+
+@pytest.fixture(scope="module")
+def wau_corpus(spark, tmp_path_factory):
+    """Events spread over N_DAYS days; user ids hash-derived so daily
+    active sets overlap heavily (the worst case for per-day user-set
+    materialization the old plan relied on)."""
+    tmp = tmp_path_factory.mktemp("wau")
+    ev = spark.range(N_EVENTS).selectExpr(
+        "id AS event_id",
+        f"timestamp'2024-03-01 00:00:00' + make_interval(0, 0, 0, "
+        f"CAST(pmod(hash(id), {N_DAYS}) AS INT), 0, 0, "
+        f"CAST(pmod(hash(id * 7 + 1), 86400) AS INT)) AS ts",
+        f"pmod(hash(id * 13 + 2), {N_USERS}) AS user_id",
+        "'click' AS event_type",
+        "1.0 AS value",
+        "'{}' AS props",
+    )
+    ev.write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    return str(tmp)
+
+
+def test_wau_exact_at_high_cardinality(spark, wau_corpus):
+    q = all_queries()["rolling_7d_distinct_users"]
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{wau_corpus}/events.parquet/*.parquet'")
+        duck = con.execute(q.oracle).df()
+    finally:
+        con.close()
+    df = q.fn(spark, wau_corpus)
+    assert compare(df, duck, "rolling_7d_distinct_users@1M") == []
+    assert df.count() == N_DAYS
+
+
+def test_wau_plan_has_no_global_window(spark, wau_corpus):
+    q = all_queries()["rolling_7d_distinct_users"]
+    plan = formatted_plan(q.fn(spark, wau_corpus))
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    # the explode must appear (Generate) and the observed-days
+    # restriction must be a broadcast semi join, not a shuffle
+    assert "Generate" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
