@@ -283,15 +283,33 @@ def _lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ n-gram jaccard
 
+# Document-frequency cap on the shingle inverted index: a shingle in k
+# docs contributes k*(k-1)/2 candidate rows to the self-join, so one
+# boilerplate phrase shared by 100k docs is a 5e9-row blowup. Shingles
+# above the cap are dropped from BOTH the intersection and each doc's
+# set size (standard stop-shingle removal — boilerplate carries no
+# near-dup signal). 100 is a no-op at test scales (max df: 7 @ sf0.01,
+# 25 @ sf0.1) and bounds candidates at cap*df_total/2 at 100 TB.
+NGRAM_DF_CAP = 100
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
         WITH {_SQL_SHINGLED},
         shing AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
-        cnt AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+        keepers AS (
+          SELECT shingle FROM shing
+          GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CAP}
+        ),
+        kept AS (
+          SELECT s.doc_id, s.shingle FROM shing s
+          JOIN keepers k ON s.shingle = k.shingle
+        ),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
         inter AS (
           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
-          FROM shing x JOIN shing y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
           GROUP BY 1, 2
         )
         SELECT i.doc_a, i.doc_b,
@@ -303,15 +321,26 @@ def _lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact n-gram Jaccard pairs (threshold 0.2) via the inverted "
         "shingle->doc join — the exact counterpart the LSH variant "
-        "approximates. At 100 TB you gate this behind LSH; the join "
-        "itself only pairs docs sharing a shingle, never all pairs.",
+        "approximates. Shingles in more than NGRAM_DF_CAP docs are "
+        "dropped before the self-join (stop-shingle removal), keeping "
+        "the candidate count linear in corpus size even under heavy "
+        "boilerplate. At 100 TB you still gate this behind LSH; the "
+        "join itself only pairs docs sharing a sub-cap shingle, never "
+        "all pairs.",
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
     shing = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    cnt = sh.select("doc_id", F.size("shingles").alias("n"))
-    sx, sy = shing.alias("sx"), shing.alias("sy")
+    # stop-shingle removal: df aggregate is map-side combinable; the
+    # keep-join shuffles on the same shingle key the self-join uses.
+    keepers = (shing.groupBy("shingle")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                    .filter(F.col("df") <= NGRAM_DF_CAP)
+                    .select("shingle"))
+    kept = shing.join(keepers, "shingle")
+    cnt = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sx, sy = kept.alias("sx"), kept.alias("sy")
     inter = (
         sx.join(sy, (F.col("sx.shingle") == F.col("sy.shingle"))
                     & (F.col("sx.doc_id") < F.col("sy.doc_id")))

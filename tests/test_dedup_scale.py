@@ -88,3 +88,52 @@ def test_incremental_dedup_classifies_planted_copies(spark, tmp_path):
     assert counts.get("dup_near_corpus", 0) == 0
     assert counts.get("dup_near_batch", 0) == 0
     dedup.clear_pairs_cache()
+
+
+N_BOILER = 20_000
+BOILER_PLANT_EVERY = 1_000
+
+
+def test_jaccard_df_cap_keeps_candidates_linear(spark, tmp_path):
+    """20k docs ALL sharing one boilerplate shingle (df = 20k, way past
+    NGRAM_DF_CAP), planted exact dups every 1000th doc. Without the
+    cap the shared shingle alone contributes C(20k,2) = 2e8 candidate
+    rows; with it the candidate count must stay linear and the result
+    must be exactly the planted pairs at Jaccard 1.0."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(N_BOILER).selectExpr(
+        "id AS doc_id",
+        f"CASE WHEN id % {BOILER_PLANT_EVERY} = 0 AND id > 0 "
+        f"THEN id - 1 ELSE id END AS seed",
+    ).selectExpr(
+        "doc_id",
+        # every doc opens with the same 3-token boilerplate phrase,
+        # then 12 seed-derived tokens from a wide vocab (no ambient
+        # shingle collisions)
+        "concat_ws(' ', 'common boiler plate', concat_ws(' ', "
+        "transform(sequence(0, 11), j -> "
+        "concat('u', pmod(hash(seed * 977 + j), 1000000))))) AS text",
+        "'en' AS lang", "'synth' AS source",
+    ).selectExpr("doc_id", "text", "lang", "source",
+                 "length(text) AS n_chars")
+    out = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    rows = dedup.dedup_ngram_jaccard(spark, out).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in rows}
+    planted = {(i - 1, i)
+               for i in range(BOILER_PLANT_EVERY, N_BOILER, BOILER_PLANT_EVERY)}
+    assert found == planted
+    assert all(r["jaccard"] == 1.0 for r in rows)
+
+    # direct linearity check: total self-join candidate rows over the
+    # capped inverted index = sum_g C(df_g, 2), must be O(n) not n^2
+    sh = dedup._shingled(spark, out).select(
+        "doc_id", F.explode("shingles").alias("shingle"))
+    cands = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") <= dedup.NGRAM_DF_CAP)
+               .agg(F.sum(F.expr("df * (df - 1) / 2")).alias("c"))
+               .collect()[0]["c"])
+    assert cands < 10 * N_BOILER, cands
+    dedup.clear_pairs_cache()
