@@ -101,7 +101,7 @@ _STAGES = ("0_raw", "1_repetition", "2_boilerplate",
 
 def _release_oracle() -> str:
     from de_project_airflow_etl_spark.operators.corpus_stats import (
-        _SQL_GRAMS, BOILER_FRAC_DEN, BOILER_FRAC_NUM,
+        _SQL_GRAMS, BOILER_FRAC_DEN, BOILER_FRAC_NUM, BOILER_MIN_DF,
     )
     from de_project_airflow_etl_spark.operators.curation import (
         _SQL_NGRAMS, EVAL_MOD, NGRAM_N,
@@ -128,7 +128,7 @@ def _release_oracle() -> str:
         boiler_u AS (
           SELECT e.gram FROM exploded e
           JOIN uniq_docs u USING (doc_id)
-          GROUP BY e.gram HAVING COUNT(*) >= 2
+          GROUP BY e.gram HAVING COUNT(*) >= {BOILER_MIN_DF}
         ),
         per_doc_boiler AS (
           SELECT e.doc_id, COUNT(*) AS n_grams,
@@ -179,8 +179,13 @@ def _release_oracle() -> str:
           WHERE doc_id IN (SELECT MIN(doc_id) FROM s3 GROUP BY md5(text))
         ),
         s5 AS (
+          -- keep-earliest-SURVIVOR: doc_b is removed only when its
+          -- canonical doc_a itself survived stage 4; a pair whose
+          -- canonical was gated earlier keeps its doc_b copy
           SELECT * FROM s4
-          WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+          WHERE doc_id NOT IN (
+            SELECT doc_b FROM pairs
+            WHERE doc_a IN (SELECT doc_id FROM s4))
         )
         {stage_select}
     """
@@ -264,23 +269,17 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .select("doc_id").distinct()
                          .withColumn("contam", F.lit(1)))
 
-    dup_b = (_lsh_verified(spark, sf_dir)
-             .select(F.col("doc_b").alias("doc_id")).distinct()
-             .withColumn("is_dup_b", F.lit(1)))
-
     flagged = (docs.select("doc_id", "lang", "text",
                            F.size(toks).alias("n_tokens"))
                    .join(rep_keep, "doc_id", "left")
                    .join(boiler_keep, "doc_id", "left")
                    .join(contaminated, "doc_id", "left")
-                   .join(dup_b, "doc_id", "left")
                    .select(
                        "doc_id", "lang", "text", "n_tokens",
                        F.col("f_rep").isNotNull().alias("f_rep"),
                        F.col("f_boil").isNotNull().alias("f_boil"),
                        ((F.col("doc_id") % EVAL_MOD != 0)
-                        & F.col("contam").isNull()).alias("f_dec"),
-                       F.col("is_dup_b").isNull().alias("f_near")))
+                        & F.col("contam").isNull()).alias("f_dec")))
 
     # exact-dedup keep set is defined over the decontaminated survivors
     s3_docs = flagged.filter("f_rep AND f_boil AND f_dec")
@@ -290,8 +289,25 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .select("doc_id").withColumn("k", F.lit(1)))
     flagged = (flagged.join(keep_ids, "doc_id", "left")
                       .select("doc_id", "lang", "n_tokens", "f_rep",
-                              "f_boil", "f_dec", "f_near",
-                              F.col("k").isNotNull().alias("f_exact"))
+                              "f_boil", "f_dec",
+                              F.col("k").isNotNull().alias("f_exact")))
+
+    # near-dup screen, keep-earliest-SURVIVOR: a verified pair's doc_b
+    # is removed only when its canonical doc_a itself survived stage 4
+    # — a pair whose canonical was gated earlier keeps its doc_b copy
+    # (one extra semi-join against the stage-4 id set; previously both
+    # copies could be lost; review finding)
+    s4_ids = (flagged.filter("f_rep AND f_boil AND f_dec AND f_exact")
+                     .select("doc_id"))
+    dup_b = (_lsh_verified(spark, sf_dir)
+             .join(s4_ids.withColumnRenamed("doc_id", "doc_a"),
+                   "doc_a", "left_semi")
+             .select(F.col("doc_b").alias("doc_id")).distinct()
+             .withColumn("is_dup_b", F.lit(1)))
+    flagged = (flagged.join(dup_b, "doc_id", "left")
+                      .select("doc_id", "lang", "n_tokens", "f_rep",
+                              "f_boil", "f_dec", "f_exact",
+                              F.col("is_dup_b").isNull().alias("f_near"))
                       # flags-only relation (text dropped): one corpus
                       # pass materializes it; the six stage aggregates
                       # below each scan ~5 small columns of it

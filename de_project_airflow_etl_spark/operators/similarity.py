@@ -261,25 +261,30 @@ def _seed_centroids(e: DataFrame) -> DataFrame:
                      F.col("embedding").alias("centroid")))
 
 
-# argmax over the centroid list, evaluated per row with higher-order
-# functions: struct ordering makes array_max pick (max sim, then min
-# cell) — the same (sim DESC, cell ASC) tiebreak the oracle's
-# ROW_NUMBER spells. cosine keeps the oracle's exact expression tree
+# per-centroid cosine structs, evaluated per row with higher-order
+# functions: struct ordering over (sim, negcell) realizes the
+# (sim DESC, cell ASC) tiebreak the oracle's ROW_NUMBER spells.
+# cosine keeps the oracle's exact expression tree
 # dot / (sqrt(dot(e,e)) * sqrt(dot(c,c))), so values — and therefore
-# the argmax — are bit-identical to the window formulation.
-_BEST_CELL = """
-    array_max(transform(cents, c -> struct(
-      aggregate(zip_with(embedding, c.centroid,
+# any argmax/ordering over them — are bit-identical to the window
+# formulation.
+def _cell_sim_structs(col: str = "embedding") -> str:
+    return f"""
+    transform(cents, c -> struct(
+      aggregate(zip_with({col}, c.centroid,
                   (x, y) -> cast(x as double) * cast(y as double)),
                 0D, (acc, v) -> acc + v)
-      / (sqrt(aggregate(zip_with(embedding, embedding,
+      / (sqrt(aggregate(zip_with({col}, {col},
                  (x, y) -> cast(x as double) * cast(y as double)),
                0D, (acc, v) -> acc + v))
          * sqrt(aggregate(zip_with(c.centroid, c.centroid,
                   (x, y) -> cast(x as double) * cast(y as double)),
                 0D, (acc, v) -> acc + v))) AS sim,
-      -c.cell AS negcell)))
+      -c.cell AS negcell))
 """
+
+
+_BEST_CELL = f"array_max({_cell_sim_structs()})"
 
 
 def _collect_cents(centroids: DataFrame) -> DataFrame:
@@ -348,6 +353,65 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cosine("embedding", "qv").alias("cosine_sim"))
                 .orderBy(F.col("cosine_sim").desc(), "vec_id")
                 .limit(5)
+    )
+
+
+NPROBE = 3  # cells probed by the multi-probe IVF search
+
+
+@query(
+    "ann_ivf_multiprobe",
+    oracle=f"""
+        WITH {_SQL_IVF_CELLS},
+        q AS (SELECT embedding AS qv FROM embeddings
+              WHERE vec_id = {QUERY_VEC_ID}),
+        probed AS (
+          SELECT s.cell FROM seeds s CROSS JOIN q
+          ORDER BY {sql_cosine('s.centroid', 'q.qv')} DESC, s.cell
+          LIMIT {NPROBE}
+        )
+        SELECT a.vec_id, a.label, a.cell,
+               {sql_cosine('a.embedding', 'q.qv')} AS cosine_sim
+        FROM assigned a CROSS JOIN q
+        WHERE a.cell IN (SELECT cell FROM probed)
+          AND a.vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine_sim DESC, a.vec_id
+        LIMIT 10
+    """,
+    doc="Multi-probe IVF ANN: probe the union of the query's NPROBE "
+        "nearest cells instead of just one — the standard recall "
+        "lever for IVF at scale (a query near a cell boundary misses "
+        "true neighbors that quantized into the adjacent cell; "
+        "probing 3 cells recovers them at 3x the probe cost, still "
+        "~n*nprobe/k vectors). The probe list is computed on the "
+        "broadcast one-row centroid array (sort_array over the same "
+        "bit-exact sim structs the assignment argmax uses), so cell "
+        "selection adds zero shuffle; the candidate filter is "
+        "cell IN (probe list) — partition-prunable when cell is the "
+        "storage partition key.",
+    tags=("similarity", "ivf", "knn"),
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cents = _collect_cents(_seed_centroids(e)).localCheckpoint()
+    # probe cells: rank centroids by cosine to the query on the
+    # one-row array — sort_array DESC over (sim, negcell) structs is
+    # (sim DESC, cell ASC), matching the oracle's ORDER BY exactly
+    probe_expr = (f"slice(transform(sort_array({_cell_sim_structs('qv')},"
+                  f" false), s -> -s.negcell), 1, {NPROBE})")
+    q = (e.filter(F.col("vec_id") == QUERY_VEC_ID)
+          .select(F.col("embedding").alias("qv"))
+          .crossJoin(F.broadcast(cents))
+          .select("qv", F.expr(probe_expr).alias("probe_cells")))
+    assigned = _assign_cells(e, cents, collected=True)
+    return (
+        assigned.crossJoin(F.broadcast(q))
+                .filter(F.expr("array_contains(probe_cells, cell)")
+                        & (F.col("vec_id") != QUERY_VEC_ID))
+                .select("vec_id", "label", "cell",
+                        cosine("embedding", "qv").alias("cosine_sim"))
+                .orderBy(F.col("cosine_sim").desc(), "vec_id")
+                .limit(10)
     )
 
 

@@ -145,10 +145,25 @@ def all_queries() -> dict[str, Query]:
     return ordered
 
 
+# The recorded driver rounds consulted by ``_driver_verified``,
+# PINNED (oldest -> newest, latest wins) rather than globbed: a stale
+# or hand-edited CORRECTNESS file in the repo root must not be able to
+# silently reorder the verification window. Append each new round's
+# file here once its results are adjudicated.
+_CORRECTNESS_ROUNDS: tuple[str, ...] = (
+    "CORRECTNESS_r01.json",
+    "CORRECTNESS_r02.json",
+    "CORRECTNESS_r03.json",
+)
+
+_DRIVER_VERIFIED_CACHE: set[str] | None = None
+
+
 def _driver_verified() -> set[str]:
     """Query names that already carry a SATISFIED driver CORRECTNESS
-    row in any past round's ``CORRECTNESS_r*.json``: hash-verified, or
-    rows-only-checked for a query that (still) has no oracle.
+    row in a pinned past round (``_CORRECTNESS_ROUNDS``):
+    hash-verified, or rows-only-checked for a query that (still) has
+    no oracle.
 
     The driver truncates its per-round pass at ~50 rows walking
     ``queries()`` order, so ``all_queries`` floats unverified entries
@@ -156,8 +171,11 @@ def _driver_verified() -> set[str]:
     self-maintaining: a query whose verification bar rose (e.g. it
     gained an oracle after a rows-only round) automatically counts as
     unverified again. Missing/corrupt files degrade to the static
-    ordering."""
-    import glob
+    ordering. Cached per process — registry contents and the pinned
+    round files are fixed for a process lifetime."""
+    global _DRIVER_VERIFIED_CACHE
+    if _DRIVER_VERIFIED_CACHE is not None:
+        return _DRIVER_VERIFIED_CACHE
     import json
     import os
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -166,15 +184,7 @@ def _driver_verified() -> set[str]:
     # window, or a regression could hide in the verified tail forever.
     latest: dict[str, dict] = {}
 
-    def _round_no(path: str) -> int:
-        digits = "".join(ch for ch in os.path.basename(path)
-                         if ch.isdigit())
-        return int(digits) if digits else 0
-
-    # numeric sort: lexicographic would order r10 before r9 and break
-    # latest-wins once rounds pass single digits / padding varies
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
-                       key=_round_no):
+    for path in (os.path.join(root, f) for f in _CORRECTNESS_ROUNDS):
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -193,4 +203,5 @@ def _driver_verified() -> set[str]:
               and _REGISTRY[name].oracle is None
               and row.get("spark_rows") is not None):
             verified.add(name)
+    _DRIVER_VERIFIED_CACHE = verified
     return verified

@@ -202,13 +202,29 @@ def streaming_observed_ingest_metrics(spark: SparkSession,
         *dq_observation_metrics(),
         F.unix_micros(F.max("ts")).alias("max_ts_us"))
     sink = f"stream_obs_{_uuid.uuid4().hex[:8]}"
-    with stream_shuffle_sizing(spark):
-        q = (observed.groupBy("event_type")
-                     .agg(F.count(F.lit(1)).alias("n"))
-                     .writeStream.format("memory").queryName(sink)
-                     .outputMode("complete")
-                     .trigger(availableNow=True).start())
-        q.awaitTermination()
+    # recentProgress is a ring buffer (spark.sql.streaming.
+    # numRecentProgressUpdates, default 100): if availableNow ever
+    # splits the source into more micro-batches than that (more files,
+    # lower maxFilesPerTrigger), the earliest batches' observed
+    # metrics would silently drop and the sums undercount. Raise it
+    # for this run — deterministic, unlike a StreamingQueryListener
+    # whose events are delivered async and may lag awaitTermination.
+    progress_key = "spark.sql.streaming.numRecentProgressUpdates"
+    prev_progress = spark.conf.get(progress_key, None)
+    spark.conf.set(progress_key, "100000")
+    try:
+        with stream_shuffle_sizing(spark):
+            q = (observed.groupBy("event_type")
+                         .agg(F.count(F.lit(1)).alias("n"))
+                         .writeStream.format("memory").queryName(sink)
+                         .outputMode("complete")
+                         .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        if prev_progress is None:
+            spark.conf.unset(progress_key)
+        else:
+            spark.conf.set(progress_key, prev_progress)
     # cross-batch accumulation in exact integer cents — dividing once
     # at the end instead of summing per-batch doubles keeps the result
     # bit-equal to the oracle's SUM(cents)/100 under ANY batching

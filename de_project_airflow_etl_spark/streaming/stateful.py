@@ -360,15 +360,26 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_stream_stream_left_join(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
+    return stream_stream_left_join_plan(spark, sf_dir, delay="1 second")
+
+
+def stream_stream_left_join_plan(spark: SparkSession, sf_dir: str,
+                                 delay: str) -> DataFrame:
+    """The registry query's plan with the watermark delay exposed:
+    the delay decides WHEN an unmatched purchase's null row may be
+    emitted (watermark = min-over-sides max event time - delay must
+    pass it), so running the same data at two delays proves the
+    eviction rule, not the data, drives the nulls
+    (tests/test_streaming_watermark.py)."""
     ev = read_event_stream(spark, sf_dir, with_watermark=None)
     clicks = (ev.filter(F.col("event_type") == "click")
                 .select("user_id", F.col("ts").alias("click_ts"))
-                .withWatermark("click_ts", "1 second"))
+                .withWatermark("click_ts", delay))
     ev2 = read_event_stream(spark, sf_dir, with_watermark=None)
     purchases = (ev2.filter(F.col("event_type") == "purchase")
                     .select(F.col("user_id").alias("p_user_id"),
                             F.col("ts").alias("purchase_ts"), "event_id")
-                    .withWatermark("purchase_ts", "1 second"))
+                    .withWatermark("purchase_ts", delay))
     joined = purchases.join(
         clicks,
         (F.col("p_user_id") == F.col("user_id"))

@@ -129,3 +129,60 @@ def test_release_funnel_matches_python_reference_at_50k(spark, tmp_path):
     assert n1 - expected["2_boilerplate"][0] >= N_DOCS // 10 - 1
     assert expected["3_decontaminated"][0] < expected["2_boilerplate"][0]
     assert expected["4_exact_dedup"][0] < expected["3_decontaminated"][0]
+
+
+def test_near_dup_with_gated_canonical_keeps_survivor(spark, tmp_path,
+                                                      monkeypatch):
+    """Keep-earliest-SURVIVOR rule for the near-dup stage: a verified
+    pair whose canonical doc_a was gated earlier (here: contaminated)
+    must NOT also lose its doc_b — doc_b is the earliest surviving
+    copy. At default constants the boilerplate gate always fires on
+    distinct-text near-dup pairs (shared grams have df>=2), so it is
+    relaxed here to expose the rule itself.
+
+    Layout: doc 0 is an eval doc (0 % EVAL_MOD == 0); doc 1 opens with
+    doc 0's first 3 tokens -> contaminated, gated at stage 3; doc 2 is
+    doc 1 with the 2nd token replaced -> shares no 3-gram with doc 0,
+    shingle Jaccard 16/20 = 0.8 with doc 1 -> a verified LSH pair
+    (1, 2). Doc 2 carries lang 'xx': the 5_near_dedup row for 'xx'
+    must count exactly 1 doc."""
+    from de_project_airflow_etl_spark.operators import corpus_stats
+    from de_project_airflow_etl_spark.operators.corpus import (
+        corpus_release_manifest,
+    )
+    from de_project_airflow_etl_spark.operators.dedup import (
+        _lsh_verified, clear_pairs_cache,
+    )
+
+    # disable the boilerplate gate: keep-condition n_boiler * DEN <
+    # n_grams * NUM holds for every doc with DEN=0, NUM=1
+    monkeypatch.setattr(corpus_stats, "BOILER_FRAC_DEN", 0)
+    monkeypatch.setattr(corpus_stats, "BOILER_FRAC_NUM", 1)
+
+    ev = " ".join(f"e{i}" for i in range(20))            # doc 0 (eval)
+    a = "e0 e1 e2 " + " ".join(f"a{i}" for i in range(17))
+    b = "e0 zz e2 " + " ".join(f"a{i}" for i in range(17))
+    filler = [" ".join(f"f{i}_{j}" for j in range(20)) for i in range(50)]
+    rows = ([(0, ev, "en"), (1, a, "en"), (2, b, "xx")]
+            + [(10 + i, t, "en") for i, t in enumerate(filler)])
+    spark.createDataFrame(
+        [(i, t, lg, "synth", len(t)) for i, t, lg in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    try:
+        # guard: the pair must actually be LSH-verified, or the
+        # survivor assertion below would pass vacuously
+        pairs = {(r["doc_a"], r["doc_b"])
+                 for r in _lsh_verified(spark, str(tmp_path)).collect()}
+        assert (1, 2) in pairs, pairs
+        got = {(r["stage"], r["lang"]): r["n_docs"]
+               for r in corpus_release_manifest(spark,
+                                                str(tmp_path)).collect()}
+    finally:
+        clear_pairs_cache()
+    # doc 1 (canonical, lang en) is gated at decontamination; doc 2
+    # must survive the near-dup stage because its canonical did not
+    # reach stage 4 (the old rule dropped BOTH copies)
+    assert got.get(("5_near_dedup", "xx")) == 1, got

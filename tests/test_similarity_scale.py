@@ -47,6 +47,48 @@ def test_planted_twin_tops_brute_force_and_lsh(spark, planted_embeddings):
     assert lsh[0]["cosine_sim"] == 1.0
 
 
+def test_ann_recall_vs_brute_force_at_100k(spark, planted_embeddings):
+    """Explicit recall@k of every ANN path against the exact
+    brute-force top-k at 100k vectors (data is hash-deterministic, so
+    these recalls are fixed numbers, measured and pinned):
+
+    * IVF single-probe: recall@5 = 1.0 here — the query's true
+      neighbors all quantize into its own cell at this corpus;
+    * IVF multi-probe (nprobe=3): recall@10 >= 0.9 (measured 1.0) —
+      the recall lever the 100 TB deployment would turn;
+    * sign-LSH: the planted twin is ALWAYS recalled (identical vector
+      -> identical bucket, the sketch's hard guarantee); ambient
+      recall@5 is bucket-limited (measured 0.2) and asserted only as
+      twin-first + nonzero, since a 256-bucket prune that keeps exact
+      matches is the documented trade."""
+    brute = [r["vec_id"]
+             for r in similarity.knn_brute_force(spark, planted_embeddings)
+             .collect()]
+    assert brute[0] == PLANTED_ID
+
+    mp = [r["vec_id"]
+          for r in similarity.ann_ivf_multiprobe(spark, planted_embeddings)
+          .collect()]
+    assert mp[0] == PLANTED_ID
+    assert len(set(brute) & set(mp)) / 10 >= 0.9
+
+    ivf = [r["vec_id"]
+           for r in similarity.ann_ivf_search(spark, planted_embeddings)
+           .collect()]
+    assert ivf[0] == PLANTED_ID
+    ivf_recall = len(set(brute[:5]) & set(ivf)) / 5
+    assert ivf_recall >= 0.8, ivf_recall
+    # multi-probe can only widen the candidate set -> recall must not
+    # drop vs single-probe on the shared top-5
+    assert len(set(brute[:5]) & set(mp)) / 5 >= ivf_recall
+
+    lsh = [r["vec_id"]
+           for r in similarity.ann_lsh_search(spark, planted_embeddings)
+           .collect()]
+    assert lsh[0] == PLANTED_ID
+    assert len(set(brute[:5]) & set(lsh)) >= 1
+
+
 N_PCA = 160_000   # above the pre-fix overflow bound (~1.4e5 vectors)
 PCA_DIM = 64
 

@@ -79,3 +79,57 @@ def test_late_rows_behind_watermark_are_dropped(spark, tmp_path):
         ("2024-01-01 10:00:00", "a"): 2,
         ("2024-01-01 12:00:00", "a"): 1,
     }
+
+
+def test_outer_null_emission_follows_watermark_delay(spark, tmp_path):
+    """Stream-stream LEFT OUTER eviction rule, proven by shifting ONLY
+    the watermark delay over identical data: purchase #3 (11:00, no
+    click) gets its null row at delay=1s (watermark 11:59:59 passes
+    it) but NOT at delay=3h (watermark 09:00 does not) — so the
+    emission is driven by the eviction rule, not by the data. The
+    12:00 purchase sits above even the 1s watermark and must be
+    withheld at both delays."""
+    from datetime import datetime as dt
+
+    from de_project_airflow_etl_spark.streaming.stateful import (
+        stream_stream_left_join_plan,
+    )
+
+    rows = [
+        (1, dt.fromisoformat("2024-01-01 10:00:00"), 1, "click"),
+        (2, dt.fromisoformat("2024-01-01 10:30:00"), 1, "purchase"),
+        (3, dt.fromisoformat("2024-01-01 11:00:00"), 2, "purchase"),
+        (4, dt.fromisoformat("2024-01-01 12:00:00"), 9, "click"),
+        (5, dt.fromisoformat("2024-01-01 12:00:00"), 8, "purchase"),
+    ]
+    # the file-source narrows to the literal file name events.parquet
+    # (pathGlobFilter), so write ONE parquet file, not a Spark dir
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "sf")
+    os.makedirs(src)
+    pdf = pd.DataFrame({
+        "event_id": [i for i, *_ in rows],
+        "ts": [ts for _, ts, *_ in rows],
+        "user_id": [u for _, _, u, _ in rows],
+        "event_type": [et for *_, et in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(pa.Table.from_pandas(pdf), f"{src}/events.parquet")
+
+    def run(delay: str) -> dict[int, object]:
+        df = stream_stream_left_join_plan(spark, src, delay)
+        return {r["event_id"]: r["gap_us"] for r in df.collect()}
+
+    tight = run("1 second")
+    # matched purchase always emits; unmatched 11:00 purchase emits
+    # null once the 11:59:59 watermark passes it; 12:00 withheld
+    assert tight == {2: 30 * 60 * 1_000_000, 3: None}
+
+    loose = run("3 hours")
+    # same data, larger delay: the watermark (09:00) passes nothing,
+    # so ONLY the matched row appears — no nulls
+    assert loose == {2: 30 * 60 * 1_000_000}
