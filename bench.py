@@ -70,6 +70,14 @@ HEADLINE = (
     "boilerplate_ngram_stats",    # gram inverted-index doc frequency
     "curriculum_global_rank",     # bucketed global ordering
     "tokenize_to_ids",            # vocab broadcast + ordered regroup
+    "corpus_release_manifest",    # composite 6-stage release funnel
+    "incremental_dedup_new_docs",  # O(batch) incremental dedup screen
+    "vocab_oov_stats",            # vocab coverage / OOV aggregation
+    "source_quality_scorecard",   # per-source quality rollup
+    "dq_expectations",            # data-quality gate over events
+    "mad_outlier_events",         # exact-median MAD outlier gate
+    "ann_ivf_multiprobe",         # nprobe=3 IVF (recall lever)
+    "rolling_7d_distinct_users",  # exploded two-phase distinct WAU
 )
 
 
