@@ -384,3 +384,32 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.count(F.lit(1)).alias("cnt"))
                  .orderBy(F.col("cnt").desc(), F.col("bigram"))
                  .limit(TOP_BIGRAMS))
+
+
+@query(
+    "redact_pii_documents",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(text, '[0-9]+', '#', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT)
+                 AS n_redactions
+        FROM documents
+        WHERE doc_id < 500
+    """,
+    doc="PII scrubbing pass for a training corpus: numeric spans "
+        "(account numbers, phone digits, ids) are redacted with a "
+        "regex both engines implement identically, and the redaction "
+        "count per document is kept for the audit trail. Pure "
+        "expression-level map — zero shuffle, whole-stage codegen; "
+        "at 100 TB this runs at scan bandwidth. Real deployments "
+        "swap in the full PII pattern set (emails, SSNs, addresses) "
+        "— the plan shape is identical.",
+    tags=("text", "quality", "redaction"),
+)
+def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", "[0-9]+", "#").alias("redacted"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+')"))
+         .alias("n_redactions"))

@@ -313,3 +313,42 @@ def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("2000-01-01").cast("timestamp"),
                    F.col("o_orderdate")).alias("days_to_y2k"),
     )
+
+
+@query(
+    "sql_udf_discounted_charge",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))
+                    AS DOUBLE) / 1e6 AS charge
+        FROM lineitem
+        WHERE l_orderkey < 200
+    """,
+    doc="SQL scalar UDF surface (Spark 4 CREATE TEMPORARY FUNCTION "
+        "... RETURN expr): the catalog-registered function body is "
+        "inlined by the analyzer, so calling it costs the same as "
+        "writing the expression — whole-stage codegen, no Python, no "
+        "serialization boundary. The oracle inlines the identical "
+        "exact-cents expression.",
+    tags=("scalar", "udf", "catalog"),
+)
+def sql_udf_discounted_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("sql_udf_lineitem")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION charge_of(
+            price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DOUBLE
+        RETURN CAST(CAST(ROUND(price * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(disc * 100) AS BIGINT))
+                    * (100 + CAST(ROUND(tax * 100) AS BIGINT))
+                    AS DOUBLE) / 1e6
+    """)
+    return spark.sql("""
+        SELECT l_orderkey, l_linenumber,
+               charge_of(l_extendedprice, l_discount, l_tax) AS charge
+        FROM sql_udf_lineitem
+        WHERE l_orderkey < 200
+    """)

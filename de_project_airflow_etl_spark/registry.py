@@ -124,6 +124,7 @@ def all_queries() -> dict[str, Query]:
     from de_project_airflow_etl_spark.queries import (  # noqa: F401
         timeseries, scalar, subqueries, grouping,
         flagship, etl, aggregates_ext, relational, joins, windows, setops,
+        tpch,
     )
     ordered: dict[str, Query] = {}
     verified = _driver_verified()

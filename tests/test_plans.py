@@ -451,3 +451,47 @@ def test_boilerplate_and_incremental_never_cartesian(spark, sf_dir):
     )
     assert bnlj_builds_are_scalar(df) == [], plan
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_tpch_q3_plans_take_ordered_with_broadcast_dim(spark, sf_dir):
+    from de_project_airflow_etl_spark.queries.tpch import (
+        tpch_q3_shipping_priority,
+    )
+    df = tpch_q3_shipping_priority(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert has_broadcast_join(df), plan
+
+
+def test_tpch_q19_extracts_equi_join_no_cartesian(spark, sf_dir):
+    """The disjunctive predicate spans both sides; the optimizer must
+    still use the p_partkey equi-join — a cartesian/BNLJ fallback here
+    is the classic Q19 planner failure."""
+    from de_project_airflow_etl_spark.queries.tpch import (
+        tpch_q19_disjunctive_revenue,
+    )
+    plan = formatted_plan(tpch_q19_disjunctive_revenue(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_dir):
+    """Q5's five joins: every dimension side broadcasts; the only
+    exchange-feeding join is orders-lineitem."""
+    from de_project_airflow_etl_spark.queries.tpch import (
+        tpch_q5_local_supplier_volume,
+    )
+    plan = formatted_plan(tpch_q5_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q21_semi_anti_join_plan(spark, sf_dir):
+    """EXISTS/NOT EXISTS must plan as semi/anti joins, not subquery
+    re-execution."""
+    from de_project_airflow_etl_spark.queries.tpch import (
+        tpch_q21_waiting_suppliers,
+    )
+    plan = formatted_plan(tpch_q21_waiting_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
