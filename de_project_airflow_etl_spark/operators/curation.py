@@ -834,3 +834,38 @@ def value_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_events"),
                    F.min("value").alias("lo"),
                    F.max("value").alias("hi")))
+
+
+@query(
+    "reservoir_sample_per_group",
+    oracle="""
+        SELECT source, doc_id, sample_rank FROM (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS sample_rank
+          FROM documents
+        ) WHERE sample_rank <= 20
+    """,
+    doc="Exact-k per-group uniform sample — the deterministic "
+        "distributed analog of per-group reservoir sampling: rank each "
+        "group by md5(doc_id) (a uniform, retry-stable permutation — "
+        "never rand(), which breaks task retries and re-runs) and keep "
+        "the first k=20. Unlike the Bernoulli-threshold samplers "
+        "(corpus_stratified_sample), this guarantees EXACTLY "
+        "min(k, group size) rows per group. Plan: one hash "
+        "repartition by group + per-partition sort with the rank "
+        "filter pushed into the window (TopK per group, no global "
+        "sort); at 100 TB the per-group sort is bounded because "
+        "Spark's WindowGroupLimit pushes the k-limit below the sort.",
+    tags=("curation", "sampling", "window"),
+)
+def reservoir_sample_per_group(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source")
+               .orderBy(F.expr("md5(CAST(doc_id AS STRING))"), "doc_id"))
+    return (docs.select("source", "doc_id",
+                        F.row_number().over(w).alias("sample_rank"))
+                .filter(F.col("sample_rank") <= 20))

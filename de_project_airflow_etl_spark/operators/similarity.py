@@ -901,3 +901,154 @@ def knn_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
          .orderBy(F.col("cosine_sim").desc(), "vec_id")
          .limit(10)
     )
+
+
+# ------------------------------------------------------------ SemDedup
+
+SEMDEDUP_TAU = 0.35  # within-cluster cosine above which a pair is a near-dup
+
+# Exact-arithmetic SemDedup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embeddings with k-means so the quadratic pairwise-cosine
+# step only ever runs WITHIN a cluster, then inside each cluster drop,
+# from every near-duplicate pair, the member closer to the centroid —
+# keeping the "outlier" preserves corpus diversity, which is the
+# paper's keep rule. The published pipeline is exactly this shape
+# (cluster -> within-cluster pairwise -> keep-one); clusters bound the
+# n^2 term, which is what makes semantic dedup tractable at 100 TB.
+#
+# Verification strategy: the same fixed-point trick as
+# ann_ivf_kmeans_fit — quantize once to BIGINT, assignment argmax and
+# pair cosines become exact-integer dots passed through pointwise IEEE
+# ops, so Spark and the unrolled-SQL oracle agree bit-for-bit and the
+# whole operator (assignment + pair generation + keep rule) is
+# hash-verified, not approximated.
+
+_SEMDEDUP_ORACLE = f"""
+    WITH eint AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)) AS ei
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT e.label AS cell, ei AS centroid
+      FROM (SELECT label, ei, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY label
+                                      ORDER BY vec_id) AS rn
+            FROM eint JOIN embeddings USING (vec_id)) e
+      WHERE rn = 1
+    ),
+    assigned AS (
+      SELECT vec_id, ei, cell,
+             sc / SQRT(CAST({_sql_idot('ei', 'ei')} AS DOUBLE))
+               AS centroid_sim
+      FROM (
+        SELECT e.vec_id, e.ei, c.cell,
+               {_sql_kmeans_score('e', 'c')} AS sc,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_kmeans_score('e', 'c')} DESC, c.cell
+               ) AS rnk
+        FROM eint e CROSS JOIN c0 c
+      ) WHERE rnk = 1
+    ),
+    normed AS (
+      SELECT vec_id, ei, cell, centroid_sim,
+             SQRT(CAST({_sql_idot('ei', 'ei')} AS DOUBLE)) AS inorm
+      FROM assigned
+    ),
+    dropped AS (
+      SELECT DISTINCT x.cell,
+             CASE WHEN x.centroid_sim > y.centroid_sim THEN x.vec_id
+                  WHEN y.centroid_sim > x.centroid_sim THEN y.vec_id
+                  ELSE y.vec_id END AS drop_id
+      FROM normed x JOIN normed y
+        ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE CAST({_sql_idot('x.ei', 'y.ei')} AS DOUBLE)
+            / (x.inorm * y.inorm) >= {SEMDEDUP_TAU}
+    )
+    SELECT a.cell,
+           COUNT(*) AS n_vectors,
+           CAST(COALESCE(MAX(d.n_dropped), 0) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COALESCE(MAX(d.n_dropped), 0) AS BIGINT)
+             AS n_kept
+    FROM assigned a
+    LEFT JOIN (SELECT cell, COUNT(*) AS n_dropped
+               FROM dropped GROUP BY cell) d
+      ON a.cell = d.cell
+    GROUP BY a.cell
+"""
+
+
+@query(
+    "semdedup_embedding_clusters",
+    oracle=_SEMDEDUP_ORACLE,
+    doc="SemDedup (cluster-blocked semantic dedup, arXiv:2303.09540): "
+        "k-means cells bound the pairwise-cosine step to within-cluster "
+        "pairs; each near-dup pair (cosine >= 0.35) drops its "
+        "closer-to-centroid member, keeping the diversity outlier. "
+        "Assignment is the zero-shuffle broadcast argmax shared with "
+        "ann_ivf_search; the within-cell self-join is an equi-join on "
+        "the cell id — the quadratic term is bounded by the largest "
+        "cluster, which at 100 TB is controlled by raising k (the "
+        "paper runs k ~ sqrt(n)). Whole operator runs in exact "
+        "fixed-point arithmetic, hash-verified against an unrolled-SQL "
+        "oracle. Output: per-cell population / dropped / kept counts.",
+    tags=("dedup", "embedding", "semdedup", "kmeans"),
+)
+def semdedup_embedding_clusters(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", F.expr(_QUANT).alias("ei"))
+    from pyspark.sql import Window
+    w_seed = Window.partitionBy("label").orderBy("vec_id")
+    cents_tbl = (e.withColumn("rn", F.row_number().over(w_seed))
+                   .filter(F.col("rn") == 1)
+                   .select(F.col("label").alias("cell"),
+                           F.col("ei").alias("centroid")))
+    cents = _collect_cents(cents_tbl).localCheckpoint()
+    # centroid_sim is the true cosine to the assigned centroid: the
+    # argmax score (dot/|c|) divided once more by |e| — the SAME
+    # division order as the oracle so the doubles are bit-identical.
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+         .withColumn("best", F.expr(_INT_BEST_CELL))
+         .select(
+             "vec_id", "ei",
+             (-F.col("best.negcell")).alias("cell"),
+             F.sqrt(_idot("ei", "ei").cast("double")).alias("inorm"),
+             F.col("best.sim").alias("sc"))
+         .withColumn("centroid_sim", F.col("sc") / F.col("inorm"))
+         .localCheckpoint())  # two consumers (pairs x2 + summary):
+    # cut the broadcast-argmax subplan so it computes once.
+    a = assigned.select(F.col("vec_id").alias("vid_a"), "cell",
+                        F.col("ei").alias("ei_a"),
+                        F.col("inorm").alias("inorm_a"),
+                        F.col("centroid_sim").alias("csim_a"))
+    b = assigned.select(F.col("vec_id").alias("vid_b"), "cell",
+                        F.col("ei").alias("ei_b"),
+                        F.col("inorm").alias("inorm_b"),
+                        F.col("centroid_sim").alias("csim_b"))
+    pairs = (
+        a.join(b, "cell")
+         .filter(F.col("vid_a") < F.col("vid_b"))
+         .withColumn("pair_sim",
+                     _idot("ei_a", "ei_b").cast("double")
+                     / (F.col("inorm_a") * F.col("inorm_b")))
+         .filter(F.col("pair_sim") >= F.lit(SEMDEDUP_TAU)))
+    dropped = (
+        pairs.select(
+            "cell",
+            F.when(F.col("csim_a") > F.col("csim_b"), F.col("vid_a"))
+             .when(F.col("csim_b") > F.col("csim_a"), F.col("vid_b"))
+             .otherwise(F.col("vid_b")).alias("drop_id"))
+        .distinct()
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n_dropped")))
+    return (
+        assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+                .join(dropped, "cell", "left")
+                .select("cell", "n_vectors",
+                        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+                        (F.col("n_vectors")
+                         - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"))
+    )

@@ -127,3 +127,55 @@ def salted_segment_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy(F.col("c_mktsegment").alias("segment"))
                   .agg(F.count(F.lit(1)).alias("n_orders"),
                        dsum("o_totalprice", "revenue")))
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+        WITH k AS (
+          SELECT user_id % 97 AS key_bucket, COUNT(*) AS n_rows
+          FROM events GROUP BY 1
+        ), t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM k)
+        SELECT k.key_bucket,
+               k.n_rows,
+               CAST(k.n_rows AS DOUBLE) / t.total AS row_share,
+               CAST(k.n_rows AS DOUBLE) * t.n_keys / t.total
+                 AS skew_factor,
+               CAST(GREATEST(1, (k.n_rows * 32 + t.total - 1) // t.total)
+                    AS BIGINT) AS recommended_salts
+        FROM k CROSS JOIN t
+    """,
+    doc="Shuffle-skew reconnaissance: per-key row counts, share of "
+        "total, skew factor (observed/uniform ratio), and the salt "
+        "fan-out a 32-way reducer stage would need to level that key "
+        "(ceil of the key's share of 32 reducers, exact integer math). "
+        "This is the profiling pass you run BEFORE picking n_salts for "
+        "salted_agg/salted_join or trusting AQE's skew split: output "
+        "is one row per key (bounded by key cardinality; at billions "
+        "of keys you'd top-N it after the aggregate), computed with "
+        "one map-side-combinable aggregate plus a broadcast one-row "
+        "totals join — no window, no second shuffle of the fact table. "
+        "Keys here are user_id mod 97 hash buckets, the same bucketing "
+        "a shuffle planner sees.",
+    tags=("skew", "profiling", "aggregate"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = (ev.select((F.col("user_id") % 97).alias("key_bucket"))
+           .groupBy("key_bucket")
+           .agg(F.count(F.lit(1)).alias("n_rows")))
+    t = k.agg(F.sum("n_rows").alias("total"),
+              F.count(F.lit(1)).alias("n_keys"))
+    return (
+        k.crossJoin(F.broadcast(t))
+         .select(
+             "key_bucket", "n_rows",
+             (F.col("n_rows").cast("double") / F.col("total"))
+                 .alias("row_share"),
+             (F.col("n_rows").cast("double") * F.col("n_keys")
+              / F.col("total")).alias("skew_factor"),
+             F.greatest(
+                 F.lit(1).cast("long"),
+                 F.expr("(n_rows * 32 + total - 1) DIV total"))
+              .alias("recommended_salts"))
+    )

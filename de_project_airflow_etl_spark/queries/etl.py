@@ -335,3 +335,46 @@ def incremental_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.sum("n").alias("event_count"),
                      (F.sum("c").cast("double") / F.lit(100))
                       .alias("value_sum")))
+
+
+@query(
+    "compaction_file_plan",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+                 COUNT(*) AS n_rows,
+                 CAST(SUM(48 + octet_length(encode(props))
+                          + octet_length(encode(event_type)))
+                      AS BIGINT) AS est_bytes
+          FROM events GROUP BY 1
+        )
+        SELECT day, n_rows, est_bytes,
+               CAST(GREATEST(1, (est_bytes + 16383) // 16384) AS BIGINT)
+                 AS target_files
+        FROM d
+    """,
+    doc="Small-file compaction planner: per partition (event day), "
+        "estimate the partition's byte weight (fixed per-row width for "
+        "the numeric/timestamp columns + exact UTF-8 byte length of "
+        "the string columns) and emit the file count a compaction "
+        "rewrite should coalesce to at the target file size (16 KiB "
+        "here so the integer math is exercised at test scale; "
+        "production uses 128 MiB — one constant). This is the planning "
+        "half of the small-files problem every 100 TB lake has: the "
+        "output drives a per-partition repartitionByRange(target_files) "
+        "rewrite job. One map-side-combinable aggregate over the fact "
+        "table; exact integer ceil-division, no sampling.",
+    tags=("etl", "layout", "compaction"),
+)
+def compaction_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = (ev.groupBy(F.to_date("ts").cast("timestamp").alias("day"))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.lit(48) + F.octet_length("props")
+                      + F.octet_length("event_type"))
+                 .cast("long").alias("est_bytes")))
+    return d.select(
+        "day", "n_rows", "est_bytes",
+        F.greatest(F.lit(1).cast("long"),
+                   F.expr("(est_bytes + 16383) DIV 16384"))
+         .alias("target_files"))

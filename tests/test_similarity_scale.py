@@ -138,3 +138,45 @@ def test_pca_power_iter_exact_at_160k_vectors(spark, tmp_path):
         v = trunc_div(raw, d)
     proj = q @ v
     assert np.array_equal(got["proj"].to_numpy(), proj)
+
+
+# ----------------------------------------------------------- SemDedup
+
+SEM_N = 4_000
+SEM_TWINS = ((7, 2_777), (19, 3_191))  # (original, planted exact copy)
+
+
+@pytest.fixture()
+def semdedup_embeddings(spark, tmp_path):
+    """4k hash-deterministic vectors with two exact-copy twins
+    planted far from their originals."""
+    case = " ".join(f"WHEN id = {copy} THEN {orig}"
+                    for orig, copy in SEM_TWINS)
+    vecs = spark.range(SEM_N).selectExpr(
+        "id AS vec_id",
+        f"CASE {case} ELSE id END AS seed",
+        "CAST(pmod(id, 10) AS INT) AS label",
+    ).selectExpr(
+        "vec_id", "label",
+        "transform(sequence(0, 63), j -> "
+        "CAST((pmod(hash(seed * 67 + j), 2001) - 1000) / 1000.0 AS FLOAT))"
+        " AS embedding",
+    ).select("vec_id", "embedding", "label")
+    out = str(tmp_path / "embeddings.parquet")
+    vecs.write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+def test_semdedup_drops_planted_twins_at_4k(spark, semdedup_embeddings):
+    """Each planted exact copy shares its original's cell (identical
+    vector -> identical argmax) and forms a cosine-1.0 pair, so
+    SemDedup must drop at least one member per twin; population
+    arithmetic must balance exactly. The within-cell pairwise step
+    runs ~n^2/k comparisons — the quadratic term the clustering
+    exists to bound (k scales as sqrt(n) in production)."""
+    rows = (similarity.semdedup_embedding_clusters(spark,
+                                                   semdedup_embeddings)
+            .collect())
+    assert sum(r["n_vectors"] for r in rows) == SEM_N
+    assert all(r["n_kept"] + r["n_dropped"] == r["n_vectors"] for r in rows)
+    assert sum(r["n_dropped"] for r in rows) >= len(SEM_TWINS)
