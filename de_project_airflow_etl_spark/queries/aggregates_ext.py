@@ -298,6 +298,69 @@ def outlier_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------- RFM segmentation
 
+NTILE_BUCKETS = 32  # value-range buckets for the distributed ntile
+
+
+def _global_ntile(df: DataFrame, value_col: str, tiebreak: str,
+                  n_tiles: int, out: str,
+                  descending: bool = False) -> DataFrame:
+    """Exact NTILE(n_tiles) OVER (ORDER BY value [DESC], tiebreak)
+    without a global window — the curriculum_global_rank technique:
+
+    1. value-range bucket each row (monotone floor map, so every row
+       in bucket b sorts before every row in b+1 under the requested
+       direction);
+    2. per-bucket counts -> prefix-sum offsets (the only single-
+       partition object is the <= NTILE_BUCKETS-row offset table);
+    3. global rank = bucket offset + local row_number (window
+       PARTITIONED by bucket); and
+    4. the exact NTILE arithmetic from (rank, total): the first
+       n % k tiles take ceil(n/k) rows, the rest floor(n/k) —
+       integer math, bit-identical to the engine's NTILE.
+
+    The value column may be any numeric (the bucket map only needs
+    monotonicity, not cross-engine exactness — correctness rests on
+    the within-bucket sort, which uses the true column).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    stats = df.agg(F.min(v).alias("__mn"), F.max(v).alias("__mx"),
+                   F.count(F.lit(1)).alias("__n"))
+    span = F.col("__mx") - F.col("__mn") + F.lit(1.0)
+    pos = (F.col("__mx") - v) if descending else (v - F.col("__mn"))
+    bucketed = (df.crossJoin(F.broadcast(stats))
+                  .withColumn("__bkt",
+                              F.least(F.lit(NTILE_BUCKETS - 1),
+                                      F.floor(pos * NTILE_BUCKETS / span))
+                               .cast("int")))
+    counts = bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__bn"))
+    offsets = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__bn").over(Window.orderBy("__bkt")
+                               .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0))).select("__bkt", "__off")
+    order = [F.desc(value_col) if descending else F.asc(value_col),
+             F.asc(tiebreak)]
+    local = Window.partitionBy("__bkt").orderBy(*order)
+    ranked = (bucketed.join(F.broadcast(offsets), "__bkt")
+                      .withColumn("__r",
+                                  F.row_number().over(local)
+                                  + F.col("__off")))
+    # NTILE(k) from (rank r, total n), all integer: the first m = n%k
+    # tiles hold big = n DIV k + 1 rows, the rest hold n DIV k.
+    tile = F.expr(
+        f"""CASE WHEN __n % {n_tiles} > 0
+                  AND __r <= (__n % {n_tiles}) * (__n DIV {n_tiles} + 1)
+             THEN (__r - 1) DIV (__n DIV {n_tiles} + 1) + 1
+             ELSE __n % {n_tiles}
+                  + (__r - (__n % {n_tiles}) * (__n DIV {n_tiles} + 1) - 1)
+                    DIV greatest(__n DIV {n_tiles}, 1) + 1
+            END""")
+    return (ranked.withColumn(out, tile.cast("int"))
+                  .drop("__bkt", "__off", "__r", "__mn", "__mx", "__n"))
+
 
 @query(
     "rfm_customer_segments",
@@ -334,17 +397,17 @@ def outlier_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "classic warehouse marketing workload: per-customer recency "
         "vs the corpus max date, order count, exact-cents spend, then "
         "NTILE(4) quartiles on each axis (ties pinned by custkey) "
-        "rolled up into the 64-cell segment matrix. The NTILE windows "
-        "run over the AGGREGATED customer dimension (orders of "
-        "magnitude smaller than the fact table — the per-customer "
-        "aggregate is the only fact-scale shuffle); at extreme "
-        "dimension sizes the curriculum_global_rank bucketing "
-        "replaces the global window.",
+        "rolled up into the 64-cell segment matrix. The quartiles are "
+        "computed WITHOUT a global window: each axis runs the "
+        "distributed ntile (_global_ntile — value-range buckets, "
+        "broadcast prefix-sum offsets, per-bucket row_number, exact "
+        "integer NTILE arithmetic), so no task ever sorts the whole "
+        "customer dimension even at billions of customers; the only "
+        "single-partition object is the 32-row bucket-offset table. "
+        "Hash-verified against the engine-native NTILE oracle.",
     tags=("aggregate", "window", "segmentation"),
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = load(spark, sf_dir, "orders")
     max_date = o.agg(
         F.max(F.col("o_orderdate").cast("date")).alias("corpus_max"))
@@ -358,14 +421,18 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.datediff("corpus_max", "last")
                           .alias("recency_days"),
                          "frequency", "monetary"))
-    scored = per_cust.select(
-        "o_custkey", "monetary",
-        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey"))
-         .alias("r_quartile"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
-         .alias("f_quartile"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey"))
-         .alias("m_quartile"))
+    # one materialization of the customer dimension; the three
+    # distributed-ntile passes below each re-derive buckets/offsets
+    # from it (dimension-sized work, no repeat of the fact aggregate)
+    per_cust = per_cust.localCheckpoint(eager=False)
+    scored = _global_ntile(per_cust, "recency_days", "o_custkey",
+                           4, "r_quartile")
+    scored = _global_ntile(scored, "frequency", "o_custkey",
+                           4, "f_quartile", descending=True)
+    scored = _global_ntile(scored, "monetary", "o_custkey",
+                           4, "m_quartile", descending=True)
+    scored = scored.select("o_custkey", "monetary", "r_quartile",
+                           "f_quartile", "m_quartile")
     return (scored.groupBy("r_quartile", "f_quartile", "m_quartile")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  (F.sum(cents("monetary")).cast("double") / 100)
