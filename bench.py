@@ -78,6 +78,16 @@ HEADLINE = (
     "mad_outlier_events",         # exact-median MAD outlier gate
     "ann_ivf_multiprobe",         # nprobe=3 IVF (recall lever)
     "rolling_7d_distinct_users",  # exploded two-phase distinct WAU
+    "semdedup_embedding_clusters",  # cluster-blocked semantic dedup
+    "key_skew_profile",           # shuffle-skew reconnaissance
+    "reservoir_sample_per_group",  # exact-k deterministic group sample
+    "compaction_file_plan",       # small-files compaction planning
+    "tpch_q3_shipping_priority",  # 3-way join + top-k
+    "tpch_q6_forecast_revenue",   # pure scan-filter-agg
+    "tpch_q9_product_profit",     # 5-way join, widest TPC-H shape here
+    "tpch_q13_customer_distribution",  # filtered LEFT join histogram
+    "tpch_q18_large_volume_customers",  # agg-subquery semi filter
+    "tpch_q21_waiting_suppliers",  # EXISTS + NOT EXISTS anti/semi pair
 )
 
 
