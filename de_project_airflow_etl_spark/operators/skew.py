@@ -161,9 +161,13 @@ def salted_segment_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    # key-cardinality relation, materialized once: the totals side
+    # derives from it, so the fact table is scanned exactly once
+    # (plan-gated in tests/test_plans.py)
     k = (ev.select((F.col("user_id") % 97).alias("key_bucket"))
            .groupBy("key_bucket")
-           .agg(F.count(F.lit(1)).alias("n_rows")))
+           .agg(F.count(F.lit(1)).alias("n_rows"))
+           .localCheckpoint(eager=False))
     t = k.agg(F.sum("n_rows").alias("total"),
               F.count(F.lit(1)).alias("n_keys"))
     return (

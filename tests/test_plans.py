@@ -495,3 +495,58 @@ def test_tpch_q21_semi_anti_join_plan(spark, sf_dir):
     plan = formatted_plan(tpch_q21_waiting_suppliers(spark, sf_dir))
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_semdedup_pairs_equi_join_never_cartesian(spark, sf_dir):
+    """SemDedup's quadratic step must stay an equi-join on the cell id
+    (bounded by the largest cluster) — a cartesian fallback would be
+    the all-pairs plan the clustering exists to avoid. Assignment must
+    be the broadcast-centroid map, not a shuffled join."""
+    from de_project_airflow_etl_spark.operators.similarity import (
+        semdedup_embedding_clusters,
+    )
+    df = semdedup_embedding_clusters(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df), plan
+
+
+def test_key_skew_profile_single_agg_plus_broadcast_totals(spark, sf_dir):
+    """The skew profiler pays ONE fact exchange (the per-key partial
+    aggregate); the totals side is a one-row broadcast, never a second
+    pass over events."""
+    from de_project_airflow_etl_spark.operators.skew import (
+        key_skew_profile,
+    )
+    df = key_skew_profile(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Scan parquet") <= 2, plan  # events read <= twice
+    assert has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_reservoir_sample_pushes_group_limit_below_sort(spark, sf_dir):
+    """The exact-k sampler's rank filter must reach WindowGroupLimit so
+    each task keeps k rows per group instead of sorting whole groups."""
+    from de_project_airflow_etl_spark.operators.curation import (
+        reservoir_sample_per_group,
+    )
+    plan = formatted_plan(reservoir_sample_per_group(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_rfm_has_no_unpartitioned_ntile_window(spark, sf_dir):
+    """The distributed ntile must leave no window over the customer
+    dimension without a partition spec: every windowspecdefinition in
+    the plan either starts with a partition column list (the per-bucket
+    row_number) or belongs to the <=32-row offset prefix-sum (input
+    bounded by NTILE_BUCKETS, recognizable by its __bkt ordering)."""
+    from de_project_airflow_etl_spark.queries.aggregates_ext import (
+        rfm_customer_segments,
+    )
+    plan = formatted_plan(rfm_customer_segments(spark, sf_dir))
+    assert "ntile" not in plan, plan  # engine NTILE window is gone
+    import re
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\((\w+)#", plan):
+        # per-bucket rank windows must partition by the bucket column
+        assert m.group(1) == "__bkt", plan[m.start():m.start() + 200]
