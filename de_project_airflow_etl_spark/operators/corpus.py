@@ -233,8 +233,12 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_keep = (repetition_stats_plan(docs).filter("keep")
                 .select("doc_id").withColumn("f_rep", F.lit(1)))
 
+    # the gram table feeds BOTH the df aggregate and the per-doc probe;
+    # materialize it once (this is the "persisted gram table" the 100 TB
+    # mitigation in corpus_stats.py describes, applied in-plan)
     exploded = docs.select("doc_id",
-                           F.explode(F.expr(_GRAMS_EXPR)).alias("gram"))
+                           F.explode(F.expr(_GRAMS_EXPR)).alias("gram")
+                           ).localCheckpoint(eager=False)
     # boilerplate df over DEDUPLICATED text (min doc_id per text):
     # byte-identical copies must not make each other "boilerplate",
     # or this gate annihilates BOTH copies of every duplicated doc
@@ -261,7 +265,8 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     grams = (docs.select("doc_id", toks.alias("toks"))
                  .filter(F.size("toks") >= NGRAM_N)
-                 .select("doc_id", F.explode(_ngram_hashes()).alias("gh")))
+                 .select("doc_id", F.explode(_ngram_hashes()).alias("gh"))
+                 .localCheckpoint(eager=False))  # eval index + probe side
     eval_g = (grams.filter(F.col("doc_id") % EVAL_MOD == 0)
                    .select("gh").distinct())
     contaminated = (grams.filter(F.col("doc_id") % EVAL_MOD != 0)
