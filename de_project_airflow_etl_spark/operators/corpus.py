@@ -295,7 +295,14 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = (flagged.join(keep_ids, "doc_id", "left")
                       .select("doc_id", "lang", "n_tokens", "f_rep",
                               "f_boil", "f_dec",
-                              F.col("k").isNotNull().alias("f_exact")))
+                              F.col("k").isNotNull().alias("f_exact"))
+                      # materialize the four-gate flags HERE: the
+                      # near-dup screen below consumes this relation
+                      # twice (s4_ids derivation + the final join),
+                      # and without the cut the whole gate pipeline
+                      # would be evaluated in two branches of one
+                      # action (review finding)
+                      .localCheckpoint(eager=False))
 
     # near-dup screen, keep-earliest-SURVIVOR: a verified pair's doc_b
     # is removed only when its canonical doc_a itself survived stage 4

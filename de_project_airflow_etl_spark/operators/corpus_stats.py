@@ -214,8 +214,6 @@ def vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- global curriculum rank
 
-RANK_PARTITIONS = 16
-
 
 @query(
     "curriculum_global_rank",
@@ -236,40 +234,23 @@ RANK_PARTITIONS = 16
         "(ORDER BY ...) funnels the whole corpus through one "
         "partition; here every full-data exchange is hash(bucket)-"
         "partitioned and the only single-partition object is the "
-        "#buckets-row offset table.",
+        "bounded offset table. Long-tailed or point-mass length "
+        "distributions get an adaptive second-level re-split "
+        "(shared helper: queries/util.py::global_row_number) so no "
+        "bucket's sort task degenerates to the whole corpus.",
     tags=("curation", "ordering", "scale"),
 )
 def curriculum_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shared distributed-rank core (queries/util.py::global_row_number):
+    # value-range buckets + broadcast prefix-sum offsets + per-bucket
+    # row_number, with the adaptive oversize re-split for long-tailed /
+    # point-mass value distributions. One implementation serves this
+    # query and the RFM distributed ntile.
+    from de_project_airflow_etl_spark.queries.util import global_row_number
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    # Value-range bucketing: bucket 0 holds the longest documents and
-    # every n_chars in bucket b sorts before every n_chars in b+1
-    # (floor of a monotone map), so bucket index + local rank gives
-    # the exact global rank. min/max come from a broadcast 1-row agg.
-    stats = docs.agg(F.max("n_chars").alias("mx"), F.min("n_chars").alias("mn"))
-    bucketed = (docs.crossJoin(F.broadcast(stats))
-                    .withColumn(
-                        "bkt",
-                        F.least(
-                            F.lit(RANK_PARTITIONS - 1),
-                            F.floor(((F.col("mx") - F.col("n_chars"))
-                                     * RANK_PARTITIONS)
-                                    / (F.col("mx") - F.col("mn") + 1))
-                        ).cast("int")))
-    counts = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
-    # Prefix sum over at most RANK_PARTITIONS rows — the single-
-    # partition window is bounded by the bucket count, not the data.
-    offsets = counts.withColumn(
-        "off",
-        F.coalesce(
-            F.sum("n").over(Window.orderBy("bkt")
-                            .rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0))).select("bkt", "off")
-    local = Window.partitionBy("bkt").orderBy(F.desc("n_chars"),
-                                              F.asc("doc_id"))
-    return (bucketed.join(F.broadcast(offsets), "bkt")
-                    .select("doc_id", "n_chars",
-                            (F.row_number().over(local) + F.col("off"))
-                            .alias("global_rank")))
+    return (global_row_number(docs, "n_chars", "doc_id", "global_rank",
+                              descending=True)
+            .select("doc_id", "n_chars", "global_rank"))
 
 
 # ------------------------------------------------- token id encoding

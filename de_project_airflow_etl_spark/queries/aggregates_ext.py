@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 
 from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
-from de_project_airflow_etl_spark.queries.util import cents, sql_cents
+from de_project_airflow_etl_spark.queries.util import (
+    cents, global_row_number, sql_cents,
+)
 
 
 # --------------------------------------------------------------- regression
@@ -298,58 +300,27 @@ def outlier_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------- RFM segmentation
 
-NTILE_BUCKETS = 32  # value-range buckets for the distributed ntile
-
-
 def _global_ntile(df: DataFrame, value_col: str, tiebreak: str,
                   n_tiles: int, out: str,
                   descending: bool = False) -> DataFrame:
     """Exact NTILE(n_tiles) OVER (ORDER BY value [DESC], tiebreak)
-    without a global window — the curriculum_global_rank technique:
+    without a global window: global rank from the shared adaptive
+    two-level bucketing helper (queries/util.py::global_row_number —
+    value-range buckets, oversize re-split for long tails / point
+    masses, broadcast prefix-sum offsets, per-bucket row_number),
+    then the exact NTILE arithmetic from (rank, total): the first
+    n % k tiles take n DIV k + 1 rows, the rest n DIV k — integer
+    math, bit-identical to the engine's NTILE.
 
-    1. value-range bucket each row (monotone floor map, so every row
-       in bucket b sorts before every row in b+1 under the requested
-       direction);
-    2. per-bucket counts -> prefix-sum offsets (the only single-
-       partition object is the <= NTILE_BUCKETS-row offset table);
-    3. global rank = bucket offset + local row_number (window
-       PARTITIONED by bucket); and
-    4. the exact NTILE arithmetic from (rank, total): the first
-       n % k tiles take ceil(n/k) rows, the rest floor(n/k) —
-       integer math, bit-identical to the engine's NTILE.
-
-    The value column may be any numeric (the bucket map only needs
-    monotonicity, not cross-engine exactness — correctness rests on
-    the within-bucket sort, which uses the true column).
+    Preconditions (inherited from global_row_number): value and
+    tiebreak are non-null numerics, tiebreak unique per row. NULL
+    values would be silently dropped by the bucketing joins — and
+    Spark and DuckDB disagree on NTILE's NULL placement anyway, so a
+    nullable axis must be COALESCEd by the caller first.
     """
-    from pyspark.sql import Window
-
-    v = F.col(value_col).cast("double")
-    stats = df.agg(F.min(v).alias("__mn"), F.max(v).alias("__mx"),
-                   F.count(F.lit(1)).alias("__n"))
-    span = F.col("__mx") - F.col("__mn") + F.lit(1.0)
-    pos = (F.col("__mx") - v) if descending else (v - F.col("__mn"))
-    bucketed = (df.crossJoin(F.broadcast(stats))
-                  .withColumn("__bkt",
-                              F.least(F.lit(NTILE_BUCKETS - 1),
-                                      F.floor(pos * NTILE_BUCKETS / span))
-                               .cast("int")))
-    counts = bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__bn"))
-    offsets = counts.withColumn(
-        "__off",
-        F.coalesce(
-            F.sum("__bn").over(Window.orderBy("__bkt")
-                               .rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0))).select("__bkt", "__off")
-    order = [F.desc(value_col) if descending else F.asc(value_col),
-             F.asc(tiebreak)]
-    local = Window.partitionBy("__bkt").orderBy(*order)
-    ranked = (bucketed.join(F.broadcast(offsets), "__bkt")
-                      .withColumn("__r",
-                                  F.row_number().over(local)
-                                  + F.col("__off")))
-    # NTILE(k) from (rank r, total n), all integer: the first m = n%k
-    # tiles hold big = n DIV k + 1 rows, the rest hold n DIV k.
+    ranked = global_row_number(df, value_col, tiebreak, "__r",
+                               descending=descending)
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
     tile = F.expr(
         f"""CASE WHEN __n % {n_tiles} > 0
                   AND __r <= (__n % {n_tiles}) * (__n DIV {n_tiles} + 1)
@@ -358,8 +329,9 @@ def _global_ntile(df: DataFrame, value_col: str, tiebreak: str,
                   + (__r - (__n % {n_tiles}) * (__n DIV {n_tiles} + 1) - 1)
                     DIV greatest(__n DIV {n_tiles}, 1) + 1
             END""")
-    return (ranked.withColumn(out, tile.cast("int"))
-                  .drop("__bkt", "__off", "__r", "__mn", "__mx", "__n"))
+    return (ranked.crossJoin(F.broadcast(total))
+                  .withColumn(out, tile.cast("int"))
+                  .drop("__r", "__n"))
 
 
 @query(

@@ -425,28 +425,42 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q11_important_parts",
     oracle=f"""
         WITH part_value AS (
-          SELECT l_partkey, {_SQL_REV} AS value
+          SELECT l_partkey,
+                 SUM({sql_cents('l_extendedprice')}
+                     * (100 - {sql_cents('l_discount')})) AS iv
           FROM lineitem GROUP BY l_partkey
         )
-        SELECT l_partkey, value
+        SELECT l_partkey, CAST(iv AS DOUBLE) / 1e4 AS value
         FROM part_value
-        WHERE value > (SELECT SUM(value) * 0.0008 FROM part_value)
+        WHERE CAST(iv AS DECIMAL(38,0)) * 10000 >
+              (SELECT SUM(CAST(iv AS DECIMAL(38,0))) * 8 FROM part_value)
     """,
     doc="TPC-H Q11 (important stock): parts whose lineitem revenue "
         "exceeds a fraction of the corpus total (revenue stands in "
         "for the missing ps_supplycost*availqty). The scalar "
         "threshold is a one-row broadcast against the reused "
-        "per-part aggregate — the aggregate is computed once.",
+        "per-part aggregate — the aggregate is computed once. The "
+        "value > 0.0008 * total comparison is done entirely on the "
+        "exact integer revenue units (iv * 10^4 > total_iv * 8, in "
+        "DECIMAL(38,0) so it cannot overflow at any SF): summing the "
+        "per-part DOUBLEs for the threshold would make the cut "
+        "accumulation-order dependent and the borderline parts "
+        "engine-dependent.",
     tags=("tpch", "subquery", "aggregate"),
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    pv = (li.groupBy("l_partkey").agg(_rev_sum("value"))
+    pv = (li.groupBy("l_partkey")
+            .agg(F.sum(cents("l_extendedprice")
+                       * (100 - cents("l_discount"))).alias("iv"))
             .localCheckpoint(eager=False))  # reuse, don't recompute
-    thresh = pv.agg((F.sum("value") * F.lit(0.0008)).alias("t"))
+    thresh = pv.agg(F.sum(F.col("iv").cast("decimal(38,0)")).alias("ti"))
     return (pv.crossJoin(F.broadcast(thresh))
-              .filter(F.col("value") > F.col("t"))
-              .select("l_partkey", "value"))
+              .filter(F.col("iv").cast("decimal(38,0)") * 10000
+                      > F.col("ti") * 8)
+              .select("l_partkey",
+                      (F.col("iv").cast("double") / F.lit(1e4))
+                      .alias("value")))
 
 
 # -------------------------------------------------------------- Q12

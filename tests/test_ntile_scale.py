@@ -42,3 +42,57 @@ def test_global_ntile_fewer_rows_than_tiles(spark):
            for r in _global_ntile(df, "v", "k", 8, "t").collect()}
     # NTILE with n < k assigns tile == rank
     assert got == {i: i + 1 for i in range(5)}
+
+
+@pytest.fixture()
+def longtail(spark):
+    """200k rows with the two distributions that defeat naive
+    equal-width bucketing: a point mass (60% of rows share one value)
+    and an exponential tail (a few rows reach ~2^20 while the median
+    is tiny) — the review-identified degenerate cases for the
+    adaptive re-split."""
+    return spark.range(N).selectExpr(
+        "id AS k",
+        """CAST(CASE WHEN pmod(id, 10) < 6 THEN 42.0
+                     ELSE pow(2.0, pmod(id, 20) + 1) END AS DOUBLE) AS v"""
+    ).localCheckpoint()
+
+
+@pytest.mark.parametrize("desc", [False, True])
+def test_global_ntile_handles_longtail_and_point_mass(spark, longtail,
+                                                      desc):
+    order = [F.desc("v") if desc else F.asc("v"), F.asc("k")]
+    want = longtail.select(
+        "k", F.ntile(4).over(Window.orderBy(*order)).alias("t"))
+    got = _global_ntile(longtail, "v", "k", 4, "t",
+                        descending=desc).select("k", "t")
+    assert want.join(got, "k").filter(want["t"] != got["t"]).count() == 0
+
+
+def test_global_rank_splits_oversized_buckets(spark, longtail):
+    """The adaptive re-split must actually spread the point-mass rows:
+    no (b1, b2) bucket may hold more than ~n/4 rows after splitting
+    (the 60% point mass would otherwise sit in one task)."""
+    from de_project_airflow_etl_spark.queries.util import (
+        RANK_BUCKETS, global_row_number,
+    )
+    ranked = global_row_number(longtail, "v", "k", "r")
+    # reconstruct the physical partition load via the rank layout:
+    # consecutive ranks share a bucket, so the largest gap-free run
+    # per (value, tiebreak) ordering bounded check is equivalent to
+    # checking the max rows any single window task processed. The
+    # helper exposes no bucket column, so assert through the plan:
+    # every row_number window partitions by the split keys.
+    from de_project_airflow_etl_spark.plans.inspect import formatted_plan
+    plan = formatted_plan(ranked)
+    import re
+    specs = re.findall(r"row_number\(\) windowspecdefinition\((\w+)#\d+",
+                       plan)
+    assert specs and all(s == "__b1" for s in specs), plan
+    # and correctness of the rank itself on this distribution
+    import pyspark.sql.functions as SF
+    want = longtail.select(
+        "k", SF.row_number().over(
+            Window.orderBy(SF.asc("v"), SF.asc("k"))).alias("r"))
+    got = ranked.select("k", "r")
+    assert want.join(got, "k").filter(want["r"] != got["r"]).count() == 0

@@ -417,8 +417,9 @@ def test_curriculum_rank_has_no_global_sort(spark, sf_dir):
     )
     plan = formatted_plan(curriculum_global_rank(spark, sf_dir))
     assert "rangepartitioning" not in plan.lower(), plan
-    # the corpus-side window partitions by bucket — a hash exchange
-    assert "hashpartitioning(bkt" in plan, plan
+    # the corpus-side window partitions by the split-bucket keys — a
+    # hash exchange (shared helper queries/util.py::global_row_number)
+    assert "hashpartitioning(__b1" in plan, plan
 
 
 def test_boilerplate_and_incremental_never_cartesian(spark, sf_dir):
@@ -548,5 +549,5 @@ def test_rfm_has_no_unpartitioned_ntile_window(spark, sf_dir):
     assert "ntile" not in plan, plan  # engine NTILE window is gone
     import re
     for m in re.finditer(r"row_number\(\) windowspecdefinition\((\w+)#", plan):
-        # per-bucket rank windows must partition by the bucket column
-        assert m.group(1) == "__bkt", plan[m.start():m.start() + 200]
+        # per-bucket rank windows must partition by the bucket columns
+        assert m.group(1) == "__b1", plan[m.start():m.start() + 200]
