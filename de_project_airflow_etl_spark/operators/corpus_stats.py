@@ -248,8 +248,12 @@ def curriculum_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query and the RFM distributed ntile.
     from de_project_airflow_etl_spark.queries.util import global_row_number
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # adaptive=False: document length is a bounded-range, roughly
+    # spread axis, so the single-level bucketing suffices and the
+    # re-split pass (one extra full-data aggregate) is skipped; the
+    # adaptive variant is what the RFM long-tailed axes use.
     return (global_row_number(docs, "n_chars", "doc_id", "global_rank",
-                              descending=True)
+                              descending=True, adaptive=False)
             .select("doc_id", "n_chars", "global_rank"))
 
 

@@ -61,7 +61,7 @@ RANK_OVERSIZE = 4        # re-split buckets holding > OVERSIZE * n/K rows
 
 
 def global_row_number(df, value_col: str, tiebreak: str, out: str,
-                      descending: bool = False):
+                      descending: bool = False, adaptive: bool = True):
     """Exact global ROW_NUMBER() OVER (ORDER BY value [DESC], tiebreak)
     with no unpartitioned window — adaptive two-level value-range
     bucketing:
@@ -82,7 +82,11 @@ def global_row_number(df, value_col: str, tiebreak: str, out: str,
 
     The worst residual task after one re-split holds ~n/K^2 rows times
     the tail factor within one sub-range; pathological inputs needing
-    deeper recursion would nest the same step. Preconditions: value
+    deeper recursion would nest the same step. ``adaptive=False``
+    skips the re-split pass (one fewer full-data aggregate) for axes
+    the caller KNOWS are bounded-range and roughly spread (e.g.
+    document length); long-tailed or point-mass-prone axes (spend,
+    frequency) must keep it. Preconditions: value
     and tiebreak are non-null numerics (engines disagree on NULL
     placement in ORDER BY anyway) and tiebreak is unique per row.
     Bucketing only needs monotonicity, not cross-engine exactness —
@@ -105,26 +109,31 @@ def global_row_number(df, value_col: str, tiebreak: str, out: str,
     lo1 = F.lit(0.0) if descending else F.col("__mn")
     hi1 = (F.col("__mx") - F.col("__mn")) if descending else F.col("__mx")
     bucketed = (df.crossJoin(F.broadcast(stats))
-                  .withColumn("__b1", _bucket(pos1, lo1, hi1))
-                  .localCheckpoint(eager=False))  # 3 consumers below
-
-    bstats = (bucketed.groupBy("__b1")
-                      .agg(F.count(F.lit(1)).alias("__bn"),
-                           F.min(v).alias("__bvmn"), F.max(v).alias("__bvmx"),
-                           F.min(t).alias("__btmn"), F.max(t).alias("__btmx")))
-    # level-2 split: value-range inside the bucket's own span, or
-    # tiebreak-range for a point-mass bucket; small buckets stay whole
-    pos2v = (F.col("__bvmx") - v) if descending else v
-    lo2v = F.lit(0.0) if descending else F.col("__bvmn")
-    hi2v = ((F.col("__bvmx") - F.col("__bvmn")) if descending
-            else F.col("__bvmx"))
-    b2 = (F.when(F.col("__bn") * K <= F.col("__n") * RANK_OVERSIZE,
-                 F.lit(0))
-           .when(F.col("__bvmn") < F.col("__bvmx"),
-                 _bucket(pos2v, lo2v, hi2v))
-           .otherwise(_bucket(t, F.col("__btmn"), F.col("__btmx"))))
-    split = (bucketed.join(F.broadcast(bstats), "__b1")
-                     .withColumn("__b2", b2))
+                  .withColumn("__b1", _bucket(pos1, lo1, hi1)))
+    if not adaptive:
+        split = bucketed.withColumn("__b2", F.lit(0))
+    else:
+        bucketed = bucketed.localCheckpoint(eager=False)  # 3 consumers
+        bstats = (bucketed.groupBy("__b1")
+                          .agg(F.count(F.lit(1)).alias("__bn"),
+                               F.min(v).alias("__bvmn"),
+                               F.max(v).alias("__bvmx"),
+                               F.min(t).alias("__btmn"),
+                               F.max(t).alias("__btmx")))
+        # level-2 split: value-range inside the bucket's own span, or
+        # tiebreak-range for a point-mass bucket; small buckets stay
+        # whole
+        pos2v = (F.col("__bvmx") - v) if descending else v
+        lo2v = F.lit(0.0) if descending else F.col("__bvmn")
+        hi2v = ((F.col("__bvmx") - F.col("__bvmn")) if descending
+                else F.col("__bvmx"))
+        b2 = (F.when(F.col("__bn") * K <= F.col("__n") * RANK_OVERSIZE,
+                     F.lit(0))
+               .when(F.col("__bvmn") < F.col("__bvmx"),
+                     _bucket(pos2v, lo2v, hi2v))
+               .otherwise(_bucket(t, F.col("__btmn"), F.col("__btmx"))))
+        split = (bucketed.join(F.broadcast(bstats), "__b1")
+                         .withColumn("__b2", b2))
 
     counts = split.groupBy("__b1", "__b2").agg(F.count(F.lit(1)).alias("__c"))
     offsets = (counts.withColumn(
@@ -138,7 +147,9 @@ def global_row_number(df, value_col: str, tiebreak: str, out: str,
     order = [F.desc(value_col) if descending else F.asc(value_col),
              F.asc(tiebreak)]
     local = Window.partitionBy("__b1", "__b2").orderBy(*order)
+    drops = ["__b1", "__b2", "__off", "__mn", "__mx", "__n"]
+    if adaptive:
+        drops += ["__bn", "__bvmn", "__bvmx", "__btmn", "__btmx"]
     return (split.join(F.broadcast(offsets), ["__b1", "__b2"])
                  .withColumn(out, F.row_number().over(local) + F.col("__off"))
-                 .drop("__b1", "__b2", "__bn", "__bvmn", "__bvmx",
-                       "__btmn", "__btmx", "__off", "__mn", "__mx", "__n"))
+                 .drop(*drops))
