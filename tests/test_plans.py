@@ -551,3 +551,32 @@ def test_rfm_has_no_unpartitioned_ntile_window(spark, sf_dir):
     for m in re.finditer(r"row_number\(\) windowspecdefinition\((\w+)#", plan):
         # per-bucket rank windows must partition by the bucket columns
         assert m.group(1) == "__b1", plan[m.start():m.start() + 200]
+
+
+def test_tpch_q9_joins_all_broadcast_single_agg_exchange(spark, sf_dir):
+    """Q9's five-way join must broadcast every dimension side: the
+    only exchange in the plan is the final aggregate's — the fact
+    table is never shuffled for a join (measured 0.0 MB join shuffle,
+    docs/SCALING.md)."""
+    from de_project_airflow_etl_spark.queries.tpch import (
+        tpch_q9_product_profit,
+    )
+    df = tpch_q9_product_profit(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df), plan
+
+
+def test_tpch_q18_semi_filters_before_join(spark, sf_dir):
+    """Q18's large-volume-order filter must reach the plan as a
+    semi-join (or aggregate-filter join) on orderkey — never a
+    cartesian — and the customer dimension must broadcast."""
+    from de_project_airflow_etl_spark.queries.tpch import (
+        tpch_q18_large_volume_customers,
+    )
+    df = tpch_q18_large_volume_customers(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert has_broadcast_join(df), plan
