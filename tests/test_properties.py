@@ -406,3 +406,40 @@ def test_tokenize_ids_roundtrip_in_vocab(spark, tmp_path_factory, texts):
         for tok, tid in zip(toks, ids):
             assert tid == id_of.get(tok, 0)
         assert out[i]["n_oov"] == sum(1 for tok in toks if tok not in id_of)
+
+
+# ----------------------------------------------- NTILE integer formula
+
+def _py_ntile(r: int, n: int, k: int) -> int:
+    """Reference NTILE: first n % k tiles hold n // k + 1 rows, the
+    rest n // k (the SQL-standard bucket sizing both engines use)."""
+    big, m = n // k + 1, n % k
+    if m and r <= m * big:
+        return (r - 1) // big + 1
+    return m + (r - m * big - 1) // max(n // k, 1) + 1
+
+
+def _case_ntile(r: int, n: int, k: int) -> int:
+    """The exact CASE expression _global_ntile ships to Spark,
+    transliterated (DIV == Python // for non-negative operands)."""
+    if n % k > 0 and r <= (n % k) * (n // k + 1):
+        return (r - 1) // (n // k + 1) + 1
+    return n % k + (r - (n % k) * (n // k + 1) - 1) // max(n // k, 1) + 1
+
+
+@given(n=st.integers(min_value=1, max_value=10_000),
+       k=st.integers(min_value=1, max_value=64))
+@settings(max_examples=300, deadline=None)
+def test_ntile_case_formula_partitions_correctly(n, k):
+    """For every (n, k): the CASE formula equals the reference for all
+    ranks, tiles are contiguous and non-decreasing, sizes differ by at
+    most one, and larger tiles come first — NTILE's defining laws."""
+    tiles = [_case_ntile(r, n, k) for r in range(1, n + 1)]
+    assert tiles == [_py_ntile(r, n, k) for r in range(1, n + 1)]
+    assert tiles == sorted(tiles)
+    assert tiles[0] == 1 and tiles[-1] == min(n, k)
+    from collections import Counter
+    sizes = Counter(tiles)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    ordered = [sizes[t] for t in sorted(sizes)]
+    assert ordered == sorted(ordered, reverse=True)
