@@ -96,3 +96,22 @@ def test_global_rank_splits_oversized_buckets(spark, longtail):
             Window.orderBy(SF.asc("v"), SF.asc("k"))).alias("r"))
     got = ranked.select("k", "r")
     assert want.join(got, "k").filter(want["r"] != got["r"]).count() == 0
+
+
+def test_adaptive_rank_exact_at_500k_longtail(spark):
+    """The adaptive two-level path at volume: 500k rows, 70% point
+    mass + exponential tail, exact row_number agreement with the
+    engine's global window (which the test can afford; production
+    can't)."""
+    big = spark.range(500_000).selectExpr(
+        "id AS k",
+        """CAST(CASE WHEN pmod(id, 10) < 7 THEN 7.0
+                     ELSE pow(2.0, pmod(id, 24) + 1) END AS DOUBLE) AS v"""
+    ).localCheckpoint()
+    from de_project_airflow_etl_spark.queries.util import global_row_number
+    got = global_row_number(big, "v", "k", "r", descending=True)
+    want = big.select(
+        "k", F.row_number().over(
+            Window.orderBy(F.desc("v"), F.asc("k"))).alias("r"))
+    assert want.join(got.select("k", "r").withColumnRenamed("r", "g"),
+                     "k").filter(F.col("r") != F.col("g")).count() == 0
