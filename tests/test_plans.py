@@ -580,3 +580,46 @@ def test_tpch_q18_semi_filters_before_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert has_broadcast_join(df), plan
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("qname", [
+    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q10_returned_items", "tpch_q12_late_lines_by_status",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier", "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue", "tpch_q20_promo_part_suppliers",
+])
+def test_tpch_suite_never_plans_nested_loop_joins(spark, sf_dir, qname):
+    """Blanket join-strategy gate for the rest of the TPC-H suite:
+    every join must be hash-based on an extracted equi-condition —
+    a CartesianProduct or BroadcastNestedLoopJoin anywhere is the
+    quadratic fallback that kills these shapes at scale. (Q3/Q9/Q18/
+    Q19/Q21 have dedicated shape gates above.)"""
+    from de_project_airflow_etl_spark.registry import all_queries
+    plan = formatted_plan(all_queries()[qname].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q22_scalar_threshold_is_one_row_broadcast(spark, sf_dir):
+    """Q22's only nested-loop join must be the scalar-subquery
+    pattern: a cross join whose BUILD side is the broadcast one-row
+    avg-balance aggregate — constant-size at any SF. A nested-loop
+    with a table on the build side would be the quadratic fallback."""
+    from de_project_airflow_etl_spark.registry import all_queries
+    plan = formatted_plan(
+        all_queries()["tpch_q22_dormant_balances"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # formatted plans print each node in the tree AND the detail list;
+    # gate on the tree section only
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, plan
+    # the nested-loop's broadcast build subtree must be an aggregate
+    # (one scalar row), never a table scan: in the tree the last
+    # BroadcastExchange's child chain contains a HashAggregate
+    build = tree.rsplit("BroadcastExchange", 1)[-1]
+    assert "HashAggregate" in build, plan
