@@ -96,3 +96,42 @@ def test_curation_pipeline_is_rerun_stable(spark, sf_dir, tmp_path):
         (r["doc_id"], r["lang"], r["text"]) for r in
         _curated(spark, sf_dir).collect())
     assert rows() == rows()
+
+
+# ------------------------------------------- exact-k sampler at 1M
+
+def test_reservoir_sample_exact_k_at_1m_rows(spark, tmp_path):
+    """1M documents across 5 sources: the sampler must return EXACTLY
+    k=20 rows per source, and exactly the 20 lowest-md5 doc_ids of
+    each source (computed independently in Python) — the per-group
+    heap the WindowGroupLimit plan maintains, verified at volume."""
+    import hashlib
+
+    docs = spark.range(1_000_000).selectExpr(
+        "id AS doc_id", "'x' AS text", "'en' AS lang",
+        "concat('s', pmod(id, 5)) AS source", "1 AS n_chars")
+    out = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(out)
+
+    from de_project_airflow_etl_spark.operators.curation import (
+        reservoir_sample_per_group,
+    )
+    got = reservoir_sample_per_group(spark, str(tmp_path)).collect()
+    by_source = {}
+    for r in got:
+        by_source.setdefault(r["source"], []).append(
+            (r["sample_rank"], r["doc_id"]))
+    assert set(by_source) == {f"s{i}" for i in range(5)}
+    assert all(len(v) == 20 for v in by_source.values())
+
+    # independent expectation: per source, the 20 ids with the
+    # smallest (md5(str(id)), id) key
+    want = {}
+    for i in range(1_000_000):
+        s = f"s{i % 5}"
+        want.setdefault(s, []).append(
+            (hashlib.md5(str(i).encode()).hexdigest(), i))
+    for s, pairs in want.items():
+        expect = [i for _, i in sorted(pairs)[:20]]
+        gotten = [d for _, d in sorted(by_source[s])]
+        assert gotten == expect, s
