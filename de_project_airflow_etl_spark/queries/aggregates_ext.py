@@ -375,7 +375,8 @@ def _global_ntile(df: DataFrame, value_col: str, tiebreak: str,
         "broadcast prefix-sum offsets, per-bucket row_number, exact "
         "integer NTILE arithmetic), so no task ever sorts the whole "
         "customer dimension even at billions of customers; the only "
-        "single-partition object is the 32-row bucket-offset table. "
+        "single-partition object is the bounded (<= 32^2-row) "
+        "bucket-offset table. "
         "Hash-verified against the engine-native NTILE oracle.",
     tags=("aggregate", "window", "segmentation"),
 )
