@@ -56,38 +56,46 @@ def sql_cents(expr: str) -> str:
 
 # ---------------------------------------------------- distributed rank
 
-RANK_BUCKETS = 32        # level-1 value-range buckets
-RANK_OVERSIZE = 4        # re-split buckets holding > OVERSIZE * n/K rows
+RANK_BUCKETS = 32        # value-range buckets per refinement level
+RANK_OVERSIZE = 4        # refine buckets holding > OVERSIZE * n/K rows
+RANK_LEVELS = 3          # max refinement depth (keys fit 32^3 << 2^63)
 
 
 def global_row_number(df, value_col: str, tiebreak: str, out: str,
-                      descending: bool = False, adaptive: bool = True):
+                      descending: bool = False, adaptive: bool = True,
+                      _keep_key: bool = False):
     """Exact global ROW_NUMBER() OVER (ORDER BY value [DESC], tiebreak)
-    with no unpartitioned window — adaptive two-level value-range
-    bucketing:
+    with no unpartitioned window, by iterative value-range bucketing:
 
     1. Equal-width buckets over [min, max] of the (monotone) sort
        position, so every row in bucket b sorts before every row in
        b+1 under the requested direction.
-    2. Long-tailed distributions defeat equal width (most rows land in
-       one bucket), so any bucket holding more than OVERSIZE * n/K
-       rows is re-split: by value range within the bucket's own
-       [min, max] span when it spans more than one distinct value, or
-       by TIEBREAK range when it is a point mass — all its rows share
-       one value, so within-bucket order is tiebreak-only and a
-       tiebreak split preserves the total order exactly.
-    3. Per-(b1, b2) counts prefix-sum into broadcast offsets (the only
-       unpartitioned window, <= K^2 rows); global rank = offset +
-       row_number over the (b1, b2)-partitioned window.
+    2. Skewed distributions defeat one level of equal width (a long
+       tail or a spike puts most rows in one bucket), so buckets
+       holding more than OVERSIZE * n/K rows are refined, up to
+       RANK_LEVELS deep, with a three-way rule: the bucket's EDGE
+       values (its first- and last-sorting values) each get their own
+       TIEBREAK-range sub-split — rows sharing one value are ordered
+       by tiebreak alone, so a tiebreak split of an equal-value run
+       preserves the total order exactly — and the interior is
+       re-split by value range. Point masses and zero-inflated spikes
+       are, at some level, the min or max of the bucket holding them,
+       so the edge rule levels them; only a spike forever strictly
+       interior to a continuous neighborhood can survive all levels
+       (document/extend RANK_LEVELS if such data exists). Each
+       level's per-bucket stats feed a 1-scalar balance probe on the
+       driver (the dedup_clusters convergence-probe pattern), so
+       well-spread data exits after a single check.
+    3. Composite keys (parent * 3K + sub) keep lexicographic order;
+       per-key counts prefix-sum into broadcast offsets (the only
+       unpartitioned window, <= K^RANK_LEVELS tiny rows); global rank
+       = offset + row_number over the key-partitioned window.
 
-    The worst residual task after one re-split holds ~n/K^2 rows times
-    the tail factor within one sub-range; pathological inputs needing
-    deeper recursion would nest the same step. ``adaptive=False``
-    skips the re-split pass (one fewer full-data aggregate) for axes
-    the caller KNOWS are bounded-range and roughly spread (e.g.
-    document length); long-tailed or point-mass-prone axes (spend,
-    frequency) must keep it. Preconditions: value
-    and tiebreak are non-null numerics (engines disagree on NULL
+    ``adaptive=False`` skips refinement entirely (no extra passes) for
+    axes the caller KNOWS are bounded-range and roughly spread (e.g.
+    document length); long-tailed / point-mass-prone axes (spend,
+    frequency, zero-inflated metrics) must keep it. Preconditions:
+    value and tiebreak are non-null numerics (engines disagree on NULL
     placement in ORDER BY anyway) and tiebreak is unique per row.
     Bucketing only needs monotonicity, not cross-engine exactness —
     correctness rests on the within-bucket sort over the true columns.
@@ -97,59 +105,69 @@ def global_row_number(df, value_col: str, tiebreak: str, out: str,
     K = RANK_BUCKETS
     v = F.col(value_col).cast("double")
     t = F.col(tiebreak).cast("double")
-    stats = df.agg(F.min(v).alias("__mn"), F.max(v).alias("__mx"),
-                   F.count(F.lit(1)).alias("__n"))
+    mn, mx, n = df.agg(F.min(v), F.max(v), F.count(F.lit(1))).first()
+    if not n:
+        return df.withColumn(out, F.lit(1).cast("long"))
 
     def _bucket(pos, lo, hi):
         span = hi - lo + F.lit(1.0)
         return (F.least(F.lit(K - 1), F.floor((pos - lo) * K / span))
-                 .cast("int"))
+                 .cast("long"))
 
-    pos1 = (F.col("__mx") - v) if descending else v
-    lo1 = F.lit(0.0) if descending else F.col("__mn")
-    hi1 = (F.col("__mx") - F.col("__mn")) if descending else F.col("__mx")
-    bucketed = (df.crossJoin(F.broadcast(stats))
-                  .withColumn("__b1", _bucket(pos1, lo1, hi1)))
-    if not adaptive:
-        split = bucketed.withColumn("__b2", F.lit(0))
-    else:
-        bucketed = bucketed.localCheckpoint(eager=False)  # 3 consumers
-        bstats = (bucketed.groupBy("__b1")
-                          .agg(F.count(F.lit(1)).alias("__bn"),
-                               F.min(v).alias("__bvmn"),
-                               F.max(v).alias("__bvmx"),
-                               F.min(t).alias("__btmn"),
-                               F.max(t).alias("__btmx")))
-        # level-2 split: value-range inside the bucket's own span, or
-        # tiebreak-range for a point-mass bucket; small buckets stay
-        # whole
-        pos2v = (F.col("__bvmx") - v) if descending else v
-        lo2v = F.lit(0.0) if descending else F.col("__bvmn")
-        hi2v = ((F.col("__bvmx") - F.col("__bvmn")) if descending
-                else F.col("__bvmx"))
-        b2 = (F.when(F.col("__bn") * K <= F.col("__n") * RANK_OVERSIZE,
-                     F.lit(0))
-               .when(F.col("__bvmn") < F.col("__bvmx"),
-                     _bucket(pos2v, lo2v, hi2v))
-               .otherwise(_bucket(t, F.col("__btmn"), F.col("__btmx"))))
-        split = (bucketed.join(F.broadcast(bstats), "__b1")
-                         .withColumn("__b2", b2))
+    pos1 = (F.lit(float(mx)) - v) if descending else v
+    lo1 = F.lit(0.0) if descending else F.lit(float(mn))
+    hi1 = (F.lit(float(mx) - float(mn)) if descending
+           else F.lit(float(mx)))
+    keyed = df.withColumn("__bk", _bucket(pos1, lo1, hi1))
+    if adaptive:
+        for _ in range(RANK_LEVELS - 1):
+            keyed = keyed.localCheckpoint(eager=False)
+            bstats = (keyed.groupBy("__bk")
+                           .agg(F.count(F.lit(1)).alias("__bn"),
+                                F.min(v).alias("__bvmn"),
+                                F.max(v).alias("__bvmx"),
+                                F.min(t).alias("__btmn"),
+                                F.max(t).alias("__btmx"))
+                           .localCheckpoint())  # tiny; probed + joined
+            worst = bstats.agg(F.max("__bn")).first()[0]
+            if worst * K <= n * RANK_OVERSIZE:
+                break
+            # three-way refinement: [0,K) first-sorting edge value by
+            # tiebreak range, [K,2K) interior by value range, [2K,3K)
+            # last-sorting edge value by tiebreak range
+            first_v = F.col("__bvmx") if descending else F.col("__bvmn")
+            last_v = F.col("__bvmn") if descending else F.col("__bvmx")
+            pos2 = (F.col("__bvmx") - v) if descending else v
+            lo2 = F.lit(0.0) if descending else F.col("__bvmn")
+            hi2 = ((F.col("__bvmx") - F.col("__bvmn")) if descending
+                   else F.col("__bvmx"))
+            tb = _bucket(t, F.col("__btmn"), F.col("__btmx"))
+            sub = (F.when(F.col("__bn") * K <= F.lit(n) * RANK_OVERSIZE,
+                          F.lit(0).cast("long"))
+                    .when(v == first_v, tb)
+                    .when(v == last_v, F.lit(2 * K) + tb)
+                    .otherwise(F.lit(K) + _bucket(pos2, lo2, hi2)))
+            keyed = (keyed.join(F.broadcast(bstats), "__bk")
+                          .withColumn("__bk",
+                                      F.col("__bk") * (3 * K)
+                                      + sub.cast("long"))
+                          .drop("__bn", "__bvmn", "__bvmx",
+                                "__btmn", "__btmx"))
 
-    counts = split.groupBy("__b1", "__b2").agg(F.count(F.lit(1)).alias("__c"))
+    counts = keyed.groupBy("__bk").agg(F.count(F.lit(1)).alias("__c"))
     offsets = (counts.withColumn(
                    "__off",
                    F.coalesce(
                        F.sum("__c").over(
-                           Window.orderBy("__b1", "__b2")
+                           Window.orderBy("__bk")
                                  .rowsBetween(Window.unboundedPreceding, -1)),
                        F.lit(0)))
-                     .select("__b1", "__b2", "__off"))
+                     .select("__bk", "__off"))
     order = [F.desc(value_col) if descending else F.asc(value_col),
              F.asc(tiebreak)]
-    local = Window.partitionBy("__b1", "__b2").orderBy(*order)
-    drops = ["__b1", "__b2", "__off", "__mn", "__mx", "__n"]
-    if adaptive:
-        drops += ["__bn", "__bvmn", "__bvmx", "__btmn", "__btmx"]
-    return (split.join(F.broadcast(offsets), ["__b1", "__b2"])
-                 .withColumn(out, F.row_number().over(local) + F.col("__off"))
-                 .drop(*drops))
+    local = Window.partitionBy("__bk").orderBy(*order)
+    ranked = (keyed.join(F.broadcast(offsets), "__bk")
+                   .withColumn(out,
+                               F.row_number().over(local) + F.col("__off"))
+                   .drop("__off"))
+    return ranked if _keep_key else ranked.drop("__bk")

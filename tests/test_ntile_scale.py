@@ -88,7 +88,7 @@ def test_global_rank_splits_oversized_buckets(spark, longtail):
     import re
     specs = re.findall(r"row_number\(\) windowspecdefinition\((\w+)#\d+",
                        plan)
-    assert specs and all(s == "__b1" for s in specs), plan
+    assert specs and all(s == "__bk" for s in specs), plan
     # and correctness of the rank itself on this distribution
     import pyspark.sql.functions as SF
     want = longtail.select(
@@ -113,5 +113,32 @@ def test_adaptive_rank_exact_at_500k_longtail(spark):
     want = big.select(
         "k", F.row_number().over(
             Window.orderBy(F.desc("v"), F.asc("k"))).alias("r"))
+    assert want.join(got.select("k", "r").withColumnRenamed("r", "g"),
+                     "k").filter(F.col("r") != F.col("g")).count() == 0
+
+
+def test_adaptive_rank_levels_zero_inflated_spike(spark):
+    """The degenerate case one re-split can't fix: a 60% spike at one
+    value INSIDE a wide continuous span (zero-inflated metrics are the
+    real-world shape). Level 2 isolates the spike into a narrow
+    sub-bucket, level 3's point-mass rule splits it by tiebreak — the
+    refinement loop must leave NO bucket above its oversize bound, and
+    the ranks must still be exact."""
+    from de_project_airflow_etl_spark.queries.util import (
+        RANK_BUCKETS, RANK_OVERSIZE, global_row_number,
+    )
+    n = 200_000
+    df = spark.range(n).selectExpr(
+        "id AS k",
+        # 60% exactly 0.0, the rest spread over [1, 2^20]
+        """CAST(CASE WHEN pmod(id, 10) < 6 THEN 0.0
+                     ELSE 1.0 + pmod(hash(id), 1048576) END AS DOUBLE)
+           AS v""").localCheckpoint()
+    got = global_row_number(df, "v", "k", "r", _keep_key=True)
+    worst = got.groupBy("__bk").count().agg(F.max("count")).first()[0]
+    assert worst * RANK_BUCKETS <= n * RANK_OVERSIZE, worst
+    want = df.select(
+        "k", F.row_number().over(
+            Window.orderBy(F.asc("v"), F.asc("k"))).alias("r"))
     assert want.join(got.select("k", "r").withColumnRenamed("r", "g"),
                      "k").filter(F.col("r") != F.col("g")).count() == 0

@@ -419,7 +419,7 @@ def test_curriculum_rank_has_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower(), plan
     # the corpus-side window partitions by the split-bucket keys — a
     # hash exchange (shared helper queries/util.py::global_row_number)
-    assert "hashpartitioning(__b1" in plan, plan
+    assert "hashpartitioning(__bk" in plan, plan
 
 
 def test_boilerplate_and_incremental_never_cartesian(spark, sf_dir):
@@ -550,7 +550,7 @@ def test_rfm_has_no_unpartitioned_ntile_window(spark, sf_dir):
     import re
     for m in re.finditer(r"row_number\(\) windowspecdefinition\((\w+)#", plan):
         # per-bucket rank windows must partition by the bucket columns
-        assert m.group(1) == "__b1", plan[m.start():m.start() + 200]
+        assert m.group(1) == "__bk", plan[m.start():m.start() + 200]
 
 
 def test_tpch_q9_joins_all_broadcast_single_agg_exchange(spark, sf_dir):
