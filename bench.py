@@ -197,13 +197,24 @@ def machine_factor(timings: dict[str, float],
 def gate_failures(total: float, timings: dict[str, float],
                   base_total: float, base_queries: dict[str, float],
                   total_factor: float = 2.0,
-                  query_factor: float = 1.5) -> list[str]:
+                  query_factor: float = 1.5,
+                  small_base_sec: float = 0.4,
+                  small_query_factor: float = 3.0) -> list[str]:
     """Regression findings vs the recorded baseline (empty == pass).
     Only queries present in both runs are compared; new headline
     queries grow the set without tripping the gate. Thresholds are
     load-normalized by ``machine_factor`` so ambient slowdown of the
     whole box (which inflates every query together) does not read as
-    a code regression, while a single slow query still trips."""
+    a code regression, while a single slow query still trips.
+
+    Sub-``small_base_sec`` baseline entries use the wider
+    ``small_query_factor``: at that magnitude the best-of-N wall time
+    is dominated by JVM jitter, not data cost (the same commit measured
+    ann_lsh_search at 0.32s and 0.53s within one idle-box hour), so a
+    1.5x band is inside noise — while a genuine plan pathology (an
+    accidental cartesian, a lost broadcast) overshoots 3x immediately
+    and still trips. Plan-shape gates in tests/test_plans.py remain
+    the primary regression signal for these small queries."""
     factor = machine_factor(timings, base_queries)
     failures = []
     if total > total_factor * factor * base_total:
@@ -212,9 +223,12 @@ def gate_failures(total: float, timings: dict[str, float],
             f"{base_total:.3f}s (machine factor {factor:.2f})")
     for name, t in timings.items():
         base = base_queries.get(name)
-        if base is not None and t > query_factor * factor * base:
+        if base is None:
+            continue
+        qf = query_factor if base >= small_base_sec else small_query_factor
+        if t > qf * factor * base:
             failures.append(
-                f"{name}: {t:.3f}s > {query_factor}x baseline {base:.3f}s"
+                f"{name}: {t:.3f}s > {qf}x baseline {base:.3f}s"
                 f" (machine factor {factor:.2f})")
     return failures
 
