@@ -212,6 +212,13 @@ def _release_oracle() -> str:
     tags=("corpus", "composite", "curation", "dedup"),
 )
 def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stage_rollup(_release_flags(spark, sf_dir))
+
+
+def _release_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's per-doc gate-flag relation: one row per document
+    with its five boolean gate outcomes (f_rep/f_boil/f_dec/f_exact/
+    f_near), lang, and token count — localCheckpointed, text dropped."""
     from de_project_airflow_etl_spark.operators.corpus_stats import (
         _GRAMS_EXPR, BOILER_FRAC_DEN, BOILER_FRAC_NUM, BOILER_MIN_DF,
     )
@@ -239,13 +246,16 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = docs.select("doc_id",
                            F.explode(F.expr(_GRAMS_EXPR)).alias("gram")
                            ).localCheckpoint(eager=False)
-    # boilerplate df over DEDUPLICATED text (min doc_id per text):
-    # byte-identical copies must not make each other "boilerplate",
-    # or this gate annihilates BOTH copies of every duplicated doc
-    # and the exact-dedup stage (which keeps a canonical copy)
-    # becomes unreachable for them — surfaced by the 50k planted
-    # funnel stress.
-    uniq_ids = (docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # boilerplate df over DEDUPLICATED text (min doc_id per content
+    # hash): byte-identical copies must not make each other
+    # "boilerplate", or this gate annihilates BOTH copies of every
+    # duplicated doc and the exact-dedup stage (which keeps a
+    # canonical copy) becomes unreachable for them — surfaced by the
+    # 50k planted funnel stress. Grouping shuffles the 32-char md5,
+    # never the document text (same policy as the exact-dedup stage).
+    uniq_ids = (docs.groupBy(F.md5(F.col("text").cast("binary"))
+                             .alias("h"))
+                    .agg(F.min("doc_id").alias("doc_id"))
                     .select("doc_id"))
     boiler = (exploded.join(uniq_ids, "doc_id", "left_semi")
                       .groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
@@ -274,13 +284,17 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .select("doc_id").distinct()
                          .withColumn("contam", F.lit(1)))
 
-    flagged = (docs.select("doc_id", "lang", "text",
+    # content hash and token count are computed in the scan projection
+    # so the document text never enters a join or aggregate shuffle —
+    # every downstream exchange moves (doc_id, lang, h, n_tokens) only
+    flagged = (docs.select("doc_id", "lang",
+                           F.md5(F.col("text").cast("binary")).alias("h"),
                            F.size(toks).alias("n_tokens"))
                    .join(rep_keep, "doc_id", "left")
                    .join(boiler_keep, "doc_id", "left")
                    .join(contaminated, "doc_id", "left")
                    .select(
-                       "doc_id", "lang", "text", "n_tokens",
+                       "doc_id", "lang", "h", "n_tokens",
                        F.col("f_rep").isNotNull().alias("f_rep"),
                        F.col("f_boil").isNotNull().alias("f_boil"),
                        ((F.col("doc_id") % EVAL_MOD != 0)
@@ -288,8 +302,7 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact-dedup keep set is defined over the decontaminated survivors
     s3_docs = flagged.filter("f_rep AND f_boil AND f_dec")
-    keep_ids = (s3_docs.groupBy(F.md5(F.col("text").cast("binary"))
-                                .alias("h"))
+    keep_ids = (s3_docs.groupBy("h")
                        .agg(F.min("doc_id").alias("doc_id"))
                        .select("doc_id").withColumn("k", F.lit(1)))
     flagged = (flagged.join(keep_ids, "doc_id", "left")
@@ -321,11 +334,15 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "f_boil", "f_dec", "f_exact",
                               F.col("is_dup_b").isNull().alias("f_near"))
                       # flags-only relation (text dropped): one corpus
-                      # pass materializes it; the six stage aggregates
-                      # below each scan ~5 small columns of it
+                      # pass materializes it for the stage rollup
                       .localCheckpoint(eager=False))
+    return flagged
 
-    conds = {
+
+def _stage_conds() -> dict[str, F.Column]:
+    """Stage membership predicates over the gate-flag relation; the
+    funnel is conjunctive, so each stage ANDs one more flag."""
+    return {
         "0_raw": F.lit(True),
         "1_repetition": F.col("f_rep"),
         "2_boilerplate": F.col("f_rep") & F.col("f_boil"),
@@ -337,16 +354,31 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         & F.col("f_dec") & F.col("f_exact")
                         & F.col("f_near"),
     }
-    parts = [
-        flagged.filter(conds[key])
-               .groupBy("lang")
-               .agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.sum("n_tokens").alias("total_tokens"))
-               .select(F.lit(key).alias("stage"), "lang", "n_docs",
-                       "total_tokens")
-        for key in _STAGES
-    ]
-    out = parts[0]
-    for p_ in parts[1:]:
-        out = out.unionAll(p_)
-    return out
+
+
+def _stage_rollup(flagged: DataFrame) -> DataFrame:
+    """Per-(stage, lang) doc/token totals in ONE aggregate: a
+    conditional SUM per stage inside a single groupBy(lang), then an
+    explode-stack of the per-lang row into the six stage rows. The
+    naive shape (one filter+groupBy branch per stage, unioned) scans
+    the flags relation six times and shuffles six times; conditional
+    aggregation is the standard one-pass replacement. SUM(CASE) with
+    no ELSE leaves a stage's pair NULL when no doc reaches it, which
+    the filter drops — matching the per-stage groupBy that simply has
+    no row for an empty (stage, lang) group."""
+    conds = _stage_conds()
+    per_lang = flagged.groupBy("lang").agg(
+        *[F.sum(F.when(conds[k], F.lit(1))).alias(f"__n_{i}")
+          for i, k in enumerate(_STAGES)],
+        *[F.sum(F.when(conds[k], F.col("n_tokens"))).alias(f"__t_{i}")
+          for i, k in enumerate(_STAGES)])
+    stacked = per_lang.select(
+        "lang",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("stage"),
+                     F.col(f"__n_{i}").alias("n_docs"),
+                     F.col(f"__t_{i}").alias("total_tokens"))
+            for i, k in enumerate(_STAGES)])).alias("s"))
+    return (stacked.filter(F.col("s.n_docs").isNotNull())
+                   .select("s.stage", "lang", "s.n_docs",
+                           "s.total_tokens"))
