@@ -869,3 +869,81 @@ def reservoir_sample_per_group(spark: SparkSession,
     return (docs.select("source", "doc_id",
                         F.row_number().over(w).alias("sample_rank"))
                 .filter(F.col("sample_rank") <= 20))
+
+
+# ------------------------------- temperature-resampled language mixture
+
+TEMP_SCALE = 1_000_000  # integer scale under the sqrt so the floored
+                        # weight keeps ~3 significant digits
+TEMP_BUDGET = 200       # documents drawn into the mixed training set
+
+
+@query(
+    "temperature_sampled_language_mix",
+    oracle=f"""
+        WITH lang_n AS (
+          SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ), w AS (
+          SELECT lang,
+                 CAST(FLOOR(SQRT(n_docs * {TEMP_SCALE})) AS BIGINT)
+                   AS wgt
+          FROM lang_n
+        ), tgt AS (
+          SELECT lang, ({TEMP_BUDGET} * wgt)
+                         // (SELECT SUM(wgt) FROM w) AS target
+          FROM w
+        ), ranked AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('temp|' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rnk
+          FROM documents
+        )
+        SELECT r.doc_id, r.lang, CAST(r.rnk AS BIGINT) AS rnk
+        FROM ranked r JOIN tgt USING (lang)
+        WHERE r.rnk <= tgt.target
+    """,
+    doc="Temperature-resampled multilingual mixture (the alpha-scaled "
+        "language sampling of mT5/XLM-R, arXiv:2010.11934: draw "
+        "probability proportional to n_l^alpha flattens the language "
+        "distribution so low-resource languages are upweighted). "
+        "alpha = 0.5 exactly, because sqrt is correctly rounded in "
+        "IEEE-754 — FLOOR(SQRT(n*10^6)) is the same integer on every "
+        "engine, so weights, integer-division targets, and the drawn "
+        "id set are all bit-reproducible with no RNG (draw order is "
+        "salted-md5, as in the other deterministic samplers). Plan "
+        "shape: two tiny aggregates build a per-language target "
+        "table; the per-language rank prunes to rank <= "
+        f"{TEMP_BUDGET} (a constant bound, so Spark runs it as a "
+        "WindowGroupLimit per-partition heap, never a full per-"
+        "language sort) before the broadcast target join applies the "
+        "exact data-dependent cutoff.",
+    tags=("curation", "sampling", "mixture", "llm"),
+)
+def temperature_sampled_language_mix(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    wgt = (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select("lang",
+                    F.floor(F.sqrt(F.col("n_docs") * TEMP_SCALE))
+                     .cast("bigint").alias("wgt")))
+    tot = wgt.agg(F.sum("wgt").alias("tw"))
+    tgt = (wgt.crossJoin(F.broadcast(tot))
+              .select("lang",
+                      F.expr(f"({TEMP_BUDGET} * wgt) DIV tw")
+                       .alias("target")))
+    win = (Window.partitionBy("lang")
+                 .orderBy(F.expr("md5(concat('temp|',"
+                                 " CAST(doc_id AS STRING)))"), "doc_id"))
+    ranked = (d.select("doc_id", "lang",
+                       F.row_number().over(win).cast("bigint")
+                        .alias("rnk"))
+               # constant bound first: target <= TEMP_BUDGET always,
+               # and the adjacent constant filter turns the window
+               # into a WindowGroupLimit (per-partition top-k heap)
+               .filter(F.col("rnk") <= TEMP_BUDGET))
+    return (ranked.join(F.broadcast(tgt), "lang")
+                  .filter(F.col("rnk") <= F.col("target"))
+                  .select("doc_id", "lang", "rnk"))

@@ -839,3 +839,74 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(near_batch, "doc_id", "left")
             .groupBy("source", status.alias("status"))
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+# ------------------------------------------- exact-substring span dedup
+
+SPAN_W = 8  # tokens per window; Lee et al. use a 50-token minimum match,
+            # scaled down to the testdata's 10-99-token documents
+
+
+@query(
+    "exact_substring_dup_spans",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), w0 AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - {SPAN_W - 1}))
+                   AS g
+          FROM t WHERE len(toks) >= {SPAN_W}
+        ), w AS (
+          SELECT doc_id,
+                 md5(array_to_string(toks[g:g + {SPAN_W - 1}], ' ')) AS h
+          FROM w0
+        ), dup AS (
+          SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT w.doc_id,
+               COUNT(*) AS n_windows,
+               CAST(COALESCE(
+                 SUM(CASE WHEN dup.h IS NOT NULL THEN 1 END), 0)
+                 AS BIGINT) AS n_dup_windows
+        FROM w LEFT JOIN dup USING (h)
+        GROUP BY w.doc_id
+    """,
+    doc="Exact-substring duplicate spans (the ExactSubstr technique of "
+        "Lee et al., 'Deduplicating Training Data Makes Language "
+        "Models Better', arXiv:2107.06499): every overlapping "
+        f"{SPAN_W}-token window is hashed, and a window duplicated in "
+        ">= 2 distinct documents marks its span as shared prose; the "
+        "per-doc duplicated-window count is the span-level coverage "
+        "a substring-dedup pass would cut (the paper's suffix-array "
+        "match is the single-machine shape; hashed fixed-width "
+        "windows are its standard distributed approximation). Plan "
+        "shape: one explode to the window table, one "
+        "map-side-combinable distinct-doc aggregate building the "
+        "duplicated-hash index, one equi-join back — the same "
+        "linear inverted-index economics as boilerplate_ngram_stats "
+        "(whose recompute-over-materialize note applies here too: at "
+        "100 TB, persist the window table once and reuse it for both "
+        "sides).",
+    tags=("dedup", "substring", "llm"),
+)
+def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    wins = (d.select("doc_id", F.split("text", " ").alias("toks"))
+             .filter(F.size("toks") >= SPAN_W)
+             .select("doc_id",
+                     F.explode(F.expr(
+                         f"transform(sequence(1, size(toks) - {SPAN_W - 1}),"
+                         f" i -> md5(concat_ws(' ',"
+                         f" slice(toks, i, {SPAN_W}))))")).alias("h")))
+    dup = (wins.groupBy("h")
+               .agg(F.count_distinct("doc_id").alias("nd"))
+               .filter(F.col("nd") >= 2)
+               .select("h").withColumn("dup", F.lit(1)))
+    return (wins.join(dup, "h", "left")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_windows"),
+                     F.coalesce(F.sum(F.when(F.col("dup").isNotNull(),
+                                             F.lit(1))),
+                                F.lit(0)).cast("bigint")
+                      .alias("n_dup_windows")))

@@ -623,3 +623,32 @@ def test_tpch_q22_scalar_threshold_is_one_row_broadcast(spark, sf_dir):
     # BroadcastExchange's child chain contains a HashAggregate
     build = tree.rsplit("BroadcastExchange", 1)[-1]
     assert "HashAggregate" in build, plan
+
+
+def test_temperature_mix_bounds_rank_and_broadcasts_targets(spark,
+                                                            sf_dir):
+    """The per-language rank must run as a WindowGroupLimit (constant
+    TEMP_BUDGET bound pushed below the sort) and the 5-row target
+    table must broadcast — no corpus-sized shuffle beyond the rank."""
+    from de_project_airflow_etl_spark.operators.curation import (
+        temperature_sampled_language_mix,
+    )
+    df = temperature_sampled_language_mix(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_substring_spans_is_inverted_index_shaped(spark, sf_dir):
+    """The span-dedup join-back must be an equi-join on the window
+    hash (no cartesian), reading documents at most twice (index side
+    + probe side, the recompute-over-materialize choice)."""
+    from de_project_airflow_etl_spark.operators.dedup import (
+        exact_substring_dup_spans,
+    )
+    plan = formatted_plan(exact_substring_dup_spans(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # formatted plans list each scan twice (tree line + detail block):
+    # <= 4 occurrences == at most 2 physical scans of documents
+    assert plan.count("Scan parquet") <= 4, plan
