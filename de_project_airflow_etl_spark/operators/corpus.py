@@ -242,9 +242,18 @@ def _release_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the gram table feeds BOTH the df aggregate and the per-doc probe;
     # materialize it once (this is the "persisted gram table" the 100 TB
-    # mitigation in corpus_stats.py describes, applied in-plan)
+    # mitigation in corpus_stats.py describes, applied in-plan). Grams
+    # are xxhash64-coded at the explode: the gate only needs gram
+    # EQUALITY (df counting + join-back), so exchanges move 8-byte
+    # longs, not ~30-byte 5-gram strings — the C4-style hashed-n-gram
+    # trick. A 64-bit collision would merge two grams' doc counts;
+    # at testdata scale none exist (oracle stays exact), and at 10^11
+    # distinct grams the expected handful of collisions perturbs a
+    # boilerplate FRACTION threshold, not an exact id set.
     exploded = docs.select("doc_id",
-                           F.explode(F.expr(_GRAMS_EXPR)).alias("gram")
+                           F.explode(F.expr(
+                               f"transform({_GRAMS_EXPR},"
+                               f" g -> xxhash64(g))")).alias("gram")
                            ).localCheckpoint(eager=False)
     # boilerplate df over DEDUPLICATED text (min doc_id per content
     # hash): byte-identical copies must not make each other
