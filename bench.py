@@ -88,6 +88,8 @@ HEADLINE = (
     "tpch_q13_customer_distribution",  # filtered LEFT join histogram
     "tpch_q18_large_volume_customers",  # agg-subquery semi filter
     "tpch_q21_waiting_suppliers",  # EXISTS + NOT EXISTS anti/semi pair
+    "exact_substring_dup_spans",   # hashed-window substring dedup
+    "temperature_sampled_language_mix",  # alpha=0.5 language resample
 )
 
 
