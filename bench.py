@@ -90,6 +90,7 @@ HEADLINE = (
     "tpch_q21_waiting_suppliers",  # EXISTS + NOT EXISTS anti/semi pair
     "exact_substring_dup_spans",   # hashed-window substring dedup
     "temperature_sampled_language_mix",  # alpha=0.5 language resample
+    "ann_pq_adc_search",           # product-quantization ADC top-k
 )
 
 

@@ -1052,3 +1052,141 @@ def semdedup_embedding_clusters(spark: SparkSession,
                         (F.col("n_vectors")
                          - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"))
     )
+
+
+# ---------------------------------- product quantization (PQ) ADC search
+
+PQ_M = 4        # subspaces (64-dim -> 4 x 16-dim subvectors)
+PQ_SUB = 16     # dimensions per subspace
+PQ_K = 16       # codebook size per subspace: seeds are the subvectors
+                # of vec_id 0..15 (deterministic; a trained codebook
+                # would Lloyd's-iterate these, cf. ann_ivf_kmeans_fit)
+
+
+def _sq(a: str, b: str) -> Column:
+    """Sequential-fold squared L2 distance (bit-deterministic)."""
+    return F.expr(_sq_expr(a, b))
+
+
+def _sq_expr(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) ->"
+            f" (cast(x as double) - cast(y as double))"
+            f" * (cast(x as double) - cast(y as double))),"
+            f" 0D, (acc, v) -> acc + v)")
+
+
+def _sql_sq(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(0.0, list_transform("
+            f"generate_series(1, len({a})),"
+            f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+            f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))),"
+            f" (acc, v) -> acc + v)")
+
+
+def _pq_sub(col: str, m: int) -> str:
+    """The m-th (1-based) 16-dim subvector slice expression."""
+    return f"slice({col}, {(m - 1) * PQ_SUB + 1}, {PQ_SUB})"
+
+
+_PQ_ORACLE = f"""
+    WITH m_axis AS (
+      SELECT unnest(generate_series(1, {PQ_M})) AS m
+    ), seeds AS (
+      SELECT s.vec_id AS code, m.m,
+             s.embedding[(m.m - 1) * {PQ_SUB} + 1 : m.m * {PQ_SUB}]
+               AS cent
+      FROM embeddings s, m_axis m WHERE s.vec_id < {PQ_K}
+    ), sub AS (
+      SELECT e.vec_id, e.label, m.m,
+             e.embedding[(m.m - 1) * {PQ_SUB} + 1 : m.m * {PQ_SUB}]
+               AS sv
+      FROM embeddings e, m_axis m
+    ), codes AS (
+      -- per (vector, subspace): nearest codebook entry, earliest code
+      -- on an exact tie (matches the Spark fold's strict <)
+      SELECT vec_id, label, m, code FROM (
+        SELECT sub.vec_id, sub.label, sub.m, seeds.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sub.vec_id, sub.m
+                 ORDER BY {_sql_sq('sub.sv', 'seeds.cent')}, seeds.code
+               ) AS rnk
+        FROM sub JOIN seeds USING (m)
+      ) WHERE rnk = 1
+    ), qtab AS (
+      -- the query's distance table: query subvector -> each codebook
+      -- entry, the table ADC sums over
+      SELECT seeds.m, seeds.code, {_sql_sq('q.sv', 'seeds.cent')} AS d
+      FROM (SELECT m, sv FROM sub WHERE vec_id = {QUERY_VEC_ID}) q
+      JOIN seeds USING (m)
+    )
+    SELECT vec_id, label, adc_dist FROM (
+      SELECT c.vec_id, MAX(c.label) AS label,
+             -- m-ordered sequential sum == the Spark 4-term sum
+             list_reduce(list_prepend(0.0,
+               list(q.d ORDER BY c.m)), (acc, v) -> acc + v)
+               AS adc_dist
+      FROM codes c JOIN qtab q USING (m, code)
+      WHERE c.vec_id <> {QUERY_VEC_ID}
+      GROUP BY c.vec_id
+    ) ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+
+@query(
+    "ann_pq_adc_search",
+    oracle=_PQ_ORACLE,
+    doc="Product-quantization ANN with asymmetric distance computation "
+        "(Jegou, Douze, Schmid, 'Product Quantization for Nearest "
+        "Neighbor Search', TPAMI 2011): each 64-dim vector is encoded "
+        f"as {PQ_M} codebook ids ({PQ_M} bytes vs 256 -- the memory "
+        "compression that lets a 100 TB corpus's index live in RAM), "
+        "and the query scores candidates as the sum of its "
+        "per-subspace distances to each CODE's centroid, never to the "
+        "raw vector. Codebooks here are deterministic seeds (the "
+        f"subvectors of vec_id 0..{PQ_K - 1}; a production fit runs "
+        "Lloyd's per subspace exactly as ann_ivf_kmeans_fit does). "
+        "Plan shape: the 16x4 codebook collapses to ONE broadcast row; "
+        "encode + table-lookup + ADC sum are pure expressions over a "
+        "single corpus scan and the top-k is TakeOrderedAndProject -- "
+        "zero shuffle, like ann_ivf_search. Every distance is a "
+        "sequential double fold so Spark and DuckDB agree "
+        "bit-for-bit; argmin ties keep the earliest code on both "
+        "engines.",
+    tags=("similarity", "ann", "pq"),
+)
+def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    seeds = (e.filter(F.col("vec_id") < PQ_K)
+              .groupBy()
+              .agg(F.sort_array(F.collect_list(
+                   F.struct("vec_id", "embedding"))).alias("seeds")))
+    qrow = (e.filter(F.col("vec_id") == QUERY_VEC_ID)
+             .select(F.col("embedding").alias("qv")))
+
+    scored = (e.filter(F.col("vec_id") != QUERY_VEC_ID)
+               .crossJoin(F.broadcast(seeds))
+               .crossJoin(F.broadcast(qrow)))
+    adc_terms = []
+    for m in range(1, PQ_M + 1):
+        sub_v = _pq_sub("embedding", m)
+        sub_c = _pq_sub("s.embedding", m)
+        # fold over the 16 seeds in code order; strict < keeps the
+        # earliest code on ties (mirrors the oracle's ROW_NUMBER)
+        code = (f"aggregate(seeds,"
+                f" named_struct('d', cast('Infinity' as double),"
+                f" 'c', cast(-1 as bigint)),"
+                f" (acc, s) -> CASE WHEN {_sq_expr(sub_v, sub_c)}"
+                f" < acc.d THEN named_struct("
+                f"'d', {_sq_expr(sub_v, sub_c)},"
+                f" 'c', s.vec_id) ELSE acc END,"
+                f" acc -> acc.c)")
+        # ADC term: query subvector -> the chosen code's centroid
+        # (element_at is 1-based; seeds are sorted by vec_id = code)
+        cent = (f"element_at(seeds,"
+                f" cast(({code}) + 1 as int)).embedding")
+        adc_terms.append(
+            f"({_sq_expr(_pq_sub('qv', m), _pq_sub(cent, m))})")
+    adc = " + ".join(adc_terms)  # fixed m order: deterministic sum
+    return (scored.select("vec_id", "label",
+                          F.expr(adc).alias("adc_dist"))
+                  .orderBy("adc_dist", "vec_id").limit(10))

@@ -652,3 +652,17 @@ def test_substring_spans_is_inverted_index_shaped(spark, sf_dir):
     # formatted plans list each scan twice (tree line + detail block):
     # <= 4 occurrences == at most 2 physical scans of documents
     assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_pq_adc_search_has_zero_corpus_shuffle(spark, sf_dir):
+    """PQ encode + ADC scoring must stay expression-only over one
+    corpus scan: no hashpartitioning exchange anywhere (the only
+    exchanges are the single-partition 16-row codebook collapse and
+    the two one-row broadcasts), top-k as TakeOrderedAndProject."""
+    from de_project_airflow_etl_spark.operators.similarity import (
+        ann_pq_adc_search,
+    )
+    plan = formatted_plan(ann_pq_adc_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
