@@ -180,3 +180,18 @@ def test_semdedup_drops_planted_twins_at_4k(spark, semdedup_embeddings):
     assert sum(r["n_vectors"] for r in rows) == SEM_N
     assert all(r["n_kept"] + r["n_dropped"] == r["n_vectors"] for r in rows)
     assert sum(r["n_dropped"] for r in rows) >= len(SEM_TWINS)
+
+
+def test_pq_adc_ranks_planted_twin_first_at_100k(spark,
+                                                 planted_embeddings):
+    """The planted exact copy of the query must rank FIRST under PQ:
+    its codes equal the query's own codes, so its ADC distance is
+    sum_m d(q_m, centroid(code_m(q))) — the minimum the ADC function
+    can take over ANY code assignment, hence <= every other vector's
+    score (a structural property of product quantization, not a data
+    accident). Runs the zero-shuffle expression path at 20x the bench
+    corpus."""
+    rows = similarity.ann_pq_adc_search(spark,
+                                        planted_embeddings).collect()
+    assert rows and rows[0]["vec_id"] == PLANTED_ID
+    assert all(rows[0]["adc_dist"] <= r["adc_dist"] for r in rows[1:])
