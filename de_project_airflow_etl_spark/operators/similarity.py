@@ -1063,12 +1063,8 @@ PQ_K = 16       # codebook size per subspace: seeds are the subvectors
                 # would Lloyd's-iterate these, cf. ann_ivf_kmeans_fit)
 
 
-def _sq(a: str, b: str) -> Column:
-    """Sequential-fold squared L2 distance (bit-deterministic)."""
-    return F.expr(_sq_expr(a, b))
-
-
 def _sq_expr(a: str, b: str) -> str:
+    """Sequential-fold squared L2 distance (bit-deterministic)."""
     return (f"aggregate(zip_with({a}, {b}, (x, y) ->"
             f" (cast(x as double) - cast(y as double))"
             f" * (cast(x as double) - cast(y as double))),"
@@ -1170,20 +1166,25 @@ def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in range(1, PQ_M + 1):
         sub_v = _pq_sub("embedding", m)
         sub_c = _pq_sub("s.embedding", m)
-        # fold over the 16 seeds in code order; strict < keeps the
-        # earliest code on ties (mirrors the oracle's ROW_NUMBER)
-        code = (f"aggregate(seeds,"
+        # each (seed, subspace) distance is computed exactly ONCE
+        # (zip_with materializes the 16 scored structs), then one fold
+        # picks the argmin; strict < keeps the EARLIEST position on
+        # ties. The code is the seed's 1-based array POSITION, not its
+        # vec_id: seeds are sorted by vec_id, so position is a
+        # monotone relabeling of the oracle's vec_id codes (same
+        # argmin, same centroid) with no hidden contiguity contract —
+        # a seed set with gaps still looks up the right centroid.
+        code = (f"aggregate("
+                f"zip_with(seeds, sequence(1, size(seeds)), (s, i) ->"
+                f" named_struct('d', {_sq_expr(sub_v, sub_c)},"
+                f" 'i', i)),"
                 f" named_struct('d', cast('Infinity' as double),"
-                f" 'c', cast(-1 as bigint)),"
-                f" (acc, s) -> CASE WHEN {_sq_expr(sub_v, sub_c)}"
-                f" < acc.d THEN named_struct("
-                f"'d', {_sq_expr(sub_v, sub_c)},"
-                f" 'c', s.vec_id) ELSE acc END,"
-                f" acc -> acc.c)")
+                f" 'i', -1),"
+                f" (acc, x) -> CASE WHEN x.d < acc.d"
+                f" THEN x ELSE acc END,"
+                f" acc -> acc.i)")
         # ADC term: query subvector -> the chosen code's centroid
-        # (element_at is 1-based; seeds are sorted by vec_id = code)
-        cent = (f"element_at(seeds,"
-                f" cast(({code}) + 1 as int)).embedding")
+        cent = f"element_at(seeds, ({code})).embedding"
         adc_terms.append(
             f"({_sq_expr(_pq_sub('qv', m), _pq_sub(cent, m))})")
     adc = " + ".join(adc_terms)  # fixed m order: deterministic sum

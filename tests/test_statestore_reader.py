@@ -18,7 +18,7 @@ def _run_counts(spark, src, cp, name):
               .queryName(name)
               .option("checkpointLocation", cp)
               .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish"
 
 
 def test_statestore_reader_matches_batch_counts(spark, tmp_path):
@@ -56,4 +56,5 @@ def test_statestore_reader_matches_batch_counts(spark, tmp_path):
     # the metadata surface names the stateful operator and its layout
     meta = spark.read.format("state-metadata").load(cp).collect()
     assert meta and meta[0]["operatorName"] == "stateStoreSave"
-    assert meta[0]["numPartitions"] == 32
+    assert meta[0]["numPartitions"] == int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
