@@ -99,3 +99,39 @@ def test_temperature_mix_targets_and_flattening(spark, sf_dir):
     for (n_lo, r_lo), (n_hi, r_hi) in zip(rates, rates[1:]):
         if n_lo < n_hi:
             assert r_lo >= r_hi, rates
+
+
+def test_temperature_mix_scale_1m_rows(spark, tmp_path):
+    """1M docs across 5 languages with a 100:1 resource imbalance:
+    per-language draw counts must equal the integer-exact targets
+    (computed independently in Python), and the alpha=0.5 flattening
+    must upweight the rarest language's sampling rate by ~10x the
+    dominant language's (sqrt of the 100x ratio). Exercises the
+    WindowGroupLimit rank path at 200x the bench corpus."""
+    sizes = {"en": 500_000, "de": 250_000, "fr": 200_000,
+             "es": 45_000, "zh": 5_000}
+    offsets, acc = {}, 0
+    for lang, n in sizes.items():
+        offsets[lang] = acc
+        acc += n
+    cases = " ".join(
+        f"WHEN id < {offsets[lang] + n} THEN '{lang}'"
+        for lang, n in sizes.items())
+    docs = spark.range(1_000_000).selectExpr(
+        "id AS doc_id",
+        f"CASE {cases} END AS lang",
+        "'t' AS text", "'synth' AS source", "1 AS n_chars")
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = {r["lang"]: r["n"] for r in
+           temperature_sampled_language_mix(spark, str(tmp_path))
+           .groupBy("lang").agg({"*": "count"})
+           .withColumnRenamed("count(1)", "n").collect()}
+    wgt = {l: math.floor(math.sqrt(n * TEMP_SCALE))
+           for l, n in sizes.items()}
+    tw = sum(wgt.values())
+    target = {l: (TEMP_BUDGET * w) // tw for l, w in wgt.items()}
+    assert got == {l: t for l, t in target.items() if t > 0}
+    rate = {l: target[l] / sizes[l] for l in sizes}
+    assert rate["zh"] > 9 * rate["en"]
