@@ -220,6 +220,16 @@ def gate_failures(total: float, timings: dict[str, float],
     the primary regression signal for these small queries."""
     factor = machine_factor(timings, base_queries)
     failures = []
+    if factor >= 3.0:
+        # the clamp ceiling means the MEDIAN query runs 3x+ slower
+        # than baseline: either the box is unusable or a change slowed
+        # the shared path (session conf, load()) uniformly — both are
+        # states the gate must not silently normalize away.
+        failures.append(
+            "machine factor saturated at 3.0 — the measurement is "
+            "meaningless (box unusable or a uniform shared-path "
+            "regression); re-run on an idle box before trusting "
+            "any comparison")
     if total > total_factor * factor * base_total:
         failures.append(
             f"total {total:.3f}s > {total_factor}x baseline "

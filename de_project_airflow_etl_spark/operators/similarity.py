@@ -1019,8 +1019,12 @@ def semdedup_embedding_clusters(spark: SparkSession,
              F.sqrt(_idot("ei", "ei").cast("double")).alias("inorm"),
              F.col("best.sim").alias("sc"))
          .withColumn("centroid_sim", F.col("sc") / F.col("inorm"))
-         .localCheckpoint())  # two consumers (pairs x2 + summary):
-    # cut the broadcast-argmax subplan so it computes once.
+         # lazy cut: the corpus-sized assignment computes ONCE at the
+         # first action and is shared by all consumers (pairs x2 +
+         # summary) — eager=True here would run the full argmax job at
+         # plan-construction time (gen_plans, plan gates, every bench
+         # build) and pin the blocks before any action needs them.
+         .localCheckpoint(eager=False))
     a = assigned.select(F.col("vec_id").alias("vid_a"), "cell",
                         F.col("ei").alias("ei_a"),
                         F.col("inorm").alias("inorm_a"),

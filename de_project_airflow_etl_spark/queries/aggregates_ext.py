@@ -394,18 +394,23 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.datediff("corpus_max", "last")
                           .alias("recency_days"),
                          "frequency", "monetary"))
-    # one materialization of the customer dimension; the three
-    # distributed-ntile passes below each re-derive buckets/offsets
-    # from it (dimension-sized work, no repeat of the fact aggregate)
+    # one materialization of the customer dimension; each quartile
+    # axis is INDEPENDENT (its ntile reads only its own value column +
+    # tiebreak), so the three passes all derive straight from the
+    # checkpoint and join back on o_custkey — chaining them instead
+    # would re-execute pass 1's bucket/window pipeline inside pass
+    # 2's adaptive probe and pass 1+2 inside pass 3's (review
+    # finding: several redundant dimension-sized shuffles)
     per_cust = per_cust.localCheckpoint(eager=False)
-    scored = _global_ntile(per_cust, "recency_days", "o_custkey",
-                           4, "r_quartile")
-    scored = _global_ntile(scored, "frequency", "o_custkey",
-                           4, "f_quartile", descending=True)
-    scored = _global_ntile(scored, "monetary", "o_custkey",
-                           4, "m_quartile", descending=True)
-    scored = scored.select("o_custkey", "monetary", "r_quartile",
-                           "f_quartile", "m_quartile")
+    axes = [("recency_days", "r_quartile", False),
+            ("frequency", "f_quartile", True),
+            ("monetary", "m_quartile", True)]
+    scored = per_cust.select("o_custkey", "monetary")
+    for value_col, out_col, desc in axes:
+        q = (_global_ntile(per_cust, value_col, "o_custkey",
+                           4, out_col, descending=desc)
+             .select("o_custkey", out_col))
+        scored = scored.join(q, "o_custkey")
     return (scored.groupBy("r_quartile", "f_quartile", "m_quartile")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  (F.sum(cents("monetary")).cast("double") / 100)

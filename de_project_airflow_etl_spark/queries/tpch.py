@@ -125,7 +125,8 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     late = o.join(
         li, (li.l_orderkey == o.o_orderkey)
-        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)), "left_semi")
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
     return (late.groupBy("o_orderpriority")
                 .agg(F.count(F.lit(1)).alias("order_count")))
 
@@ -495,7 +496,8 @@ def tpch_q12_late_lines_by_status(spark: SparkSession,
         & (F.col("l_shipdate") < _ts("1998-01-01")))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (li.join(o, (li.l_orderkey == o.o_orderkey)
-                    & (li.l_shipdate > F.date_add(o.o_orderdate, 90)))
+                    & (li.l_shipdate > o.o_orderdate
+                       + F.expr("INTERVAL 90 DAYS")))
               .groupBy("l_linestatus")
               .agg(F.sum(F.when(high, 1).otherwise(0))
                     .alias("high_line_count"),
@@ -856,7 +858,8 @@ def tpch_q21_waiting_suppliers(spark: SparkSession,
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
                                                 "l_shipdate")
     late = (li.join(o, (li.l_orderkey == o.o_orderkey)
-                    & (li.l_shipdate > F.date_add(o.o_orderdate, 90)))
+                    & (li.l_shipdate > o.o_orderdate
+                       + F.expr("INTERVAL 90 DAYS")))
               .select("l_orderkey", "l_suppkey").distinct()
               .localCheckpoint(eager=False))  # used three times below
     other = (li.select(F.col("l_orderkey").alias("ok2"),

@@ -105,54 +105,85 @@ def global_row_number(df, value_col: str, tiebreak: str, out: str,
     K = RANK_BUCKETS
     v = F.col(value_col).cast("double")
     t = F.col(tiebreak).cast("double")
-    mn, mx, n = df.agg(F.min(v), F.max(v), F.count(F.lit(1))).first()
-    if not n:
-        return df.withColumn(out, F.lit(1).cast("long"))
 
     def _bucket(pos, lo, hi):
         span = hi - lo + F.lit(1.0)
         return (F.least(F.lit(K - 1), F.floor((pos - lo) * K / span))
                  .cast("long"))
 
+    if not adaptive:
+        # single-level bucketing needs no driver-side decision, so the
+        # min/max stay IN-PLAN as a broadcast one-row aggregate —
+        # constructing the DataFrame (plan gates, gen_plans) costs
+        # nothing, and the stats pass fuses into the one job.
+        stats = df.agg(F.min(v).alias("__gmn"), F.max(v).alias("__gmx"))
+        pos1 = (F.col("__gmx") - v) if descending else v
+        lo1 = F.lit(0.0) if descending else F.col("__gmn")
+        hi1 = ((F.col("__gmx") - F.col("__gmn")) if descending
+               else F.col("__gmx"))
+        keyed = (df.crossJoin(F.broadcast(stats))
+                   .withColumn("__bk", _bucket(pos1, lo1, hi1))
+                   .drop("__gmn", "__gmx"))
+        return _rank_over_buckets(keyed, value_col, tiebreak, out,
+                                  descending, _keep_key)
+
+    # adaptive: the refinement decision (stop or re-split) is made on
+    # the driver per level — the convergence-probe pattern — so the
+    # global stats are one eager 3-scalar probe.
+    mn, mx, n = df.agg(F.min(v), F.max(v), F.count(F.lit(1))).first()
+    if not n:
+        return df.withColumn(out, F.lit(1).cast("long"))
+
     pos1 = (F.lit(float(mx)) - v) if descending else v
     lo1 = F.lit(0.0) if descending else F.lit(float(mn))
     hi1 = (F.lit(float(mx) - float(mn)) if descending
            else F.lit(float(mx)))
     keyed = df.withColumn("__bk", _bucket(pos1, lo1, hi1))
-    if adaptive:
-        for _ in range(RANK_LEVELS - 1):
-            keyed = keyed.localCheckpoint(eager=False)
-            bstats = (keyed.groupBy("__bk")
-                           .agg(F.count(F.lit(1)).alias("__bn"),
-                                F.min(v).alias("__bvmn"),
-                                F.max(v).alias("__bvmx"),
-                                F.min(t).alias("__btmn"),
-                                F.max(t).alias("__btmx"))
-                           .localCheckpoint())  # tiny; probed + joined
-            worst = bstats.agg(F.max("__bn")).first()[0]
-            if worst * K <= n * RANK_OVERSIZE:
-                break
-            # three-way refinement: [0,K) first-sorting edge value by
-            # tiebreak range, [K,2K) interior by value range, [2K,3K)
-            # last-sorting edge value by tiebreak range
-            first_v = F.col("__bvmx") if descending else F.col("__bvmn")
-            last_v = F.col("__bvmn") if descending else F.col("__bvmx")
-            pos2 = (F.col("__bvmx") - v) if descending else v
-            lo2 = F.lit(0.0) if descending else F.col("__bvmn")
-            hi2 = ((F.col("__bvmx") - F.col("__bvmn")) if descending
-                   else F.col("__bvmx"))
-            tb = _bucket(t, F.col("__btmn"), F.col("__btmx"))
-            sub = (F.when(F.col("__bn") * K <= F.lit(n) * RANK_OVERSIZE,
-                          F.lit(0).cast("long"))
-                    .when(v == first_v, tb)
-                    .when(v == last_v, F.lit(2 * K) + tb)
-                    .otherwise(F.lit(K) + _bucket(pos2, lo2, hi2)))
-            keyed = (keyed.join(F.broadcast(bstats), "__bk")
-                          .withColumn("__bk",
-                                      F.col("__bk") * (3 * K)
-                                      + sub.cast("long"))
-                          .drop("__bn", "__bvmn", "__bvmx",
-                                "__btmn", "__btmx"))
+    for _ in range(RANK_LEVELS - 1):
+        keyed = keyed.localCheckpoint(eager=False)
+        bstats = (keyed.groupBy("__bk")
+                       .agg(F.count(F.lit(1)).alias("__bn"),
+                            F.min(v).alias("__bvmn"),
+                            F.max(v).alias("__bvmx"),
+                            F.min(t).alias("__btmn"),
+                            F.max(t).alias("__btmx"))
+                       .localCheckpoint())  # tiny; probed + joined
+        worst = bstats.agg(F.max("__bn")).first()[0]
+        if worst * K <= n * RANK_OVERSIZE:
+            break
+        # three-way refinement: [0,K) first-sorting edge value by
+        # tiebreak range, [K,2K) interior by value range, [2K,3K)
+        # last-sorting edge value by tiebreak range
+        first_v = F.col("__bvmx") if descending else F.col("__bvmn")
+        last_v = F.col("__bvmn") if descending else F.col("__bvmx")
+        pos2 = (F.col("__bvmx") - v) if descending else v
+        lo2 = F.lit(0.0) if descending else F.col("__bvmn")
+        hi2 = ((F.col("__bvmx") - F.col("__bvmn")) if descending
+               else F.col("__bvmx"))
+        tb = _bucket(t, F.col("__btmn"), F.col("__btmx"))
+        sub = (F.when(F.col("__bn") * K <= F.lit(n) * RANK_OVERSIZE,
+                      F.lit(0).cast("long"))
+                .when(v == first_v, tb)
+                .when(v == last_v, F.lit(2 * K) + tb)
+                .otherwise(F.lit(K) + _bucket(pos2, lo2, hi2)))
+        keyed = (keyed.join(F.broadcast(bstats), "__bk")
+                      .withColumn("__bk",
+                                  F.col("__bk") * (3 * K)
+                                  + sub.cast("long"))
+                      .drop("__bn", "__bvmn", "__bvmx",
+                            "__btmn", "__btmx"))
+
+    return _rank_over_buckets(keyed, value_col, tiebreak, out,
+                              descending, _keep_key)
+
+
+def _rank_over_buckets(keyed, value_col: str, tiebreak: str, out: str,
+                       descending: bool, _keep_key: bool):
+    """Shared rank tail: per-bucket counts prefix-sum into broadcast
+    offsets (the only unpartitioned window, bucket-count rows), then
+    global rank = offset + row_number over the bucket-partitioned
+    window."""
+    from pyspark.sql import Window
 
     counts = keyed.groupBy("__bk").agg(F.count(F.lit(1)).alias("__c"))
     offsets = (counts.withColumn(

@@ -99,3 +99,13 @@ def test_machine_factor_never_loosens_below_one_or_above_three():
     melt = {n: t * 10 for n, t in BASELINE["queries"].items()}
     assert machine_factor(melt, BASELINE["queries"]) == 3.0
     assert machine_factor({}, BASELINE["queries"]) == 1.0
+
+
+def test_gate_fails_loudly_when_machine_factor_saturates():
+    """A median ratio at the 3.0 clamp means the normalization is
+    meaningless (unusable box OR a uniform shared-path regression) —
+    the gate must fail rather than silently widen every threshold."""
+    timings = {n: t * 3.5 for n, t in BASELINE["queries"].items()}
+    fails = gate_failures(sum(timings.values()), timings,
+                          BASELINE["value"], BASELINE["queries"])
+    assert any("saturated" in f for f in fails)

@@ -72,7 +72,6 @@ def test_pairs_cache_is_bounded_lru():
 
 
 import os
-import tempfile
 
 import pytest
 
@@ -95,11 +94,12 @@ DAILY_REL_CEIL = 0.025
 
 
 @pytest.mark.parametrize("seed,n_users", SKETCH_SEEDS)
-def test_sketch_error_bounds_pinned_across_seeds(spark, seed, n_users):
+def test_sketch_error_bounds_pinned_across_seeds(spark, seed, n_users,
+                                                 tmp_path):
     """The 3 no-oracle sketch queries carry hard relative-error
     ceilings across 3 independently-seeded 200k-event corpora with
     user cardinalities spanning 3k-50k."""
-    d = tempfile.mkdtemp()
+    d = str(tmp_path)
     ev = spark.range(200_000).selectExpr(
         "id AS event_id",
         f"timestamp'2024-01-01' + make_interval(0, 0, 0, "
