@@ -100,7 +100,6 @@ def global_row_number(df, value_col: str, tiebreak: str, out: str,
     Bucketing only needs monotonicity, not cross-engine exactness —
     correctness rests on the within-bucket sort over the true columns.
     """
-    from pyspark.sql import Window
 
     K = RANK_BUCKETS
     v = F.col(value_col).cast("double")
