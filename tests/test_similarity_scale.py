@@ -182,16 +182,20 @@ def test_semdedup_drops_planted_twins_at_4k(spark, semdedup_embeddings):
     assert sum(r["n_dropped"] for r in rows) >= len(SEM_TWINS)
 
 
-def test_pq_adc_ranks_planted_twin_first_at_100k(spark,
+def test_pq_adc_planted_twin_scores_minimum_at_100k(spark,
                                                  planted_embeddings):
-    """The planted exact copy of the query must rank FIRST under PQ:
-    its codes equal the query's own codes, so its ADC distance is
-    sum_m d(q_m, centroid(code_m(q))) — the minimum the ADC function
-    can take over ANY code assignment, hence <= every other vector's
-    score (a structural property of product quantization, not a data
-    accident). Runs the zero-shuffle expression path at 20x the bench
-    corpus."""
+    """The planted exact copy of the query scores the structural
+    MINIMUM of the ADC function: its codes equal the query's own
+    codes, so its distance is sum_m d(q_m, centroid(code_m(q))) — the
+    smallest value ANY code assignment can produce. The robust
+    assertion is therefore membership in the top-k AT the minimum
+    score (another vector whose subvectors all quantize to the
+    query's cells ties at the same value and may out-sort the twin on
+    vec_id — a tie, not a miss). Runs the zero-shuffle expression
+    path at 20x the bench corpus."""
     rows = similarity.ann_pq_adc_search(spark,
                                         planted_embeddings).collect()
-    assert rows and rows[0]["vec_id"] == PLANTED_ID
-    assert all(rows[0]["adc_dist"] <= r["adc_dist"] for r in rows[1:])
+    assert rows
+    by_id = {r["vec_id"]: r["adc_dist"] for r in rows}
+    assert PLANTED_ID in by_id
+    assert by_id[PLANTED_ID] == rows[0]["adc_dist"]  # ties the minimum

@@ -18,7 +18,10 @@ def _run_counts(spark, src, cp, name):
               .queryName(name)
               .option("checkpointLocation", cp)
               .trigger(availableNow=True).start())
-    assert q.awaitTermination(120), "stream did not finish"
+    done = q.awaitTermination(120)
+    if not done:
+        q.stop()  # don't leak a live stream into the shared session
+    assert done, "stream did not finish"
 
 
 def test_statestore_reader_matches_batch_counts(spark, tmp_path):
