@@ -155,12 +155,13 @@ _CORRECTNESS_ROUNDS: tuple[str, ...] = (
     "CORRECTNESS_r01.json",
     "CORRECTNESS_r02.json",
     "CORRECTNESS_r03.json",
-    # r04 is listed ahead of adjudication: the file does not exist yet
-    # (missing files degrade gracefully), but the moment the driver
-    # writes it the rotation self-maintains — latest-round rows win, so
-    # any r04 failure demotes its query back into the priority window
-    # even if the next session forgets to touch this list.
+    # r04/r05 are listed ahead of adjudication: the files do not exist
+    # yet (missing files degrade gracefully), but the moment the driver
+    # writes one the rotation self-maintains — latest-round rows win,
+    # so any recorded failure demotes its query back into the priority
+    # window even if the next session forgets to touch this list.
     "CORRECTNESS_r04.json",
+    "CORRECTNESS_r05.json",
 )
 
 _DRIVER_VERIFIED_CACHE: set[str] | None = None
