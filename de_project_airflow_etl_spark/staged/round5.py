@@ -1,0 +1,629 @@
+"""Round-5 staged queries (see package docstring for why these are not
+yet in the registry).
+
+Same contract as registered queries: ``(spark, sf_dir) -> DataFrame``
+plus an exact DuckDB oracle, identical column aliases on both sides,
+exact-integer / fixed-point arithmetic for anything accumulated, and a
+100 TB plan story in each doc string. No ``rand()``, no ``.collect()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.registry import Query, QueryFn
+from de_project_airflow_etl_spark.tables import load
+from de_project_airflow_etl_spark.operators.curation import (
+    NGRAM_N, _ngram_hashes, _SQL_NGRAMS,
+)
+
+STAGED: dict[str, Query] = {}
+
+
+def staged_query(name: str, oracle: str | None, doc: str = "",
+                 tags: tuple[str, ...] = ()):
+    """Mirror of ``registry.query`` that registers into ``STAGED``."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        if name in STAGED:
+            raise ValueError(f"duplicate staged query {name!r}")
+        STAGED[name] = Query(name=name, fn=fn, oracle=oracle,
+                             doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return wrap
+
+
+# ------------------------------------------------ market-basket pairs
+
+PAIR_MIN_SUPPORT = 5
+
+
+@staged_query(
+    "frequent_item_pairs",
+    oracle=f"""
+        WITH baskets AS (
+          SELECT DISTINCT l_orderkey, p_brand
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        )
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS support
+        FROM baskets a
+        JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {PAIR_MIN_SUPPORT}
+    """,
+    doc="Market-basket co-occurrence: brand pairs bought together in "
+        "one order with support >= threshold (the candidate-pair step "
+        "of Apriori / FP-growth style mining). The self-join is keyed "
+        "on l_orderkey and each basket holds at most |brands| distinct "
+        "values, so the blow-up per order is bounded by basket size "
+        "squared — at 100 TB the shuffle is one exchange on orderkey "
+        "and the pair aggregate is map-side combinable. A basket-size "
+        "cap (drop degenerate mega-orders before the join) is the "
+        "standard guard if order sizes were unbounded.",
+    tags=("staged", "analytics",),
+)
+def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (li.join(pt, li.l_partkey == pt.p_partkey)
+                 .select("l_orderkey", "p_brand").distinct())
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = a.join(
+        b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.p_brand") < F.col("b.p_brand")))
+    return (pairs
+            .groupBy(F.col("a.p_brand").alias("brand_a"),
+                     F.col("b.p_brand").alias("brand_b"))
+            .agg(F.count("*").alias("support"))
+            .filter(F.col("support") >= PAIR_MIN_SUPPORT))
+
+
+# ------------------------------------------------- CDC changelog apply
+
+@staged_query(
+    "changelog_apply_cdc",
+    oracle="""
+        WITH ch AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                 CAST(ROUND(value * 100) AS BIGINT) AS val_cents
+          FROM events
+        ), r AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+          FROM ch
+        )
+        SELECT user_id, event_id AS last_event_id,
+               val_cents AS last_value_cents, n_changes
+        FROM r WHERE rn = 1 AND op = 'U'
+    """,
+    doc="CDC changelog application with last-writer-wins semantics and "
+        "tombstones: the events stream is read as an ordered changelog "
+        "(op derived deterministically from event_type, 'error' = "
+        "delete), and the final snapshot keeps each key's latest "
+        "upsert unless the latest entry is a delete. One shuffle on "
+        "the merge key, per-key window only (no global ordering), "
+        "total order inside a key guaranteed by the (ts, event_id) "
+        "tie-break — the standard distributed MERGE shape that scales "
+        "linearly with changelog volume.",
+    tags=("staged", "etl",),
+)
+def changelog_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ch = ev.select(
+        "user_id", "event_id", "ts",
+        F.expr("CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END")
+         .alias("op"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("val_cents"))
+    w = (Window.partitionBy("user_id")
+               .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    ranked = (ch.withColumn("rn", F.row_number().over(w))
+                .withColumn("n_changes",
+                            F.count("*").over(Window.partitionBy("user_id"))))
+    return (ranked.filter("rn = 1 AND op = 'U'")
+                  .select("user_id",
+                          F.col("event_id").alias("last_event_id"),
+                          F.col("val_cents").alias("last_value_cents"),
+                          "n_changes"))
+
+
+# ------------------------------------- weighted sampling w/o replacement
+
+WS_K = 100
+# 13 hex chars = 52 bits — exactly representable in an IEEE double, so
+# CAST(h AS DOUBLE) is lossless on both engines.
+_WS_SPARK_H = ("CAST(conv(substring(md5(concat('wsamp|', "
+               "CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)")
+_WS_SQL_H = ("CAST(('0x' || substring(md5('wsamp|' || "
+             "CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)")
+
+
+@staged_query(
+    "weighted_sample_wor",
+    oracle=f"""
+        SELECT doc_id, source, lang, n_chars, priority
+        FROM (
+          SELECT doc_id, source, lang, n_chars,
+                 CAST({_WS_SQL_H} AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                   AS priority
+          FROM documents WHERE n_chars > 0
+        )
+        ORDER BY priority, doc_id
+        LIMIT {WS_K}
+    """,
+    doc="Deterministic weighted sampling WITHOUT replacement "
+        "(Efraimidis-Spiliopoulos style priority sampling): each doc "
+        "draws a uniform 52-bit integer from md5(doc_id) — no rand(), "
+        "so retries and engines agree — and its priority is u/weight "
+        "with weight = n_chars; the k smallest priorities are the "
+        "sample, so selection probability scales with length. "
+        "Priority is one IEEE division of exactly-representable "
+        "operands. The plan is a stateless row map feeding a "
+        "TakeOrderedAndProject (per-partition top-k heaps, then a "
+        "k-row merge on the driver) — no global sort, scales to any "
+        "corpus size.",
+    tags=("staged", "curation",),
+)
+def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter("n_chars > 0")
+    pri = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        F.expr(f"CAST({_WS_SPARK_H} AS DOUBLE) / CAST(n_chars AS DOUBLE)")
+         .alias("priority"))
+    return pri.orderBy("priority", "doc_id").limit(WS_K)
+
+
+# ------------------------------------------------- time-weighted average
+
+@staged_query(
+    "twap_user_values",
+    oracle="""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), d AS (
+          SELECT user_id, cents, t_us,
+                 LEAD(t_us) OVER (PARTITION BY user_id
+                                  ORDER BY t_us, event_id) - t_us AS dt_us
+          FROM ev
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(t_us) - MIN(t_us) AS span_us,
+               CASE WHEN MAX(t_us) - MIN(t_us) > 0
+                    THEN CAST(SUM(CAST(cents AS HUGEINT)
+                                  * COALESCE(dt_us, 0)) AS DOUBLE)
+                         / CAST(MAX(t_us) - MIN(t_us) AS DOUBLE) / 100.0
+                    ELSE NULL END AS twap
+        FROM d GROUP BY user_id
+    """,
+    doc="Time-weighted average value per user (the TWAP shape used for "
+        "duration-weighted metrics: each observation holds until the "
+        "next one). LEAD over a per-user window gives the holding "
+        "interval in integer microseconds; the weighted sum "
+        "accumulates cents x micros in exact wide-integer arithmetic "
+        "(DECIMAL(38,0) / HUGEINT) so partial-aggregation order cannot "
+        "perturb the result, and only the final ratio is IEEE double. "
+        "Window and aggregate are both partitioned by user_id — one "
+        "shuffle, no global ordering, linear at 100 TB.",
+    tags=("staged", "timeseries",),
+)
+def twap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("unix_micros(ts)").alias("t_us"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    d = ev.withColumn("dt_us", F.lead("t_us").over(w) - F.col("t_us"))
+    agg = d.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("t_us") - F.min("t_us")).alias("span_us"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * COALESCE(dt_us, 0)"))
+         .alias("wsum"))
+    return agg.select(
+        "user_id", "n_events", "span_us",
+        F.expr("CASE WHEN span_us > 0 THEN "
+               "CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0 "
+               "ELSE NULL END").alias("twap"))
+
+
+# ------------------------------------------------ exact Pearson matrix
+
+# Integer units: quantity (integral), price cents, discount basis
+# points. Sums of squares reach ~6e19 at sf0.1 — past BIGINT — so every
+# product is accumulated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB),
+# both exact. The Pearson terms n*Sxy - Sx*Sy cancel ~1e24 down to
+# ~1e19, so they MUST be computed in the exact wide-integer domain
+# (computing them in double loses every digit past the cancellation,
+# and the loss depends on how each engine rounds its wide-int->double
+# cast — measured: DuckDB's HUGEINT->DOUBLE is not correctly rounded).
+# Only the three exact term values are then converted, via STRING,
+# because string->double parsing is correctly rounded on both engines
+# while the direct wide-int->double cast is not; after that every IEEE
+# step sees bit-identical operands.
+_CORR_TERM_XY = "(CAST(n AS {wide}) * s{x}{y} - s{x} * s{y})"
+
+
+def _corr_expr(x: str, y: str, wide: str, to_str: str) -> str:
+    def d(term: str) -> str:
+        return f"CAST(CAST({term} AS {to_str}) AS DOUBLE)"
+    num = _CORR_TERM_XY.format(x=x, y=y, wide=wide)
+    d1 = _CORR_TERM_XY.format(x=x, y=x, wide=wide)
+    d2 = _CORR_TERM_XY.format(x=y, y=y, wide=wide)
+    return f"{d(num)} / sqrt({d(d1)} * {d(d2)})"
+
+
+@staged_query(
+    "corr_matrix_lineitem",
+    oracle=f"""
+        WITH u AS (
+          SELECT CAST(l_quantity AS BIGINT) AS q,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+          FROM lineitem
+        ), s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(q AS HUGEINT)) AS sq,
+                 SUM(CAST(p AS HUGEINT)) AS sp,
+                 SUM(CAST(d AS HUGEINT)) AS sd,
+                 SUM(CAST(q AS HUGEINT) * q) AS sqq,
+                 SUM(CAST(p AS HUGEINT) * p) AS spp,
+                 SUM(CAST(d AS HUGEINT) * d) AS sdd,
+                 SUM(CAST(q AS HUGEINT) * p) AS sqp,
+                 SUM(CAST(q AS HUGEINT) * d) AS sqd,
+                 SUM(CAST(p AS HUGEINT) * d) AS spd
+          FROM u
+        )
+        SELECT n AS n_rows,
+               {_corr_expr('q', 'p', 'HUGEINT', 'VARCHAR')}
+                 AS corr_qty_price,
+               {_corr_expr('q', 'd', 'HUGEINT', 'VARCHAR')}
+                 AS corr_qty_disc,
+               {_corr_expr('p', 'd', 'HUGEINT', 'VARCHAR')}
+                 AS corr_price_disc
+        FROM s
+    """,
+    doc="Exact single-pass Pearson correlation matrix over lineitem's "
+        "numeric columns, from exact integer-unit sums (the textbook "
+        "sufficient-statistics decomposition: one map-side-combinable "
+        "aggregate computes n and nine sums, the matrix falls out in "
+        "O(1) driver-free arithmetic). Zero joins, one exchange of a "
+        "ten-number partial per partition — the cheapest possible "
+        "statistics pass at 100 TB, unlike corr() built-ins whose "
+        "float accumulation is partial-order dependent.",
+    tags=("staged", "statistics",),
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS q",
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p",
+        "CAST(ROUND(l_discount * 100) AS BIGINT) AS d")
+    s = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0))")).alias("sq"),
+        F.sum(F.expr("CAST(p AS DECIMAL(38,0))")).alias("sp"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0))")).alias("sd"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q")).alias("sqq"),
+        F.sum(F.expr("CAST(p AS DECIMAL(38,0)) * p")).alias("spp"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("sdd"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * p")).alias("sqp"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * d")).alias("sqd"),
+        F.sum(F.expr("CAST(p AS DECIMAL(38,0)) * d")).alias("spd"))
+    return s.selectExpr(
+        "n AS n_rows",
+        f"{_corr_expr('q', 'p', 'DECIMAL(38,0)', 'STRING')}"
+        " AS corr_qty_price",
+        f"{_corr_expr('q', 'd', 'DECIMAL(38,0)', 'STRING')}"
+        " AS corr_qty_disc",
+        f"{_corr_expr('p', 'd', 'DECIMAL(38,0)', 'STRING')}"
+        " AS corr_price_disc")
+
+
+# ------------------------------------------- asymmetric containment dup
+
+CONT_DF_CAP = 200   # drop grams appearing in more docs (boilerplate)
+CONT_MIN_PCT = 60   # containment >= 0.60 reported
+
+
+@staged_query(
+    "containment_dup_pairs",
+    oracle=f"""
+        WITH grams AS (
+          SELECT doc_id, UNNEST({_SQL_NGRAMS}) AS gh
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= {NGRAM_N}
+        ),
+        sizes AS (
+          SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+        ),
+        kept AS (
+          SELECT doc_id, gh FROM grams
+          WHERE gh IN (SELECT gh FROM grams
+                       GROUP BY gh HAVING COUNT(*) <= {CONT_DF_CAP})
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 COUNT(*) AS inter_grams
+          FROM kept a JOIN kept b
+            ON a.gh = b.gh AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b, i.inter_grams, s.n_grams AS n_grams_a,
+               CAST(i.inter_grams AS DOUBLE) / CAST(s.n_grams AS DOUBLE)
+                 AS containment
+        FROM inter i JOIN sizes s ON s.doc_id = i.doc_a
+        WHERE i.inter_grams * 100 >= s.n_grams * {CONT_MIN_PCT}
+    """,
+    doc="Asymmetric containment dedup C(A,B) = |A n B| / |A| over "
+        "distinct word-3-gram hashes: catches a short document wholly "
+        "contained in a longer one, which symmetric Jaccard misses "
+        "(low union similarity). Candidates come from an inverted "
+        "gram->doc index equi-join, with a document-frequency cap that "
+        "drops boilerplate grams before the join so a hot shingle in k "
+        "docs cannot produce k^2 candidate rows — the same guard the "
+        "registry's exact-Jaccard op uses. The >= threshold compares "
+        "exact integers (inter * 100 >= n_grams * pct), so the cut "
+        "itself never depends on float rounding. At 100 TB: shuffle "
+        "on the 16-byte gram hash, never doc x doc.",
+    tags=("staged", "dedup",),
+)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            .filter(F.expr(f"size(toks) >= {NGRAM_N}")))
+    grams = docs.select("doc_id", F.explode(_ngram_hashes()).alias("gh"))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    low_df = (grams.groupBy("gh").count()
+                   .filter(F.col("count") <= CONT_DF_CAP).select("gh"))
+    kept = grams.join(low_df, "gh")
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (a.join(b, (F.col("a.gh") == F.col("b.gh"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("inter_grams")))
+    return (inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                            .withColumnRenamed("n_grams", "n_grams_a"),
+                       "doc_a")
+                 .filter(F.expr(f"inter_grams * 100 >= "
+                                f"n_grams_a * {CONT_MIN_PCT}"))
+                 .select("doc_a", "doc_b", "inter_grams", "n_grams_a",
+                         F.expr("CAST(inter_grams AS DOUBLE) / "
+                                "CAST(n_grams_a AS DOUBLE)")
+                          .alias("containment")))
+
+
+# --------------------------------------------- trigram language model
+
+LM_TOP_K = 200
+
+
+@staged_query(
+    "trigram_lm_counts",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE lang = 'en'
+        ),
+        tri AS (
+          SELECT array_to_string(t[i:i+1], ' ') AS w12, t[i+2] AS w3
+          FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+        ),
+        tc AS (
+          SELECT w12, w3, COUNT(*) AS tri_count
+          FROM tri GROUP BY w12, w3
+        ),
+        bc AS (
+          SELECT w12, CAST(SUM(tri_count) AS BIGINT) AS big_count
+          FROM tc GROUP BY w12
+        ),
+        v AS (
+          SELECT COUNT(DISTINCT w) AS vocab FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS w
+            FROM documents WHERE lang = 'en')
+        )
+        SELECT tc.w12, tc.w3, tc.tri_count,
+               tc.tri_count + 1 AS p_num,
+               bc.big_count + v.vocab AS p_den
+        FROM tc JOIN bc USING (w12) CROSS JOIN v
+        ORDER BY tc.tri_count DESC, tc.w12, tc.w3
+        LIMIT {LM_TOP_K}
+    """,
+    doc="Word-trigram language-model statistics with add-one "
+        "smoothing, kept as an exact rational (p_num / p_den integer "
+        "pair) instead of a float probability so the accumulation "
+        "order can never perturb the result. Three map-side-combinable "
+        "aggregates (trigram counts, bigram-context totals, vocabulary "
+        "size) and a broadcast of the single-row vocabulary scalar; "
+        "top-k selection is TakeOrderedAndProject with a full "
+        "(count, w12, w3) tie-break so the boundary is deterministic. "
+        "This is the counting core of KenLM-style corpus LM scoring "
+        "at 100 TB: everything shuffles on the gram key only.",
+    tags=("staged", "text",),
+)
+def trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load(spark, sf_dir, "documents")
+            .filter("lang = 'en'")
+            .select(F.split("text", " ").alias("t")))
+    tri = docs.select(F.explode(F.expr(
+        "transform(sequence(1, size(t) - 2), i -> struct("
+        "concat_ws(' ', slice(t, i, 2)) AS w12, "
+        "element_at(t, i + 2) AS w3))")).alias("g")
+    ).select("g.w12", "g.w3")
+    tc = tri.groupBy("w12", "w3").agg(F.count("*").alias("tri_count"))
+    bc = tc.groupBy("w12").agg(F.sum("tri_count").alias("big_count"))
+    vocab = (load(spark, sf_dir, "documents").filter("lang = 'en'")
+             .select(F.explode(F.split("text", " ")).alias("w"))
+             .agg(F.countDistinct("w").alias("vocab")))
+    return (tc.join(bc, "w12")
+              .crossJoin(F.broadcast(vocab))
+              .select("w12", "w3", "tri_count",
+                      (F.col("tri_count") + 1).alias("p_num"),
+                      (F.col("big_count") + F.col("vocab")).alias("p_den"))
+              .orderBy(F.col("tri_count").desc(), "w12", "w3")
+              .limit(LM_TOP_K))
+
+
+# -------------------------------------- per-language IQR length fences
+
+@staged_query(
+    "doc_length_iqr_flags",
+    oracle="""
+        WITH q AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 quantile_cont(n_chars, 0.25) AS q1,
+                 quantile_cont(n_chars, 0.75) AS q3
+          FROM documents GROUP BY lang
+        ), f AS (
+          SELECT lang, n_docs, q1, q3,
+                 q1 - 1.5 * (q3 - q1) AS lo_fence,
+                 q3 + 1.5 * (q3 - q1) AS hi_fence
+          FROM q
+        )
+        SELECT f.lang, f.n_docs, f.q1, f.q3, f.lo_fence, f.hi_fence,
+               CAST(SUM(CASE WHEN d.n_chars < f.lo_fence
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN d.n_chars > f.hi_fence
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        FROM f JOIN documents d ON d.lang = f.lang
+        GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+    doc="Per-language Tukey length fences (Q1/Q3 +- 1.5 IQR) with "
+        "outlier counts — the standard corpus-curation length gate. "
+        "Quartiles are EXACT but computed scale-safely: instead of "
+        "sorting raw documents per group (what percentile() does, "
+        "collecting every value of a group into one task), the plan "
+        "aggregates a (lang, n_chars) -> count histogram — bounded by "
+        "the number of DISTINCT lengths, not documents — takes a "
+        "cumulative sum over that small table, and picks the two "
+        "neighbor values around index (n-1)*q by cumulative-count "
+        "lookup. Quartile fractions are dyadic (0/.25/.5/.75) so the "
+        "linear interpolation is exact in binary and bit-matches "
+        "DuckDB's quantile_cont. The doc-level outlier count reuses "
+        "the same histogram against broadcast fences — the raw table "
+        "is scanned exactly once at any scale.",
+    tags=("staged", "quality",),
+)
+def doc_length_iqr_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    counts = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("cnt"))
+    wcum = (Window.partitionBy("lang").orderBy("n_chars")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    cum = counts.withColumn("cum", F.sum("cnt").over(wcum))
+    tot = counts.groupBy("lang").agg(F.sum("cnt").alias("n_docs"))
+    t = tot.selectExpr(
+        "lang", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(FLOOR(CAST(n_docs - 1 AS DOUBLE) * 0.25) AS BIGINT) AS q1_lo",
+        "CAST(n_docs - 1 AS DOUBLE) * 0.25 "
+        "- FLOOR(CAST(n_docs - 1 AS DOUBLE) * 0.25) AS q1_frac",
+        "CAST(FLOOR(CAST(n_docs - 1 AS DOUBLE) * 0.75) AS BIGINT) AS q3_lo",
+        "CAST(n_docs - 1 AS DOUBLE) * 0.75 "
+        "- FLOOR(CAST(n_docs - 1 AS DOUBLE) * 0.75) AS q3_frac")
+    j = cum.join(F.broadcast(t), "lang")
+    neigh = j.groupBy("lang", "n_docs", "q1_frac", "q3_frac").agg(
+        F.min(F.when(F.col("cum") >= F.col("q1_lo") + 1,
+                     F.col("n_chars"))).alias("v1l"),
+        F.min(F.when(F.col("cum") >= F.col("q1_lo") + 2,
+                     F.col("n_chars"))).alias("v1h"),
+        F.min(F.when(F.col("cum") >= F.col("q3_lo") + 1,
+                     F.col("n_chars"))).alias("v3l"),
+        F.min(F.when(F.col("cum") >= F.col("q3_lo") + 2,
+                     F.col("n_chars"))).alias("v3h"))
+    fences = neigh.selectExpr(
+        "lang", "n_docs",
+        "CAST(v1l AS DOUBLE) + q1_frac * "
+        "(CAST(COALESCE(v1h, v1l) AS DOUBLE) - CAST(v1l AS DOUBLE)) AS q1",
+        "CAST(v3l AS DOUBLE) + q3_frac * "
+        "(CAST(COALESCE(v3h, v3l) AS DOUBLE) - CAST(v3l AS DOUBLE)) AS q3",
+    ).selectExpr(
+        "lang", "n_docs", "q1", "q3",
+        "q1 - 1.5 * (q3 - q1) AS lo_fence",
+        "q3 + 1.5 * (q3 - q1) AS hi_fence")
+    flagged = (counts.join(F.broadcast(fences), "lang")
+               .groupBy("lang", "n_docs", "q1", "q3",
+                        "lo_fence", "hi_fence")
+               .agg(F.sum(F.when(F.col("n_chars") < F.col("lo_fence"),
+                                 F.col("cnt")).otherwise(F.lit(0)))
+                     .cast("long").alias("n_low"),
+                    F.sum(F.when(F.col("n_chars") > F.col("hi_fence"),
+                                 F.col("cnt")).otherwise(F.lit(0)))
+                     .cast("long").alias("n_high")))
+    return flagged.select("lang", "n_docs", "q1", "q3",
+                          "lo_fence", "hi_fence", "n_low", "n_high")
+
+
+# --------------------------------------- per-label embedding centroids
+
+CENT_SCALE = 1000000  # fixed-point quantization: floor(x * 1e6)
+
+
+@staged_query(
+    "embedding_label_centroids",
+    oracle=f"""
+        WITH d AS (
+          SELECT label, i AS dim,
+                 CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                            * {CENT_SCALE}.0) AS BIGINT) AS v
+          FROM embeddings,
+               UNNEST(generate_series(1, len(embedding))) AS s(i)
+        ),
+        n AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM embeddings GROUP BY label
+        ),
+        g AS (
+          SELECT label, dim, SUM(v) AS s FROM d GROUP BY label, dim
+        ),
+        c AS (
+          SELECT g.label, n.n_vecs, g.dim,
+                 CAST(g.s AS DOUBLE)
+                   / ({CENT_SCALE}.0 * CAST(n.n_vecs AS DOUBLE)) AS cv
+          FROM g JOIN n USING (label)
+        )
+        SELECT label, n_vecs,
+               list(cv ORDER BY dim) AS centroid,
+               list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                              list_transform(list(cv ORDER BY dim),
+                                             x -> x * x)),
+                 (acc, x) -> acc + x) AS sq_norm
+        FROM c GROUP BY label, n_vecs
+    """,
+    doc="Per-label embedding centroids in deterministic fixed point: "
+        "each float32 coordinate is floor-quantized to a 1e-6 integer "
+        "grid (exact widening cast + one IEEE multiply + exact FLOOR), "
+        "summed as exact integers — so unlike a float mean, the result "
+        "is independent of partial-aggregation order — and divided "
+        "back once at the end. The squared norm is a left fold in dim "
+        "order, identical operand sequence on both engines. Plan: "
+        "posexplode -> one (label, dim) aggregate -> rebuild the array "
+        "with an in-group sort over 64 dims. Shuffle volume is "
+        "|labels| x dims partials — the centroid step of distributed "
+        "k-means / class-prototype analysis, linear at 100 TB.",
+    tags=("staged", "similarity",),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select("label", F.expr(
+        f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+        f"* {CENT_SCALE}.0) AS BIGINT))").alias("qv"))
+    d = q.select("label", F.posexplode("qv").alias("dim", "v"))
+    g = d.groupBy("label", "dim").agg(F.sum("v").alias("s"))
+    n = e.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+    c = g.join(n, "label").select(
+        "label", "n_vecs", "dim",
+        F.expr(f"CAST(s AS DOUBLE) / ({CENT_SCALE}.0 "
+               f"* CAST(n_vecs AS DOUBLE))").alias("cv"))
+    arr = c.groupBy("label", "n_vecs").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, cv))), "
+               "p -> p.cv)").alias("centroid"))
+    return arr.select(
+        "label", "n_vecs", "centroid",
+        F.expr("aggregate(centroid, CAST(0 AS DOUBLE), "
+               "(acc, x) -> acc + x * x)").alias("sq_norm"))
