@@ -1,0 +1,172 @@
+"""Scale-shaped stress + plan gates for the staged round-5 queries:
+the plan properties their 100 TB story depends on, a planted-pair
+containment stress at 50k docs, and the exact-quantile machinery vs
+DuckDB at 1M rows with adversarial length skew.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from de_project_airflow_etl_spark.plans.inspect import formatted_plan
+from de_project_airflow_etl_spark.staged.round5 import (
+    WS_K, containment_dup_pairs, corr_matrix_lineitem,
+    doc_length_iqr_flags, frequent_item_pairs, trigram_lm_counts,
+    weighted_sample_wor,
+)
+from tests.harness import compare
+
+
+# ------------------------------------------------------------- plans
+
+def test_weighted_sample_plans_top_k(spark, sf_dir):
+    # k-smallest selection must be per-partition heaps + driver merge,
+    # never a global sort of the corpus.
+    plan = formatted_plan(weighted_sample_wor(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pair_joins_are_equi_joins(spark, sf_dir):
+    for fn in (frequent_item_pairs, containment_dup_pairs):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
+        assert "BroadcastNestedLoop" not in plan, (fn.__name__, plan)
+
+
+def test_trigram_vocab_scalar_broadcasts(spark, sf_dir):
+    # The one-row vocabulary total must ride a broadcast, not force a
+    # shuffled join against the trigram counts.
+    plan = formatted_plan(trigram_lm_counts(spark, sf_dir))
+    assert "BroadcastNestedLoop" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_corr_matrix_is_single_aggregate(spark, sf_dir):
+    # Sufficient-statistics pass: exactly one aggregate over the scan,
+    # no joins at all.
+    plan = formatted_plan(corr_matrix_lineitem(spark, sf_dir))
+    assert "Join" not in plan, plan
+
+
+# ----------------------------------------- containment planted stress
+
+N_DOCS = 50_000
+PLANT_EVERY = 1_000
+VOCAB = " ".join(f"tok{k}" for k in range(50))
+
+
+@pytest.fixture()
+def prefix_corpus(spark, tmp_path):
+    """Every 1000th doc is the 10-token PREFIX of its predecessor's
+    20-token text: all of its 3-grams are contained in the partner
+    (containment 1.0 in the short->long direction only), while ambient
+    docs share grams only by rare chance."""
+    docs = spark.range(N_DOCS).selectExpr(
+        "id AS doc_id",
+        f"CASE WHEN id % {PLANT_EVERY} = 0 AND id > 0 "
+        f"THEN id - 1 ELSE id END AS seed",
+        f"CASE WHEN id % {PLANT_EVERY} = 0 AND id > 0 "
+        f"THEN 9 ELSE 19 END AS last_j",
+    ).selectExpr(
+        "doc_id",
+        f"concat_ws(' ', transform(sequence(0, last_j), j -> "
+        f"element_at(split('{VOCAB}', ' '), "
+        f"1 + pmod(hash(seed * 31 + j), 50)))) AS text",
+        "'en' AS lang", "'synth' AS source",
+    ).selectExpr("doc_id", "text", "lang", "source",
+                 "length(text) AS n_chars")
+    out = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+def test_containment_finds_exactly_planted_prefixes(spark, prefix_corpus):
+    rows = containment_dup_pairs(spark, prefix_corpus).collect()
+    planted = {(i, i - 1) for i in range(PLANT_EVERY, N_DOCS, PLANT_EVERY)}
+    full = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    # every planted (prefix -> full) pair found with containment 1.0
+    for key in planted:
+        assert key in full, f"missing planted pair {key}"
+        assert full[key]["containment"] == 1.0
+    # the reverse (full -> prefix) direction must NOT pass the 0.6 bar
+    # (8 shared grams / 18 grams = 0.44), and ambient false positives
+    # must not survive either
+    extras = set(full) - planted
+    assert not extras, f"unexpected pairs: {sorted(extras)[:5]}"
+
+
+# --------------------------------- exact quantiles at 1M, skewed input
+
+def test_iqr_quantiles_exact_at_1m_rows(spark, tmp_path):
+    """1M docs, 5 languages, lengths with heavy duplication plus a
+    far-outlier tail — the distributed histogram quantile must equal
+    DuckDB's quantile_cont bit-for-bit and count the planted outliers."""
+    docs = spark.range(1_000_000).selectExpr(
+        "pmod(hash(id), 5) AS lang_i",
+        "pmod(hash(id * 7 + 1), 1000) AS r",
+    ).selectExpr(
+        "concat('lang', lang_i) AS lang",
+        "CASE WHEN r < 990 THEN 100 + pmod(r, 200) "
+        "ELSE 100000 + r END AS n_chars",
+    )
+    out = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(out)
+
+    sdf = doc_length_iqr_flags(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'")
+    ddf = con.execute("""
+        WITH q AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 quantile_cont(n_chars, 0.25) AS q1,
+                 quantile_cont(n_chars, 0.75) AS q3
+          FROM documents GROUP BY lang
+        ), f AS (
+          SELECT lang, n_docs, q1, q3,
+                 q1 - 1.5 * (q3 - q1) AS lo_fence,
+                 q3 + 1.5 * (q3 - q1) AS hi_fence
+          FROM q
+        )
+        SELECT f.lang, f.n_docs, f.q1, f.q3, f.lo_fence, f.hi_fence,
+               CAST(SUM(CASE WHEN d.n_chars < f.lo_fence
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN d.n_chars > f.hi_fence
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        FROM f JOIN documents d ON d.lang = f.lang
+        GROUP BY 1, 2, 3, 4, 5, 6
+    """).fetchdf()
+    con.close()
+    problems = compare(sdf, ddf, "iqr_1m")
+    assert not problems, "\n".join(problems)
+    # the ~1% planted far outliers are flagged high, none low
+    rows = {r["lang"]: r for r in sdf.collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["n_high"] > 0
+        assert r["n_low"] == 0
+
+
+def test_iqr_single_row_groups(spark, tmp_path):
+    """n=1 group: q1 == q3 == the single value, zero outliers."""
+    spark.createDataFrame(
+        [("aa", 123), ("bb", 7)], "lang string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["lang"]: r
+            for r in doc_length_iqr_flags(spark, str(tmp_path)).collect()}
+    assert rows["aa"]["q1"] == rows["aa"]["q3"] == 123.0
+    assert rows["bb"]["q1"] == rows["bb"]["q3"] == 7.0
+    for r in rows.values():
+        assert r["n_docs"] == 1 and r["n_low"] == 0 and r["n_high"] == 0
+
+
+def test_weighted_sample_is_length_biased(spark, sf_dir):
+    # Sanity on the sampling semantics: the selected docs' mean length
+    # must exceed the corpus mean (weight = n_chars).
+    from de_project_airflow_etl_spark.tables import load
+    sample_mean = (weighted_sample_wor(spark, sf_dir)
+                   .agg({"n_chars": "avg"}).collect()[0][0])
+    corpus_mean = (load(spark, sf_dir, "documents")
+                   .agg({"n_chars": "avg"}).collect()[0][0])
+    assert sample_mean > corpus_mean
+    assert weighted_sample_wor(spark, sf_dir).count() == WS_K
