@@ -627,3 +627,393 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "n_vecs", "centroid",
         F.expr("aggregate(centroid, CAST(0 AS DOUBLE), "
                "(acc, x) -> acc + x * x)").alias("sq_norm"))
+
+
+# ----------------------------------------------- 2D Pareto skyline
+
+SKYLINE_SINCE = "2001-01-01"  # bounds the oracle's quadratic NOT EXISTS
+
+@staged_query(
+    "skyline_pareto_orders",
+    oracle="""
+        SELECT o.o_orderkey,
+               CAST(CAST(o.o_orderdate AS DATE) AS TIMESTAMP) AS odate,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '{SKYLINE_SINCE}'
+          AND NOT EXISTS (
+          SELECT 1 FROM orders d
+          WHERE d.o_orderdate >= TIMESTAMP '{SKYLINE_SINCE}'
+            AND ((CAST(d.o_orderdate AS DATE) > CAST(o.o_orderdate AS DATE)
+                 AND CAST(ROUND(d.o_totalprice * 100) AS BIGINT)
+                     >= CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+             OR (CAST(d.o_orderdate AS DATE) = CAST(o.o_orderdate AS DATE)
+                 AND CAST(ROUND(d.o_totalprice * 100) AS BIGINT)
+                     > CAST(ROUND(o.o_totalprice * 100) AS BIGINT)))
+        )
+    """.format(SKYLINE_SINCE=SKYLINE_SINCE),
+    doc="2D Pareto skyline of orders (maximize order date AND total "
+        "price): the non-dominated set, where a dominates b iff it is "
+        ">= on both axes and strictly better on one (restricted to the "
+        "recent-date window so the definitional oracle's quadratic NOT "
+        "EXISTS stays tractable at every test sf). The oracle is the "
+        "quadratic NOT EXISTS definition; the Spark plan exploits the "
+        "2D structure instead: per-date maxima (one aggregate over a "
+        "small date domain), a suffix-running-max over that tiny "
+        "dimension table (window over #distinct-dates rows, not data), "
+        "broadcast back, and a survivor filter — an order survives iff "
+        "it carries its date's max price and strictly beats every "
+        "later date's max. O(data) + O(|dates| log |dates|) instead of "
+        "O(n^2); ties on both axes all survive, matching the strict "
+        "domination rule. At 100 TB the only data-sized ops are one "
+        "map-side-combinable aggregate and one broadcast-join filter.",
+    tags=("staged", "analytics",),
+)
+def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (load(spark, sf_dir, "orders")
+         .filter(f"o_orderdate >= TIMESTAMP '{SKYLINE_SINCE}'")
+         .selectExpr(
+             "o_orderkey",
+             "CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS odate",
+             "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents"))
+    per_date = o.groupBy("odate").agg(F.max("price_cents").alias("m"))
+    w = (Window.orderBy(F.col("odate").desc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+    # suffix_max(d) = max price over STRICTLY LATER dates
+    suffix = per_date.withColumn("later_max", F.max("m").over(w))
+    surv = o.join(F.broadcast(suffix), "odate")
+    return (surv.filter((F.col("price_cents") == F.col("m"))
+                        & (F.col("later_max").isNull()
+                           | (F.col("price_cents") > F.col("later_max"))))
+                .select("o_orderkey", "odate", "price_cents"))
+
+
+# ------------------------------------------- ABC revenue classification
+
+ABC_A_PCT = 70
+ABC_B_PCT = 90
+
+
+@staged_query(
+    "orders_abc_classification",
+    oracle=f"""
+        WITH rev AS (
+          SELECT c.c_nationkey AS nationkey, o.o_orderkey,
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ), ranked AS (
+          SELECT nationkey, cents,
+                 SUM(cents) OVER (PARTITION BY nationkey
+                                  ORDER BY cents DESC, o_orderkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(cents) OVER (PARTITION BY nationkey) AS tot
+          FROM rev
+        ), classed AS (
+          SELECT nationkey, cents,
+                 CASE WHEN cum * 100 <= tot * {ABC_A_PCT} THEN 'A'
+                      WHEN cum * 100 <= tot * {ABC_B_PCT} THEN 'B'
+                      ELSE 'C' END AS abc_class
+          FROM ranked
+        )
+        SELECT nationkey, abc_class,
+               COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM classed GROUP BY nationkey, abc_class
+    """,
+    doc="ABC / Pareto revenue classification per customer nation: "
+        "orders sorted by revenue descending, class A covers the first "
+        "70% of cumulative revenue, B to 90%, C the tail — the "
+        "inventory-analysis shape. Class boundaries compare exact "
+        "integers (cum*100 <= tot*PCT over cents), so no float "
+        "rounding can flip a boundary row, and the (cents DESC, "
+        "orderkey) tie-break makes the cumulative order total. The "
+        "window is partitioned by nation; at 100 TB a heavy group "
+        "sorts within its own partition (spillable sort, no global "
+        "ordering), and the alternative range-bucket + broadcast "
+        "prefix-sums rewrite (used by curriculum_global_rank) applies "
+        "if a single group outgrew a task.",
+    tags=("staged", "analytics",),
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "o_custkey", "o_orderkey",
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents")
+    c = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "c_nationkey AS nationkey")
+    rev = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    wcum = (Window.partitionBy("nationkey")
+                  .orderBy(F.col("cents").desc(), "o_orderkey")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    wtot = Window.partitionBy("nationkey")
+    classed = (rev.withColumn("cum", F.sum("cents").over(wcum))
+                  .withColumn("tot", F.sum("cents").over(wtot))
+                  .withColumn("abc_class", F.expr(
+                      f"CASE WHEN cum * 100 <= tot * {ABC_A_PCT} THEN 'A' "
+                      f"WHEN cum * 100 <= tot * {ABC_B_PCT} THEN 'B' "
+                      f"ELSE 'C' END")))
+    return (classed.groupBy("nationkey", "abc_class")
+                   .agg(F.count("*").alias("n_orders"),
+                        F.sum("cents").cast("long").alias("revenue_cents")))
+
+
+# --------------------------------------- BM25 TF-saturation term scores
+
+BM25_TERMS = ("data", "spark", "query")
+BM25_TOP_K = 50
+# BM25 with k1=1.2, b=0.75 and the idf factor left as the exact df
+# integer: score = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+# avgdl = T/N reduces over a common denominator to the exact integer
+# ratio 44*T*tf / (20*T*tf + 6*T + 18*dl*N). The log-idf factor is
+# deliberately NOT folded in: ln() is not guaranteed correctly rounded
+# across engines, while this saturation core is exact rational
+# arithmetic; consumers multiply by their idf of choice using the
+# shipped df column.
+
+
+@staged_query(
+    "bm25_term_scores",
+    oracle=f"""
+        WITH docs AS (
+          SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents
+        ),
+        corpus AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(len(toks)) AS BIGINT) AS t
+          FROM docs
+        ),
+        tf AS (
+          SELECT d.doc_id, term.term,
+                 CAST(len(list_filter(d.toks, x -> x = term.term))
+                      AS BIGINT) AS tf,
+                 CAST(len(d.toks) AS BIGINT) AS dl
+          FROM docs d
+          CROSS JOIN (SELECT UNNEST(['data', 'spark', 'query']) AS term)
+            AS term
+        ),
+        scored AS (
+          SELECT tf.term, tf.doc_id, tf.tf, tf.dl,
+                 44 * c.t * tf.tf AS score_num,
+                 20 * c.t * tf.tf + 6 * c.t + 18 * tf.dl * c.n
+                   AS score_den
+          FROM tf CROSS JOIN corpus c
+          WHERE tf.tf > 0
+        ),
+        df AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+          FROM scored GROUP BY term
+        ),
+        ranked AS (
+          SELECT s.term, s.doc_id, s.tf, s.dl, d.df,
+                 s.score_num, s.score_den,
+                 CAST(s.score_num AS DOUBLE) / CAST(s.score_den AS DOUBLE)
+                   AS score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY s.term
+                   ORDER BY CAST(s.score_num AS DOUBLE)
+                            / CAST(s.score_den AS DOUBLE) DESC,
+                            s.doc_id) AS rk
+          FROM scored s JOIN df d USING (term)
+        )
+        SELECT term, doc_id, tf, dl, df, score_num, score_den, score
+        FROM ranked WHERE rk <= {BM25_TOP_K}
+    """,
+    doc="BM25 relevance scoring (k1=1.2, b=0.75) for a fixed query-"
+        "term list over the corpus, top-50 docs per term. The TF-"
+        "saturation/length-normalization core reduces to one exact "
+        "integer ratio (see module constant), so the score is a single "
+        "IEEE division of exact integers; df ships as an integer "
+        "column for the consumer's idf. Corpus totals (N docs, T "
+        "tokens) ride a one-row broadcast; per-term top-k is a "
+        "rank<=k window that Spark executes as WindowGroupLimit "
+        "(per-partition pre-filtering before the per-term exchange), "
+        "so three hot term-partitions never see the full corpus. The "
+        "term scan itself is an array filter inside codegen — no "
+        "Python, no explode.",
+    tags=("staged", "text",),
+)
+def bm25_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", " ").alias("toks")))
+    corpus = docs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("size(toks)")).cast("long").alias("t"))
+    terms = spark.createDataFrame(
+        [(t,) for t in BM25_TERMS], "term string")
+    tf = (docs.crossJoin(F.broadcast(terms))
+              .select("doc_id", "term",
+                      F.expr("CAST(size(filter(toks, x -> x = term)) "
+                             "AS BIGINT)").alias("tf"),
+                      F.expr("CAST(size(toks) AS BIGINT)").alias("dl"))
+              .filter("tf > 0"))
+    scored = (tf.crossJoin(F.broadcast(corpus))
+                .select("term", "doc_id", "tf", "dl",
+                        F.expr("44 * t * tf").alias("score_num"),
+                        F.expr("20 * t * tf + 6 * t + 18 * dl * n")
+                         .alias("score_den")))
+    dfc = scored.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    ranked = (scored.join(F.broadcast(dfc), "term")
+              .withColumn("score",
+                          F.expr("CAST(score_num AS DOUBLE) "
+                                 "/ CAST(score_den AS DOUBLE)"))
+              .withColumn("rk", F.row_number().over(
+                  Window.partitionBy("term")
+                        .orderBy(F.col("score").desc(), "doc_id"))))
+    return (ranked.filter(F.col("rk") <= BM25_TOP_K)
+                  .select("term", "doc_id", "tf", "dl", "df",
+                          "score_num", "score_den", "score"))
+
+
+# ------------------------------------------- chi-square drift detection
+
+DRIFT_CUTOFF = "2024-01-16"  # mid-corpus: both periods populated
+
+
+@staged_query(
+    "chi_square_event_drift",
+    oracle=f"""
+        WITH cells AS (
+          SELECT event_type,
+                 CASE WHEN ts < TIMESTAMP '{DRIFT_CUTOFF}'
+                      THEN 'before' ELSE 'after' END AS period,
+                 CAST(COUNT(*) AS BIGINT) AS observed
+          FROM events GROUP BY 1, 2
+        ), totals AS (
+          SELECT c.*,
+                 SUM(observed) OVER (PARTITION BY event_type) AS row_tot,
+                 SUM(observed) OVER (PARTITION BY period) AS col_tot,
+                 SUM(observed) OVER () AS grand_tot
+          FROM cells c
+        )
+        SELECT event_type, period, observed,
+               CAST(row_tot * col_tot AS DOUBLE)
+                 / CAST(grand_tot AS DOUBLE) AS expected,
+               (CAST(observed AS DOUBLE)
+                - CAST(row_tot * col_tot AS DOUBLE)
+                  / CAST(grand_tot AS DOUBLE))
+               * (CAST(observed AS DOUBLE)
+                  - CAST(row_tot * col_tot AS DOUBLE)
+                    / CAST(grand_tot AS DOUBLE))
+               / (CAST(row_tot * col_tot AS DOUBLE)
+                  / CAST(grand_tot AS DOUBLE)) AS chi2_contrib
+        FROM totals
+    """,
+    doc="Chi-square homogeneity test cells for event-type drift across "
+        "a time cutoff (the distribution-shift monitor a training-data "
+        "pipeline runs between ingest batches). Chi-square is chosen "
+        "over PSI/KL precisely because it needs no logarithm: observed "
+        "and marginal products are exact integers below 2^53, so "
+        "expected = row_tot*col_tot/grand_tot and the squared-residual "
+        "contribution are deterministic IEEE arithmetic on identical "
+        "operands across engines. One aggregate over the fact table, "
+        "then windows over the tiny |event_types| x 2 cell table — "
+        "nothing data-sized past the first map-side-combinable count.",
+    tags=("staged", "quality",),
+)
+def chi_square_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cells = (ev.select(
+        "event_type",
+        F.expr(f"CASE WHEN ts < TIMESTAMP '{DRIFT_CUTOFF}' "
+               f"THEN 'before' ELSE 'after' END").alias("period"))
+        .groupBy("event_type", "period")
+        .agg(F.count("*").cast("long").alias("observed")))
+    totals = (cells
+              .withColumn("row_tot", F.sum("observed").over(
+                  Window.partitionBy("event_type")))
+              .withColumn("col_tot", F.sum("observed").over(
+                  Window.partitionBy("period")))
+              .withColumn("grand_tot", F.sum("observed").over(
+                  Window.partitionBy())))
+    e = ("(CAST(row_tot * col_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE))")
+    return totals.select(
+        "event_type", "period", "observed",
+        F.expr(e).alias("expected"),
+        F.expr(f"(CAST(observed AS DOUBLE) - {e}) "
+               f"* (CAST(observed AS DOUBLE) - {e}) / {e}")
+         .alias("chi2_contrib"))
+
+
+# ---------------------------------------------- winnowing fingerprints
+
+WINNOW_K = 4   # k-gram length (tokens)
+WINNOW_W = 5   # window of consecutive k-gram hashes per fingerprint
+
+
+@staged_query(
+    "winnowing_fingerprints",
+    oracle=f"""
+        WITH docs AS (
+          SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, len(toks) - {WINNOW_K - 1}),
+                   i -> CAST(('0x' || substring(md5(array_to_string(
+                          toks[i:i + {WINNOW_K - 1}], ' ')), 1, 13))
+                        AS BIGINT)) AS hs
+          FROM docs
+        ),
+        fp AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(hs) - {WINNOW_W - 1}),
+                   j -> list_aggregate(hs[j:j + {WINNOW_W - 1}], 'min')))
+                   AS fps
+          FROM hashed
+        ),
+        exploded AS (
+          SELECT doc_id, UNNEST(fps) AS fp FROM fp
+        ),
+        dfreq AS (
+          SELECT fp, CAST(COUNT(*) AS BIGINT) AS docs_with
+          FROM exploded GROUP BY fp
+        )
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+               CAST(SUM(CASE WHEN d.docs_with >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared,
+               CAST(SUM(CASE WHEN d.docs_with >= 2 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+        FROM exploded e JOIN dfreq d USING (fp)
+        GROUP BY e.doc_id
+    """,
+    doc="Winnowing document fingerprints (Schleimer, Wilkerson, Aiken "
+        "SIGMOD 2003, the MOSS algorithm): hash every token 4-gram, "
+        "slide a 5-hash window, keep each window's minimum — a "
+        "guaranteed-coverage sparse fingerprint set — then score each "
+        "document by the fraction of its fingerprints shared with any "
+        "other document. Hashing and window-min selection are pure "
+        "array lambdas inside codegen (zero shuffle, no explode until "
+        "the fingerprint set is already ~1/w the gram count); the "
+        "cross-doc step is one aggregate + one equi-join on the "
+        "52-bit fingerprint key. The same inverted-index discipline "
+        "as the LSH dedup family: never doc x doc.",
+    tags=("staged", "dedup",),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            .filter(F.expr(f"size(toks) >= {WINNOW_K + WINNOW_W - 1}")))
+    hashed = docs.select("doc_id", F.expr(f"""
+        transform(sequence(1, size(toks) - {WINNOW_K - 1}),
+          i -> CAST(conv(substring(md5(concat_ws(' ',
+                 slice(toks, i, {WINNOW_K}))), 1, 13), 16, 10)
+               AS BIGINT))""").alias("hs"))
+    fp = hashed.select("doc_id", F.expr(f"""
+        array_distinct(transform(sequence(1, size(hs) - {WINNOW_W - 1}),
+          j -> array_min(slice(hs, j, {WINNOW_W}))))""").alias("fps"))
+    exploded = fp.select("doc_id", F.explode("fps").alias("fp"))
+    dfreq = (exploded.groupBy("fp")
+             .agg(F.count("*").cast("long").alias("docs_with")))
+    return (exploded.join(dfreq, "fp")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_fingerprints"),
+                 F.sum(F.when(F.col("docs_with") >= 2, 1).otherwise(0))
+                  .cast("long").alias("n_shared"))
+            .withColumn("shared_frac",
+                        F.expr("CAST(n_shared AS DOUBLE) "
+                               "/ CAST(n_fingerprints AS DOUBLE)")))

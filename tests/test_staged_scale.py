@@ -42,6 +42,39 @@ def test_trigram_vocab_scalar_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_bm25_topk_is_window_group_limit(spark, sf_dir):
+    # rank<=k per term must pre-filter per partition (WindowGroupLimit)
+    # before the 3-partition term exchange — otherwise three hot tasks
+    # would sort the whole scored corpus.
+    from de_project_airflow_etl_spark.staged.round5 import bm25_term_scores
+    plan = formatted_plan(bm25_term_scores(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_skyline_is_broadcast_filter_not_self_join(spark, sf_dir):
+    # The survivor filter must ride a broadcast of the tiny per-date
+    # maxima — no order x order join, and the date bound reaches the
+    # scan.
+    from de_project_airflow_etl_spark.staged.round5 import (
+        skyline_pareto_orders,
+    )
+    df = skyline_pareto_orders(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    from de_project_airflow_etl_spark.plans.inspect import has_pushed_filter
+    assert has_pushed_filter(df, "o_orderdate"), plan
+
+
+def test_winnowing_join_is_equi_join(spark, sf_dir):
+    from de_project_airflow_etl_spark.staged.round5 import (
+        winnowing_fingerprints,
+    )
+    plan = formatted_plan(winnowing_fingerprints(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
 def test_corr_matrix_is_single_aggregate(spark, sf_dir):
     # Sufficient-statistics pass: exactly one aggregate over the scan,
     # no joins at all.
