@@ -470,6 +470,51 @@ def trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
               .limit(LM_TOP_K))
 
 
+
+def exact_group_quantiles(counts: DataFrame, keys: list[str],
+                          probs: dict[str, float]) -> DataFrame:
+    """EXACT per-group quantiles from a pre-aggregated value histogram,
+    scale-safely: ``counts`` has columns ``keys + [val, cnt]`` (one row
+    per distinct value per group — bounded by the value DOMAIN, not the
+    row count), and the result carries ``keys + [n_rows] + one double
+    column per probs label`` using the (n-1)*p linear-interpolation
+    definition (quantile_cont / percentile). Every ``p`` must be dyadic
+    (k/2^m: 0.25, 0.5, 0.75, ...) so index fraction and interpolation
+    are exact in binary and bit-match DuckDB. The cumulative window
+    runs over the histogram (distinct values), never the raw rows, and
+    the per-group target table is broadcast — nothing data-sized is
+    sorted globally.
+    """
+    wcum = (Window.partitionBy(*keys).orderBy("val")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    cum = counts.withColumn("cum", F.sum("cnt").over(wcum))
+    tot = counts.groupBy(*keys).agg(F.sum("cnt").alias("n_rows"))
+    texprs = [*keys, "CAST(n_rows AS BIGINT) AS n_rows"]
+    for lab, pr in probs.items():
+        texprs.append(f"CAST(FLOOR(CAST(n_rows - 1 AS DOUBLE) * {pr!r}) "
+                      f"AS BIGINT) AS {lab}_lo")
+        texprs.append(f"CAST(n_rows - 1 AS DOUBLE) * {pr!r} "
+                      f"- FLOOR(CAST(n_rows - 1 AS DOUBLE) * {pr!r}) "
+                      f"AS {lab}_frac")
+    t = tot.selectExpr(*texprs)
+    j = cum.join(F.broadcast(t), keys)
+    aggs = []
+    for lab in probs:
+        aggs.append(F.min(F.when(F.col("cum") >= F.col(f"{lab}_lo") + 1,
+                                 F.col("val"))).alias(f"{lab}_vl"))
+        aggs.append(F.min(F.when(F.col("cum") >= F.col(f"{lab}_lo") + 2,
+                                 F.col("val"))).alias(f"{lab}_vh"))
+    gb = j.groupBy(*keys, "n_rows",
+                   *[f"{lab}_frac" for lab in probs]).agg(*aggs)
+    out = [*keys, "n_rows"]
+    for lab in probs:
+        out.append(
+            f"CAST({lab}_vl AS DOUBLE) + {lab}_frac * "
+            f"(CAST(COALESCE({lab}_vh, {lab}_vl) AS DOUBLE) "
+            f"- CAST({lab}_vl AS DOUBLE)) AS {lab}")
+    return gb.selectExpr(*out)
+
+
 # -------------------------------------- per-language IQR length fences
 
 @staged_query(
@@ -512,39 +557,16 @@ def trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_length_iqr_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
-    counts = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("cnt"))
-    wcum = (Window.partitionBy("lang").orderBy("n_chars")
-                  .rowsBetween(Window.unboundedPreceding, 0))
-    cum = counts.withColumn("cum", F.sum("cnt").over(wcum))
-    tot = counts.groupBy("lang").agg(F.sum("cnt").alias("n_docs"))
-    t = tot.selectExpr(
-        "lang", "CAST(n_docs AS BIGINT) AS n_docs",
-        "CAST(FLOOR(CAST(n_docs - 1 AS DOUBLE) * 0.25) AS BIGINT) AS q1_lo",
-        "CAST(n_docs - 1 AS DOUBLE) * 0.25 "
-        "- FLOOR(CAST(n_docs - 1 AS DOUBLE) * 0.25) AS q1_frac",
-        "CAST(FLOOR(CAST(n_docs - 1 AS DOUBLE) * 0.75) AS BIGINT) AS q3_lo",
-        "CAST(n_docs - 1 AS DOUBLE) * 0.75 "
-        "- FLOOR(CAST(n_docs - 1 AS DOUBLE) * 0.75) AS q3_frac")
-    j = cum.join(F.broadcast(t), "lang")
-    neigh = j.groupBy("lang", "n_docs", "q1_frac", "q3_frac").agg(
-        F.min(F.when(F.col("cum") >= F.col("q1_lo") + 1,
-                     F.col("n_chars"))).alias("v1l"),
-        F.min(F.when(F.col("cum") >= F.col("q1_lo") + 2,
-                     F.col("n_chars"))).alias("v1h"),
-        F.min(F.when(F.col("cum") >= F.col("q3_lo") + 1,
-                     F.col("n_chars"))).alias("v3l"),
-        F.min(F.when(F.col("cum") >= F.col("q3_lo") + 2,
-                     F.col("n_chars"))).alias("v3h"))
-    fences = neigh.selectExpr(
-        "lang", "n_docs",
-        "CAST(v1l AS DOUBLE) + q1_frac * "
-        "(CAST(COALESCE(v1h, v1l) AS DOUBLE) - CAST(v1l AS DOUBLE)) AS q1",
-        "CAST(v3l AS DOUBLE) + q3_frac * "
-        "(CAST(COALESCE(v3h, v3l) AS DOUBLE) - CAST(v3l AS DOUBLE)) AS q3",
-    ).selectExpr(
+    counts = (docs.groupBy("lang", F.col("n_chars").alias("val"))
+                  .agg(F.count("*").alias("cnt")))
+    q = exact_group_quantiles(counts, ["lang"],
+                              {"q1": 0.25, "q3": 0.75})
+    fences = (q.withColumnRenamed("n_rows", "n_docs")
+               .selectExpr(
         "lang", "n_docs", "q1", "q3",
         "q1 - 1.5 * (q3 - q1) AS lo_fence",
-        "q3 + 1.5 * (q3 - q1) AS hi_fence")
+        "q3 + 1.5 * (q3 - q1) AS hi_fence"))
+    counts = counts.withColumnRenamed("val", "n_chars")
     flagged = (counts.join(F.broadcast(fences), "lang")
                .groupBy("lang", "n_docs", "q1", "q3",
                         "lo_fence", "hi_fence")
@@ -1017,3 +1039,311 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("shared_frac",
                         F.expr("CAST(n_shared AS DOUBLE) "
                                "/ CAST(n_fingerprints AS DOUBLE)")))
+
+
+# ------------------------------------------------ n-gram novelty curve
+
+@staged_query(
+    "ngram_novelty_score",
+    oracle=f"""
+        WITH grams AS (
+          SELECT doc_id, UNNEST({_SQL_NGRAMS}) AS gh
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= {NGRAM_N}
+        ),
+        first_seen AS (
+          SELECT gh, MIN(doc_id) AS first_doc FROM grams GROUP BY gh
+        )
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS BIGINT) AS novelty_frac
+        FROM grams g JOIN first_seen f USING (gh)
+        GROUP BY g.doc_id
+    """,
+    doc="Per-document n-gram novelty in corpus order (doc_id order): "
+        "the fraction of a document's distinct word-3-grams never seen "
+        "in any earlier document — the novelty signal curriculum "
+        "schedulers and crawl-frontier dedup use to measure marginal "
+        "information. One gram-keyed MIN aggregate finds each gram's "
+        "first occurrence; joining back and counting first_doc = "
+        "doc_id needs no ordering, windows, or state — the 'seen so "
+        "far' semantics falls out of the MIN, so the plan is two "
+        "map-side-combinable aggregates and one equi-join on the "
+        "16-byte gram hash, linear at 100 TB.",
+    tags=("staged", "text",),
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            .filter(F.expr(f"size(toks) >= {NGRAM_N}")))
+    grams = docs.select("doc_id", F.explode(_ngram_hashes()).alias("gh"))
+    first_seen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    j = grams.join(first_seen, "gh")
+    return (j.groupBy("doc_id")
+             .agg(F.count("*").cast("long").alias("n_grams"),
+                  F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                         .otherwise(0)).cast("long").alias("n_novel"))
+             .withColumn("novelty_frac",
+                         F.expr("CAST(n_novel AS DOUBLE) / n_grams")))
+
+
+# ------------------------------------------ trailing-window anomalies
+
+ANOM_WIN = 6     # previous events considered
+ANOM_MIN_N = 4   # minimum history before flagging
+# |x - mean| > 2*sigma over the trailing window, compared entirely in
+# exact integers: (x*n - s)^2 > 4*(n*ssq - s^2), where s/ssq are the
+# window's sum and sum-of-squares in cents.
+
+
+@staged_query(
+    "trailing_anomaly_events",
+    oracle=f"""
+        WITH c AS (
+          SELECT user_id, event_id, ts,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), w AS (
+          SELECT user_id, event_id, cents,
+                 COUNT(*) OVER win AS n_prev,
+                 SUM(cents) OVER win AS s_prev,
+                 SUM(cents * cents) OVER win AS ss_prev
+          FROM c
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {ANOM_WIN} PRECEDING
+                                  AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id, cents,
+               CAST(n_prev AS BIGINT) AS n_prev,
+               CAST(s_prev AS BIGINT) AS s_prev,
+               CAST(ss_prev AS BIGINT) AS ss_prev
+        FROM w
+        WHERE n_prev >= {ANOM_MIN_N}
+          AND (cents * n_prev - s_prev) * (cents * n_prev - s_prev)
+              > 4 * (n_prev * ss_prev - s_prev * s_prev)
+    """,
+    doc="Sequential anomaly detection: an event is flagged when its "
+        "value sits more than two standard deviations from the mean of "
+        "the user's previous {win} events — the trailing-window twin "
+        "of the global z-score / MAD gates already in the registry. "
+        "The two-sigma cut is evaluated without ever materializing "
+        "mean or sigma: (x*n - s)^2 > 4*(n*ssq - s^2) over exact "
+        "integer cents, so no float rounding can flip a boundary "
+        "event. Per-user window frames only — one shuffle on user_id, "
+        "bounded frame state, linear at 100 TB.".format(win=ANOM_WIN),
+    tags=("staged", "quality",),
+)
+def trailing_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"))
+    win = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+                 .rowsBetween(-ANOM_WIN, -1))
+    w = (ev.withColumn("n_prev", F.count("*").over(win).cast("long"))
+           .withColumn("s_prev", F.sum("cents").over(win).cast("long"))
+           .withColumn("ss_prev",
+                       F.sum(F.expr("cents * cents")).over(win)
+                        .cast("long")))
+    return (w.filter(
+        (F.col("n_prev") >= ANOM_MIN_N)
+        & (F.expr("(cents * n_prev - s_prev) * (cents * n_prev - s_prev)"
+                  " > 4 * (n_prev * ss_prev - s_prev * s_prev)")))
+        .select("user_id", "event_id", "cents",
+                "n_prev", "s_prev", "ss_prev"))
+
+
+# ------------------------------------------- cross-source overlap map
+
+@staged_query(
+    "source_overlap_matrix",
+    oracle=f"""
+        WITH h AS (
+          SELECT DISTINCT gh, source FROM (
+            SELECT source, UNNEST({_SQL_NGRAMS}) AS gh
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= {NGRAM_N}
+          )
+        ),
+        per_source AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM h GROUP BY source
+        ),
+        shared AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM h a JOIN h b
+            ON a.gh = b.gh AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT s.source_a, s.source_b, s.n_shared,
+               pa.n_grams AS n_a, pb.n_grams AS n_b,
+               CAST(s.n_shared AS DOUBLE)
+                 / CAST(pa.n_grams + pb.n_grams - s.n_shared AS BIGINT)
+                 AS jaccard
+        FROM shared s
+        JOIN per_source pa ON pa.source = s.source_a
+        JOIN per_source pb ON pb.source = s.source_b
+    """,
+    doc="Cross-source content-overlap matrix: for every source pair, "
+        "the Jaccard overlap of their distinct word-3-gram sets — the "
+        "provenance screen run before mixing crawl dumps, to catch "
+        "mirrored or re-hosted corpora whose documents are near- but "
+        "not byte-identical. The pair generation joins the distinct "
+        "(gram, source) inverted index on the 16-byte gram hash: a "
+        "gram present in k sources yields k^2 pair rows for that gram "
+        "only — bounded by |sources|^2 regardless of corpus size, "
+        "never doc x doc. Per-source totals ride broadcast joins. "
+        "Same discipline as the dedup family, one level up (source "
+        "granularity).",
+    tags=("staged", "dedup",),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load(spark, sf_dir, "documents")
+            .select("source", F.split("text", " ").alias("toks"))
+            .filter(F.expr(f"size(toks) >= {NGRAM_N}")))
+    h = (docs.select("source", F.explode(_ngram_hashes()).alias("gh"))
+             .distinct())
+    per_source = h.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_grams"))
+    a, b = h.alias("a"), h.alias("b")
+    shared = (a.join(b, (F.col("a.gh") == F.col("b.gh"))
+                     & (F.col("a.source") < F.col("b.source")))
+               .groupBy(F.col("a.source").alias("source_a"),
+                        F.col("b.source").alias("source_b"))
+               .agg(F.count("*").cast("long").alias("n_shared")))
+    pa = per_source.selectExpr("source AS source_a", "n_grams AS n_a")
+    pb = per_source.selectExpr("source AS source_b", "n_grams AS n_b")
+    return (shared.join(F.broadcast(pa), "source_a")
+                  .join(F.broadcast(pb), "source_b")
+                  .select("source_a", "source_b", "n_shared", "n_a", "n_b",
+                          F.expr("CAST(n_shared AS DOUBLE) "
+                                 "/ (n_a + n_b - n_shared)")
+                           .alias("jaccard")))
+
+
+# ------------------------------------- funnel conversion latency bands
+
+@staged_query(
+    "funnel_conversion_latency",
+    oracle="""
+        WITH fc AS (
+          SELECT user_id, MIN(ts) AS c_ts FROM events
+          WHERE event_type = 'click' GROUP BY user_id
+        ),
+        fp AS (
+          SELECT e.user_id, MIN(e.ts) AS p_ts
+          FROM events e JOIN fc ON fc.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= fc.c_ts
+          GROUP BY e.user_id
+        ),
+        d AS (
+          SELECT CAST(CAST(fc.c_ts AS DATE) AS TIMESTAMP) AS cohort_day,
+                 (epoch_us(fp.p_ts) - epoch_us(fc.c_ts)) // 1000000
+                   AS delta_s
+          FROM fc JOIN fp USING (user_id)
+        )
+        SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               quantile_cont(delta_s, 0.25) AS q25,
+               quantile_cont(delta_s, 0.5) AS q50,
+               quantile_cont(delta_s, 0.75) AS q75
+        FROM d GROUP BY cohort_day
+    """,
+    doc="Funnel conversion-latency bands: per first-click cohort day, "
+        "exact quartiles of the first-click -> first-purchase delay in "
+        "whole seconds. Extends the registry's funnel_click_purchase "
+        "(which counts conversions) with the latency distribution "
+        "product teams actually monitor. Quartiles reuse the "
+        "exact_group_quantiles histogram machinery: flooring the delay "
+        "to seconds bounds the value domain, so the cumulative window "
+        "runs over distinct delays per cohort — not over users — and "
+        "interpolation fractions are dyadic, bit-matching "
+        "quantile_cont. Two per-user MIN aggregates + one broadcast "
+        "threshold pass; nothing data-sized is globally sorted.",
+    tags=("staged", "timeseries",),
+)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    fc = (ev.filter("event_type = 'click'")
+            .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    fp = (ev.filter("event_type = 'purchase'")
+            .join(fc, "user_id")
+            .filter(F.col("ts") >= F.col("c_ts"))
+            .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    d = (fc.join(fp, "user_id")
+           .selectExpr(
+               "CAST(CAST(c_ts AS DATE) AS TIMESTAMP) AS cohort_day",
+               "(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000 "
+               "AS delta_s"))
+    counts = (d.groupBy("cohort_day", F.col("delta_s").alias("val"))
+                .agg(F.count("*").alias("cnt")))
+    q = exact_group_quantiles(counts, ["cohort_day"],
+                              {"q25": 0.25, "q50": 0.5, "q75": 0.75})
+    return q.withColumnRenamed("n_rows", "n_conversions")
+
+
+# --------------------------------------------- character-class purity
+
+@staged_query(
+    "char_class_gini",
+    oracle="""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(text) AS BIGINT) AS n,
+                 CAST(len(regexp_replace(text, '[^a-z]', '', 'g'))
+                      AS BIGINT) AS n_alpha,
+                 CAST(len(regexp_replace(text, '[^0-9]', '', 'g'))
+                      AS BIGINT) AS n_digit,
+                 CAST(len(regexp_replace(text, '[^ ]', '', 'g'))
+                      AS BIGINT) AS n_space
+          FROM documents WHERE len(text) > 0
+        )
+        SELECT doc_id, n, n_alpha, n_digit, n_space,
+               n - n_alpha - n_digit - n_space AS n_other,
+               n * n - (n_alpha * n_alpha + n_digit * n_digit
+                        + n_space * n_space
+                        + (n - n_alpha - n_digit - n_space)
+                          * (n - n_alpha - n_digit - n_space))
+                 AS gini_num,
+               n * n AS gini_den,
+               CAST(n * n - (n_alpha * n_alpha + n_digit * n_digit
+                             + n_space * n_space
+                             + (n - n_alpha - n_digit - n_space)
+                               * (n - n_alpha - n_digit - n_space))
+                    AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+        FROM c
+    """,
+    doc="Character-class Gini impurity per document (alpha / digit / "
+        "space / other): 1 - sum(p_i^2), the log-free cousin of "
+        "character entropy used as a cheap gibberish/markup signal in "
+        "quality pipelines — near 0 for single-class runs (digit "
+        "dumps, base64 blobs), higher for natural text. Class counts "
+        "come from regexp_replace length arithmetic inside codegen; "
+        "the impurity ships as an exact integer ratio (gini_num / "
+        "gini_den) plus its one-division double. A stateless row map "
+        "— zero shuffle at any scale.",
+    tags=("staged", "quality",),
+)
+def char_class_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter("length(text) > 0")
+    c = docs.selectExpr(
+        "doc_id",
+        "CAST(length(text) AS BIGINT) AS n",
+        "CAST(length(regexp_replace(text, '[^a-z]', '')) AS BIGINT) "
+        "AS n_alpha",
+        "CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT) "
+        "AS n_digit",
+        "CAST(length(regexp_replace(text, '[^ ]', '')) AS BIGINT) "
+        "AS n_space")
+    sq = ("(n_alpha * n_alpha + n_digit * n_digit + n_space * n_space "
+          "+ (n - n_alpha - n_digit - n_space) "
+          "* (n - n_alpha - n_digit - n_space))")
+    return c.selectExpr(
+        "doc_id", "n", "n_alpha", "n_digit", "n_space",
+        "n - n_alpha - n_digit - n_space AS n_other",
+        f"n * n - {sq} AS gini_num",
+        "n * n AS gini_den",
+        f"CAST(n * n - {sq} AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini")

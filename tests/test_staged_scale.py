@@ -82,6 +82,70 @@ def test_corr_matrix_is_single_aggregate(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
+def test_char_class_gini_is_shuffle_free(spark, sf_dir):
+    # stateless row map: no Exchange anywhere in the plan
+    from de_project_airflow_etl_spark.staged.round5 import char_class_gini
+    plan = formatted_plan(char_class_gini(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_batch3_joins_are_equi_joins(spark, sf_dir):
+    from de_project_airflow_etl_spark.staged.round5 import (
+        funnel_conversion_latency, ngram_novelty_score,
+        source_overlap_matrix, trailing_anomaly_events,
+    )
+    for fn in (ngram_novelty_score, source_overlap_matrix,
+               funnel_conversion_latency, trailing_anomaly_events):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
+
+
+def test_trailing_anomaly_flags_planted_spike(spark, tmp_path):
+    """A flat-value user with one 100x spike: exactly the spike is
+    flagged (its trailing window has zero variance), and a user whose
+    values oscillate inside the band is never flagged (a steady LINEAR
+    ramp is correctly ~2 sigma out — the trailing mean lags it — so
+    the negative control alternates instead)."""
+    rows = []
+    base = "2024-01-01 00:00:{:02d}"
+    for i in range(10):
+        v = 500.0 if i == 8 else 5.0       # spike at event 8
+        rows.append((1, i, base.format(i), "click", v, "{}"))
+    for i in range(10):
+        rows.append((2, 100 + i, base.format(i), "click",
+                     5.0 + 0.02 * (i % 2), "{}"))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, "
+              "event_type string, value double, props string")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from de_project_airflow_etl_spark.staged.round5 import (
+        trailing_anomaly_events,
+    )
+    out = trailing_anomaly_events(spark, str(tmp_path)).collect()
+    assert [(r["user_id"], r["event_id"]) for r in out] == [(1, 8)]
+
+
+def test_novelty_planted_duplicate_is_zero(spark, tmp_path):
+    """doc 5 repeats doc 0's text verbatim -> novelty 0; doc 0 (first
+    occurrence) scores 1.0 when its grams appear nowhere earlier."""
+    texts = [f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+             for i in range(5)]
+    texts.append(texts[0])                  # doc 5 == doc 0
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from de_project_airflow_etl_spark.staged.round5 import (
+        ngram_novelty_score,
+    )
+    out = {r["doc_id"]: r for r in
+           ngram_novelty_score(spark, str(tmp_path)).collect()}
+    assert out[5]["n_novel"] == 0 and out[5]["novelty_frac"] == 0.0
+    assert out[0]["novelty_frac"] == 1.0
+
+
 # ----------------------------------------- containment planted stress
 
 N_DOCS = 50_000
