@@ -64,6 +64,18 @@ def main() -> None:
                      cur["spill"] - prev["spill"]))
         prev = cur
 
+    staged_rows = []
+    from de_project_airflow_etl_spark.staged import STAGED
+    for name in sorted(STAGED):
+        spark.catalog.clearCache()
+        clear_pairs_cache()
+        STAGED[name].fn(spark, sf_dir).count()
+        cur = _stage_totals(base, app)
+        staged_rows.append((name, cur["input"] - prev["input"],
+                            cur["sw"] - prev["sw"], cur["sr"] - prev["sr"],
+                            cur["spill"] - prev["spill"]))
+        prev = cur
+
     def mb(b: int) -> str:
         return f"{b / 1e6:.1f}"
 
@@ -73,6 +85,11 @@ def main() -> None:
     print("| query | shuffle write MB | shuffle read MB | spill MB |")
     print("|---|---|---|---|")
     for name, _inp, sw, sr, spill in rows:
+        print(f"| {name} | {mb(sw)} | {mb(sr)} | {mb(spill)} |")
+    print()
+    print("| staged query | shuffle write MB | shuffle read MB | spill MB |")
+    print("|---|---|---|---|")
+    for name, _inp, sw, sr, spill in staged_rows:
         print(f"| {name} | {mb(sw)} | {mb(sr)} | {mb(spill)} |")
 
 
