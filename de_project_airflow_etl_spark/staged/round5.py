@@ -1347,8 +1347,15 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("staged", "quality",),
 )
 def char_class_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").filter("length(text) > 0")
-    c = docs.selectExpr(
+    return char_class_gini_plan(load(spark, sf_dir, "documents"))
+
+
+def char_class_gini_plan(docs: DataFrame) -> DataFrame:
+    """Plan-builder form (works on any batch OR streaming documents
+    relation — the map is stateless, so `readStream` + this builder +
+    an availableNow drain reproduces the batch rows exactly; see
+    tests/test_staged_scale.py)."""
+    c = docs.filter("length(text) > 0").selectExpr(
         "doc_id",
         "CAST(length(text) AS BIGINT) AS n",
         "CAST(length(regexp_replace(text, '[^a-z]', '')) AS BIGINT) "

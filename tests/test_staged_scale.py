@@ -267,3 +267,25 @@ def test_weighted_sample_is_length_biased(spark, sf_dir):
                    .agg({"n_chars": "avg"}).collect()[0][0])
     assert sample_mean > corpus_mean
     assert weighted_sample_wor(spark, sf_dir).count() == WS_K
+
+
+def test_char_class_gini_agrees_batch_vs_stream(spark, sf_dir, tmp_path):
+    """The stateless Gini map must stream unchanged: readStream + the
+    same plan-builder + availableNow drain == the batch rows (the
+    unified backfill/live-ingest property the quality family already
+    guarantees, extended to the staged surface)."""
+    from de_project_airflow_etl_spark.staged.round5 import (
+        char_class_gini_plan,
+    )
+    from de_project_airflow_etl_spark.tables import load
+    docs = load(spark, sf_dir, "documents")
+    batch = sorted(map(tuple, char_class_gini_plan(docs).collect()))
+    shard_dir = str(tmp_path / "docs_shards")
+    docs.write.mode("overwrite").parquet(shard_dir)
+    stream_src = spark.readStream.schema(docs.schema).parquet(shard_dir)
+    q = (char_class_gini_plan(stream_src)
+         .writeStream.format("memory").queryName("stream_gini")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.table("stream_gini").collect()))
+    assert streamed == batch and len(batch) > 0
