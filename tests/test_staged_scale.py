@@ -286,6 +286,9 @@ def test_char_class_gini_agrees_batch_vs_stream(spark, sf_dir, tmp_path):
     q = (char_class_gini_plan(stream_src)
          .writeStream.format("memory").queryName("stream_gini")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    done = q.awaitTermination(120)
+    if not done:
+        q.stop()
+    assert done, "availableNow drain did not finish in 120s"
     streamed = sorted(map(tuple, spark.table("stream_gini").collect()))
     assert streamed == batch and len(batch) > 0
