@@ -1388,3 +1388,328 @@ def char_class_gini_plan(docs: DataFrame) -> DataFrame:
         f"n * n - {sq} AS gini_num",
         "n * n AS gini_den",
         f"CAST(n * n - {sq} AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini")
+
+
+# ------------------------------------------------- LTV cohort curves
+
+@staged_query(
+    "user_ltv_cohort_curves",
+    oracle="""
+        WITH fu AS (
+          SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+          FROM events GROUP BY user_id
+        ),
+        rev AS (
+          SELECT e.user_id,
+                 date_diff('day', fu.cohort_day, CAST(e.ts AS DATE))
+                   AS age_day,
+                 CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+          FROM events e JOIN fu ON fu.user_id = e.user_id
+        ),
+        g AS (
+          SELECT f.cohort_day, r.age_day,
+                 CAST(COUNT(DISTINCT r.user_id) AS BIGINT)
+                   AS n_users_active,
+                 CAST(SUM(r.cents) AS BIGINT) AS rev_cents
+          FROM rev r JOIN fu f ON f.user_id = r.user_id
+          GROUP BY 1, 2
+        )
+        SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, age_day,
+               n_users_active, rev_cents,
+               CAST(SUM(rev_cents) OVER (
+                 PARTITION BY cohort_day ORDER BY age_day
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+        FROM g
+    """,
+    doc="Customer-lifetime-value cohort curves: users are cohorted by "
+        "first-seen day, revenue is rolled up per (cohort, age-in-"
+        "days), and the running total per cohort gives the LTV curve "
+        "whose plateau product analytics reads. All money stays in "
+        "exact integer cents; the only window runs over the tiny "
+        "(cohort x age) rollup — bounded by days^2 regardless of "
+        "event volume — after two user-keyed aggregates. One shuffle "
+        "on user_id, one on the rollup key: linear at 100 TB.",
+    tags=("staged", "timeseries",),
+)
+def user_ltv_cohort_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    fu = ev.groupBy("user_id").agg(
+        F.expr("CAST(MIN(ts) AS DATE)").alias("cohort_day"))
+    rev = (ev.join(fu, "user_id")
+             .selectExpr("user_id", "cohort_day",
+                         "datediff(CAST(ts AS DATE), cohort_day) "
+                         "AS age_day",
+                         "CAST(ROUND(value * 100) AS BIGINT) AS cents"))
+    g = (rev.groupBy("cohort_day", "age_day")
+            .agg(F.countDistinct("user_id").cast("long")
+                  .alias("n_users_active"),
+                 F.sum("cents").cast("long").alias("rev_cents")))
+    wc = (Window.partitionBy("cohort_day").orderBy("age_day")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    return (g.withColumn("cum_rev_cents",
+                         F.sum("rev_cents").over(wc).cast("long"))
+             .select(F.col("cohort_day").cast("timestamp")
+                      .alias("cohort_day"),
+                     "age_day", "n_users_active", "rev_cents",
+                     "cum_rev_cents"))
+
+
+# -------------------------------------------- weekday seasonality index
+
+# weekday from the epoch-day count: 1970-01-01 was a Thursday, so
+# (days_since_epoch + 4) % 7 yields 0=Sunday .. 6=Saturday as pure
+# integer arithmetic — engine-neutral, unlike dayofweek()/isodow()
+# whose numbering conventions differ between engines.
+
+@staged_query(
+    "seasonal_weekday_index",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS day_cents
+          FROM orders GROUP BY 1
+        ),
+        wd AS (
+          SELECT (date_diff('day', DATE '1970-01-01', d) + 4) % 7
+                   AS weekday,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(day_cents) AS BIGINT) AS wd_cents
+          FROM daily GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(n_days) AS BIGINT) AS total_days,
+                 CAST(SUM(wd_cents) AS BIGINT) AS total_cents
+          FROM wd
+        )
+        SELECT w.weekday, w.n_days, w.wd_cents,
+               w.wd_cents * t.total_days AS idx_num,
+               w.n_days * t.total_cents AS idx_den,
+               CAST(w.wd_cents * t.total_days AS DOUBLE)
+                 / CAST(w.n_days * t.total_cents AS DOUBLE)
+                 AS seasonal_index
+        FROM wd w CROSS JOIN tot t
+    """,
+    doc="Weekday seasonality index of order revenue: each weekday's "
+        "average daily revenue relative to the overall daily average "
+        "(index > 1 = above-trend day — the multiplicative seasonal "
+        "factor of classical decomposition, on the weekly cycle). "
+        "Weekday numbering is derived from epoch-day arithmetic so "
+        "both engines agree by construction, and the index ships as "
+        "an exact integer ratio (both terms < 2^53) beside its one-"
+        "division double. Two tiny aggregates over a per-day rollup "
+        "and a one-row broadcast of the totals — the per-day rollup "
+        "is the only data-sized exchange.",
+    tags=("staged", "timeseries",),
+)
+def seasonal_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = (o.selectExpr(
+        "CAST(o_orderdate AS DATE) AS d",
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents")
+        .groupBy("d").agg(F.sum("cents").cast("long").alias("day_cents")))
+    wd = (daily.selectExpr(
+        "(datediff(d, DATE '1970-01-01') + 4) % 7 AS weekday",
+        "day_cents")
+        .groupBy("weekday")
+        .agg(F.count("*").cast("long").alias("n_days"),
+             F.sum("day_cents").cast("long").alias("wd_cents")))
+    tot = wd.agg(F.sum("n_days").cast("long").alias("total_days"),
+                 F.sum("wd_cents").cast("long").alias("total_cents"))
+    return (wd.crossJoin(F.broadcast(tot))
+              .selectExpr(
+                  "weekday", "n_days", "wd_cents",
+                  "wd_cents * total_days AS idx_num",
+                  "n_days * total_cents AS idx_den",
+                  "CAST(wd_cents * total_days AS DOUBLE) "
+                  "/ CAST(n_days * total_cents AS DOUBLE) "
+                  "AS seasonal_index"))
+
+
+# ---------------------------------------------- shipping-lag quantiles
+
+@staged_query(
+    "shipping_lag_quantiles",
+    oracle="""
+        WITH lag AS (
+          SELECT l.l_returnflag,
+                 date_diff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) AS lag_days
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               quantile_cont(lag_days, 0.25) AS q25,
+               quantile_cont(lag_days, 0.5) AS q50,
+               quantile_cont(lag_days, 0.75) AS q75
+        FROM lag GROUP BY l_returnflag
+    """,
+    doc="Order-to-ship lag quantiles per return flag — the supply-"
+        "chain latency distribution (order date to line ship date in "
+        "whole days). Third consumer of the exact_group_quantiles "
+        "histogram machinery: lag_days has a bounded integer domain "
+        "(shipping windows), so the exact quartiles come from a "
+        "domain-sized cumulative histogram, never a per-group sort of "
+        "the fact table, and bit-match quantile_cont. The only data-"
+        "sized work is the fact-fact equi-join on orderkey and one "
+        "histogram aggregate.",
+    tags=("staged", "analytics",),
+)
+def shipping_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .selectExpr("l_returnflag",
+                         "datediff(CAST(l_shipdate AS DATE), "
+                         "CAST(o_orderdate AS DATE)) AS lag_days"))
+    counts = (lag.groupBy("l_returnflag", F.col("lag_days").alias("val"))
+                 .agg(F.count("*").alias("cnt")))
+    return exact_group_quantiles(counts, ["l_returnflag"],
+                                 {"q25": 0.25, "q50": 0.5, "q75": 0.75})
+
+
+# ------------------------------------------ revenue concentration (HHI)
+
+@staged_query(
+    "revenue_concentration_hhi",
+    oracle="""
+        WITH cust AS (
+          SELECT c.c_nationkey AS nationkey, o.o_custkey,
+                 CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT nationkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(cents) AS BIGINT) AS tot_cents,
+                 SUM(CAST(cents AS HUGEINT) * cents) AS sumsq,
+                 CAST(MAX(cents) AS BIGINT) AS top1_cents
+          FROM cust GROUP BY nationkey
+        )
+        SELECT nationkey, n_customers, tot_cents, top1_cents,
+               CAST(CAST(sumsq AS VARCHAR) AS DOUBLE)
+                 / (CAST(tot_cents AS DOUBLE) * CAST(tot_cents AS DOUBLE))
+                 AS hhi,
+               CAST(top1_cents AS DOUBLE) / CAST(tot_cents AS DOUBLE)
+                 AS top1_share
+        FROM agg
+    """,
+    doc="Revenue-concentration screen per nation: the Herfindahl-"
+        "Hirschman index (sum of squared customer revenue shares) plus "
+        "the top-customer share — the standard dependency-risk metric. "
+        "HHI = sum(c_i^2) / (sum c_i)^2 is computed from exact "
+        "integer sums; the squared-cents accumulator exceeds BIGINT so "
+        "it rides DECIMAL(38)/HUGEINT and converts via STRING (the "
+        "correctly-rounded route, same rationale as the Pearson "
+        "matrix), while the linear sums stay below 2^53 and cast "
+        "exactly. Two keyed aggregates, both map-side combinable — "
+        "no window, no join after the dim broadcast.",
+    tags=("staged", "statistics",),
+)
+def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "o_custkey", "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents")
+    c = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "c_nationkey AS nationkey")
+    cust = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .groupBy("nationkey", "o_custkey")
+              .agg(F.sum("cents").cast("long").alias("cents")))
+    agg = (cust.groupBy("nationkey")
+               .agg(F.count("*").cast("long").alias("n_customers"),
+                    F.sum("cents").cast("long").alias("tot_cents"),
+                    F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents"))
+                     .alias("sumsq"),
+                    F.max("cents").cast("long").alias("top1_cents")))
+    return agg.selectExpr(
+        "nationkey", "n_customers", "tot_cents", "top1_cents",
+        "CAST(CAST(sumsq AS STRING) AS DOUBLE) "
+        "/ (CAST(tot_cents AS DOUBLE) * CAST(tot_cents AS DOUBLE)) AS hhi",
+        "CAST(top1_cents AS DOUBLE) / CAST(tot_cents AS DOUBLE) "
+        "AS top1_share")
+
+
+# --------------------------------------------- sessionized bounce rate
+
+BOUNCE_GAP_US = 1800 * 1000000  # 30-minute idle gap starts a session
+
+
+@staged_query(
+    "sessionized_bounce_rate",
+    oracle=f"""
+        WITH e AS (
+          SELECT user_id, event_id, ts, epoch_us(ts) AS t_us
+          FROM events
+        ),
+        marks AS (
+          SELECT user_id, event_id, ts, t_us,
+                 CASE WHEN t_us - LAG(t_us) OVER
+                        (PARTITION BY user_id ORDER BY t_us, event_id)
+                        > {BOUNCE_GAP_US}
+                      OR LAG(t_us) OVER
+                        (PARTITION BY user_id ORDER BY t_us, event_id)
+                        IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 CAST(SUM(new_s) OVER
+                   (PARTITION BY user_id ORDER BY t_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM marks
+        ),
+        per_sess AS (
+          SELECT user_id, session_id,
+                 CAST(CAST(MIN(ts) AS DATE) AS TIMESTAMP) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM sess GROUP BY user_id, session_id
+        )
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounce,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS bounce_rate
+        FROM per_sess GROUP BY day
+    """,
+    doc="Daily bounce rate over 30-minute-gap sessions: the fraction "
+        "of sessions containing exactly one event, keyed to the day "
+        "the session started — the engagement KPI dashboards pair "
+        "with session counts. Session assignment is the standard "
+        "gap-mark + running-sum pair of per-user windows (same shape "
+        "as the registry's sessionize_events, which this rolls up); "
+        "everything after the per-user windows aggregates on the "
+        "session key. Exact integer session ids and counts; the rate "
+        "is one division of exact integers. One shuffle on user_id, "
+        "one on the rollup — linear at 100 TB.",
+    tags=("staged", "timeseries",),
+)
+def sessionized_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.expr("unix_micros(ts)").alias("t_us"))
+    wo = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    marks = ev.withColumn(
+        "new_s",
+        F.expr(f"CASE WHEN t_us - lag(t_us) OVER "
+               f"(PARTITION BY user_id ORDER BY t_us, event_id) "
+               f"> {BOUNCE_GAP_US} "
+               f"OR lag(t_us) OVER "
+               f"(PARTITION BY user_id ORDER BY t_us, event_id) IS NULL "
+               f"THEN 1 ELSE 0 END"))
+    sess = marks.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    per_sess = (sess.groupBy("user_id", "session_id")
+                .agg(F.expr("CAST(CAST(MIN(ts) AS DATE) AS TIMESTAMP)")
+                      .alias("day"),
+                     F.count("*").cast("long").alias("n_events")))
+    return (per_sess.groupBy("day")
+            .agg(F.count("*").cast("long").alias("n_sessions"),
+                 F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                  .cast("long").alias("n_bounce"))
+            .withColumn("bounce_rate",
+                        F.expr("CAST(n_bounce AS DOUBLE) / n_sessions")))

@@ -292,3 +292,25 @@ def test_char_class_gini_agrees_batch_vs_stream(spark, sf_dir, tmp_path):
     assert done, "availableNow drain did not finish in 120s"
     streamed = sorted(map(tuple, spark.table("stream_gini").collect()))
     assert streamed == batch and len(batch) > 0
+
+
+def test_batch4_plans_are_scale_shaped(spark, sf_dir):
+    """Batch-4 gates: no cartesian anywhere; the HHI and seasonality
+    scalar/dim sides broadcast; the LTV window runs over the rollup
+    (post-aggregate), not the raw events."""
+    from de_project_airflow_etl_spark.staged.round5 import (
+        revenue_concentration_hhi, seasonal_weekday_index,
+        sessionized_bounce_rate, shipping_lag_quantiles,
+        user_ltv_cohort_curves,
+    )
+    for fn in (user_ltv_cohort_curves, seasonal_weekday_index,
+               shipping_lag_quantiles, revenue_concentration_hhi,
+               sessionized_bounce_rate):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
+    assert "BroadcastHashJoin" in formatted_plan(
+        revenue_concentration_hhi(spark, sf_dir))
+    # LTV: the cumulative window's child must be an aggregate, so the
+    # plan string shows Window above HashAggregate, not above the scan
+    plan = formatted_plan(user_ltv_cohort_curves(spark, sf_dir))
+    assert "Window" in plan and "HashAggregate" in plan, plan
