@@ -894,9 +894,15 @@ def bm25_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("20 * t * tf + 6 * t + 18 * dl * n")
                          .alias("score_den"))
                 # consumed twice (df aggregate + ranking join) with no
-                # exchange in its subtree for reuse — materialize once
-                # so the tokenize/filter pipeline runs a single time
-                .localCheckpoint(eager=False))
+                # exchange in its subtree for reuse — persist() rather
+                # than localCheckpoint: caching keeps the child plan
+                # inspectable (InMemoryRelation prints it, so pushdown/
+                # broadcast gates still see the scan) and the blocks
+                # are released by spark.catalog.clearCache(), which
+                # checkpoint blocks are not. df CANNOT fold into the
+                # ranking window: count-per-term must see every row,
+                # which would defeat the WindowGroupLimit pre-filter.
+                .persist())
     dfc = scored.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     ranked = (scored.join(F.broadcast(dfc), "term")
               .withColumn("score",

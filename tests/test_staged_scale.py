@@ -295,9 +295,9 @@ def test_char_class_gini_agrees_batch_vs_stream(spark, sf_dir, tmp_path):
 
 
 def test_batch4_plans_are_scale_shaped(spark, sf_dir):
-    """Batch-4 gates: no cartesian anywhere; the HHI and seasonality
-    scalar/dim sides broadcast; the LTV window runs over the rollup
-    (post-aggregate), not the raw events."""
+    """Batch-4 gates: no cartesian anywhere; the HHI dim join and the
+    seasonality one-row totals broadcast; the LTV window runs over the
+    rollup (post-aggregate), not the raw events (structural check)."""
     from de_project_airflow_etl_spark.staged.round5 import (
         revenue_concentration_hhi, seasonal_weekday_index,
         sessionized_bounce_rate, shipping_lag_quantiles,
@@ -310,7 +310,18 @@ def test_batch4_plans_are_scale_shaped(spark, sf_dir):
         assert "CartesianProduct" not in plan, (fn.__name__, plan)
     assert "BroadcastHashJoin" in formatted_plan(
         revenue_concentration_hhi(spark, sf_dir))
-    # LTV: the cumulative window's child must be an aggregate, so the
-    # plan string shows Window above HashAggregate, not above the scan
+    assert "Broadcast" in formatted_plan(
+        seasonal_weekday_index(spark, sf_dir))
+    # LTV structural gate: the cumulative window must run over the
+    # (cohort, age) ROLLUP, not the raw events — in the formatted tree
+    # (children printed below their parent) an (Hash|Sort)Aggregate
+    # line must appear BETWEEN the Window line and the first scan
+    # below it; a data-sized window would go Window -> Sort ->
+    # Exchange -> Scan with no aggregate in between.
     plan = formatted_plan(user_ltv_cohort_curves(spark, sf_dir))
-    assert "Window" in plan and "HashAggregate" in plan, plan
+    tree = plan.splitlines()
+    win_i = next(i for i, l in enumerate(tree) if "Window" in l)
+    scan_i = next(i for i, l in enumerate(tree)
+                  if i > win_i and "Scan parquet" in l)
+    between = "\n".join(tree[win_i + 1:scan_i])
+    assert "Aggregate" in between, plan
