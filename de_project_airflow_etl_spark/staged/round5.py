@@ -1719,3 +1719,83 @@ def sessionized_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("long").alias("n_bounce"))
             .withColumn("bounce_rate",
                         F.expr("CAST(n_bounce AS DOUBLE) / n_sessions")))
+
+
+# ------------------------------------------------- winsorized statistics
+
+# Winsorization fractions chosen DYADIC (1/16, 15/16) so the quantile
+# interpolation stays bit-exact cross-engine (same rule as the rest of
+# the exact_group_quantiles family).
+WINSOR_LO = 0.0625
+WINSOR_HI = 0.9375
+
+
+@staged_query(
+    "winsorized_value_stats",
+    oracle=f"""
+        WITH c AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        q AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 quantile_cont(cents, {WINSOR_LO}) AS q_lo,
+                 quantile_cont(cents, {WINSOR_HI}) AS q_hi
+          FROM c GROUP BY event_type
+        )
+        SELECT q.event_type, q.n_rows, q.q_lo, q.q_hi,
+               CAST(SUM(CASE WHEN c.cents < q.q_lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clip_lo,
+               CAST(SUM(CASE WHEN c.cents > q.q_hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clip_hi,
+               (CAST(SUM(CASE WHEN c.cents >= q.q_lo AND c.cents <= q.q_hi
+                              THEN c.cents ELSE 0 END) AS DOUBLE)
+                + CAST(SUM(CASE WHEN c.cents < q.q_lo
+                                THEN 1 ELSE 0 END) AS BIGINT) * q.q_lo
+                + CAST(SUM(CASE WHEN c.cents > q.q_hi
+                                THEN 1 ELSE 0 END) AS BIGINT) * q.q_hi)
+               / CAST(q.n_rows AS BIGINT) / 100.0 AS winsorized_mean
+        FROM q JOIN c ON c.event_type = q.event_type
+        GROUP BY q.event_type, q.n_rows, q.q_lo, q.q_hi
+    """,
+    doc="Winsorized value statistics per event type: values below the "
+        "1/16 quantile or above the 15/16 quantile are clipped to the "
+        "fence before averaging — the robust mean that survives fat "
+        "tails without discarding rows (trimming's less lossy "
+        "sibling). Fourth consumer of exact_group_quantiles; the "
+        "fractions are deliberately dyadic so the fences bit-match "
+        "quantile_cont. The winsorized sum decomposes into an exact "
+        "integer interior sum plus count x fence products in a fixed "
+        "expression order, so the double result is deterministic on "
+        "both engines. Both passes aggregate the (type, cents) "
+        "HISTOGRAM — the raw table is scanned once, nothing "
+        "data-sized is sorted.",
+    tags=("staged", "statistics",),
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(ROUND(value * 100) AS BIGINT) AS cents")
+    counts = (ev.groupBy("event_type", F.col("cents").alias("val"))
+                .agg(F.count("*").alias("cnt")))
+    q = exact_group_quantiles(counts, ["event_type"],
+                              {"q_lo": WINSOR_LO, "q_hi": WINSOR_HI})
+    j = counts.join(F.broadcast(q), "event_type")
+    return (j.groupBy("event_type", "n_rows", "q_lo", "q_hi")
+            .agg(F.sum(F.when(F.col("val") < F.col("q_lo"), F.col("cnt"))
+                        .otherwise(F.lit(0))).cast("long")
+                  .alias("n_clip_lo"),
+                 F.sum(F.when(F.col("val") > F.col("q_hi"), F.col("cnt"))
+                        .otherwise(F.lit(0))).cast("long")
+                  .alias("n_clip_hi"),
+                 F.sum(F.when((F.col("val") >= F.col("q_lo"))
+                              & (F.col("val") <= F.col("q_hi")),
+                              F.expr("val * cnt"))
+                        .otherwise(F.lit(0))).cast("long")
+                  .alias("interior_cents"))
+            .selectExpr(
+                "event_type", "n_rows", "q_lo", "q_hi",
+                "n_clip_lo", "n_clip_hi",
+                "(CAST(interior_cents AS DOUBLE) + n_clip_lo * q_lo "
+                "+ n_clip_hi * q_hi) / n_rows / 100.0 "
+                "AS winsorized_mean"))

@@ -303,9 +303,12 @@ def test_batch4_plans_are_scale_shaped(spark, sf_dir):
         sessionized_bounce_rate, shipping_lag_quantiles,
         user_ltv_cohort_curves,
     )
+    from de_project_airflow_etl_spark.staged.round5 import (
+        winsorized_value_stats,
+    )
     for fn in (user_ltv_cohort_curves, seasonal_weekday_index,
                shipping_lag_quantiles, revenue_concentration_hhi,
-               sessionized_bounce_rate):
+               sessionized_bounce_rate, winsorized_value_stats):
         plan = formatted_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, (fn.__name__, plan)
     assert "BroadcastHashJoin" in formatted_plan(
