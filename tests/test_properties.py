@@ -443,3 +443,56 @@ def test_ntile_case_formula_partitions_correctly(n, k):
     assert max(sizes.values()) - min(sizes.values()) <= 1
     ordered = [sizes[t] for t in sorted(sizes)]
     assert ordered == sorted(ordered, reverse=True)
+
+
+# ------------------------------- staged-surface helper invariants
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=50),
+                     min_size=1, max_size=60),
+       probs=st.sets(st.sampled_from([0.0625, 0.25, 0.5, 0.75, 0.9375]),
+                     min_size=1, max_size=3))
+@prop
+def test_exact_group_quantiles_matches_linear_interpolation(
+        spark, vals, probs):
+    """The histogram-based quantile must equal the definitional
+    (n-1)*p linear interpolation over the sorted values, for any
+    multiset and any dyadic probability."""
+    from de_project_airflow_etl_spark.staged.round5 import (
+        exact_group_quantiles,
+    )
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, val long")
+    counts = df.groupBy("k", "val").agg(F.count("*").alias("cnt"))
+    labels = {f"q{i}": p for i, p in enumerate(sorted(probs))}
+    row = exact_group_quantiles(counts, ["k"], labels).collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    for lab, p in labels.items():
+        k = (n - 1) * p
+        lo = int(k)
+        frac = k - lo
+        expect = (s[lo] if frac == 0
+                  else s[lo] + frac * (s[lo + 1] - s[lo]))
+        assert row[lab] == float(expect), (lab, p, s, row[lab], expect)
+    assert row["n_rows"] == n
+
+
+@given(items=st.lists(st.integers(min_value=0, max_value=30),
+                      min_size=0, max_size=12, unique=True))
+@prop
+def test_ordered_pair_structs_equals_combinations(spark, items):
+    """In-array ordered-pair emission over a sorted array must equal
+    itertools.combinations of the sorted distinct items — the law the
+    pair-query rewrites (frequent_item_pairs, source_overlap_matrix)
+    rely on."""
+    from itertools import combinations
+
+    from de_project_airflow_etl_spark.staged.round5 import (
+        ordered_pair_structs,
+    )
+    arr = sorted(items)
+    df = spark.createDataFrame([(arr,)], "xs array<long>")
+    out = (df.select(F.explode(F.expr(
+        ordered_pair_structs("xs", "a", "b"))).alias("p"))
+           .select("p.a", "p.b").collect())
+    got = sorted((r["a"], r["b"]) for r in out)
+    assert got == sorted(combinations(arr, 2))
