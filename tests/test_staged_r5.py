@@ -12,6 +12,15 @@ from de_project_airflow_etl_spark.staged import STAGED
 from tests.harness import compare
 
 
+@pytest.fixture(autouse=True)
+def _release_staged_caches(spark):
+    # bm25_term_scores persist()s its scored relation (single-
+    # computation materialization); release it so the cache does not
+    # outlive each test into the rest of the session.
+    yield
+    spark.catalog.clearCache()
+
+
 @pytest.mark.parametrize("name", sorted(STAGED))
 def test_staged_query_matches_oracle(name, spark, sf_dir, duck):
     q = STAGED[name]

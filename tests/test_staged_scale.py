@@ -301,10 +301,7 @@ def test_batch4_plans_are_scale_shaped(spark, sf_dir):
     from de_project_airflow_etl_spark.staged.round5 import (
         revenue_concentration_hhi, seasonal_weekday_index,
         sessionized_bounce_rate, shipping_lag_quantiles,
-        user_ltv_cohort_curves,
-    )
-    from de_project_airflow_etl_spark.staged.round5 import (
-        winsorized_value_stats,
+        user_ltv_cohort_curves, winsorized_value_stats,
     )
     for fn in (user_ltv_cohort_curves, seasonal_weekday_index,
                shipping_lag_quantiles, revenue_concentration_hhi,
@@ -323,8 +320,11 @@ def test_batch4_plans_are_scale_shaped(spark, sf_dir):
     # Exchange -> Scan with no aggregate in between.
     plan = formatted_plan(user_ltv_cohort_curves(spark, sf_dir))
     tree = plan.splitlines()
-    win_i = next(i for i, l in enumerate(tree) if "Window" in l)
-    scan_i = next(i for i, l in enumerate(tree)
-                  if i > win_i and "Scan parquet" in l)
+    win_i = next((i for i, l in enumerate(tree)
+                  if "Window" in l and "WindowGroupLimit" not in l), None)
+    assert win_i is not None, plan
+    scan_i = next((i for i, l in enumerate(tree)
+                   if i > win_i and "Scan" in l), None)
+    assert scan_i is not None, plan
     between = "\n".join(tree[win_i + 1:scan_i])
     assert "Aggregate" in between, plan
