@@ -1799,3 +1799,198 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(CAST(interior_cents AS DOUBLE) + n_clip_lo * q_lo "
                 "+ n_clip_hi * q_hi) / n_rows / 100.0 "
                 "AS winsorized_mean"))
+
+
+# -------------------------------------------- repeat-purchase intervals
+
+@staged_query(
+    "repeat_purchase_intervals",
+    oracle="""
+        WITH o AS (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+          FROM orders
+        ),
+        gaps AS (
+          SELECT o_custkey,
+                 date_diff('day', d,
+                   LEAD(d) OVER (PARTITION BY o_custkey
+                                 ORDER BY d, o_orderkey)) AS gap_days
+          FROM o
+        ),
+        seg AS (
+          SELECT g.o_custkey, c.c_mktsegment AS segment, g.gap_days
+          FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+          WHERE g.gap_days IS NOT NULL
+        )
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               quantile_cont(gap_days, 0.25) AS q25,
+               quantile_cont(gap_days, 0.5) AS q50,
+               quantile_cont(gap_days, 0.75) AS q75
+        FROM seg GROUP BY segment
+    """,
+    doc="Repeat-purchase cadence per market segment: exact quartiles "
+        "of the days between a customer's consecutive orders — the "
+        "retention metric behind replenishment and churn models. "
+        "Fifth consumer of exact_group_quantiles (gap_days has a "
+        "bounded integer domain, so the quartiles come from a "
+        "domain-sized cumulative histogram, never a per-segment sort "
+        "of order history). One per-customer LEAD window (single "
+        "shuffle on custkey), one broadcast dim join for the segment, "
+        "one histogram aggregate.",
+    tags=("staged", "timeseries",),
+)
+def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "o_custkey", "CAST(o_orderdate AS DATE) AS d", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (o.withColumn("gap_days",
+                         F.datediff(F.lead("d").over(w), F.col("d")))
+             .filter("gap_days IS NOT NULL"))
+    c = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "c_mktsegment AS segment")
+    seg = gaps.join(F.broadcast(c), gaps.o_custkey == c.c_custkey)
+    counts = (seg.groupBy("segment", F.col("gap_days").alias("val"))
+                 .agg(F.count("*").alias("cnt")))
+    return exact_group_quantiles(counts, ["segment"],
+                                 {"q25": 0.25, "q50": 0.5, "q75": 0.75})
+
+
+# ---------------------------------------- grouped exact correlation
+
+CORR_MIN_N = 10
+
+
+@staged_query(
+    "grouped_discount_quantity_corr",
+    oracle=f"""
+        WITH u AS (
+          SELECT p.p_brand AS brand,
+                 CAST(l.l_quantity AS BIGINT) AS q,
+                 CAST(ROUND(l.l_discount * 100) AS BIGINT) AS d
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        s AS (
+          SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(q AS HUGEINT)) AS sq,
+                 SUM(CAST(d AS HUGEINT)) AS sd,
+                 SUM(CAST(q AS HUGEINT) * q) AS sqq,
+                 SUM(CAST(d AS HUGEINT) * d) AS sdd,
+                 SUM(CAST(q AS HUGEINT) * d) AS sqd
+          FROM u GROUP BY brand
+        )
+        SELECT brand, n,
+               CASE WHEN (CAST(n AS HUGEINT) * sqq - sq * sq) = 0
+                      OR (CAST(n AS HUGEINT) * sdd - sd * sd) = 0
+                    THEN NULL
+                    ELSE {_corr_expr('q', 'd', 'HUGEINT', 'VARCHAR')}
+               END AS corr_qty_disc
+        FROM s WHERE n >= {CORR_MIN_N}
+    """,
+    doc="Per-brand Pearson correlation between discount and quantity "
+        "— the grouped form of the exact sufficient-statistics "
+        "correlation pass (price-elasticity screening shape). Same "
+        "exactness discipline as corr_matrix_lineitem: products "
+        "accumulate in DECIMAL(38)/HUGEINT, the cancellation-prone "
+        "Pearson terms are computed in the wide-integer domain, and "
+        "only the three exact term values convert via the correctly-"
+        "rounded STRING route. Zero-variance groups return NULL by an "
+        "exact integer test (never an IEEE inf/NaN comparison). One "
+        "dim join + one map-side-combinable aggregate keyed by brand.",
+    tags=("staged", "statistics",),
+)
+def grouped_discount_quantity_corr(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "CAST(l_quantity AS BIGINT) AS q",
+        "CAST(ROUND(l_discount * 100) AS BIGINT) AS d")
+    pt = load(spark, sf_dir, "part").selectExpr(
+        "p_partkey", "p_brand AS brand")
+    u = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    s = u.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0))")).alias("sq"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0))")).alias("sd"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q")).alias("sqq"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("sdd"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * d")).alias("sqd"))
+    return (s.filter(F.col("n") >= CORR_MIN_N)
+             .selectExpr(
+                 "brand", "n",
+                 f"CASE WHEN (CAST(n AS DECIMAL(38,0)) * sqq - sq * sq) = 0 "
+                 f"OR (CAST(n AS DECIMAL(38,0)) * sdd - sd * sd) = 0 "
+                 f"THEN NULL "
+                 f"ELSE {_corr_expr('q', 'd', 'DECIMAL(38,0)', 'STRING')} "
+                 f"END AS corr_qty_disc"))
+
+
+# ------------------------------------------ class-distinctive terms
+
+CTFIDF_TOP_K = 10
+
+
+@staged_query(
+    "class_distinctive_terms",
+    oracle=f"""
+        WITH tf AS (
+          SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w
+                FROM documents)
+          GROUP BY source, w
+        ),
+        df AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS df_sources
+          FROM tf GROUP BY word
+        ),
+        tot AS (
+          SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+          FROM documents
+        ),
+        scored AS (
+          SELECT tf.source, tf.word, tf.tf, df.df_sources,
+                 tf.tf * tot.n_sources AS score_num,
+                 df.df_sources AS score_den,
+                 CAST(tf.tf * tot.n_sources AS DOUBLE)
+                   / CAST(df.df_sources AS BIGINT) AS score
+          FROM tf JOIN df USING (word) CROSS JOIN tot
+        )
+        SELECT source, word, tf, df_sources, score_num, score_den, score
+        FROM (
+          SELECT s.*,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY score DESC, word) AS rk
+          FROM scored s
+        ) WHERE rk <= {CTFIDF_TOP_K}
+    """,
+    doc="Class-distinctive terms per source (the class-based TF-IDF "
+        "shape topic-labeling pipelines use): a term's score is its "
+        "in-class frequency scaled by how few classes contain it — "
+        "kept as the exact integer ratio tf * n_sources / df_sources "
+        "(no log, so no cross-engine rounding surface) beside its "
+        "one-division double. Aggregates key on (source, word) and "
+        "word; the per-class top-k is a rank<=k window executed as "
+        "WindowGroupLimit, so |sources| hot partitions never see the "
+        "full vocabulary. The class-count scalar rides a one-row "
+        "broadcast.",
+    tags=("staged", "text",),
+)
+def class_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tf = (docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+              .groupBy("source", "word")
+              .agg(F.count("*").cast("long").alias("tf")))
+    dfs = tf.groupBy("word").agg(
+        F.count("*").cast("long").alias("df_sources"))
+    tot = docs.agg(F.countDistinct("source").cast("long").alias("n_sources"))
+    scored = (tf.join(dfs, "word").crossJoin(F.broadcast(tot))
+              .selectExpr("source", "word", "tf", "df_sources",
+                          "tf * n_sources AS score_num",
+                          "df_sources AS score_den",
+                          "CAST(tf * n_sources AS DOUBLE) / df_sources "
+                          "AS score"))
+    ranked = scored.withColumn("rk", F.row_number().over(
+        Window.partitionBy("source")
+              .orderBy(F.col("score").desc(), "word")))
+    return (ranked.filter(F.col("rk") <= CTFIDF_TOP_K)
+                  .select("source", "word", "tf", "df_sources",
+                          "score_num", "score_den", "score"))

@@ -100,6 +100,20 @@ def test_batch3_joins_are_equi_joins(spark, sf_dir):
         assert "CartesianProduct" not in plan, (fn.__name__, plan)
 
 
+def test_batch5_plans_are_scale_shaped(spark, sf_dir):
+    from de_project_airflow_etl_spark.staged.round5 import (
+        class_distinctive_terms, grouped_discount_quantity_corr,
+        repeat_purchase_intervals,
+    )
+    for fn in (repeat_purchase_intervals, grouped_discount_quantity_corr,
+               class_distinctive_terms):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
+    # per-class top-k must pre-filter per partition
+    assert "WindowGroupLimit" in formatted_plan(
+        class_distinctive_terms(spark, sf_dir))
+
+
 def test_trailing_anomaly_flags_planted_spike(spark, tmp_path):
     """A flat-value user with one 100x spike: exactly the spike is
     flagged (its trailing window has zero variance), and a user whose
