@@ -1994,3 +1994,157 @@ def class_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.filter(F.col("rk") <= CTFIDF_TOP_K)
                   .select("source", "word", "tf", "df_sources",
                           "score_num", "score_den", "score"))
+
+
+# ------------------------------------------- revenue Gini coefficient
+
+@staged_query(
+    "revenue_gini_by_nation",
+    oracle="""
+        WITH cust AS (
+          SELECT c.c_nationkey AS nationkey, o.o_custkey,
+                 CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT nationkey, cents,
+                 ROW_NUMBER() OVER (PARTITION BY nationkey
+                                    ORDER BY cents, o_custkey) AS i
+          FROM cust
+        )
+        SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)
+                    AS BIGINT) AS gini_num,
+               CAST(COUNT(*) * SUM(cents) AS BIGINT) AS gini_den,
+               CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)
+                    AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(cents) AS BIGINT) AS gini
+        FROM ranked GROUP BY nationkey
+    """,
+    doc="Revenue Gini coefficient per nation (the Lorenz-curve "
+        "inequality measure, companion to the HHI screen): G = "
+        "(2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) over customer "
+        "revenues sorted ascending. The rank-weighted sum is tie-"
+        "order-invariant (equal values across consecutive ranks "
+        "contribute the same total), every term stays an exact "
+        "integer below 2^53, and the coefficient ships as the exact "
+        "ratio beside its one-division double. The rank window is "
+        "partitioned by nation; a group outgrowing one task would "
+        "take the range-bucket + broadcast-offsets rewrite "
+        "curriculum_global_rank demonstrates.",
+    tags=("staged", "statistics",),
+)
+def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "o_custkey", "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents")
+    c = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "c_nationkey AS nationkey")
+    cust = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .groupBy("nationkey", "o_custkey")
+              .agg(F.sum("cents").cast("long").alias("cents")))
+    ranked = cust.withColumn("i", F.row_number().over(
+        Window.partitionBy("nationkey").orderBy("cents", "o_custkey")))
+    return (ranked.groupBy("nationkey")
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.sum(F.expr("i * cents")).alias("swi"),
+                 F.sum("cents").alias("sc"))
+            .selectExpr(
+                "nationkey", "n_customers",
+                "CAST(2 * swi - (n_customers + 1) * sc AS BIGINT) "
+                "AS gini_num",
+                "CAST(n_customers * sc AS BIGINT) AS gini_den",
+                "CAST(2 * swi - (n_customers + 1) * sc AS DOUBLE) "
+                "/ CAST(n_customers * sc AS BIGINT) AS gini"))
+
+
+# -------------------------------------------- word co-occurrence lift
+
+COOC_WINDOW = 4   # pair each token with the next 4 (skip-gram window)
+COOC_TOP_K = 100
+
+
+@staged_query(
+    "word_cooccurrence_lift",
+    oracle=f"""
+        WITH toks AS (
+          SELECT string_split(text, ' ') AS t FROM documents
+        ),
+        pairs AS (
+          SELECT CASE WHEN t[i] <= t[j] THEN t[i] ELSE t[j] END AS w1,
+                 CASE WHEN t[i] <= t[j] THEN t[j] ELSE t[i] END AS w2
+          FROM toks,
+               UNNEST(generate_series(1, len(t) - 1)) AS s(i),
+               UNNEST(generate_series(1, {COOC_WINDOW})) AS o(k),
+               LATERAL (SELECT i + k AS j)
+          WHERE i + k <= len(t)
+        ),
+        pc AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+          FROM pairs GROUP BY w1, w2
+        ),
+        uc AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+          ) GROUP BY w
+        ),
+        tot AS (
+          SELECT CAST(SUM(pair_count) AS BIGINT) AS n_pairs FROM pc
+        )
+        SELECT p.w1, p.w2, p.pair_count,
+               u1.c AS c1, u2.c AS c2,
+               p.pair_count * t.n_pairs AS lift_num,
+               u1.c * u2.c AS lift_den,
+               CAST(p.pair_count * t.n_pairs AS DOUBLE)
+                 / CAST(u1.c * u2.c AS BIGINT) AS lift
+        FROM pc p
+        JOIN uc u1 ON u1.w = p.w1
+        JOIN uc u2 ON u2.w = p.w2
+        CROSS JOIN tot t
+        ORDER BY p.pair_count DESC, p.w1, p.w2
+        LIMIT {COOC_TOP_K}
+    """,
+    doc="Word co-occurrence lift over a 4-token skip-gram window — "
+        "the collocation-mining statistic (PMI's exponent-free "
+        "cousin: lift = P(a,b) / (P(a)P(b)) under the pair "
+        "distribution, kept as the exact integer ratio pair_count * "
+        "N_pairs / (c1 * c2) precisely because log-PMI would ride "
+        "ln() whose rounding is engine-specific). Pair generation is "
+        "an in-array lambda over each document's token array (no "
+        "explode until pairs exist, unordered pairs canonicalized "
+        "lexicographically), followed by map-side-combinable counts "
+        "keyed on the pair; unigram counts ride broadcast joins and "
+        "the pair total is a one-row broadcast. Top-k by support is "
+        "TakeOrderedAndProject with a full tie-break.",
+    tags=("staged", "text",),
+)
+def word_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t"))
+    pairs = docs.select(F.explode(F.expr(f"""
+        flatten(transform(sequence(1, size(t) - 1), i ->
+          transform(slice(t, i + 1, {COOC_WINDOW}), y ->
+            struct(CASE WHEN element_at(t, i) <= y
+                        THEN element_at(t, i) ELSE y END AS w1,
+                   CASE WHEN element_at(t, i) <= y
+                        THEN y ELSE element_at(t, i) END AS w2))))
+        """)).alias("p")).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("pair_count"))
+    uc = (load(spark, sf_dir, "documents")
+          .select(F.explode(F.split("text", " ")).alias("w"))
+          .groupBy("w").agg(F.count("*").cast("long").alias("c")))
+    tot = pc.agg(F.sum("pair_count").cast("long").alias("n_pairs"))
+    u1 = uc.selectExpr("w AS w1", "c AS c1")
+    u2 = uc.selectExpr("w AS w2", "c AS c2")
+    return (pc.join(F.broadcast(u1), "w1")
+              .join(F.broadcast(u2), "w2")
+              .crossJoin(F.broadcast(tot))
+              .selectExpr("w1", "w2", "pair_count", "c1", "c2",
+                          "pair_count * n_pairs AS lift_num",
+                          "c1 * c2 AS lift_den",
+                          "CAST(pair_count * n_pairs AS DOUBLE) "
+                          "/ (c1 * c2) AS lift")
+              .orderBy(F.col("pair_count").desc(), "w1", "w2")
+              .limit(COOC_TOP_K))

@@ -112,6 +112,15 @@ def test_batch5_plans_are_scale_shaped(spark, sf_dir):
     # per-class top-k must pre-filter per partition
     assert "WindowGroupLimit" in formatted_plan(
         class_distinctive_terms(spark, sf_dir))
+    from de_project_airflow_etl_spark.staged.round5 import (
+        revenue_gini_by_nation, word_cooccurrence_lift,
+    )
+    for fn in (revenue_gini_by_nation, word_cooccurrence_lift):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
+    # collocation top-k is per-partition heaps, not a global sort
+    assert "TakeOrderedAndProject" in formatted_plan(
+        word_cooccurrence_lift(spark, sf_dir))
 
 
 def test_trailing_anomaly_flags_planted_spike(spark, tmp_path):
