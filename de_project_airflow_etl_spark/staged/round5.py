@@ -279,6 +279,26 @@ def _corr_expr(x: str, y: str, wide: str, to_str: str) -> str:
     return f"{d(num)} / sqrt({d(d1)} * {d(d2)})"
 
 
+def corr_sum_aggs(cols: tuple[str, ...]) -> list:
+    """Sufficient-statistics aggregate columns for exact Pearson over
+    integer-unit columns: count n, per-column sums s{x}, and product
+    sums s{x}{y} for every ordered-unique pair (x before or equal y in
+    the given order) — all accumulated in DECIMAL(38,0) so partial-
+    aggregation order cannot perturb them. Shared by the global
+    (corr_matrix_lineitem) and grouped (grouped_discount_quantity_corr)
+    correlation passes so the exactness discipline lives in one place.
+    """
+    aggs = [F.count("*").cast("long").alias("n")]
+    for x in cols:
+        aggs.append(F.sum(F.expr(f"CAST({x} AS DECIMAL(38,0))"))
+                     .alias(f"s{x}"))
+    for i, x in enumerate(cols):
+        for y in cols[i:]:
+            aggs.append(F.sum(F.expr(f"CAST({x} AS DECIMAL(38,0)) * {y}"))
+                         .alias(f"s{x}{y}"))
+    return aggs
+
+
 @staged_query(
     "corr_matrix_lineitem",
     oracle=f"""
@@ -324,17 +344,7 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(l_quantity AS BIGINT) AS q",
         "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p",
         "CAST(ROUND(l_discount * 100) AS BIGINT) AS d")
-    s = li.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.expr("CAST(q AS DECIMAL(38,0))")).alias("sq"),
-        F.sum(F.expr("CAST(p AS DECIMAL(38,0))")).alias("sp"),
-        F.sum(F.expr("CAST(d AS DECIMAL(38,0))")).alias("sd"),
-        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q")).alias("sqq"),
-        F.sum(F.expr("CAST(p AS DECIMAL(38,0)) * p")).alias("spp"),
-        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("sdd"),
-        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * p")).alias("sqp"),
-        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * d")).alias("sqd"),
-        F.sum(F.expr("CAST(p AS DECIMAL(38,0)) * d")).alias("spd"))
+    s = li.agg(*corr_sum_aggs(("q", "p", "d")))
     return s.selectExpr(
         "n AS n_rows",
         f"{_corr_expr('q', 'p', 'DECIMAL(38,0)', 'STRING')}"
@@ -468,9 +478,12 @@ LM_TOP_K = 200
     tags=("staged", "text",),
 )
 def trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # size(t) >= 3 guard: same descending-sequence trap as
+    # word_cooccurrence_lift (sequence(1, -1) = [1, 0, -1]).
     docs = (load(spark, sf_dir, "documents")
             .filter("lang = 'en'")
-            .select(F.split("text", " ").alias("t")))
+            .select(F.split("text", " ").alias("t"))
+            .filter(F.expr("size(t) >= 3")))
     tri = docs.select(F.explode(F.expr(
         "transform(sequence(1, size(t) - 2), i -> struct("
         "concat_ws(' ', slice(t, i, 2)) AS w12, "
@@ -1907,13 +1920,7 @@ def grouped_discount_quantity_corr(spark: SparkSession,
     pt = load(spark, sf_dir, "part").selectExpr(
         "p_partkey", "p_brand AS brand")
     u = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-    s = u.groupBy("brand").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.expr("CAST(q AS DECIMAL(38,0))")).alias("sq"),
-        F.sum(F.expr("CAST(d AS DECIMAL(38,0))")).alias("sd"),
-        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q")).alias("sqq"),
-        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("sdd"),
-        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * d")).alias("sqd"))
+    s = u.groupBy("brand").agg(*corr_sum_aggs(("q", "d")))
     return (s.filter(F.col("n") >= CORR_MIN_N)
              .selectExpr(
                  "brand", "n",
@@ -1976,12 +1983,16 @@ CTFIDF_TOP_K = 10
 )
 def class_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # tf feeds dfs, tot, and the scored join — persist() so the
+    # tokenize + aggregate subtree runs once, and derive the class
+    # count from tf instead of a third documents scan.
     tf = (docs.select("source", F.explode(F.split("text", " ")).alias("word"))
               .groupBy("source", "word")
-              .agg(F.count("*").cast("long").alias("tf")))
+              .agg(F.count("*").cast("long").alias("tf"))
+              .persist())
     dfs = tf.groupBy("word").agg(
         F.count("*").cast("long").alias("df_sources"))
-    tot = docs.agg(F.countDistinct("source").cast("long").alias("n_sources"))
+    tot = tf.agg(F.countDistinct("source").cast("long").alias("n_sources"))
     scored = (tf.join(dfs, "word").crossJoin(F.broadcast(tot))
               .selectExpr("source", "word", "tf", "df_sources",
                           "tf * n_sources AS score_num",
@@ -2120,8 +2131,12 @@ COOC_TOP_K = 100
     tags=("staged", "text",),
 )
 def word_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
-        F.split("text", " ").alias("t"))
+    # size(t) >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+    # so a single-token doc would evaluate element_at(t, 0) and abort
+    # the job, while the oracle's generate_series(1, 0) is just empty.
+    docs = (load(spark, sf_dir, "documents")
+            .select(F.split("text", " ").alias("t"))
+            .filter(F.expr("size(t) >= 2")))
     pairs = docs.select(F.explode(F.expr(f"""
         flatten(transform(sequence(1, size(t) - 1), i ->
           transform(slice(t, i + 1, {COOC_WINDOW}), y ->
@@ -2130,11 +2145,15 @@ def word_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN element_at(t, i) <= y
                         THEN y ELSE element_at(t, i) END AS w2))))
         """)).alias("p")).select("p.w1", "p.w2")
+    # pc feeds both the total and the final join, uc both join sides —
+    # persist() so the explode-heavy subtrees run once (bm25 precedent;
+    # released by spark.catalog.clearCache()).
     pc = pairs.groupBy("w1", "w2").agg(
-        F.count("*").cast("long").alias("pair_count"))
+        F.count("*").cast("long").alias("pair_count")).persist()
     uc = (load(spark, sf_dir, "documents")
           .select(F.explode(F.split("text", " ")).alias("w"))
-          .groupBy("w").agg(F.count("*").cast("long").alias("c")))
+          .groupBy("w").agg(F.count("*").cast("long").alias("c"))
+          .persist())
     tot = pc.agg(F.sum("pair_count").cast("long").alias("n_pairs"))
     u1 = uc.selectExpr("w AS w1", "c AS c1")
     u2 = uc.selectExpr("w AS w2", "c AS c2")

@@ -103,24 +103,23 @@ def test_batch3_joins_are_equi_joins(spark, sf_dir):
 def test_batch5_plans_are_scale_shaped(spark, sf_dir):
     from de_project_airflow_etl_spark.staged.round5 import (
         class_distinctive_terms, grouped_discount_quantity_corr,
-        repeat_purchase_intervals,
+        repeat_purchase_intervals, revenue_gini_by_nation,
+        word_cooccurrence_lift,
     )
-    for fn in (repeat_purchase_intervals, grouped_discount_quantity_corr,
-               class_distinctive_terms):
+    # one plan build per query; per-query required operator alongside
+    # the universal no-cartesian rule
+    required = {
+        repeat_purchase_intervals: None,
+        grouped_discount_quantity_corr: None,
+        revenue_gini_by_nation: None,
+        class_distinctive_terms: "WindowGroupLimit",   # top-k pre-filter
+        word_cooccurrence_lift: "TakeOrderedAndProject",  # heap top-k
+    }
+    for fn, op in required.items():
         plan = formatted_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, (fn.__name__, plan)
-    # per-class top-k must pre-filter per partition
-    assert "WindowGroupLimit" in formatted_plan(
-        class_distinctive_terms(spark, sf_dir))
-    from de_project_airflow_etl_spark.staged.round5 import (
-        revenue_gini_by_nation, word_cooccurrence_lift,
-    )
-    for fn in (revenue_gini_by_nation, word_cooccurrence_lift):
-        plan = formatted_plan(fn(spark, sf_dir))
-        assert "CartesianProduct" not in plan, (fn.__name__, plan)
-    # collocation top-k is per-partition heaps, not a global sort
-    assert "TakeOrderedAndProject" in formatted_plan(
-        word_cooccurrence_lift(spark, sf_dir))
+        if op:
+            assert op in plan, (fn.__name__, op, plan)
 
 
 def test_trailing_anomaly_flags_planted_spike(spark, tmp_path):
@@ -147,6 +146,32 @@ def test_trailing_anomaly_flags_planted_spike(spark, tmp_path):
     )
     out = trailing_anomaly_events(spark, str(tmp_path)).collect()
     assert [(r["user_id"], r["event_id"]) for r in out] == [(1, 8)]
+
+
+def test_token_array_ops_survive_degenerate_docs(spark, tmp_path):
+    """Single-token and empty-text documents must not abort the
+    token-window queries: Spark's sequence(1, 0) DESCENDS, so an
+    unguarded lambda would call element_at(t, 0) and crash (the bug
+    the size(t) guards fix); the oracles' generate_series is simply
+    empty for these docs."""
+    rows = [(0, "lonely", "en", "s", 6),
+            (1, "", "en", "s", 0),
+            (2, "alpha beta gamma delta epsilon", "en", "s", 30)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from de_project_airflow_etl_spark.staged.round5 import (
+        trigram_lm_counts, word_cooccurrence_lift,
+    )
+    lift = word_cooccurrence_lift(spark, str(tmp_path)).collect()
+    # only doc 2 contributes pairs; no crash on docs 0/1
+    assert all({r["w1"], r["w2"]} <= {"alpha", "beta", "gamma",
+                                      "delta", "epsilon"} for r in lift)
+    assert len(lift) > 0
+    tri = trigram_lm_counts(spark, str(tmp_path)).collect()
+    assert all(r["w12"].split(" ")[0] in {"alpha", "beta", "gamma"}
+               for r in tri)
 
 
 def test_novelty_planted_duplicate_is_zero(spark, tmp_path):
