@@ -260,38 +260,14 @@ def curriculum_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- token id encoding
 
 
-@query(
-    "tokenize_to_ids",
-    oracle=f"""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-                 generate_subscripts(string_split(text, ' '), 1) AS pos
-          FROM documents
-        ),
-        counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
-        vocab AS (
-          SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS tok_id
-          FROM counts ORDER BY c DESC, tok LIMIT {VOCAB_K}
-        )
-        SELECT t.doc_id,
-               list(COALESCE(v.tok_id, 0) ORDER BY t.pos) AS token_ids,
-               COUNT(*) AS n_tokens,
-               CAST(SUM(CASE WHEN v.tok_id IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_oov
-        FROM toks t LEFT JOIN vocab v USING (tok)
-        GROUP BY t.doc_id
-    """,
-    doc="Vocabulary-id encoding (the tokenize step a training pipeline "
-        "runs after committing to a vocab): token ids are frequency "
-        "ranks over the top-20 vocabulary (ties pinned by token), OOV "
-        "maps to id 0, and per-document id sequences preserve token "
-        "order via position-sorted re-aggregation. The vocabulary is "
-        "TakeOrderedAndProject + a 20-row window (never a corpus-wide "
-        "rank), then broadcast onto the exploded tokens; the only "
-        "corpus-scale exchange is the per-document regroup.",
-    tags=("curation", "tokenize", "vocab"),
-)
-def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tokenize_to_ids_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-returning tokenize API: per-document ``token_ids``
+    (array<long>, token order preserved) plus token/OOV counts. The
+    registered driver-facing variant (``tokenize_to_ids``) serializes
+    the id sequence to a space-joined string because the verification
+    harness canonicalizes rows through pandas, which cannot hash list
+    cells (CORRECTNESS_r04); this function is the shape a pipeline
+    composes with (e.g. ``pack_sequences`` consumes id arrays)."""
     docs = load(spark, sf_dir, "documents")
     # recompute-over-materialize: see boilerplate_ngram_stats note
     toks = docs.select("doc_id",
@@ -316,6 +292,55 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count(F.lit(1)).alias("n_tokens"),
                     F.sum(F.when(F.col("tok_id").isNull(), 1)
                            .otherwise(0)).alias("n_oov")))
+
+
+@query(
+    "tokenize_to_ids",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents
+        ),
+        counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        vocab AS (
+          SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS tok_id
+          FROM counts ORDER BY c DESC, tok LIMIT {VOCAB_K}
+        )
+        SELECT t.doc_id,
+               array_to_string(list(COALESCE(v.tok_id, 0) ORDER BY t.pos),
+                               ' ') AS token_ids_str,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov
+        FROM toks t LEFT JOIN vocab v USING (tok)
+        GROUP BY t.doc_id
+    """,
+    doc="Vocabulary-id encoding (the tokenize step a training pipeline "
+        "runs after committing to a vocab): token ids are frequency "
+        "ranks over the top-20 vocabulary (ties pinned by token), OOV "
+        "maps to id 0, and per-document id sequences preserve token "
+        "order via position-sorted re-aggregation. The vocabulary is "
+        "TakeOrderedAndProject + a 20-row window (never a corpus-wide "
+        "rank), then broadcast onto the exploded tokens; the only "
+        "corpus-scale exchange is the per-document regroup. Driver "
+        "contract: the id sequence ships as a space-joined STRING "
+        "(ids are exact longs, so the text form is lossless and "
+        "hash-canonicalizable); ``tokenize_to_ids_arrays`` is the "
+        "array-typed API the pipeline composes with.",
+    tags=("curation", "tokenize", "vocab"),
+)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = tokenize_to_ids_arrays(spark, sf_dir)
+    # array_join over longs needs an explicit element cast (concat_ws /
+    # array_join accept only string arrays); the join itself is a
+    # zero-shuffle projection on top of the regrouped relation.
+    return arr.select(
+        "doc_id",
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")),
+            " ").alias("token_ids_str"),
+        "n_tokens", "n_oov")
 
 
 # ------------------------------------------------ source scorecard

@@ -804,6 +804,47 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.join(e.select("vec_id", "label"), "vec_id")
 
 
+def _rank_normalize_components(spark: SparkSession, sf_dir: str):
+    """Shared core of the rank-normalization family: the embeddings
+    relation plus the exploded (vec_id, dim i, rank-1 numerator,
+    n-1 denominator) relation. percent_rank is exactly
+    (rank-1)/(n-1) on both engines, so the integer pair IS the exact
+    normalized value in rational form."""
+    from pyspark.sql import Window as W
+    e = load(spark, sf_dir, "embeddings")
+    comp = (e.select("vec_id", F.posexplode("embedding").alias("i0", "v0"))
+             .select("vec_id", (F.col("i0") + 1).alias("i"),
+                     F.col("v0").cast("double").alias("v")))
+    w = W.partitionBy("i").orderBy("v")
+    ranked = comp.select(
+        "vec_id", "i",
+        (F.rank().over(w) - F.lit(1)).cast("long").alias("num"),
+        (F.count(F.lit(1)).over(
+            W.partitionBy("i")) - F.lit(1)).cast("long").alias("denom"))
+    return e, ranked
+
+
+def embedding_rank_normalize_arrays(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Array-returning rank-normalization API: per-vector
+    ``normalized`` (array<double> of percent_rank values in dimension
+    order). The registered driver-facing variant
+    (``embedding_rank_normalize``) ships the exact integer rank
+    numerators as a space-joined string instead, because the
+    verification harness canonicalizes rows through pandas, which
+    cannot hash list cells (CORRECTNESS_r04) — and double->string
+    formatting differs across engines while long->string does not."""
+    e, ranked = _rank_normalize_components(spark, sf_dir)
+    pr = ranked.withColumn(
+        "pr", F.col("num").cast("double") / F.col("denom").cast("double"))
+    return (pr.groupBy("vec_id")
+              .agg(F.transform(
+                      F.array_sort(F.collect_list(F.struct("i", "pr"))),
+                      lambda s: s["pr"]).alias("normalized"))
+              .join(e.select("vec_id", "label"), "vec_id")
+              .select("vec_id", "label", "normalized"))
+
+
 @query(
     "embedding_rank_normalize",
     oracle="""
@@ -815,41 +856,49 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ranked AS (
           SELECT vec_id, i,
-                 percent_rank() OVER (PARTITION BY i ORDER BY v) AS pr
+                 CAST(rank() OVER (PARTITION BY i ORDER BY v) - 1
+                      AS BIGINT) AS num,
+                 CAST(COUNT(*) OVER (PARTITION BY i) - 1
+                      AS BIGINT) AS denom
           FROM comp
         )
         SELECT r.vec_id, ANY_VALUE(e.label) AS label,
-               list(r.pr ORDER BY r.i) AS normalized
+               array_to_string(list(r.num ORDER BY r.i),
+                               ' ') AS rank_nums,
+               MAX(r.denom) AS denom
         FROM ranked r JOIN embeddings e USING (vec_id)
         GROUP BY r.vec_id
     """,
     doc="Per-dimension rank (quantile) normalization of the embedding "
         "matrix — the distribution-free rescaling used before "
         "mixing embedding sources with different scales. Exact "
-        "percent_rank is (rank-1)/(n-1), an integer ratio both "
-        "engines compute identically in double. Shape: explode to "
-        "(dim, value), ONE hash exchange into 64 dim-partitions "
-        "(equal-sized by construction — no skew), per-partition sort "
-        "for exact ranks, then regroup per vector with position-"
-        "sorted re-aggregation. At 100 TB exact ranks per dim are a "
-        "sort per dim-partition; the approximate path swaps in "
-        "approx_percentile bins with the same plan shape.",
+        "percent_rank is (rank-1)/(n-1); the driver-facing output "
+        "ships that ratio in EXACT rational form — per-dimension "
+        "rank-1 numerators space-joined into ``rank_nums`` plus the "
+        "shared ``denom`` — so the hash canonicalizer sees lossless "
+        "integer text, never doubles or list cells "
+        "(``embedding_rank_normalize_arrays`` is the array<double> "
+        "API). Shape: explode to (dim, value), ONE hash exchange "
+        "into 64 dim-partitions (equal-sized by construction — no "
+        "skew), per-partition sort for exact ranks, then regroup per "
+        "vector with position-sorted re-aggregation. At 100 TB exact "
+        "ranks per dim are a sort per dim-partition; the approximate "
+        "path swaps in approx_percentile bins with the same plan "
+        "shape.",
     tags=("similarity", "normalize", "window"),
 )
 def embedding_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    comp = (e.select("vec_id", F.posexplode("embedding").alias("i0", "v0"))
-             .select("vec_id", (F.col("i0") + 1).alias("i"),
-                     F.col("v0").cast("double").alias("v")))
-    from pyspark.sql import Window as W
-    ranked = comp.withColumn(
-        "pr", F.percent_rank().over(W.partitionBy("i").orderBy("v")))
+    e, ranked = _rank_normalize_components(spark, sf_dir)
     return (ranked.groupBy("vec_id")
-                  .agg(F.transform(
-                          F.array_sort(F.collect_list(F.struct("i", "pr"))),
-                          lambda s: s["pr"]).alias("normalized"))
+                  .agg(F.array_join(
+                          F.transform(
+                              F.array_sort(
+                                  F.collect_list(F.struct("i", "num"))),
+                              lambda s: s["num"].cast("string")),
+                          " ").alias("rank_nums"),
+                       F.max("denom").alias("denom"))
                   .join(e.select("vec_id", "label"), "vec_id")
-                  .select("vec_id", "label", "normalized"))
+                  .select("vec_id", "label", "rank_nums", "denom"))
 
 
 @query(

@@ -1,10 +1,13 @@
-"""Round-5 staged queries (see package docstring for why these are not
-yet in the registry).
+"""Analytics query suite — the 30 round-5 queries staged in
+``staged/round5.py`` during round 4 (window-bounded registry growth,
+CLAUDE.md) and promoted into the registry in round 5 once
+CORRECTNESS_r04 adjudicated green.
 
-Same contract as registered queries: ``(spark, sf_dir) -> DataFrame``
-plus an exact DuckDB oracle, identical column aliases on both sides,
-exact-integer / fixed-point arithmetic for anything accumulated, and a
-100 TB plan story in each doc string. No ``rand()``, no ``.collect()``.
+Same contract as every registered query: ``(spark, sf_dir) ->
+DataFrame`` plus an exact DuckDB oracle, identical column aliases on
+both sides, exact-integer / fixed-point arithmetic for anything
+accumulated, and a 100 TB plan story in each doc string. No
+``rand()``, no ``.collect()``.
 """
 
 from __future__ import annotations
@@ -12,27 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.registry import Query, QueryFn
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 from de_project_airflow_etl_spark.operators.curation import (
     NGRAM_N, _ngram_hashes, _SQL_NGRAMS,
 )
-
-STAGED: dict[str, Query] = {}
-
-
-def staged_query(name: str, oracle: str | None, doc: str = "",
-                 tags: tuple[str, ...] = ()):
-    """Mirror of ``registry.query`` that registers into ``STAGED``."""
-
-    def wrap(fn: QueryFn) -> QueryFn:
-        if name in STAGED:
-            raise ValueError(f"duplicate staged query {name!r}")
-        STAGED[name] = Query(name=name, fn=fn, oracle=oracle,
-                             doc=doc or (fn.__doc__ or ""), tags=tags)
-        return fn
-
-    return wrap
 
 
 # ------------------------------------------------ market-basket pairs
@@ -52,7 +39,7 @@ def ordered_pair_structs(arr_col: str, a_name: str, b_name: str) -> str:
             f"y -> struct(x AS {a_name}, y AS {b_name}))))")
 
 
-@staged_query(
+@query(
     "frequent_item_pairs",
     oracle=f"""
         WITH baskets AS (
@@ -78,7 +65,7 @@ def ordered_pair_structs(arr_col: str, a_name: str, b_name: str) -> str:
         "orderkey, map-side-combinable pair aggregate). A basket-size "
         "cap (drop degenerate mega-orders before pairing) is the "
         "standard guard if order sizes were unbounded.",
-    tags=("staged", "analytics",),
+    tags=("analytics",),
 )
 def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One shuffle, not three: instead of distinct + self-join (which
@@ -104,7 +91,7 @@ def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- CDC changelog apply
 
-@staged_query(
+@query(
     "changelog_apply_cdc",
     oracle="""
         WITH ch AS (
@@ -132,7 +119,7 @@ def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total order inside a key guaranteed by the (ts, event_id) "
         "tie-break — the standard distributed MERGE shape that scales "
         "linearly with changelog volume.",
-    tags=("staged", "etl",),
+    tags=("analytics", "etl",),
 )
 def changelog_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -164,7 +151,7 @@ _WS_SQL_H = ("CAST(('0x' || substring(md5('wsamp|' || "
              "CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)")
 
 
-@staged_query(
+@query(
     "weighted_sample_wor",
     oracle=f"""
         SELECT doc_id, source, lang, n_chars, priority
@@ -188,7 +175,7 @@ _WS_SQL_H = ("CAST(('0x' || substring(md5('wsamp|' || "
         "TakeOrderedAndProject (per-partition top-k heaps, then a "
         "k-row merge on the driver) — no global sort, scales to any "
         "corpus size.",
-    tags=("staged", "curation",),
+    tags=("analytics", "curation",),
 )
 def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter("n_chars > 0")
@@ -201,7 +188,7 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- time-weighted average
 
-@staged_query(
+@query(
     "twap_user_values",
     oracle="""
         WITH ev AS (
@@ -217,8 +204,9 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                MAX(t_us) - MIN(t_us) AS span_us,
                CASE WHEN MAX(t_us) - MIN(t_us) > 0
-                    THEN CAST(SUM(CAST(cents AS HUGEINT)
-                                  * COALESCE(dt_us, 0)) AS DOUBLE)
+                    THEN CAST(CAST(SUM(CAST(cents AS HUGEINT)
+                                       * COALESCE(dt_us, 0)) AS VARCHAR)
+                              AS DOUBLE)
                          / CAST(MAX(t_us) - MIN(t_us) AS DOUBLE) / 100.0
                     ELSE NULL END AS twap
         FROM d GROUP BY user_id
@@ -232,7 +220,7 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "perturb the result, and only the final ratio is IEEE double. "
         "Window and aggregate are both partitioned by user_id — one "
         "shuffle, no global ordering, linear at 100 TB.",
-    tags=("staged", "timeseries",),
+    tags=("analytics", "timeseries",),
 )
 def twap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
@@ -246,10 +234,15 @@ def twap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("t_us") - F.min("t_us")).alias("span_us"),
         F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * COALESCE(dt_us, 0)"))
          .alias("wsum"))
+    # wide-int -> double goes via STRING on both engines: the direct
+    # HUGEINT/DECIMAL(38,0) -> DOUBLE cast is not correctly rounded
+    # (measured; see corr_matrix_lineitem note), while string->double
+    # parsing is — |wsum| can exceed 2^53 at sf0.1 already.
     return agg.select(
         "user_id", "n_events", "span_us",
         F.expr("CASE WHEN span_us > 0 THEN "
-               "CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0 "
+               "CAST(CAST(wsum AS STRING) AS DOUBLE)"
+               " / CAST(span_us AS DOUBLE) / 100.0 "
                "ELSE NULL END").alias("twap"))
 
 
@@ -299,7 +292,7 @@ def corr_sum_aggs(cols: tuple[str, ...]) -> list:
     return aggs
 
 
-@staged_query(
+@query(
     "corr_matrix_lineitem",
     oracle=f"""
         WITH u AS (
@@ -337,7 +330,7 @@ def corr_sum_aggs(cols: tuple[str, ...]) -> list:
         "ten-number partial per partition — the cheapest possible "
         "statistics pass at 100 TB, unlike corr() built-ins whose "
         "float accumulation is partial-order dependent.",
-    tags=("staged", "statistics",),
+    tags=("analytics", "statistics",),
 )
 def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").selectExpr(
@@ -361,7 +354,7 @@ CONT_DF_CAP = 200   # drop grams appearing in more docs (boilerplate)
 CONT_MIN_PCT = 60   # containment >= 0.60 reported
 
 
-@staged_query(
+@query(
     "containment_dup_pairs",
     oracle=f"""
         WITH grams AS (
@@ -401,7 +394,7 @@ CONT_MIN_PCT = 60   # containment >= 0.60 reported
         "exact integers (inter * 100 >= n_grams * pct), so the cut "
         "itself never depends on float rounding. At 100 TB: shuffle "
         "on the 16-byte gram hash, never doc x doc.",
-    tags=("staged", "dedup",),
+    tags=("analytics", "dedup",),
 )
 def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load(spark, sf_dir, "documents")
@@ -434,7 +427,7 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_TOP_K = 200
 
 
-@staged_query(
+@query(
     "trigram_lm_counts",
     oracle=f"""
         WITH toks AS (
@@ -475,7 +468,7 @@ LM_TOP_K = 200
         "(count, w12, w3) tie-break so the boundary is deterministic. "
         "This is the counting core of KenLM-style corpus LM scoring "
         "at 100 TB: everything shuffles on the gram key only.",
-    tags=("staged", "text",),
+    tags=("analytics", "text",),
 )
 def trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size(t) >= 3 guard: same descending-sequence trap as
@@ -550,7 +543,7 @@ def exact_group_quantiles(counts: DataFrame, keys: list[str],
 
 # -------------------------------------- per-language IQR length fences
 
-@staged_query(
+@query(
     "doc_length_iqr_flags",
     oracle="""
         WITH q AS (
@@ -586,7 +579,7 @@ def exact_group_quantiles(counts: DataFrame, keys: list[str],
         "DuckDB's quantile_cont. The doc-level outlier count reuses "
         "the same histogram against broadcast fences — the raw table "
         "is scanned exactly once at any scale.",
-    tags=("staged", "quality",),
+    tags=("analytics", "quality",),
 )
 def doc_length_iqr_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
@@ -618,7 +611,7 @@ def doc_length_iqr_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 CENT_SCALE = 1000000  # fixed-point quantization: floor(x * 1e6)
 
 
-@staged_query(
+@query(
     "embedding_label_centroids",
     oracle=f"""
         WITH d AS (
@@ -661,7 +654,7 @@ CENT_SCALE = 1000000  # fixed-point quantization: floor(x * 1e6)
         "with an in-group sort over 64 dims. Shuffle volume is "
         "|labels| x dims partials — the centroid step of distributed "
         "k-means / class-prototype analysis, linear at 100 TB.",
-    tags=("staged", "similarity",),
+    tags=("analytics", "similarity",),
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -688,7 +681,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SKYLINE_SINCE = "2001-01-01"  # bounds the oracle's quadratic NOT EXISTS
 
-@staged_query(
+@query(
     "skyline_pareto_orders",
     oracle="""
         SELECT o.o_orderkey,
@@ -722,7 +715,7 @@ SKYLINE_SINCE = "2001-01-01"  # bounds the oracle's quadratic NOT EXISTS
         "O(n^2); ties on both axes all survive, matching the strict "
         "domination rule. At 100 TB the only data-sized ops are one "
         "map-side-combinable aggregate and one broadcast-join filter.",
-    tags=("staged", "analytics",),
+    tags=("analytics",),
 )
 def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (load(spark, sf_dir, "orders")
@@ -749,7 +742,7 @@ ABC_A_PCT = 70
 ABC_B_PCT = 90
 
 
-@staged_query(
+@query(
     "orders_abc_classification",
     oracle=f"""
         WITH rev AS (
@@ -787,7 +780,7 @@ ABC_B_PCT = 90
         "ordering), and the alternative range-bucket + broadcast "
         "prefix-sums rewrite (used by curriculum_global_rank) applies "
         "if a single group outgrew a task.",
-    tags=("staged", "analytics",),
+    tags=("analytics",),
 )
 def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").selectExpr(
@@ -825,7 +818,7 @@ BM25_TOP_K = 50
 # shipped df column.
 
 
-@staged_query(
+@query(
     "bm25_term_scores",
     oracle=f"""
         WITH docs AS (
@@ -885,7 +878,7 @@ BM25_TOP_K = 50
         "so three hot term-partitions never see the full corpus. The "
         "term scan itself is an array filter inside codegen — no "
         "Python, no explode.",
-    tags=("staged", "text",),
+    tags=("analytics", "text",),
 )
 def bm25_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load(spark, sf_dir, "documents")
@@ -934,7 +927,7 @@ def bm25_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIFT_CUTOFF = "2024-01-16"  # mid-corpus: both periods populated
 
 
-@staged_query(
+@query(
     "chi_square_event_drift",
     oracle=f"""
         WITH cells AS (
@@ -973,7 +966,7 @@ DRIFT_CUTOFF = "2024-01-16"  # mid-corpus: both periods populated
         "operands across engines. One aggregate over the fact table, "
         "then windows over the tiny |event_types| x 2 cell table — "
         "nothing data-sized past the first map-side-combinable count.",
-    tags=("staged", "quality",),
+    tags=("analytics", "quality",),
 )
 def chi_square_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -1005,7 +998,7 @@ WINNOW_K = 4   # k-gram length (tokens)
 WINNOW_W = 5   # window of consecutive k-gram hashes per fingerprint
 
 
-@staged_query(
+@query(
     "winnowing_fingerprints",
     oracle=f"""
         WITH docs AS (
@@ -1057,7 +1050,7 @@ WINNOW_W = 5   # window of consecutive k-gram hashes per fingerprint
         "cross-doc step is one aggregate + one equi-join on the "
         "52-bit fingerprint key. The same inverted-index discipline "
         "as the LSH dedup family: never doc x doc.",
-    tags=("staged", "dedup",),
+    tags=("analytics", "dedup",),
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load(spark, sf_dir, "documents")
@@ -1086,7 +1079,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ n-gram novelty curve
 
-@staged_query(
+@query(
     "ngram_novelty_score",
     oracle=f"""
         WITH grams AS (
@@ -1117,7 +1110,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "far' semantics falls out of the MIN, so the plan is two "
         "map-side-combinable aggregates and one equi-join on the "
         "16-byte gram hash, linear at 100 TB.",
-    tags=("staged", "text",),
+    tags=("analytics", "text",),
 )
 def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load(spark, sf_dir, "documents")
@@ -1143,7 +1136,7 @@ ANOM_MIN_N = 4   # minimum history before flagging
 # window's sum and sum-of-squares in cents.
 
 
-@staged_query(
+@query(
     "trailing_anomaly_events",
     oracle=f"""
         WITH c AS (
@@ -1178,7 +1171,7 @@ ANOM_MIN_N = 4   # minimum history before flagging
         "integer cents, so no float rounding can flip a boundary "
         "event. Per-user window frames only — one shuffle on user_id, "
         "bounded frame state, linear at 100 TB.".format(win=ANOM_WIN),
-    tags=("staged", "quality",),
+    tags=("analytics", "quality",),
 )
 def trailing_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
@@ -1201,7 +1194,7 @@ def trailing_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- cross-source overlap map
 
-@staged_query(
+@query(
     "source_overlap_matrix",
     oracle=f"""
         WITH h AS (
@@ -1243,7 +1236,7 @@ def trailing_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "self-join form (measured in docs/SCALING.md). Per-source "
         "totals ride broadcast joins. Same discipline as the dedup "
         "family, one level up (source granularity).",
-    tags=("staged", "dedup",),
+    tags=("analytics", "dedup",),
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same one-shuffle discipline as frequent_item_pairs: group the
@@ -1280,7 +1273,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------- funnel conversion latency bands
 
-@staged_query(
+@query(
     "funnel_conversion_latency",
     oracle="""
         WITH fc AS (
@@ -1316,7 +1309,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "interpolation fractions are dyadic, bit-matching "
         "quantile_cont. Two per-user MIN aggregates + one broadcast "
         "threshold pass; nothing data-sized is globally sorted.",
-    tags=("staged", "timeseries",),
+    tags=("analytics", "timeseries",),
 )
 def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -1340,7 +1333,7 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- character-class purity
 
-@staged_query(
+@query(
     "char_class_gini",
     oracle="""
         WITH c AS (
@@ -1378,7 +1371,7 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the impurity ships as an exact integer ratio (gini_num / "
         "gini_den) plus its one-division double. A stateless row map "
         "— zero shuffle at any scale.",
-    tags=("staged", "quality",),
+    tags=("analytics", "quality",),
 )
 def char_class_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_class_gini_plan(load(spark, sf_dir, "documents"))
@@ -1411,7 +1404,7 @@ def char_class_gini_plan(docs: DataFrame) -> DataFrame:
 
 # ------------------------------------------------- LTV cohort curves
 
-@staged_query(
+@query(
     "user_ltv_cohort_curves",
     oracle="""
         WITH fu AS (
@@ -1448,7 +1441,7 @@ def char_class_gini_plan(docs: DataFrame) -> DataFrame:
         "(cohort x age) rollup — bounded by days^2 regardless of "
         "event volume — after two user-keyed aggregates. One shuffle "
         "on user_id, one on the rollup key: linear at 100 TB.",
-    tags=("staged", "timeseries",),
+    tags=("analytics", "timeseries",),
 )
 def user_ltv_cohort_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -1480,7 +1473,7 @@ def user_ltv_cohort_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer arithmetic — engine-neutral, unlike dayofweek()/isodow()
 # whose numbering conventions differ between engines.
 
-@staged_query(
+@query(
     "seasonal_weekday_index",
     oracle="""
         WITH daily AS (
@@ -1519,7 +1512,7 @@ def user_ltv_cohort_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         "division double. Two tiny aggregates over a per-day rollup "
         "and a one-row broadcast of the totals — the per-day rollup "
         "is the only data-sized exchange.",
-    tags=("staged", "timeseries",),
+    tags=("analytics", "timeseries",),
 )
 def seasonal_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -1547,7 +1540,7 @@ def seasonal_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------- shipping-lag quantiles
 
-@staged_query(
+@query(
     "shipping_lag_quantiles",
     oracle="""
         WITH lag AS (
@@ -1571,7 +1564,7 @@ def seasonal_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the fact table, and bit-match quantile_cont. The only data-"
         "sized work is the fact-fact equi-join on orderkey and one "
         "histogram aggregate.",
-    tags=("staged", "analytics",),
+    tags=("analytics",),
 )
 def shipping_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
@@ -1589,7 +1582,7 @@ def shipping_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------ revenue concentration (HHI)
 
-@staged_query(
+@query(
     "revenue_concentration_hhi",
     oracle="""
         WITH cust AS (
@@ -1625,7 +1618,7 @@ def shipping_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matrix), while the linear sums stay below 2^53 and cast "
         "exactly. Two keyed aggregates, both map-side combinable — "
         "no window, no join after the dim broadcast.",
-    tags=("staged", "statistics",),
+    tags=("analytics", "statistics",),
 )
 def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").selectExpr(
@@ -1654,7 +1647,7 @@ def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOUNCE_GAP_US = 1800 * 1000000  # 30-minute idle gap starts a session
 
 
-@staged_query(
+@query(
     "sessionized_bounce_rate",
     oracle=f"""
         WITH e AS (
@@ -1703,7 +1696,7 @@ BOUNCE_GAP_US = 1800 * 1000000  # 30-minute idle gap starts a session
         "session key. Exact integer session ids and counts; the rate "
         "is one division of exact integers. One shuffle on user_id, "
         "one on the rollup — linear at 100 TB.",
-    tags=("staged", "timeseries",),
+    tags=("analytics", "timeseries",),
 )
 def sessionized_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
@@ -1743,7 +1736,7 @@ WINSOR_LO = 0.0625
 WINSOR_HI = 0.9375
 
 
-@staged_query(
+@query(
     "winsorized_value_stats",
     oracle=f"""
         WITH c AS (
@@ -1784,7 +1777,7 @@ WINSOR_HI = 0.9375
         "both engines. Both passes aggregate the (type, cents) "
         "HISTOGRAM — the raw table is scanned once, nothing "
         "data-sized is sorted.",
-    tags=("staged", "statistics",),
+    tags=("analytics", "statistics",),
 )
 def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").selectExpr(
@@ -1816,7 +1809,7 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------- repeat-purchase intervals
 
-@staged_query(
+@query(
     "repeat_purchase_intervals",
     oracle="""
         WITH o AS (
@@ -1850,7 +1843,7 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "of order history). One per-customer LEAD window (single "
         "shuffle on custkey), one broadcast dim join for the segment, "
         "one histogram aggregate.",
-    tags=("staged", "timeseries",),
+    tags=("analytics", "timeseries",),
 )
 def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").selectExpr(
@@ -1873,7 +1866,7 @@ def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORR_MIN_N = 10
 
 
-@staged_query(
+@query(
     "grouped_discount_quantity_corr",
     oracle=f"""
         WITH u AS (
@@ -1909,7 +1902,7 @@ CORR_MIN_N = 10
         "rounded STRING route. Zero-variance groups return NULL by an "
         "exact integer test (never an IEEE inf/NaN comparison). One "
         "dim join + one map-side-combinable aggregate keyed by brand.",
-    tags=("staged", "statistics",),
+    tags=("analytics", "statistics",),
 )
 def grouped_discount_quantity_corr(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
@@ -1936,7 +1929,7 @@ def grouped_discount_quantity_corr(spark: SparkSession,
 CTFIDF_TOP_K = 10
 
 
-@staged_query(
+@query(
     "class_distinctive_terms",
     oracle=f"""
         WITH tf AS (
@@ -1979,7 +1972,7 @@ CTFIDF_TOP_K = 10
         "WindowGroupLimit, so |sources| hot partitions never see the "
         "full vocabulary. The class-count scalar rides a one-row "
         "broadcast.",
-    tags=("staged", "text",),
+    tags=("analytics", "text",),
 )
 def class_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -2009,7 +2002,7 @@ def class_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- revenue Gini coefficient
 
-@staged_query(
+@query(
     "revenue_gini_by_nation",
     oracle="""
         WITH cust AS (
@@ -2045,7 +2038,7 @@ def class_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partitioned by nation; a group outgrowing one task would "
         "take the range-bucket + broadcast-offsets rewrite "
         "curriculum_global_rank demonstrates.",
-    tags=("staged", "statistics",),
+    tags=("analytics", "statistics",),
 )
 def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").selectExpr(
@@ -2076,7 +2069,7 @@ COOC_WINDOW = 4   # pair each token with the next 4 (skip-gram window)
 COOC_TOP_K = 100
 
 
-@staged_query(
+@query(
     "word_cooccurrence_lift",
     oracle=f"""
         WITH toks AS (
@@ -2128,7 +2121,7 @@ COOC_TOP_K = 100
         "keyed on the pair; unigram counts ride broadcast joins and "
         "the pair total is a one-row broadcast. Top-k by support is "
         "TakeOrderedAndProject with a full tie-break.",
-    tags=("staged", "text",),
+    tags=("analytics", "text",),
 )
 def word_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size(t) >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]),
@@ -2167,3 +2160,369 @@ def word_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "/ (c1 * c2) AS lift")
               .orderBy(F.col("pair_count").desc(), "w1", "w2")
               .limit(COOC_TOP_K))
+
+
+# =====================================================================
+# Round-5 additions: reporting / sequence-mining / concentration
+# analytics registered directly (the round-5 driver window has room;
+# see registry._DRIVER_PRIORITY).
+# =====================================================================
+
+_O_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+
+
+@query(
+    "monthly_revenue_mom_yoy",
+    oracle=f"""
+        WITH m AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 CAST(SUM({_O_CENTS}) AS BIGINT) AS revenue_cents,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT CAST(c.month AS TIMESTAMP) AS month,
+               c.revenue_cents, c.n_orders,
+               p.revenue_cents AS prev_month_cents,
+               y.revenue_cents AS prev_year_cents,
+               c.revenue_cents - p.revenue_cents AS mom_delta_cents,
+               c.revenue_cents - y.revenue_cents AS yoy_delta_cents,
+               CAST(c.revenue_cents AS DOUBLE)
+                 / CAST(p.revenue_cents AS DOUBLE) AS mom_ratio,
+               CAST(c.revenue_cents AS DOUBLE)
+                 / CAST(y.revenue_cents AS DOUBLE) AS yoy_ratio
+        FROM m c
+        LEFT JOIN m p ON p.month = c.month - INTERVAL 1 MONTH
+        LEFT JOIN m y ON y.month = c.month - INTERVAL 12 MONTH
+    """,
+    doc="Month-over-month and year-over-year revenue growth — the "
+        "canonical finance reporting query. Calendar-aware self-joins "
+        "on shifted months (add_months), NOT LAG over row offsets: a "
+        "missing month must yield NULL comparisons, not silently "
+        "compare against the wrong month. The monthly rollup is one "
+        "map-side-combinable aggregate; the self-joins run on the "
+        "calendar-bounded month relation (~10^2 rows at ANY corpus "
+        "size), broadcast both times. Deltas are exact cents; ratios "
+        "divide identical exact longs on both engines.",
+    tags=("analytics", "timeseries",),
+)
+def monthly_revenue_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (load(spark, sf_dir, "orders")
+         .groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("month"))
+         .agg(F.sum(F.expr(_O_CENTS)).alias("revenue_cents"),
+              F.count(F.lit(1)).alias("n_orders")))
+    c, p, y = m.alias("c"), m.alias("p"), m.alias("y")
+    return (c
+            .join(F.broadcast(p),
+                  F.col("p.month") == F.add_months(F.col("c.month"), -1),
+                  "left")
+            .join(F.broadcast(y),
+                  F.col("y.month") == F.add_months(F.col("c.month"), -12),
+                  "left")
+            .select(
+                # date -> timestamp: both engines then materialize the
+                # same pandas dtype (daily_events precedent)
+                F.col("c.month").cast("timestamp").alias("month"),
+                F.col("c.revenue_cents").alias("revenue_cents"),
+                F.col("c.n_orders").alias("n_orders"),
+                F.col("p.revenue_cents").alias("prev_month_cents"),
+                F.col("y.revenue_cents").alias("prev_year_cents"),
+                (F.col("c.revenue_cents") - F.col("p.revenue_cents"))
+                    .alias("mom_delta_cents"),
+                (F.col("c.revenue_cents") - F.col("y.revenue_cents"))
+                    .alias("yoy_delta_cents"),
+                (F.col("c.revenue_cents").cast("double")
+                 / F.col("p.revenue_cents").cast("double"))
+                    .alias("mom_ratio"),
+                (F.col("c.revenue_cents").cast("double")
+                 / F.col("y.revenue_cents").cast("double"))
+                    .alias("yoy_ratio")))
+
+
+# ----------------------------------------------- session path mining
+
+PATH_GAP_US = 30 * 60 * 1_000_000
+PATH_LEN = 3
+
+
+@query(
+    "session_path_counts",
+    oracle=f"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
+          FROM events
+        ),
+        flagged AS (
+          SELECT user_id, event_id, event_type, t_us,
+                 CASE WHEN t_us - LAG(t_us) OVER (
+                        PARTITION BY user_id ORDER BY t_us, event_id)
+                        > {PATH_GAP_US}
+                      OR LAG(t_us) OVER (
+                        PARTITION BY user_id ORDER BY t_us, event_id)
+                        IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e
+        ),
+        sess AS (
+          SELECT user_id, event_id, event_type, t_us,
+                 SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY t_us, event_id) AS sid
+          FROM flagged
+        ),
+        paths AS (
+          SELECT user_id, sid,
+                 array_to_string(
+                   (list(event_type ORDER BY t_us, event_id))
+                     [1:{PATH_LEN}], '>') AS path,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM sess GROUP BY user_id, sid
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events_total
+        FROM paths GROUP BY path
+    """,
+    doc="Session path mining: 30-minute-gap sessionization (LAG + "
+        "running flag-sum, the standard window formulation), then the "
+        "first-3-event-type path per session and corpus-wide path "
+        "frequencies — the sequence-mining rollup behind funnel "
+        "dashboards. Everything partitions by user for the "
+        "sessionizing window and regroups once per (user, session); "
+        "path cardinality is bounded by |event types|^3, so the final "
+        "aggregate is tiny. Paths are position-sorted in-array "
+        "(array_sort over (ts, event_id) structs), never a second "
+        "window.",
+    tags=("analytics", "sessionization", "sequence"),
+)
+def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("unix_micros(ts)").alias("t_us"))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(F.lag("t_us").over(w).isNull()
+               | ((F.col("t_us") - F.lag("t_us").over(w)) > PATH_GAP_US),
+               1).otherwise(0))
+    sess = flagged.withColumn("sid", F.sum("new_sess").over(w))
+    paths = (sess.groupBy("user_id", "sid")
+                 .agg(F.array_join(
+                          F.slice(F.transform(
+                              F.array_sort(F.collect_list(
+                                  F.struct("t_us", "event_id",
+                                           "event_type"))),
+                              lambda s: s["event_type"]),
+                              1, PATH_LEN), ">").alias("path"),
+                      F.count(F.lit(1)).alias("n_events")))
+    return (paths.groupBy("path")
+                 .agg(F.count(F.lit(1)).alias("n_sessions"),
+                      F.sum("n_events").alias("n_events_total")))
+
+
+# ------------------------------------------------ Lorenz/Pareto curve
+
+
+@query(
+    "revenue_pareto_curve",
+    oracle=f"""
+        WITH cust AS (
+          SELECT o_custkey,
+                 CAST(SUM({_O_CENTS}) AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT o_custkey, cents,
+                 ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+                 COUNT(*) OVER () AS n
+          FROM cust
+        ),
+        dec AS (
+          SELECT ((rk - 1) * 10) // n + 1 AS decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(cents) AS BIGINT) AS revenue_cents
+          FROM ranked GROUP BY 1
+        )
+        SELECT decile, n_customers, revenue_cents,
+               CAST(SUM(revenue_cents) OVER (ORDER BY decile)
+                    AS BIGINT) AS cum_revenue_cents,
+               CAST(SUM(revenue_cents) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST(SUM(revenue_cents) OVER () AS DOUBLE)
+                 AS cum_revenue_share
+        FROM dec
+    """,
+    doc="Lorenz/Pareto concentration curve: customers ranked by spend "
+        "(descending), cut into population deciles, cumulative "
+        "revenue share per decile — the 'top 10% of customers drive "
+        "X% of revenue' curve that complements the promoted Gini and "
+        "HHI scalars. The global ordering uses the bucketed "
+        "distributed-rank machinery (queries/util.global_row_number, "
+        "adaptive: spend is long-tailed), never a single-partition "
+        "window over customers; the only unpartitioned windows run "
+        "over the 10-row decile relation.",
+    tags=("analytics", "concentration", "ordering"),
+)
+def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.queries.util import global_row_number
+    cust = (load(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.sum(F.expr(_O_CENTS)).alias("cents")))
+    ranked = global_row_number(cust, "cents", "o_custkey", "rk",
+                               descending=True, adaptive=True)
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    dec = (ranked.crossJoin(F.broadcast(n))
+                 .withColumn("decile",
+                             F.expr("((rk - 1) * 10) div n + 1"))
+                 .groupBy("decile")
+                 .agg(F.count(F.lit(1)).alias("n_customers"),
+                      F.sum("cents").alias("revenue_cents")))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    return dec.select(
+        "decile", "n_customers", "revenue_cents",
+        F.sum("revenue_cents").over(wc).alias("cum_revenue_cents"),
+        (F.sum("revenue_cents").over(wc).cast("double")
+         / F.sum("revenue_cents").over(wt).cast("double"))
+            .alias("cum_revenue_share"))
+
+
+# -------------------------------------------- decile conversion lift
+
+
+@query(
+    "decile_conversion_lift",
+    oracle="""
+        WITH c AS (
+          SELECT c_custkey,
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer
+        ),
+        ranked AS (
+          SELECT c_custkey, bal_cents,
+                 ROW_NUMBER() OVER (ORDER BY bal_cents DESC,
+                                    c_custkey) AS rk,
+                 COUNT(*) OVER () AS n
+          FROM c
+        ),
+        buyers AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY o_custkey
+        ),
+        dec AS (
+          SELECT ((rk - 1) * 10) // n + 1 AS decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(CASE WHEN b.n_orders IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_buyers,
+                 CAST(SUM(COALESCE(b.n_orders, 0)) AS BIGINT) AS n_orders
+          FROM ranked r LEFT JOIN buyers b ON r.c_custkey = b.o_custkey
+          GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(n_customers) AS BIGINT) AS tot_customers,
+                 CAST(SUM(n_buyers) AS BIGINT) AS tot_buyers
+          FROM dec
+        )
+        SELECT decile, n_customers, n_buyers, n_orders,
+               CAST(n_buyers AS DOUBLE) / CAST(n_customers AS DOUBLE)
+                 AS conversion,
+               CAST(n_buyers * tot_customers AS DOUBLE)
+                 / CAST(n_customers * tot_buyers AS DOUBLE) AS lift
+        FROM dec, tot
+    """,
+    doc="Decile lift table: customers ranked by account balance into "
+        "population deciles (the marketing 'scored audience' cut), "
+        "joined to order activity, with per-decile conversion and "
+        "lift vs the overall conversion rate. Lift is the exact "
+        "integer cross-ratio (n_buyers * tot_customers) / "
+        "(n_customers * tot_buyers) evaluated in double from exact "
+        "long operands — no intermediate rate rounds. Ranking rides "
+        "the bucketed distributed-rank machinery (adaptive: balances "
+        "are long-tailed); the buyers rollup is map-side combinable "
+        "and the totals ride one broadcast row.",
+    tags=("analytics", "ordering", "reporting"),
+)
+def decile_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.queries.util import global_row_number
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias("bal_cents"))
+    ranked = global_row_number(c, "bal_cents", "c_custkey", "rk",
+                               descending=True, adaptive=True)
+    n = c.agg(F.count(F.lit(1)).alias("n"))
+    buyers = (load(spark, sf_dir, "orders")
+              .groupBy("o_custkey")
+              .agg(F.count(F.lit(1)).alias("n_orders_c")))
+    dec = (ranked.crossJoin(F.broadcast(n))
+                 .withColumn("decile", F.expr("((rk - 1) * 10) div n + 1"))
+                 .join(buyers,
+                       F.col("c_custkey") == F.col("o_custkey"), "left")
+                 .groupBy("decile")
+                 .agg(F.count(F.lit(1)).alias("n_customers"),
+                      F.sum(F.when(F.col("n_orders_c").isNotNull(), 1)
+                             .otherwise(0)).alias("n_buyers"),
+                      F.sum(F.coalesce("n_orders_c", F.lit(0)))
+                       .alias("n_orders")))
+    tot = dec.agg(F.sum("n_customers").alias("tot_customers"),
+                  F.sum("n_buyers").alias("tot_buyers"))
+    return (dec.crossJoin(F.broadcast(tot))
+               .select("decile", "n_customers", "n_buyers", "n_orders",
+                       (F.col("n_buyers").cast("double")
+                        / F.col("n_customers").cast("double"))
+                           .alias("conversion"),
+                       ((F.col("n_buyers") * F.col("tot_customers"))
+                        .cast("double")
+                        / (F.col("n_customers") * F.col("tot_buyers"))
+                        .cast("double")).alias("lift")))
+
+
+# ------------------------------------------- order fulfillment aging
+
+AGING_BUCKETS = "CASE WHEN age_days <= 30 THEN '0-30' " \
+                "WHEN age_days <= 60 THEN '31-60' " \
+                "WHEN age_days <= 90 THEN '61-90' ELSE '90+' END"
+
+
+@query(
+    "order_fulfillment_aging",
+    oracle=f"""
+        WITH ship AS (
+          SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+          FROM lineitem GROUP BY l_orderkey
+        ),
+        aged AS (
+          SELECT o_orderpriority,
+                 date_diff('day', CAST(o_orderdate AS DATE), last_ship)
+                   AS age_days
+          FROM orders JOIN ship ON o_orderkey = l_orderkey
+        )
+        SELECT o_orderpriority, {AGING_BUCKETS} AS age_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(age_days) AS BIGINT) AS sum_age_days,
+               CAST(SUM(age_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS avg_age_days
+        FROM aged GROUP BY o_orderpriority, {AGING_BUCKETS}
+    """,
+    doc="Order fulfillment aging report: days from order date to the "
+        "LAST line shipment, bucketed into 30-day aging bands per "
+        "order priority — the operations SLA view. The per-order max "
+        "ship date is a map-side-combinable aggregate; the join to "
+        "orders shuffles both sides on orderkey once (the fact-fact "
+        "co-partitioning pattern); the final rollup is bounded "
+        "(priorities x 4 bands). Ages are exact integer days; only "
+        "the final mean divides, with identical long operands.",
+    tags=("analytics", "reporting",),
+)
+def order_fulfillment_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship = (load(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.max(F.to_date("l_shipdate")).alias("last_ship")))
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od"))
+    aged = (o.join(ship, o.o_orderkey == ship.l_orderkey)
+             .withColumn("age_days",
+                         F.datediff("last_ship", "od").cast("long")))
+    return (aged.withColumn("age_bucket", F.expr(AGING_BUCKETS))
+                .groupBy("o_orderpriority", "age_bucket")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.sum("age_days").alias("sum_age_days"),
+                     (F.sum("age_days").cast("double")
+                      / F.count(F.lit(1)).cast("double"))
+                         .alias("avg_age_days")))

@@ -54,53 +54,52 @@ def query(name: str, oracle: str | None, doc: str = "",
 
 
 # The driver's per-round correctness run truncates (~50 rows/round,
-# walking ``queries()`` order).  Rounds 1+2 covered 100/124 queries; the
-# 24 below never received a driver row because they sat past the cap in
-# both orderings.  They are pinned FIRST so round 3 closes the gap, with
-# ``ann_ivf_kmeans_fit`` (newly oracle-verified) alongside them.
+# walking ``queries()`` order), so each round hand-plans which 50
+# unverified queries fill the window; verified names in this tuple are
+# filtered out automatically, so it records the CURRENT round's plan
+# (historical rounds' plans live in git history + CORRECTNESS_r*.json).
+#
+# Round-5 window (exactly 50): the 2 round-4 canonicalizer-crash
+# retries (output reshaped to driver-hashable scalars, VERDICT r4 #1),
+# the 30 promoted round-4 staged queries (now queries/analytics.py,
+# VERDICT r4 #2), and the 18 new round-5 queries (pandas GROUPED_AGG
+# UDAF family + evaluation/reporting analytics, VERDICT r4 #3).
 #
 # Truncation is never the only correctness signal: the full registry is
 # exercised locally by ``tests/test_correctness.py`` (exact values, all
 # queries) and ``scripts/profile_correctness.py`` (hash replica of the
 # driver's check) — see those for the complete picture.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # queries/scalar.py — 10, never driver-tested
-    "string_functions", "like_regexp_filter", "date_functions",
-    "math_functions", "json_extraction", "null_handling",
-    "array_functions", "map_functions", "variant_json_events",
-    "interval_arithmetic",
-    # queries/subqueries.py — 5, never driver-tested
-    "scalar_subquery_above_avg", "in_subquery_building_orders",
-    "correlated_exists_recent_buyers", "derived_table_top_nations",
-    "lateral_top_orders_per_nation",
-    # queries/grouping.py — 5, never driver-tested
-    "rollup_quantity", "cube_order_priority", "grouping_sets_flags",
-    "pivot_status_by_segment", "unpivot_nation_metrics",
-    # set-op ALL variants — never driver-tested
-    "intersect_all_nations", "except_all_nations",
-    # timeseries tail — never driver-tested
-    "interval_overlap_orders", "last_touch_attribution",
-    # newly value-verified this round (was rows-only in r2)
-    "ann_ivf_kmeans_fit",
-    # new in round 3: corpus-curation operators (operators/curation.py)
-    # + incremental rollup maintenance (queries/etl.py)
-    "corpus_hash_split", "corpus_stratified_sample", "pack_sequences",
-    "contamination_check", "profile_documents", "ewma_user_values",
-    "zorder_locality_events", "corpus_shuffle_shards",
-    "incremental_week_rollup", "dedup_consecutive_events",
-    "value_decile_bins",
-    # new in round 3, second batch: quality/repetition family
-    # (operators/quality.py) + mixture/chunk/cap curation ops +
-    # int8 embedding quantization
-    "gopher_repetition_stats", "collapse_repeated_tokens",
-    "bpe_pair_counts", "mixture_weighted_sample", "doc_chunk_windows",
-    "source_cap_docs", "embedding_int8_quantize",
-    # third batch: blocklist/DQ-gate/masking + holdout/temporal-split/
-    # transition-matrix ops — 49 priority entries total, still within
-    # the driver's ~50-row window
-    "blocklist_filter", "dq_expectations", "mask_numeric_props",
-    "eval_holdout_sample", "temporal_split_leakage",
-    "user_event_transitions",
+    # round-4 driver-canonicalizer crashes, outputs now scalar-serialized
+    "tokenize_to_ids", "embedding_rank_normalize",
+    # the 30 promoted round-4 staged queries (queries/analytics.py),
+    # in their staged registration order
+    "frequent_item_pairs", "changelog_apply_cdc", "weighted_sample_wor",
+    "twap_user_values", "corr_matrix_lineitem", "containment_dup_pairs",
+    "trigram_lm_counts", "doc_length_iqr_flags",
+    "embedding_label_centroids", "skyline_pareto_orders",
+    "orders_abc_classification", "bm25_term_scores",
+    "chi_square_event_drift", "winnowing_fingerprints",
+    "ngram_novelty_score", "trailing_anomaly_events",
+    "source_overlap_matrix", "funnel_conversion_latency",
+    "char_class_gini", "user_ltv_cohort_curves", "seasonal_weekday_index",
+    "shipping_lag_quantiles", "revenue_concentration_hhi",
+    "sessionized_bounce_rate", "winsorized_value_stats",
+    "repeat_purchase_intervals", "grouped_discount_quantity_corr",
+    "class_distinctive_terms", "revenue_gini_by_nation",
+    "word_cooccurrence_lift",
+    # new in round 5: the grouped-aggregate pandas UDAF surface
+    # (operators/udaf.py) — the one UDF shape the registry lacked
+    "udaf_weighted_median_brand", "udaf_trimmed_mean_segment",
+    "udaf_iqr_outlier_events", "udaf_longest_active_streak",
+    "udaf_rolling_median_window", "udaf_modal_event_type",
+    # new in round 5: evaluation / reporting / matching analytics
+    "monthly_revenue_mom_yoy", "fuzzy_name_match_pairs",
+    "language_entropy_by_source", "session_path_counts",
+    "revenue_pareto_curve", "ann_recall_audit",
+    "stratified_kfold_assignment", "decile_conversion_lift",
+    "dedup_normalized_text", "lang_id_confusion_matrix",
+    "order_fulfillment_aging", "centroid_assignment_margin",
 )
 
 
@@ -121,10 +120,11 @@ def all_queries() -> dict[str, Query]:
     from de_project_airflow_etl_spark.streaming import (  # noqa: F401
         ingest, stateful, upsert,
     )
+    from de_project_airflow_etl_spark.operators import udaf  # noqa: F401
     from de_project_airflow_etl_spark.queries import (  # noqa: F401
         timeseries, scalar, subqueries, grouping,
         flagship, etl, aggregates_ext, relational, joins, windows, setops,
-        tpch,
+        tpch, analytics,
     )
     ordered: dict[str, Query] = {}
     verified = _driver_verified()
@@ -155,13 +155,14 @@ _CORRECTNESS_ROUNDS: tuple[str, ...] = (
     "CORRECTNESS_r01.json",
     "CORRECTNESS_r02.json",
     "CORRECTNESS_r03.json",
-    # r04/r05 are listed ahead of adjudication: the files do not exist
+    "CORRECTNESS_r04.json",
+    # r05/r06 are listed ahead of adjudication: the files do not exist
     # yet (missing files degrade gracefully), but the moment the driver
     # writes one the rotation self-maintains — latest-round rows win,
     # so any recorded failure demotes its query back into the priority
     # window even if the next session forgets to touch this list.
-    "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
+    "CORRECTNESS_r06.json",
 )
 
 _DRIVER_VERIFIED_CACHE: set[str] | None = None

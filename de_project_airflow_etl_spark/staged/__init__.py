@@ -1,18 +1,39 @@
-"""Staged (round-5) queries: implemented and locally verified, but NOT
-yet registered in the driver-facing registry.
+"""Staged queries: implemented and locally verified, but NOT yet
+registered in the driver-facing registry.
 
-The driver verifies exactly ~50 registry queries per round and round
-4's window is already full (50 pinned unverified entries). Registering
-more queries now would push some past the window and cost them their
-only hard verification signal (CLAUDE.md, "Registry growth is
-window-bounded"). These entries therefore live in a parallel
-``STAGED`` dict with the exact same ``Query`` shape; round 5 promotes
-them by moving the ``staged_query`` decorators to ``registry.query``
-once CORRECTNESS_r04.json confirms the r4 window went green.
+The driver verifies exactly ~50 registry queries per round; when a
+round's window is already full, registering more queries would push
+some past the window and cost them their only hard verification
+signal (CLAUDE.md, "Registry growth is window-bounded"). Overflow
+queries therefore live in a parallel ``STAGED`` dict with the exact
+same ``Query`` shape — a ``staged_query`` decorator mirroring
+``registry.query`` — and are promoted (decorator swapped, module
+moved under ``queries/``) the round after their window opens.
 
-Until promotion they are exercised by ``tests/test_staged_r5.py``
-through the same harness the registry uses (exact value compare vs
-DuckDB at the correctness scale factor).
+Round-5 history: the 30 round-4 staged queries lived here as
+``round5.py``; they were promoted to
+``queries/analytics.py`` in round 5 once CORRECTNESS_r04 adjudicated
+green. The pen is currently EMPTY — round-6 overflow goes here.
 """
 
-from de_project_airflow_etl_spark.staged.round5 import STAGED  # noqa: F401
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from de_project_airflow_etl_spark.registry import Query, QueryFn
+
+STAGED: dict[str, Query] = {}
+
+
+def staged_query(name: str, oracle: str | None, doc: str = "",
+                 tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
+    """Mirror of ``registry.query`` that registers into ``STAGED``."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        if name in STAGED:
+            raise ValueError(f"duplicate staged query {name!r}")
+        STAGED[name] = Query(name=name, fn=fn, oracle=oracle,
+                             doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return wrap

@@ -86,11 +86,13 @@ def main() -> None:
     print("|---|---|---|---|")
     for name, _inp, sw, sr, spill in rows:
         print(f"| {name} | {mb(sw)} | {mb(sr)} | {mb(spill)} |")
-    print()
-    print("| staged query | shuffle write MB | shuffle read MB | spill MB |")
-    print("|---|---|---|---|")
-    for name, _inp, sw, sr, spill in staged_rows:
-        print(f"| {name} | {mb(sw)} | {mb(sr)} | {mb(spill)} |")
+    if staged_rows:
+        print()
+        print("| staged query | shuffle write MB | shuffle read MB"
+              " | spill MB |")
+        print("|---|---|---|---|")
+        for name, _inp, sw, sr, spill in staged_rows:
+            print(f"| {name} | {mb(sw)} | {mb(sr)} | {mb(spill)} |")
 
 
 if __name__ == "__main__":

@@ -1,4 +1,5 @@
-"""Scale-shaped stress + plan gates for the staged round-5 queries:
+"""Scale-shaped stress + plan gates for the analytics suite
+(queries/analytics.py, promoted from staged/round5.py in round 5):
 the plan properties their 100 TB story depends on, a planted-pair
 containment stress at 50k docs, and the exact-quantile machinery vs
 DuckDB at 1M rows with adversarial length skew.
@@ -10,7 +11,7 @@ import duckdb
 import pytest
 
 from de_project_airflow_etl_spark.plans.inspect import formatted_plan
-from de_project_airflow_etl_spark.staged.round5 import (
+from de_project_airflow_etl_spark.queries.analytics import (
     WS_K, containment_dup_pairs, corr_matrix_lineitem,
     doc_length_iqr_flags, frequent_item_pairs, trigram_lm_counts,
     weighted_sample_wor,
@@ -46,7 +47,7 @@ def test_bm25_topk_is_window_group_limit(spark, sf_dir):
     # rank<=k per term must pre-filter per partition (WindowGroupLimit)
     # before the 3-partition term exchange — otherwise three hot tasks
     # would sort the whole scored corpus.
-    from de_project_airflow_etl_spark.staged.round5 import bm25_term_scores
+    from de_project_airflow_etl_spark.queries.analytics import bm25_term_scores
     plan = formatted_plan(bm25_term_scores(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
 
@@ -55,7 +56,7 @@ def test_skyline_is_broadcast_filter_not_self_join(spark, sf_dir):
     # The survivor filter must ride a broadcast of the tiny per-date
     # maxima — no order x order join, and the date bound reaches the
     # scan.
-    from de_project_airflow_etl_spark.staged.round5 import (
+    from de_project_airflow_etl_spark.queries.analytics import (
         skyline_pareto_orders,
     )
     df = skyline_pareto_orders(spark, sf_dir)
@@ -67,7 +68,7 @@ def test_skyline_is_broadcast_filter_not_self_join(spark, sf_dir):
 
 
 def test_winnowing_join_is_equi_join(spark, sf_dir):
-    from de_project_airflow_etl_spark.staged.round5 import (
+    from de_project_airflow_etl_spark.queries.analytics import (
         winnowing_fingerprints,
     )
     plan = formatted_plan(winnowing_fingerprints(spark, sf_dir))
@@ -84,13 +85,13 @@ def test_corr_matrix_is_single_aggregate(spark, sf_dir):
 
 def test_char_class_gini_is_shuffle_free(spark, sf_dir):
     # stateless row map: no Exchange anywhere in the plan
-    from de_project_airflow_etl_spark.staged.round5 import char_class_gini
+    from de_project_airflow_etl_spark.queries.analytics import char_class_gini
     plan = formatted_plan(char_class_gini(spark, sf_dir))
     assert "Exchange" not in plan, plan
 
 
 def test_batch3_joins_are_equi_joins(spark, sf_dir):
-    from de_project_airflow_etl_spark.staged.round5 import (
+    from de_project_airflow_etl_spark.queries.analytics import (
         funnel_conversion_latency, ngram_novelty_score,
         source_overlap_matrix, trailing_anomaly_events,
     )
@@ -101,7 +102,7 @@ def test_batch3_joins_are_equi_joins(spark, sf_dir):
 
 
 def test_batch5_plans_are_scale_shaped(spark, sf_dir):
-    from de_project_airflow_etl_spark.staged.round5 import (
+    from de_project_airflow_etl_spark.queries.analytics import (
         class_distinctive_terms, grouped_discount_quantity_corr,
         repeat_purchase_intervals, revenue_gini_by_nation,
         word_cooccurrence_lift,
@@ -141,7 +142,7 @@ def test_trailing_anomaly_flags_planted_spike(spark, tmp_path):
               "event_type string, value double, props string")
     df = df.withColumn("ts", df.ts.cast("timestamp"))
     df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
-    from de_project_airflow_etl_spark.staged.round5 import (
+    from de_project_airflow_etl_spark.queries.analytics import (
         trailing_anomaly_events,
     )
     out = trailing_anomaly_events(spark, str(tmp_path)).collect()
@@ -161,7 +162,7 @@ def test_token_array_ops_survive_degenerate_docs(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string, "
               "n_chars long",
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
-    from de_project_airflow_etl_spark.staged.round5 import (
+    from de_project_airflow_etl_spark.queries.analytics import (
         trigram_lm_counts, word_cooccurrence_lift,
     )
     lift = word_cooccurrence_lift(spark, str(tmp_path)).collect()
@@ -185,7 +186,7 @@ def test_novelty_planted_duplicate_is_zero(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string, "
               "n_chars long",
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
-    from de_project_airflow_etl_spark.staged.round5 import (
+    from de_project_airflow_etl_spark.queries.analytics import (
         ngram_novelty_score,
     )
     out = {r["doc_id"]: r for r in
@@ -321,8 +322,8 @@ def test_char_class_gini_agrees_batch_vs_stream(spark, sf_dir, tmp_path):
     """The stateless Gini map must stream unchanged: readStream + the
     same plan-builder + availableNow drain == the batch rows (the
     unified backfill/live-ingest property the quality family already
-    guarantees, extended to the staged surface)."""
-    from de_project_airflow_etl_spark.staged.round5 import (
+    guarantees, extended to the analytics surface)."""
+    from de_project_airflow_etl_spark.queries.analytics import (
         char_class_gini_plan,
     )
     from de_project_airflow_etl_spark.tables import load
@@ -346,7 +347,7 @@ def test_batch4_plans_are_scale_shaped(spark, sf_dir):
     """Batch-4 gates: no cartesian anywhere; the HHI dim join and the
     seasonality one-row totals broadcast; the LTV window runs over the
     rollup (post-aggregate), not the raw events (structural check)."""
-    from de_project_airflow_etl_spark.staged.round5 import (
+    from de_project_airflow_etl_spark.queries.analytics import (
         revenue_concentration_hhi, seasonal_weekday_index,
         sessionized_bounce_rate, shipping_lag_quantiles,
         user_ltv_cohort_curves, winsorized_value_stats,

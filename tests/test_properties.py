@@ -392,13 +392,20 @@ def test_tokenize_ids_roundtrip_in_vocab(spark, tmp_path_factory, texts):
     from collections import Counter
 
     from de_project_airflow_etl_spark.operators.corpus_stats import (
-        VOCAB_K, tokenize_to_ids,
+        VOCAB_K, tokenize_to_ids, tokenize_to_ids_arrays,
     )
     counts = Counter(tok for t in texts for tok in t.split(" "))
     vocab = [tok for tok, _ in sorted(
         counts.items(), key=lambda kv: (-kv[1], kv[0]))][:VOCAB_K]
     id_of = {tok: i + 1 for i, tok in enumerate(vocab)}
-    out = {r["doc_id"]: r for r in tokenize_to_ids(spark, str(tmp)).collect()}
+    out = {r["doc_id"]: r
+           for r in tokenize_to_ids_arrays(spark, str(tmp)).collect()}
+    # the registered driver variant must be the exact space-joined
+    # serialization of the array API — same plan, scalar contract
+    flat = {r["doc_id"]: r["token_ids_str"]
+            for r in tokenize_to_ids(spark, str(tmp)).collect()}
+    for did, row in out.items():
+        assert flat[did] == " ".join(str(t) for t in row["token_ids"])
     for i, t in enumerate(texts):
         toks = t.split(" ")
         ids = out[i]["token_ids"]
@@ -445,7 +452,7 @@ def test_ntile_case_formula_partitions_correctly(n, k):
     assert ordered == sorted(ordered, reverse=True)
 
 
-# ------------------------------- staged-surface helper invariants
+# ----------------------------- analytics-surface helper invariants
 
 @given(vals=st.lists(st.integers(min_value=0, max_value=50),
                      min_size=1, max_size=60),
@@ -457,7 +464,7 @@ def test_exact_group_quantiles_matches_linear_interpolation(
     """The histogram-based quantile must equal the definitional
     (n-1)*p linear interpolation over the sorted values, for any
     multiset and any dyadic probability."""
-    from de_project_airflow_etl_spark.staged.round5 import (
+    from de_project_airflow_etl_spark.queries.analytics import (
         exact_group_quantiles,
     )
     df = spark.createDataFrame([("g", v) for v in vals], "k string, val long")
@@ -486,7 +493,7 @@ def test_ordered_pair_structs_equals_combinations(spark, items):
     rely on."""
     from itertools import combinations
 
-    from de_project_airflow_etl_spark.staged.round5 import (
+    from de_project_airflow_etl_spark.queries.analytics import (
         ordered_pair_structs,
     )
     arr = sorted(items)
