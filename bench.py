@@ -91,6 +91,21 @@ HEADLINE = (
     "exact_substring_dup_spans",   # hashed-window substring dedup
     "temperature_sampled_language_mix",  # alpha=0.5 language resample
     "ann_pq_adc_search",           # product-quantization ADC top-k
+    # round-5 additions: promoted analytics + the UDAF surface
+    "frequent_item_pairs",         # in-array basket pair generation
+    "containment_dup_pairs",       # df-capped containment inverted index
+    "corr_matrix_lineitem",        # single-pass sufficient statistics
+    "bm25_term_scores",            # persist + WindowGroupLimit top-k
+    "winnowing_fingerprints",      # rolling-hash winnowing
+    "word_cooccurrence_lift",      # skip-gram PMI/lift, explode-heavy
+    "twap_user_values",            # per-user LEAD window + exact decimal
+    "embedding_rank_normalize",    # 64 dim-partition exact ranks
+    "udaf_weighted_median_brand",  # grouped pandas UDAF over pre-agg
+    "udaf_rolling_median_window",  # bounded-frame ArrowWindowPython
+    "session_path_counts",         # gap sessionize + in-array paths
+    "revenue_pareto_curve",        # bucketed distributed rank + deciles
+    "ann_recall_audit",            # single-pass batch recall@k
+    "dedup_normalized_text",       # canonical-key hash-aggregate dedup
 )
 
 

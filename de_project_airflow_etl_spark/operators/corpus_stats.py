@@ -447,3 +447,55 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum(F.coalesce("n_grams", F.lit(0)))
                      .alias("sum_grams"),
                     F.sum("n_oov").alias("sum_oov")))
+
+
+# --------------------------------------- language-mix diversity
+
+
+@query(
+    "language_diversity_by_source",
+    oracle="""
+        WITH c AS (
+          SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY source, lang
+        )
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_langs,
+               CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+               1.0 - CAST(SUM(n * n) AS DOUBLE)
+                   / CAST(SUM(n) * SUM(n) AS DOUBLE) AS simpson_index,
+               CAST(SUM(n) * SUM(n) AS DOUBLE)
+                 / CAST(SUM(n * n) AS DOUBLE) AS effective_langs
+        FROM c GROUP BY source
+    """,
+    doc="Language-mix diversity per source: the Gini-Simpson index "
+        "1 - sum(p_i^2) and the effective number of languages "
+        "1/sum(p_i^2) (inverse Simpson) — the mixture-health metrics "
+        "a multilingual curation pipeline tracks per source. Simpson "
+        "is chosen over Shannon entropy DELIBERATELY: it is a "
+        "rational function of the counts, so sum_sq accumulates as "
+        "exact longs and the two final divisions see identical "
+        "operands on both engines — whereas ln() is a transcendental "
+        "whose JVM (Math.log) and libm implementations disagree in "
+        "the last ulp (measured at sf0.1), making entropy "
+        "unverifiable bit-exactly. One (source, lang) aggregate, one "
+        "bounded regroup; shuffle volume is |sources| x |langs|.",
+    tags=("corpus", "diversity", "mixture"),
+)
+def language_diversity_by_source(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    c = (d.groupBy("source", "lang")
+          .agg(F.count(F.lit(1)).alias("n")))
+    return (c.groupBy("source")
+             .agg(F.sum("n").alias("n_docs"),
+                  F.count(F.lit(1)).alias("n_langs"),
+                  F.sum(F.col("n") * F.col("n")).alias("sum_sq"))
+             .select("source", "n_docs", "n_langs", "sum_sq",
+                     (F.lit(1.0) - F.col("sum_sq").cast("double")
+                      / (F.col("n_docs") * F.col("n_docs"))
+                      .cast("double")).alias("simpson_index"),
+                     ((F.col("n_docs") * F.col("n_docs")).cast("double")
+                      / F.col("sum_sq").cast("double"))
+                         .alias("effective_langs")))

@@ -947,3 +947,60 @@ def temperature_sampled_language_mix(spark: SparkSession,
     return (ranked.join(F.broadcast(tgt), "lang")
                   .filter(F.col("rnk") <= F.col("target"))
                   .select("doc_id", "lang", "rnk"))
+
+
+# ------------------------------------------------- k-fold assignment
+
+KFOLD_K = 5
+# two leading md5 hex chars -> 0..255; mod K. 256 % 5 = 1, so folds are
+# uniform to within 1/256 — and, like the split expression above, the
+# assignment is a pure function of doc_id: stable across re-runs,
+# engines, and corpus growth.
+_KFOLD_SPARK = (f"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), "
+                f"16, 10) AS BIGINT) % {KFOLD_K}")
+_KFOLD_SQL = (f"CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), "
+              f"1, 2)) AS BIGINT) % {KFOLD_K}")
+
+
+@query(
+    "stratified_kfold_assignment",
+    oracle=f"""
+        WITH assigned AS (
+          SELECT lang, {_KFOLD_SQL} AS fold, n_chars FROM documents
+        ),
+        cell AS (
+          SELECT lang, fold,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM assigned GROUP BY lang, fold
+        ),
+        stratum AS (
+          SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_stratum
+          FROM cell GROUP BY lang
+        )
+        SELECT c.lang, c.fold, c.n_docs, c.sum_chars, s.n_stratum,
+               CAST(c.n_docs AS DOUBLE) / CAST(s.n_stratum AS DOUBLE)
+                 AS fold_share
+        FROM cell c JOIN stratum s USING (lang)
+    """,
+    doc="Deterministic stratified k-fold cross-validation assignment: "
+        "fold = md5(doc_id) mod k (hash-stable like the train/val/"
+        "test split above — re-runs, engine swaps, and corpus growth "
+        "never reshuffle existing documents across folds), reported "
+        "as the per-(language-stratum, fold) histogram with fold "
+        "shares. A stateless per-row map; the only shuffle is the "
+        "bounded reporting aggregate (|langs| x k cells).",
+    tags=("curation", "split", "hash"),
+)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cell = (d.withColumn("fold", F.expr(_KFOLD_SPARK))
+             .groupBy("lang", "fold")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").alias("sum_chars")))
+    stratum = cell.groupBy("lang").agg(F.sum("n_docs").alias("n_stratum"))
+    return (cell.join(F.broadcast(stratum), "lang")
+                .select("lang", "fold", "n_docs", "sum_chars", "n_stratum",
+                        (F.col("n_docs").cast("double")
+                         / F.col("n_stratum").cast("double"))
+                            .alias("fold_share")))

@@ -1244,3 +1244,199 @@ def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.select("vec_id", "label",
                           F.expr(adc).alias("adc_dist"))
                   .orderBy("adc_dist", "vec_id").limit(10))
+
+
+# ------------------------------------------------ ANN recall audit
+
+RECALL_K = 10
+RECALL_QUERY_MOD = 100   # deterministic query set: vec_id % 100 == 0
+
+
+@query(
+    "ann_recall_audit",
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding AS qv,
+                 {_sql_bucket('embedding')} AS qbucket
+          FROM embeddings WHERE vec_id % {RECALL_QUERY_MOD} = 0
+        ),
+        scored AS (
+          SELECT q.qid, e.vec_id,
+                 {sql_cosine('e.embedding', 'q.qv')} AS sim,
+                 CASE WHEN {_sql_bucket('e.embedding')} = q.qbucket
+                      THEN 1 ELSE 0 END AS in_bucket
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.qid
+        ),
+        ranked AS (
+          SELECT qid, in_bucket,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, vec_id)
+                   AS rk_exact,
+                 ROW_NUMBER() OVER (PARTITION BY qid, in_bucket
+                                    ORDER BY sim DESC, vec_id)
+                   AS rk_bucket
+          FROM scored
+        )
+        SELECT qid,
+               CAST(SUM(CASE WHEN rk_exact <= {RECALL_K}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN in_bucket = 1
+                              AND rk_bucket <= {RECALL_K}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_approx,
+               CAST(SUM(CASE WHEN rk_exact <= {RECALL_K}
+                              AND in_bucket = 1
+                              AND rk_bucket <= {RECALL_K}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(SUM(CASE WHEN rk_exact <= {RECALL_K}
+                              AND in_bucket = 1
+                              AND rk_bucket <= {RECALL_K}
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                 / {RECALL_K}.0 AS recall
+        FROM ranked GROUP BY qid
+    """,
+    doc="Recall@k audit of the sign-LSH index against exact brute "
+        "force, batched over a deterministic query set (vec_id % 100) "
+        "— the evaluation harness that turns ANN from 'fast' into "
+        "'measurably good enough'. SINGLE-PASS shape: one broadcast "
+        "of the tiny query set scores every (vector, query) pair "
+        "once, then TWO rank windows over the same relation — exact "
+        "rank per query, bucket-restricted rank per (query, "
+        "in-bucket) — and the intersection count is a plain "
+        "conditional aggregate, because both top-k sets are subsets "
+        "of the same rows. No self-join, no recomputation of the "
+        "fold-heavy scoring subtree (the naive two-branch + join "
+        "formulation doubled the 64-flop-per-pair scoring AND added "
+        "a SortMergeJoin; the per-query sort this buys instead costs "
+        "log-factor compares, strictly cheaper). Scale bound: the "
+        "scored relation is |queries| x corpus, so the audit's query "
+        "sample — not the corpus — is the knob that sizes the one "
+        "exchange.",
+    tags=("similarity", "knn", "lsh", "evaluation"),
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    e = load(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") % RECALL_QUERY_MOD == 0)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qv"))
+          .withColumn("qbucket", _bucket("qv")))
+    scored = (e.withColumn("bucket", _bucket("embedding"))
+               .crossJoin(F.broadcast(q))
+               .filter(F.col("vec_id") != F.col("qid"))
+               .select("qid", "vec_id",
+                       cosine("embedding", "qv").alias("sim"),
+                       (F.col("bucket") == F.col("qbucket"))
+                           .cast("int").alias("in_bucket")))
+    we = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    wb = (Window.partitionBy("qid", "in_bucket")
+                .orderBy(F.desc("sim"), F.asc("vec_id")))
+    ranked = (scored.withColumn("rk_exact", F.row_number().over(we))
+                    .withColumn("rk_bucket", F.row_number().over(wb)))
+    hit = ((F.col("rk_exact") <= RECALL_K) & (F.col("in_bucket") == 1)
+           & (F.col("rk_bucket") <= RECALL_K)).cast("int")
+    return (ranked.groupBy("qid")
+                  .agg(F.sum((F.col("rk_exact") <= RECALL_K).cast("int"))
+                        .alias("n_exact"),
+                       F.sum(((F.col("in_bucket") == 1)
+                              & (F.col("rk_bucket") <= RECALL_K))
+                             .cast("int")).alias("n_approx"),
+                       F.sum(hit).alias("n_hits"),
+                       (F.sum(hit).cast("double")
+                        / F.lit(float(RECALL_K))).alias("recall")))
+
+
+# ----------------------------------- centroid assignment confidence
+
+# the exact fixed-point centroid construction lives with
+# embedding_label_centroids (queries/analytics.py); its scale constant
+# is the contract both the oracle and the Spark plan share
+from de_project_airflow_etl_spark.queries.analytics import CENT_SCALE  # noqa: E402
+
+
+@query(
+    "centroid_assignment_margin",
+    oracle=f"""
+        WITH d AS (
+          SELECT label, i AS dim,
+                 CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                            * {CENT_SCALE}.0) AS BIGINT) AS v
+          FROM embeddings,
+               UNNEST(generate_series(1, len(embedding))) AS s(i)
+        ),
+        n AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM embeddings GROUP BY label
+        ),
+        g AS (
+          SELECT label, dim, SUM(v) AS s FROM d GROUP BY label, dim
+        ),
+        c AS (
+          SELECT g.label AS clabel, g.dim,
+                 CAST(g.s AS DOUBLE)
+                   / ({CENT_SCALE}.0 * CAST(n.n_vecs AS DOUBLE)) AS cv
+          FROM g JOIN n USING (label)
+        ),
+        dist AS (
+          SELECT e.vec_id, e.label, c.clabel,
+                 list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                     list((CAST(e.embedding[c.dim] AS DOUBLE) - c.cv)
+                          * (CAST(e.embedding[c.dim] AS DOUBLE) - c.cv)
+                          ORDER BY c.dim)),
+                   (acc, x) -> acc + x) AS d2
+          FROM embeddings e CROSS JOIN c
+          GROUP BY e.vec_id, e.label, c.clabel, e.embedding
+        )
+        SELECT vec_id, ANY_VALUE(label) AS label,
+               (list(clabel ORDER BY d2, clabel))[1] AS best_label,
+               (list(d2 ORDER BY d2, clabel))[1] AS best_dist,
+               (list(clabel ORDER BY d2, clabel))[2] AS second_label,
+               (list(d2 ORDER BY d2, clabel))[2]
+                 - (list(d2 ORDER BY d2, clabel))[1] AS margin
+        FROM dist GROUP BY vec_id
+    """,
+    doc="Cluster-assignment confidence: squared distance from every "
+        "vector to its nearest and second-nearest label centroid, and "
+        "the margin between them — the semdedup/active-learning "
+        "confidence signal (small margin = ambiguous assignment). "
+        "Centroids reuse the exact fixed-point construction of "
+        "embedding_label_centroids (integer partial sums, one final "
+        "division), so both engines hold bit-identical centroids; "
+        "distances fold (x-c)^2 in dimension order with the knn "
+        "discipline, and the margin subtracts two such identical "
+        "doubles. Plan: the |labels| x dims centroid relation "
+        "broadcasts onto the vectors; best/second selection is ONE "
+        "sorted-array aggregation over the |labels|-bounded candidate "
+        "list per vector (min-by semantics on (d2, label) structs) — "
+        "no rank window, no self-join, the centroid subtree built "
+        "exactly once.",
+    tags=("similarity", "clustering", "evaluation"),
+)
+def centroid_assignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.queries.analytics import (
+        embedding_label_centroids,
+    )
+    e = load(spark, sf_dir, "embeddings")
+    cent = (embedding_label_centroids(spark, sf_dir)
+            .select(F.col("label").alias("clabel"), "centroid"))
+    dist = (e.crossJoin(F.broadcast(cent))
+             .select("vec_id", "label", "clabel",
+                     F.expr(
+                         "aggregate(zip_with(embedding, centroid, "
+                         "(x, c) -> (CAST(x AS DOUBLE) - c) "
+                         "* (CAST(x AS DOUBLE) - c)), "
+                         "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+                      .alias("d2")))
+    top2 = (dist.groupBy("vec_id")
+                .agg(F.any_value("label").alias("label"),
+                     F.slice(F.array_sort(
+                         F.collect_list(F.struct("d2", "clabel"))),
+                         1, 2).alias("t2")))
+    return top2.select(
+        "vec_id", "label",
+        F.element_at("t2", 1)["clabel"].alias("best_label"),
+        F.element_at("t2", 1)["d2"].alias("best_dist"),
+        F.element_at("t2", 2)["clabel"].alias("second_label"),
+        (F.element_at("t2", 2)["d2"] - F.element_at("t2", 1)["d2"])
+            .alias("margin"))

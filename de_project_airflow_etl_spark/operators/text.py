@@ -413,3 +413,53 @@ def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", "[0-9]+", "#").alias("redacted"),
         F.size(F.expr("regexp_extract_all(text, '[0-9]+')"))
          .alias("n_redactions"))
+
+
+# --------------------------------------------- lang-id evaluation
+
+
+def _lang_id_oracle() -> str:
+    """The registered text_lang_id oracle, reused verbatim as a CTE so
+    the confusion matrix audits EXACTLY the classifier the registry
+    ships (one source of truth for the stopword heuristic)."""
+    from de_project_airflow_etl_spark.registry import _REGISTRY
+    return _REGISTRY["text_lang_id"].oracle
+
+
+@query(
+    "lang_id_confusion_matrix",
+    oracle=f"""
+        WITH pred AS ({_lang_id_oracle()}),
+        m AS (
+          SELECT lang, predicted_lang,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM pred GROUP BY lang, predicted_lang
+        ),
+        t AS (
+          SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM m
+          GROUP BY lang
+        )
+        SELECT m.lang, m.predicted_lang, m.n, t.n_true,
+               CAST(m.n AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+                 AS row_share
+        FROM m JOIN t USING (lang)
+    """,
+    doc="Confusion matrix of the shipped stopword language classifier "
+        "against the labeled lang column — the evaluation-harness "
+        "query that turns text_lang_id from a transform into a "
+        "measured model. Reuses the registered classifier (same "
+        "function on the Spark side, same oracle SQL as a CTE on the "
+        "DuckDB side) so the audit can never drift from what it "
+        "audits. The matrix is bounded by |languages|^2; row_share "
+        "divides identical exact longs.",
+    tags=("text", "langid", "evaluation"),
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_lang_id(spark, sf_dir)
+    m = (pred.groupBy("lang", "predicted_lang")
+             .agg(F.count(F.lit(1)).alias("n")))
+    t = m.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    return (m.join(F.broadcast(t), "lang")
+             .select("lang", "predicted_lang", "n", "n_true",
+                     (F.col("n").cast("double")
+                      / F.col("n_true").cast("double")).alias("row_share")))

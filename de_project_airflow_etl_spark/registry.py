@@ -95,7 +95,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "udaf_rolling_median_window", "udaf_modal_event_type",
     # new in round 5: evaluation / reporting / matching analytics
     "monthly_revenue_mom_yoy", "fuzzy_name_match_pairs",
-    "language_entropy_by_source", "session_path_counts",
+    "language_diversity_by_source", "session_path_counts",
     "revenue_pareto_curve", "ann_recall_audit",
     "stratified_kfold_assignment", "decile_conversion_lift",
     "dedup_normalized_text", "lang_id_confusion_matrix",

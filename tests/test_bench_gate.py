@@ -109,3 +109,28 @@ def test_gate_fails_loudly_when_machine_factor_saturates():
     fails = gate_failures(sum(timings.values()), timings,
                           BASELINE["value"], BASELINE["queries"])
     assert any("saturated" in f for f in fails)
+
+
+def test_small_headline_queries_have_plan_gates():
+    """ADVICE r4: the widened 3.0x band for sub-0.4s baseline entries
+    is justified by plan-shape gates being the primary regression
+    signal for those queries — so that justification must be
+    ENFORCED: every small headline query's name must appear in a
+    plan/scale test module. A 2-3x regression that stays fast at
+    sf0.1 (e.g. a lost WindowGroupLimit) is then caught by the shape
+    gate the name points at, not by wall-clock."""
+    import glob
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    gate_sources = ""
+    for pattern in ("test_plans*.py", "test_*scale*.py", "test_layout.py",
+                    "test_bucketing.py", "test_skew.py", "test_graph.py",
+                    "test_sketches.py", "test_streaming_*.py",
+                    "test_substr_and_mix.py", "test_wau_scale.py"):
+        for path in glob.glob(os.path.join(tests_dir, pattern)):
+            gate_sources += open(path).read()
+    small = [n for n, t in BASELINE["queries"].items() if t < 0.4]
+    assert small, "headline set should contain sub-0.4s entries"
+    missing = [n for n in small if n not in gate_sources]
+    assert not missing, (
+        f"small headline queries without a plan/scale gate: {missing} — "
+        f"add a shape assertion before relying on the widened band")
