@@ -1053,23 +1053,37 @@ WINNOW_W = 5   # window of consecutive k-gram hashes per fingerprint
     tags=("analytics", "dedup",),
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (load(spark, sf_dir, "documents")
-            .select("doc_id", F.split("text", " ").alias("toks"))
-            .filter(F.expr(f"size(toks) >= {WINNOW_K + WINNOW_W - 1}")))
+    from de_project_airflow_etl_spark.tables import fan_out
+    docs = fan_out(
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.expr(f"size(toks) >= {WINNOW_K + WINNOW_W - 1}")),
+        spark)
     hashed = docs.select("doc_id", F.expr(f"""
         transform(sequence(1, size(toks) - {WINNOW_K - 1}),
           i -> CAST(conv(substring(md5(concat_ws(' ',
                  slice(toks, i, {WINNOW_K}))), 1, 13), 16, 10)
                AS BIGINT))""").alias("hs"))
-    fp = hashed.select("doc_id", F.expr(f"""
+    # ONE projection from hs to the exploded fingerprints. Splitting
+    # this into select(fps)->explode(column) let CollapseProject
+    # substitute the md5 k-gram transform into every reference of hs —
+    # including INSIDE the per-window lambda, re-hashing the whole
+    # document once per window position (measured 234s vs 4s at
+    # sf0.1). The single-projection form keeps the hash transform
+    # evaluated once per row (plan-gated: one md5 in the plan).
+    exploded = hashed.select("doc_id", F.explode(F.expr(f"""
         array_distinct(transform(sequence(1, size(hs) - {WINNOW_W - 1}),
-          j -> array_min(slice(hs, j, {WINNOW_W}))))""").alias("fps"))
-    exploded = fp.select("doc_id", F.explode("fps").alias("fp"))
-    dfreq = (exploded.groupBy("fp")
-             .agg(F.count("*").cast("long").alias("docs_with")))
-    return (exploded.join(dfreq, "fp")
+          j -> array_min(slice(hs, j, {WINNOW_W}))))""")).alias("fp"))
+    # doc frequency via a count window over the fp exchange instead of
+    # groupBy+join-back: the fingerprint subtree feeds ONE exchange and
+    # is computed once, where the join formulation rebuilt it on both
+    # the aggregate and probe sides.
+    counted = exploded.withColumn(
+        "docs_with",
+        F.count(F.lit(1)).over(Window.partitionBy("fp")).cast("long"))
+    return (counted
             .groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_fingerprints"),
+            .agg(F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
                  F.sum(F.when(F.col("docs_with") >= 2, 1).otherwise(0))
                   .cast("long").alias("n_shared"))
             .withColumn("shared_frac",

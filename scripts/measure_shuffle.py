@@ -64,12 +64,20 @@ def main() -> None:
                      cur["spill"] - prev["spill"]))
         prev = cur
 
-    staged_rows = []
+    # Non-headline coverage: the current driver-priority window (the
+    # round's promoted/new queries) plus anything still staged — so
+    # every query the driver will verify this round has a measured
+    # shuffle row, not just the bench headliners.
+    from de_project_airflow_etl_spark.registry import _DRIVER_PRIORITY
     from de_project_airflow_etl_spark.staged import STAGED
-    for name in sorted(STAGED):
+    extra = [n for n in _DRIVER_PRIORITY
+             if n not in HEADLINE and n in registry] + sorted(STAGED)
+    staged_rows = []
+    for name in extra:
         spark.catalog.clearCache()
         clear_pairs_cache()
-        STAGED[name].fn(spark, sf_dir).count()
+        fn = registry[name].fn if name in registry else STAGED[name].fn
+        fn(spark, sf_dir).count()
         cur = _stage_totals(base, app)
         staged_rows.append((name, cur["input"] - prev["input"],
                             cur["sw"] - prev["sw"], cur["sr"] - prev["sr"],
@@ -88,8 +96,8 @@ def main() -> None:
         print(f"| {name} | {mb(sw)} | {mb(sr)} | {mb(spill)} |")
     if staged_rows:
         print()
-        print("| staged query | shuffle write MB | shuffle read MB"
-              " | spill MB |")
+        print("| window query (non-headline) | shuffle write MB"
+              " | shuffle read MB | spill MB |")
         print("|---|---|---|---|")
         for name, _inp, sw, sr, spill in staged_rows:
             print(f"| {name} | {mb(sw)} | {mb(sr)} | {mb(spill)} |")

@@ -67,13 +67,22 @@ def test_skyline_is_broadcast_filter_not_self_join(spark, sf_dir):
     assert has_pushed_filter(df, "o_orderdate"), plan
 
 
-def test_winnowing_join_is_equi_join(spark, sf_dir):
+def test_winnowing_hashes_each_gram_once(spark, sf_dir):
     from de_project_airflow_etl_spark.queries.analytics import (
         winnowing_fingerprints,
     )
-    plan = formatted_plan(winnowing_fingerprints(spark, sf_dir))
+    df = winnowing_fingerprints(spark, sf_dir)
+    plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+    # THE gate for this query: the md5 k-gram transform must appear
+    # exactly once in the executed plan. A two-step projection let
+    # CollapseProject substitute it into the per-window lambda —
+    # re-hashing the whole document at every window position (O(T^2)
+    # md5s; measured 234s vs 1s at sf0.1) — and the join-back
+    # formulation duplicated the subtree again on the probe side.
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("md5") == 1, executed
 
 
 def test_corr_matrix_is_single_aggregate(spark, sf_dir):

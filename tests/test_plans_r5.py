@@ -207,3 +207,34 @@ def test_small_headline_shapes(spark, sf_dir):
     df = qs["tpch_q6_forecast_revenue"].fn(spark, sf_dir)
     assert has_pushed_filter(df, "l_shipdate"), formatted_plan(df)
     assert has_pushed_filter(df, "l_discount"), formatted_plan(df)
+
+
+def test_twap_reuses_user_partitioning(spark, sf_dir):
+    """LEAD window and final aggregate both key on user_id: ONE
+    exchange must serve both (losing the reuse doubles the shuffle of
+    the fact table)."""
+    from de_project_airflow_etl_spark.queries.analytics import (
+        twap_user_values,
+    )
+    ops = _ops(formatted_plan(twap_user_values(spark, sf_dir)))
+    assert "Window" in ops, ops
+    assert ops.count("Exchange") == 1, ops
+
+
+def test_rank_normalize_windows_are_dim_partitioned(spark, sf_dir):
+    """Exact per-dimension ranks must ride windows PARTITIONED on the
+    dimension index (64 equal partitions by construction) — an
+    unpartitioned rank over the exploded matrix would be the
+    single-task global sort this plan exists to avoid."""
+    from de_project_airflow_etl_spark.operators.similarity import (
+        embedding_rank_normalize,
+    )
+    df = embedding_rank_normalize(spark, sf_dir)
+    plan = formatted_plan(df)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # every window spec in the executed plan carries the dim key
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", executed)
+    assert specs, executed
+    assert all("i#" in s for s in specs), specs
+    assert "CartesianProduct" not in plan, plan
