@@ -462,11 +462,12 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                CAST(SUM(n) AS BIGINT) AS n_docs,
                CAST(COUNT(*) AS BIGINT) AS n_langs,
-               CAST(SUM(n * n) AS BIGINT) AS sum_sq,
-               1.0 - CAST(SUM(n * n) AS DOUBLE)
+               CAST(SUM(CAST(n AS HUGEINT) * n) AS BIGINT) AS sum_sq,
+               1.0 - CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE)
                    / CAST(SUM(n) * SUM(n) AS DOUBLE) AS simpson_index,
                CAST(SUM(n) * SUM(n) AS DOUBLE)
-                 / CAST(SUM(n * n) AS DOUBLE) AS effective_langs
+                 / CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE)
+                   AS effective_langs
         FROM c GROUP BY source
     """,
     doc="Language-mix diversity per source: the Gini-Simpson index "
@@ -491,7 +492,10 @@ def language_diversity_by_source(spark: SparkSession,
     return (c.groupBy("source")
              .agg(F.sum("n").alias("n_docs"),
                   F.count(F.lit(1)).alias("n_langs"),
-                  F.sum(F.col("n") * F.col("n")).alias("sum_sq"))
+                  # counts can be corpus-sized at scale: widen the
+                  # squared accumulation (oracle: HUGEINT product)
+                  F.sum((F.col("n").cast("decimal(38,0)") * F.col("n")))
+                   .cast("long").alias("sum_sq"))
              .select("source", "n_docs", "n_langs", "sum_sq",
                      (F.lit(1.0) - F.col("sum_sq").cast("double")
                       / (F.col("n_docs") * F.col("n_docs"))

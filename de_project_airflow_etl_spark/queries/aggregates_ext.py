@@ -81,9 +81,15 @@ def regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                   cents("l_extendedprice").alias("yc"))
           .groupBy("l_returnflag")
           .agg(F.count(F.lit(1)).alias("n"),
-               F.sum("xc").alias("sx"), F.sum("yc").alias("sy"),
-               F.sum(F.col("xc") * F.col("yc")).alias("sxy"),
-               F.sum(F.col("xc") * F.col("xc")).alias("sxx"))
+               # moment sums widen to DECIMAL(38,0): the BIGINT form
+               # crosses 2^63 near sf100 and ANSI mode aborts (the
+               # normal-equation combination below is already decimal)
+               F.sum(F.col("xc").cast("decimal(38,0)")).alias("sx"),
+               F.sum(F.col("yc").cast("decimal(38,0)")).alias("sy"),
+               F.sum((F.col("xc") * F.col("yc")).cast("decimal(38,0)"))
+                .alias("sxy"),
+               F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)"))
+                .alias("sxx"))
     )
     with_slope = base.select("l_returnflag", "n", "sx", "sy",
                              F.expr(_SLOPE).alias("slope"))
@@ -252,27 +258,38 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- z-score outliers
 
-# Population stats per priority class, computed from exact BIGINT
-# moments; the z-threshold comparison happens in DOUBLE with identical
-# operand order on both engines.
-_AVG_C = "CAST(sx AS DOUBLE) / n"
-_SD_C = f"sqrt(CAST(sxx AS DOUBLE) / n - ({_AVG_C}) * ({_AVG_C}))"
+# Population stats per priority class, computed from exact WIDE-INT
+# moments: the sum of squared cents overflows int64 already at sf0.1
+# row counts (~3e15 per row x 3e4 rows/group > 2^63 — Spark's ANSI
+# mode threw, while DuckDB's HUGEINT silently widened), so both
+# engines accumulate in DECIMAL(38,0)/HUGEINT and route wide-int ->
+# double through STRING (the correctly-rounded conversion both
+# engines share; direct HUGEINT->DOUBLE is not correctly rounded —
+# corr_matrix_lineitem discipline). The z-threshold comparison then
+# happens in DOUBLE with identical operand order on both engines.
+_AVG_C = "CAST(CAST(sx AS STRING) AS DOUBLE) / n"
+_SD_C = f"sqrt(CAST(CAST(sxx AS STRING) AS DOUBLE) / n - ({_AVG_C}) * ({_AVG_C}))"
 
 
 @query(
     "outlier_zscore_orders",
     oracle=f"""
         SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
-               ({sql_cents('o.o_totalprice')} - ({_AVG_C})) / ({_SD_C}) AS zscore
+               ({sql_cents('o.o_totalprice')}
+                - ({_AVG_C.replace("AS STRING", "AS VARCHAR")}))
+                 / ({_SD_C.replace("AS STRING", "AS VARCHAR")}) AS zscore
         FROM orders o
         JOIN (
           SELECT o_orderpriority, COUNT(*) AS n,
-                 SUM({sql_cents('o_totalprice')}) AS sx,
-                 SUM({sql_cents('o_totalprice')} * {sql_cents('o_totalprice')}) AS sxx
+                 SUM(CAST({sql_cents('o_totalprice')} AS HUGEINT)) AS sx,
+                 SUM(CAST({sql_cents('o_totalprice')} AS HUGEINT)
+                     * {sql_cents('o_totalprice')}) AS sxx
           FROM orders
           GROUP BY o_orderpriority
         ) s ON s.o_orderpriority = o.o_orderpriority
-        WHERE {sql_cents('o.o_totalprice')} > ({_AVG_C}) + 1.5 * ({_SD_C})
+        WHERE {sql_cents('o.o_totalprice')}
+              > ({_AVG_C.replace("AS STRING", "AS VARCHAR")})
+                + 1.5 * ({_SD_C.replace("AS STRING", "AS VARCHAR")})
     """,
     doc="Per-group z-score outlier detection: exact BIGINT moment sums "
         "per priority class, broadcast back onto the fact table, filter "
@@ -287,8 +304,10 @@ def outlier_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cents("o_totalprice")
     stats = (o.groupBy("o_orderpriority")
               .agg(F.count(F.lit(1)).alias("n"),
-                   F.sum(c).alias("sx"),
-                   F.sum(c * c).alias("sxx")))
+                   F.sum(c.cast("decimal(38,0)")).alias("sx"),
+                   # per-row product fits int64 (cents^2 ~ 3e15); only
+                   # the ACCUMULATION needs the wide type
+                   F.sum((c * c).cast("decimal(38,0)")).alias("sxx")))
     joined = o.join(F.broadcast(stats), "o_orderpriority")
     return (
         joined.filter(F.expr(f"{sql_cents('o_totalprice')} > ({_AVG_C}) + 1.5 * ({_SD_C})"))

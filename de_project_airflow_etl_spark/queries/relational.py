@@ -47,8 +47,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(
               dsum("l_quantity", "sum_qty"),
               dsum("l_extendedprice", "sum_base_price"),
-              (F.sum(price_c * (100 - disc_c)).cast("double") / F.lit(1e4)).alias("sum_disc_price"),
-              (F.sum(price_c * (100 - disc_c) * (100 + tax_c)).cast("double") / F.lit(1e6)).alias("sum_charge"),
+              # products fit int64 per row; accumulate in DECIMAL(38,0)
+              # so a 100x row count cannot cross 2^63 (ANSI would abort;
+              # DuckDB side is already HUGEINT and needs no change)
+              (F.sum((price_c * (100 - disc_c)).cast("decimal(38,0)"))
+                .cast("double") / F.lit(1e4)).alias("sum_disc_price"),
+              (F.sum((price_c * (100 - disc_c) * (100 + tax_c))
+                     .cast("decimal(38,0)"))
+                .cast("double") / F.lit(1e6)).alias("sum_charge"),
               davg("l_quantity", "avg_qty"),
               davg("l_extendedprice", "avg_price"),
               davg("l_discount", "avg_disc"),

@@ -47,7 +47,13 @@ _SQL_REV = (f"CAST(SUM({sql_cents('l_extendedprice')}"
 
 
 def _rev_sum(alias: str = "revenue") -> F.Column:
-    return (F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+    # per-row product fits int64 (~1e11); the ACCUMULATION widens to
+    # DECIMAL(38,0) — a long sum crosses 2^63 around sf30 and ANSI
+    # mode would abort the query (the outlier_zscore_orders lesson).
+    # The DuckDB oracle needs no change: SUM(BIGINT) is HUGEINT, and
+    # below 2^63 both wide types convert to double exactly alike.
+    return (F.sum((cents("l_extendedprice")
+                   * (100 - cents("l_discount"))).cast("decimal(38,0)"))
              .cast("double") / F.lit(1e4)).alias(alias)
 
 
@@ -205,7 +211,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("l_discount") >= 0.05)
                       & (F.col("l_discount") <= 0.07)
                       & (F.col("l_quantity") < 24))
-              .agg((F.sum(cents("l_extendedprice") * cents("l_discount"))
+              .agg((F.sum((cents("l_extendedprice")
+                           * cents("l_discount")).cast("decimal(38,0)"))
                      .cast("double") / F.lit(1e4)).alias("revenue")))
 
 
@@ -313,7 +320,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= _ts("1996-01-01"))
         & (F.col("o_orderdate") < _ts("1998-01-01")))
     li = load(spark, sf_dir, "lineitem")
-    vol_c = cents("l_extendedprice") * (100 - cents("l_discount"))
+    vol_c = (cents("l_extendedprice")
+             * (100 - cents("l_discount"))).cast("decimal(38,0)")
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
               .join(o, li.l_orderkey == o.o_orderkey)
               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -565,7 +573,8 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-09-01"))
         & (F.col("l_shipdate") < _ts("1997-10-01")))
-    vol_c = cents("l_extendedprice") * (100 - cents("l_discount"))
+    vol_c = (cents("l_extendedprice")
+             * (100 - cents("l_discount"))).cast("decimal(38,0)")
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
               .agg((F.lit(100.0)
                     * F.sum(F.when(F.col("p_type") == "PROMO", vol_c)
