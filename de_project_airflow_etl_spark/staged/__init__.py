@@ -37,3 +37,7 @@ def staged_query(name: str, oracle: str | None, doc: str = "",
         return fn
 
     return wrap
+
+
+# registration import at the bottom: round6 needs staged_query above
+from de_project_airflow_etl_spark.staged import round6  # noqa: E402,F401
