@@ -655,3 +655,126 @@ def knn_classifier_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    == F.col("true_label"), 1)
                              .otherwise(0)).cast("double")
                       / F.count(F.lit(1)).cast("double")).alias("accuracy")))
+
+
+# --------------------------------------------- BPE merge application
+
+
+@staged_query(
+    "bpe_merge_apply",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, pos, tok,
+                 LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS nxt
+          FROM (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+          )
+        ),
+        top_pair AS (
+          SELECT tok AS t1, nxt AS t2
+          FROM toks WHERE nxt IS NOT NULL
+          GROUP BY tok, nxt
+          ORDER BY COUNT(*) DESC, tok, nxt LIMIT 1
+        ),
+        flagged AS (
+          SELECT t.doc_id, t.pos, t.tok, t.nxt, p.t1, p.t2,
+                 CASE WHEN t.tok = p.t1 AND t.nxt = p.t2
+                      THEN 1 ELSE 0 END AS flag
+          FROM toks t CROSS JOIN top_pair p
+        ),
+        runs AS (
+          SELECT doc_id, pos, tok, t1, t2, flag,
+                 CASE WHEN flag = 1 THEN pos - ROW_NUMBER() OVER (
+                        PARTITION BY doc_id, flag ORDER BY pos)
+                      ELSE NULL END AS grp
+          FROM flagged
+        ),
+        decided AS (
+          SELECT doc_id, pos, tok, t1, t2, flag,
+                 CASE WHEN flag = 1
+                       AND (pos - MIN(pos) OVER (
+                              PARTITION BY doc_id, grp)) % 2 = 0
+                      THEN 1 ELSE 0 END AS merged
+          FROM runs
+        ),
+        emitted AS (
+          SELECT doc_id, pos, merged,
+                 CASE WHEN merged = 1 THEN tok || '_' || t2
+                      WHEN LAG(merged) OVER (
+                             PARTITION BY doc_id ORDER BY pos) = 1
+                      THEN NULL
+                      ELSE tok END AS out_tok
+          FROM decided
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_before,
+               CAST(COUNT(out_tok) AS BIGINT) AS n_after,
+               CAST(SUM(merged) AS BIGINT) AS n_merges,
+               md5(array_to_string(
+                 list(out_tok ORDER BY pos) FILTER (out_tok IS NOT NULL),
+                 ' ')) AS merged_md5
+        FROM emitted
+        GROUP BY doc_id
+    """,
+    doc="One BPE merge step applied to the corpus: the globally most "
+        "frequent adjacent token pair (ties: lexicographic) is merged "
+        "left-to-right, non-overlapping — the APPLY half of byte-pair "
+        "encoding training whose COUNT half is the registered "
+        "bpe_pair_counts. Overlap resolution ('a a a' merges "
+        "positions 0-1, not 1-2) is the gaps-and-islands form: within "
+        "each run of consecutive pair-starts, every other position "
+        "merges — which also degenerates correctly to the t1 != t2 "
+        "case (runs there provably have length 1). Verification "
+        "hashes the fully merged token sequence per document, so the "
+        "contract is the exact output corpus, not just counts. One "
+        "explode + per-doc windows (doc-partitioned), top pair rides "
+        "a one-row broadcast; at 100 TB the iteration loops this "
+        "step, writing each generation back to the lake.",
+    tags=("staged", "tokenize", "curation"),
+)
+def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks0 = docs.select("doc_id",
+                        F.posexplode(F.split("text", " "))
+                         .alias("pos0", "tok"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos0")
+    toks = toks0.withColumn("nxt", F.lead("tok").over(wdoc))
+    top_pair = (toks.filter(F.col("nxt").isNotNull())
+                .groupBy(F.col("tok").alias("t1"),
+                         F.col("nxt").alias("t2"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), "t1", "t2").limit(1)
+                .select("t1", "t2"))
+    flagged = (toks.crossJoin(F.broadcast(top_pair))
+               .withColumn("flag",
+                           F.when((F.col("tok") == F.col("t1"))
+                                  & (F.col("nxt") == F.col("t2")), 1)
+                            .otherwise(0)))
+    wrun = Window.partitionBy("doc_id", "flag").orderBy("pos0")
+    runs = flagged.withColumn(
+        "grp", F.when(F.col("flag") == 1,
+                      F.col("pos0") - F.row_number().over(wrun)))
+    wgrp = Window.partitionBy("doc_id", "grp")
+    decided = runs.withColumn(
+        "merged",
+        F.when((F.col("flag") == 1)
+               & ((F.col("pos0") - F.min("pos0").over(wgrp)) % 2 == 0),
+               1).otherwise(0))
+    emitted = decided.withColumn(
+        "out_tok",
+        F.when(F.col("merged") == 1,
+               F.concat_ws("_", "tok", "t2"))
+         .when(F.lag("merged").over(wdoc) == 1, F.lit(None))
+         .otherwise(F.col("tok")))
+    return (emitted.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_before"),
+                 F.count("out_tok").alias("n_after"),
+                 F.sum("merged").alias("n_merges"),
+                 F.md5(F.array_join(
+                     F.expr("transform(array_sort(collect_list("
+                            "struct(pos0, out_tok))), p -> p.out_tok)"),
+                     " ")).alias("merged_md5")))
