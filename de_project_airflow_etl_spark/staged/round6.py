@@ -778,3 +778,131 @@ def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.expr("transform(array_sort(collect_list("
                             "struct(pos0, out_tok))), p -> p.out_tok)"),
                      " ")).alias("merged_md5")))
+
+
+# ------------------------------------------ RAKE keyphrase extraction
+
+RAKE_TOP_K = 50
+RAKE_MAX_PHRASE = 4  # cap phrase length: degenerate stopword-free docs
+                     # must not produce document-sized "phrases"
+
+
+def _rake_stop_sql() -> str:
+    from de_project_airflow_etl_spark.operators.text import (
+        STOPWORDS, _sql_in_list,
+    )
+    return _sql_in_list(STOPWORDS["en"])
+
+
+@staged_query(
+    "text_keyphrase_rake",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        content AS (
+          SELECT doc_id, pos, tok,
+                 pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM toks WHERE tok NOT IN ({_rake_stop_sql()})
+        ),
+        phrases AS (
+          SELECT doc_id, grp,
+                 array_to_string(list(tok ORDER BY pos), ' ') AS phrase,
+                 (list(tok ORDER BY pos))[1:{RAKE_MAX_PHRASE}] AS words,
+                 CAST(LEAST(COUNT(*), {RAKE_MAX_PHRASE}) AS BIGINT)
+                   AS plen
+          FROM content GROUP BY doc_id, grp
+        ),
+        word_stats AS (
+          SELECT w AS word,
+                 CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(plen) AS BIGINT) AS degree
+          FROM (SELECT plen, unnest(words) AS w FROM phrases)
+          GROUP BY w
+        ),
+        scored AS (
+          SELECT p.phrase,
+                 CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                 ANY_VALUE(p.score) AS score
+          FROM (
+            SELECT ph.doc_id, ph.grp, ph.phrase,
+                   list_reduce(
+                     list_prepend(CAST(0 AS DOUBLE),
+                       list(CAST(ws.degree AS DOUBLE)
+                            / CAST(ws.freq AS DOUBLE)
+                            ORDER BY ws.word)),
+                     (acc, v) -> acc + v) AS score
+            FROM (SELECT doc_id, grp, phrase, unnest(words) AS w
+                  FROM phrases) ph
+            JOIN word_stats ws ON ws.word = ph.w
+            GROUP BY ph.doc_id, ph.grp, ph.phrase
+          ) p
+          GROUP BY p.phrase
+        )
+        SELECT phrase, n_occurrences, score
+        FROM scored
+        ORDER BY score DESC, n_occurrences DESC, phrase
+        LIMIT {RAKE_TOP_K}
+    """,
+    doc="RAKE keyphrase extraction (Rose et al. 2010): candidate "
+        "phrases are maximal stopword-free token runs (the "
+        "gaps-and-islands segmentation, capped at 4 words so a "
+        "stopword-free degenerate document cannot form a "
+        "document-sized phrase), each word scores degree/frequency "
+        "over the phrase co-occurrence graph, and a phrase scores the "
+        "sum of its member word scores — folded in WORD-SORTED order "
+        "so both engines accumulate the identical IEEE sequence "
+        "(knn-fold discipline; degree and frequency themselves are "
+        "exact integers). Corpus-level top-50 rides a "
+        "TakeOrderedAndProject heap with full tie-breaks. Shuffles: "
+        "the phrase regroup, the word-stats aggregate, and one "
+        "broadcast-able join of words back to phrases.",
+    tags=("staged", "text", "keyphrases"),
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.operators.text import STOPWORDS
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.posexplode(F.split("text", " "))
+                        .alias("pos", "tok"))
+    stop = F.lit(list(STOPWORDS["en"]))  # tiny literal array
+    content = (toks.filter(~F.array_contains(stop, F.col("tok")))
+               .withColumn("grp",
+                           F.col("pos") - F.row_number().over(
+                               Window.partitionBy("doc_id")
+                                     .orderBy("pos"))))
+    phrases = (content.groupBy("doc_id", "grp")
+               .agg(F.expr("array_join(transform(array_sort("
+                           "collect_list(struct(pos, tok))), "
+                           "p -> p.tok), ' ')").alias("phrase"),
+                    F.expr(f"slice(transform(array_sort("
+                           f"collect_list(struct(pos, tok))), "
+                           f"p -> p.tok), 1, {RAKE_MAX_PHRASE})")
+                     .alias("words"),
+                    F.least(F.count(F.lit(1)),
+                            F.lit(RAKE_MAX_PHRASE)).cast("long")
+                     .alias("plen")))
+    word_stats = (phrases.select("plen", F.explode("words").alias("word"))
+                  .groupBy("word")
+                  .agg(F.count(F.lit(1)).alias("freq"),
+                       F.sum("plen").alias("degree")))
+    per_phrase = (phrases.select("doc_id", "grp", "phrase",
+                                 F.explode("words").alias("w"))
+                  .join(word_stats,
+                        F.col("w") == F.col("word"))
+                  .groupBy("doc_id", "grp", "phrase")
+                  .agg(F.expr(
+                      "aggregate(array_sort(collect_list(struct("
+                      "word, CAST(degree AS DOUBLE) "
+                      "/ CAST(freq AS DOUBLE) AS ds))), "
+                      "CAST(0 AS DOUBLE), "
+                      "(acc, x) -> acc + x.ds)").alias("score")))
+    return (per_phrase.groupBy("phrase")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.any_value("score").alias("score"))
+            .orderBy(F.desc("score"), F.desc("n_occurrences"), "phrase")
+            .limit(RAKE_TOP_K))
