@@ -906,3 +906,66 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.any_value("score").alias("score"))
             .orderBy(F.desc("score"), F.desc("n_occurrences"), "phrase")
             .limit(RAKE_TOP_K))
+
+
+# ---------------------------------------- point-in-time backlog
+
+
+@staged_query(
+    "orders_backlog_monthend",
+    oracle=f"""
+        WITH ship AS (
+          SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+          FROM lineitem GROUP BY l_orderkey
+        ),
+        o AS (
+          SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+                 {_O_CENTS} AS cents, s.last_ship
+          FROM orders JOIN ship s ON o_orderkey = s.l_orderkey
+        ),
+        spine AS (
+          SELECT DISTINCT last_day(CAST(o_orderdate AS DATE)) AS d
+          FROM orders
+        )
+        SELECT CAST(sp.d AS TIMESTAMP) AS month_end,
+               CAST(COUNT(*) AS BIGINT) AS n_open,
+               CAST(SUM(o.cents) AS BIGINT) AS open_cents,
+               CAST(MAX(date_diff('day', o.od, sp.d)) AS BIGINT)
+                 AS max_age_days
+        FROM o JOIN spine sp
+          ON o.od <= sp.d AND o.last_ship > sp.d
+        GROUP BY sp.d
+    """,
+    doc="Point-in-time open-order backlog at every month end: an "
+        "order is open at D if placed on or before D and its last "
+        "line ships after D — the as-of inventory question that "
+        "trips naive current-state rollups. The month-end spine is "
+        "calendar-bounded, so the interval-containment join is a "
+        "BroadcastNestedLoopJoin whose BUILD side is the ~10^2-row "
+        "spine (the bounded-broadcast pattern of ann_recall_audit, "
+        "not an all-pairs degeneration); each order expands into at "
+        "most its open-months count. Per-order last-ship is one "
+        "map-side-combinable aggregate; ages are exact integer "
+        "days.",
+    tags=("staged", "reporting", "timeseries"),
+)
+def orders_backlog_monthend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship = (load(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.max(F.to_date("l_shipdate")).alias("last_ship")))
+    orders = load(spark, sf_dir, "orders")
+    o = (orders.join(ship, orders.o_orderkey == ship.l_orderkey)
+         .select(F.to_date("o_orderdate").alias("od"),
+                 F.expr(_O_CENTS).alias("cents"), "last_ship"))
+    spine = (orders.select(F.last_day(F.to_date("o_orderdate"))
+                           .alias("d")).distinct())
+    return (o.crossJoin(F.broadcast(spine))
+             .filter((F.col("od") <= F.col("d"))
+                     & (F.col("last_ship") > F.col("d")))
+             .groupBy("d")
+             .agg(F.count(F.lit(1)).alias("n_open"),
+                  F.sum("cents").alias("open_cents"),
+                  F.max(F.datediff("d", "od")).cast("long")
+                   .alias("max_age_days"))
+             .select(F.col("d").cast("timestamp").alias("month_end"),
+                     "n_open", "open_cents", "max_age_days"))
