@@ -969,3 +969,103 @@ def orders_backlog_monthend(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("max_age_days"))
              .select(F.col("d").cast("timestamp").alias("month_end"),
                      "n_open", "open_cents", "max_age_days"))
+
+
+# ---------------------------------------- CUSUM change detection
+
+CUSUM_K_NUM, CUSUM_K_DEN = 1, 2   # slack k = 0.5 * |grand mean|
+CUSUM_H_NUM, CUSUM_H_DEN = 4, 1   # alarm threshold h = 4 * k
+
+
+@staged_query(
+    "daily_value_cusum_drift",
+    oracle=f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        grand AS (
+          SELECT event_type,
+                 CAST(SUM(cents) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                   AS mu
+          FROM daily GROUP BY event_type
+        ),
+        dev AS (
+          SELECT d.event_type, d.day,
+                 CAST(d.cents AS DOUBLE) / CAST(d.n AS DOUBLE)
+                   - g.mu AS dev,
+                 g.mu * {CUSUM_K_NUM} / {CUSUM_K_DEN} AS k
+          FROM daily d JOIN grand g USING (event_type)
+        ),
+        arr AS (
+          SELECT event_type,
+                 list({{'day': day, 'dev': dev}} ORDER BY day) AS a,
+                 ANY_VALUE(k) AS k
+          FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day,
+               list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(
+                     list_filter(arr.a, x -> x.day <= d.day),
+                     x -> x.dev)),
+                 (acc, v) -> GREATEST(CAST(0 AS DOUBLE),
+                                      acc + v - arr.k)) AS cusum_pos,
+               CASE WHEN list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(
+                     list_filter(arr.a, x -> x.day <= d.day),
+                     x -> x.dev)),
+                 (acc, v) -> GREATEST(CAST(0 AS DOUBLE),
+                                      acc + v - arr.k))
+                 > arr.k * {CUSUM_H_NUM} / {CUSUM_H_DEN}
+               THEN 1 ELSE 0 END AS alarm
+        FROM dev d JOIN arr ON arr.event_type = d.event_type
+    """,
+    doc="One-sided CUSUM drift detection on daily mean event value per "
+        "type (Page 1954, the classic sequential change-point chart): "
+        "S_t = max(0, S_(t-1) + dev_t - k), alarm when S_t > h, with "
+        "slack k = mu/2 and h = 4k. CUSUM is inherently a sequential "
+        "recurrence, so it folds over the CALENDAR-BOUNDED daily "
+        "deviation array per type (the Kaplan-Meier prefix-fold "
+        "pattern: ~30 entries here, ~10^3 at any scale, broadcast "
+        "with the per-type slack) — the corpus-scale work is only the "
+        "daily rollup, one map-side-combinable aggregate. Deviations "
+        "divide identical exact cent/count longs, and both engines "
+        "execute the identical IEEE fold sequence.",
+    tags=("staged", "timeseries", "anomaly"),
+)
+def daily_value_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"))
+    daily = (e.groupBy("event_type", "day")
+              .agg(F.sum("cents").alias("cents"),
+                   F.count(F.lit(1)).alias("n")))
+    grand = (daily.groupBy("event_type")
+             .agg((F.sum("cents").cast("double")
+                   / F.sum("n").cast("double")).alias("mu")))
+    dev = (daily.join(F.broadcast(grand), "event_type")
+           .select("event_type", "day",
+                   (F.col("cents").cast("double")
+                    / F.col("n").cast("double") - F.col("mu"))
+                       .alias("dev"),
+                   (F.col("mu") * CUSUM_K_NUM / CUSUM_K_DEN).alias("k")))
+    arr = (dev.groupBy("event_type")
+           .agg(F.expr("array_sort(collect_list(struct(day, dev)))")
+                 .alias("a"),
+                F.any_value("k").alias("k")))
+    cusum = ("aggregate(transform(filter(a, x -> x.day <= day), "
+             "x -> x.dev), CAST(0 AS DOUBLE), "
+             "(acc, v) -> GREATEST(CAST(0 AS DOUBLE), acc + v - k))")
+    return (dev.drop("k")
+               .join(F.broadcast(arr), "event_type")
+               .select("event_type",
+                       F.col("day").cast("timestamp").alias("day"),
+                       F.expr(cusum).alias("cusum_pos"),
+                       F.expr(f"CASE WHEN {cusum} > k * {CUSUM_H_NUM} "
+                              f"/ {CUSUM_H_DEN} THEN 1 ELSE 0 END")
+                        .alias("alarm")))
