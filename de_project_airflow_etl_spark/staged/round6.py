@@ -1069,3 +1069,157 @@ def daily_value_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.expr(f"CASE WHEN {cusum} > k * {CUSUM_H_NUM} "
                               f"/ {CUSUM_H_DEN} THEN 1 ELSE 0 END")
                         .alias("alarm")))
+
+
+# --------------------------------------- LOF density-based outliers
+
+LOF_K = 3
+LOF_BITS = 4   # coarser sign-LSH than the ANN family's 8 bits: the
+               # neighborhood blocks need tens of members, not ~n/256
+
+
+def _lof_bucket_sql(col: str) -> str:
+    return (f"list_reduce(list_prepend(0, list_transform("
+            f"generate_series(1, {LOF_BITS}),"
+            f" i -> CASE WHEN {col}[i] > 0.0 THEN (1 << (i - 1)) "
+            f"ELSE 0 END)), (acc, v) -> acc + v)")
+
+
+_LOF_D2 = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+           "list_transform(generate_series(1, len(p.embedding)), "
+           "i -> (CAST(p.embedding[i] AS DOUBLE) "
+           "- CAST(o.embedding[i] AS DOUBLE)) "
+           "* (CAST(p.embedding[i] AS DOUBLE) "
+           "- CAST(o.embedding[i] AS DOUBLE)))), (acc, v) -> acc + v)")
+
+
+@staged_query(
+    "lof_bucket_outliers",
+    oracle=f"""
+        WITH b AS (
+          SELECT vec_id, embedding,
+                 {_lof_bucket_sql('embedding')} AS bucket
+          FROM embeddings
+        ),
+        sized AS (
+          SELECT vec_id, embedding, bucket,
+                 COUNT(*) OVER (PARTITION BY bucket) AS bsize
+          FROM b
+        ),
+        qual AS (SELECT * FROM sized WHERE bsize > {LOF_K}),
+        knn AS (
+          SELECT p_vec, o_vec, d2, rk, bucket, bsize FROM (
+            SELECT p.vec_id AS p_vec, o.vec_id AS o_vec,
+                   p.bucket AS bucket, p.bsize AS bsize,
+                   {_LOF_D2} AS d2,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY p.vec_id
+                     ORDER BY {_LOF_D2}, o.vec_id) AS rk
+            FROM qual p JOIN qual o
+              ON p.bucket = o.bucket AND p.vec_id <> o.vec_id
+          ) WHERE rk <= {LOF_K}
+        ),
+        kdist AS (
+          SELECT p_vec AS vec_id, d2 AS kd2 FROM knn WHERE rk = {LOF_K}
+        ),
+        reach AS (
+          SELECT k.p_vec, k.rk, k.bucket, k.bsize, k.o_vec,
+                 sqrt(GREATEST(kd.kd2, k.d2)) AS rdist
+          FROM knn k JOIN kdist kd ON kd.vec_id = k.o_vec
+        ),
+        lrd AS (
+          SELECT p_vec AS vec_id, ANY_VALUE(bucket) AS bucket,
+                 ANY_VALUE(bsize) AS bsize,
+                 {LOF_K}.0 / list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                                list(rdist ORDER BY rk)),
+                   (acc, v) -> acc + v) AS lrd
+          FROM reach GROUP BY p_vec
+        )
+        SELECT r.p_vec AS vec_id,
+               ANY_VALUE(r.bucket) AS bucket,
+               CAST(ANY_VALUE(r.bsize) AS BIGINT) AS bucket_size,
+               list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                              list(lo.lrd ORDER BY r.rk)),
+                 (acc, v) -> acc + v)
+                 / ({LOF_K}.0 * ANY_VALUE(lp.lrd)) AS lof
+        FROM reach r
+        JOIN lrd lo ON lo.vec_id = r.o_vec
+        JOIN lrd lp ON lp.vec_id = r.p_vec
+        GROUP BY r.p_vec
+    """,
+    doc="Local Outlier Factor (Breunig et al. 2000) within sign-LSH "
+        "neighborhoods: k-distance, reachability distance "
+        "max(k-dist(o), d(p,o)), local reachability density, and "
+        "LOF = mean neighbor-lrd / own-lrd — the density-based "
+        "outlier score that catches what global z-score/MAD gates "
+        "cannot (a point normal globally but isolated locally). The "
+        "all-pairs step is BLOCKED by a 4-bit sign-LSH bucket (the "
+        "dedup_embedding_cosine discipline — bucket width, not corpus "
+        "size, bounds the quadratic term; the bit count is the "
+        "lever), kNN sets are pinned to exactly k by (distance, "
+        "vec_id) ties, and every distance/lrd sum folds in "
+        "rank order so both engines accumulate identical IEEE "
+        "sequences. Buckets smaller than k+1 are excluded by "
+        "definition.",
+    tags=("staged", "similarity", "anomaly"),
+)
+def lof_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    bucket = F.expr(
+        f"aggregate(sequence(1, {LOF_BITS}), 0,"
+        f" (acc, i) -> acc + IF(element_at(embedding, i) > 0,"
+        f" shiftleft(1, i - 1), 0))")
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    sized = b.withColumn(
+        "bsize", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
+    qual = sized.filter(F.col("bsize") > LOF_K)
+    p = qual.select(F.col("vec_id").alias("p_vec"),
+                    F.col("embedding").alias("p_emb"),
+                    "bucket", "bsize")
+    o = qual.select(F.col("vec_id").alias("o_vec"),
+                    F.col("embedding").alias("o_emb"),
+                    F.col("bucket").alias("obucket"))
+    d2 = F.expr("aggregate(zip_with(p_emb, o_emb, (x, y) -> "
+                "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+                "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    pairs = (p.join(o, (F.col("bucket") == F.col("obucket"))
+                    & (F.col("p_vec") != F.col("o_vec")))
+             .select("p_vec", "o_vec", "bucket", "bsize",
+                     d2.alias("d2")))
+    w = Window.partitionBy("p_vec").orderBy(F.asc("d2"), F.asc("o_vec"))
+    knn = (pairs.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= LOF_K))
+    kdist = (knn.filter(F.col("rk") == LOF_K)
+                .select(F.col("p_vec").alias("kv"),
+                        F.col("d2").alias("kd2")))
+    reach = (knn.join(kdist, knn.o_vec == kdist.kv)
+                .select("p_vec", "rk", "bucket", "bsize", "o_vec",
+                        F.sqrt(F.greatest("kd2", "d2")).alias("rdist")))
+    lrd = (reach.groupBy("p_vec")
+           .agg(F.any_value("bucket").alias("bucket"),
+                F.any_value("bsize").alias("bsize"),
+                (F.lit(float(LOF_K)) / F.expr(
+                    "aggregate(transform(array_sort(collect_list("
+                    "struct(rk, rdist))), s -> s.rdist), "
+                    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+                    .alias("lrd")))
+    lo = lrd.select(F.col("p_vec").alias("lo_vec"),
+                    F.col("lrd").alias("lrd_o"))
+    lp = lrd.select(F.col("p_vec").alias("lp_vec"),
+                    F.col("lrd").alias("lrd_p"))
+    return (reach.join(lo, reach.o_vec == lo.lo_vec)
+                 .join(lp, reach.p_vec == lp.lp_vec)
+                 .groupBy("p_vec")
+                 .agg(F.any_value("bucket").alias("bucket"),
+                      F.any_value("bsize").cast("long")
+                       .alias("bucket_size"),
+                      (F.expr("aggregate(transform(array_sort("
+                              "collect_list(struct(rk, lrd_o))), "
+                              "s -> s.lrd_o), CAST(0 AS DOUBLE), "
+                              "(acc, v) -> acc + v)")
+                       / (F.lit(float(LOF_K)) * F.any_value("lrd_p")))
+                          .alias("lof"))
+                 .withColumnRenamed("p_vec", "vec_id"))
