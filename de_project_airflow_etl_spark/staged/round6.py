@@ -1223,3 +1223,431 @@ def lof_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / (F.lit(float(LOF_K)) * F.any_value("lrd_p")))
                           .alias("lof"))
                  .withColumnRenamed("p_vec", "vec_id"))
+
+
+# ===================================================================
+# Exact nonparametric statistics over the calendar-bounded daily
+# revenue series. All four tests reduce the corpus-scale work to ONE
+# map-side-combinable daily rollup (day, exact cents, count); the
+# test statistics then run over <= #calendar-days rows, so their
+# unpartitioned windows are provably bounded (the per-date-maxima
+# precedent from staged/round5.py). Rank/count arithmetic stays in
+# integers end-to-end; the single double division happens last.
+# ===================================================================
+
+_DAILY_REV_SQL = """
+        daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        )
+"""
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "orders")
+            .groupBy(F.to_date("o_orderdate").alias("day"))
+            .agg(F.sum(F.expr(_O_CENTS)).alias("cents"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+@staged_query(
+    "mann_whitney_daily_value",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        grp AS (
+          SELECT cents,
+                 CASE WHEN dayofweek(day) IN (0, 6) THEN 0 ELSE 1 END
+                   AS is_wd
+          FROM daily
+        ),
+        per_v AS (
+          SELECT cents,
+                 CAST(SUM(is_wd) AS BIGINT) AS n1v,
+                 CAST(SUM(1 - is_wd) AS BIGINT) AS n2v
+          FROM grp GROUP BY cents
+        ),
+        cum AS (
+          SELECT n1v, n2v,
+                 COALESCE(SUM(n2v) OVER (
+                   ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum2_lt
+          FROM per_v
+        ),
+        s AS (
+          SELECT CAST(SUM(n1v) AS BIGINT) AS n_weekday,
+                 CAST(SUM(n2v) AS BIGINT) AS n_weekend,
+                 CAST(SUM(n1v * (2 * cum2_lt + n2v)) AS BIGINT)
+                   AS u_twice
+          FROM cum
+        )
+        SELECT n_weekday, n_weekend, u_twice,
+               CAST(u_twice AS DOUBLE)
+                 / (2.0 * CAST(n_weekday AS DOUBLE)
+                    * CAST(n_weekend AS DOUBLE)) AS auc
+        FROM s
+    """,
+    doc="Mann-Whitney U rank-sum test between weekday and weekend "
+        "daily revenue, with the AUC interpretation U/(n1*n2) "
+        "(P(weekday day out-earns a weekend day), ties at 1/2). "
+        "Computed in the exact pairwise form: per distinct daily "
+        "value, 2*U accumulates n1_v * (2 * #weekend-values-below + "
+        "n2_v), so tie handling is integer-exact (no 0.5 average "
+        "ranks ever materialize). The only window runs over distinct "
+        "DAILY totals — calendar-bounded — and the corpus-scale work "
+        "is the one daily rollup. dayofweek parity: DuckDB dayofweek "
+        "is 0=Sunday; Spark dayofweek is 1=Sunday, shifted by -1.",
+    tags=("staged", "statistics"),
+)
+def mann_whitney_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_revenue(spark, sf_dir)
+    grp = daily.select(
+        "cents",
+        F.when(((F.dayofweek("day") - 1) % 7).isin(0, 6), F.lit(0))
+         .otherwise(F.lit(1)).alias("is_wd"))
+    per_v = grp.groupBy("cents").agg(
+        F.sum("is_wd").cast("long").alias("n1v"),
+        F.sum(1 - F.col("is_wd")).cast("long").alias("n2v"))
+    below = (Window.orderBy("cents")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cum = per_v.select(
+        "n1v", "n2v",
+        F.coalesce(F.sum("n2v").over(below), F.lit(0)).alias("cum2_lt"))
+    s = cum.agg(
+        F.sum("n1v").cast("long").alias("n_weekday"),
+        F.sum("n2v").cast("long").alias("n_weekend"),
+        F.sum(F.col("n1v") * (2 * F.col("cum2_lt") + F.col("n2v")))
+         .cast("long").alias("u_twice"))
+    return s.select(
+        "n_weekday", "n_weekend", "u_twice",
+        (F.col("u_twice").cast("double")
+         / (F.lit(2.0) * F.col("n_weekday").cast("double")
+            * F.col("n_weekend").cast("double"))).alias("auc"))
+
+
+@staged_query(
+    "ks_statistic_daily_value",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        grp AS (
+          SELECT cents,
+                 CASE WHEN dayofweek(day) IN (0, 6) THEN 0 ELSE 1 END
+                   AS is_wd
+          FROM daily
+        ),
+        per_v AS (
+          SELECT cents,
+                 CAST(SUM(is_wd) AS BIGINT) AS n1v,
+                 CAST(SUM(1 - is_wd) AS BIGINT) AS n2v
+          FROM grp GROUP BY cents
+        ),
+        cum AS (
+          SELECT SUM(n1v) OVER (
+                   ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c1,
+                 SUM(n2v) OVER (
+                   ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c2,
+                 SUM(n1v) OVER () AS n1,
+                 SUM(n2v) OVER () AS n2
+          FROM per_v
+        )
+        SELECT CAST(ANY_VALUE(n1) AS BIGINT) AS n_weekday,
+               CAST(ANY_VALUE(n2) AS BIGINT) AS n_weekend,
+               CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num,
+               CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+                 / (CAST(ANY_VALUE(n1) AS DOUBLE)
+                    * CAST(ANY_VALUE(n2) AS DOUBLE)) AS d_stat
+        FROM cum
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between weekday and "
+        "weekend daily revenue: D = max_v |F1(v) - F2(v)| evaluated "
+        "over the pooled distinct daily totals, kept exact by the "
+        "common-denominator form |c1(v)*n2 - c2(v)*n1| (an integer!) "
+        "divided once at the end. Same bounded-window / one-rollup "
+        "scale shape as mann_whitney_daily_value.",
+    tags=("staged", "statistics"),
+)
+def ks_statistic_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_revenue(spark, sf_dir)
+    grp = daily.select(
+        "cents",
+        F.when(((F.dayofweek("day") - 1) % 7).isin(0, 6), F.lit(0))
+         .otherwise(F.lit(1)).alias("is_wd"))
+    per_v = grp.groupBy("cents").agg(
+        F.sum("is_wd").cast("long").alias("n1v"),
+        F.sum(1 - F.col("is_wd")).cast("long").alias("n2v"))
+    upto = (Window.orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    whole = Window.partitionBy()
+    cum = per_v.select(
+        F.sum("n1v").over(upto).alias("c1"),
+        F.sum("n2v").over(upto).alias("c2"),
+        F.sum("n1v").over(whole).alias("n1"),
+        F.sum("n2v").over(whole).alias("n2"))
+    gap = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    return cum.agg(
+        F.any_value("n1").cast("long").alias("n_weekday"),
+        F.any_value("n2").cast("long").alias("n_weekend"),
+        F.max(gap).cast("long").alias("d_num"),
+        (F.max(gap).cast("double")
+         / (F.any_value("n1").cast("double")
+            * F.any_value("n2").cast("double"))).alias("d_stat"))
+
+
+@staged_query(
+    "spearman_daily_price_volume",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        r AS (
+          SELECT 2 * RANK() OVER (ORDER BY n_orders)
+                   + COUNT(*) OVER (PARTITION BY n_orders) - 1 AS rx,
+                 2 * RANK() OVER (ORDER BY cents)
+                   + COUNT(*) OVER (PARTITION BY cents) - 1 AS ry
+          FROM daily
+        ),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(rx AS HUGEINT)) AS srx,
+                 SUM(CAST(ry AS HUGEINT)) AS sry,
+                 SUM(CAST(rx AS HUGEINT) * rx) AS srxrx,
+                 SUM(CAST(rx AS HUGEINT) * ry) AS srxry,
+                 SUM(CAST(ry AS HUGEINT) * ry) AS sryry
+          FROM r
+        )
+        SELECT n AS n_days,
+               CAST(CAST((CAST(n AS HUGEINT) * srxry - srx * sry)
+                    AS VARCHAR) AS DOUBLE)
+                 / sqrt(CAST(CAST((CAST(n AS HUGEINT) * srxrx
+                                   - srx * srx) AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST((CAST(n AS HUGEINT) * sryry
+                                     - sry * sry) AS VARCHAR)
+                               AS DOUBLE)) AS rho
+        FROM s
+    """,
+    doc="Exact Spearman rank correlation between daily order volume "
+        "and daily revenue. Tie handling uses doubled average ranks "
+        "(2*avg_rank = 2*min_rank + tie_count - 1, an integer), so "
+        "the rank transform is exact; rho is then Pearson on the "
+        "integer doubled ranks via the corr_matrix_lineitem "
+        "sufficient-statistics discipline (DECIMAL(38,0)/HUGEINT "
+        "accumulators, wide-int -> double through a string cast, one "
+        "IEEE division at the end — the doubling factors cancel). "
+        "Rank windows run over the calendar-bounded daily rollup.",
+    tags=("staged", "statistics"),
+)
+def spearman_daily_price_volume(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.queries.analytics import (
+        _corr_expr, corr_sum_aggs)
+    daily = _daily_revenue(spark, sf_dir)
+    r = daily.select(
+        (2 * F.rank().over(Window.orderBy("n_orders"))
+         + F.count(F.lit(1)).over(Window.partitionBy("n_orders"))
+         - 1).alias("rx"),
+        (2 * F.rank().over(Window.orderBy("cents"))
+         + F.count(F.lit(1)).over(Window.partitionBy("cents"))
+         - 1).alias("ry"))
+    s = r.agg(*corr_sum_aggs(("rx", "ry")))
+    return s.selectExpr(
+        "n AS n_days",
+        f"{_corr_expr('rx', 'ry', 'DECIMAL(38,0)', 'STRING')} AS rho")
+
+
+# ------------------------------------------- Benford digit audit
+
+_BENFORD = {
+    1: "0.3010299956639812", 2: "0.17609125905568124",
+    3: "0.12493873660829992", 4: "0.09691001300805642",
+    5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+_BENFORD_CASE = ("CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({v} AS DOUBLE)"
+    for d, v in _BENFORD.items()) + " END")
+
+
+@staged_query(
+    "benford_first_digit",
+    oracle=f"""
+        WITH d AS (
+          SELECT CAST(SUBSTRING(CAST({_O_CENTS} AS VARCHAR), 1, 1)
+                      AS BIGINT) AS digit
+          FROM orders
+        ),
+        c AS (
+          SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY digit
+        )
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+                 AS share,
+               {_BENFORD_CASE} AS expected_share,
+               ABS(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+                   - {_BENFORD_CASE}) AS abs_dev
+        FROM c
+    """,
+    doc="Benford's-law first-significant-digit audit of order values "
+        "(the classic fraud / synthetic-data screen): count of each "
+        "leading digit of the exact cent value, observed share, the "
+        "Benford expectation log10(1+1/d), and the absolute "
+        "deviation. Expected shares are embedded as identical "
+        "literals on both engines so no cross-engine log() call is "
+        "trusted. One map-side-combinable aggregate into a 9-row "
+        "domain; the shares divide exact longs once.",
+    tags=("staged", "statistics", "quality"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "orders").select(
+        F.expr(f"CAST(SUBSTRING(CAST({_O_CENTS} AS STRING), 1, 1) "
+               "AS BIGINT)").alias("digit"))
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    whole = Window.partitionBy()
+    share = F.col("n").cast("double") / F.sum("n").over(whole).cast("double")
+    return c.select(
+        "digit", "n", share.alias("share"),
+        F.expr(_BENFORD_CASE).alias("expected_share"),
+        F.abs(share - F.expr(_BENFORD_CASE)).alias("abs_dev"))
+
+
+@staged_query(
+    "autocorr_daily_revenue",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        r AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn, cents
+          FROM daily
+        ),
+        p AS (
+          SELECT b.rn - a.rn AS lag, a.cents AS x, b.cents AS y
+          FROM r a
+          JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 7
+        ),
+        s AS (
+          SELECT lag,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
+          FROM p GROUP BY lag
+        )
+        SELECT lag, n AS n_pairs,
+               CAST(CAST((CAST(n AS HUGEINT) * sxy - sx * sy)
+                    AS VARCHAR) AS DOUBLE)
+                 / sqrt(CAST(CAST((CAST(n AS HUGEINT) * sxx - sx * sx)
+                              AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST((CAST(n AS HUGEINT) * syy
+                                     - sy * sy) AS VARCHAR)
+                               AS DOUBLE)) AS acf
+        FROM s
+    """,
+    doc="Lag-1..7 autocorrelation function of the daily revenue "
+        "series (the weekly-seasonality diagnostic): for each lag k, "
+        "Pearson correlation between the series and itself shifted k "
+        "ROWS (row-position lag over the day-ordered series, so gap "
+        "days cannot silently stretch a lag). Pairs come from ONE "
+        "equi-join of the calendar-bounded per-day relation against "
+        "itself on rn + k (k exploded 1..7 on the Spark side, a range "
+        "band in the oracle); sums accumulate exact cents products in "
+        "DECIMAL(38,0)/HUGEINT per the corr_matrix_lineitem "
+        "discipline.",
+    tags=("staged", "statistics", "timeseries"),
+)
+def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.queries.analytics import (
+        _corr_expr, corr_sum_aggs)
+    daily = _daily_revenue(spark, sf_dir)
+    r = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("rn"), "cents")
+    a = r.select(
+        "cents",
+        F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("lag"),
+        F.col("rn").alias("rn_a"))
+    b = r.select(F.col("rn").alias("rn_b"), F.col("cents").alias("y"))
+    p = (a.join(b, a.rn_a + a.lag == b.rn_b)
+          .select("lag", F.col("cents").alias("x"), "y"))
+    s = p.groupBy("lag").agg(*corr_sum_aggs(("x", "y")))
+    return s.selectExpr(
+        "lag", "n AS n_pairs",
+        f"{_corr_expr('x', 'y', 'DECIMAL(38,0)', 'STRING')} AS acf")
+
+
+RSI_WINDOW = 14
+
+
+@staged_query(
+    "rsi_daily_revenue",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        d AS (
+          SELECT day,
+                 cents - LAG(cents) OVER (ORDER BY day) AS diff
+          FROM daily
+        ),
+        g AS (
+          SELECT day,
+                 GREATEST(diff, 0) AS gain,
+                 GREATEST(-diff, 0) AS loss
+          FROM d WHERE diff IS NOT NULL
+        ),
+        w AS (
+          SELECT day,
+                 CAST(SUM(gain) OVER (
+                   ORDER BY day ROWS BETWEEN {RSI_WINDOW - 1} PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS gain_cents,
+                 CAST(SUM(loss) OVER (
+                   ORDER BY day ROWS BETWEEN {RSI_WINDOW - 1} PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS loss_cents,
+                 COUNT(*) OVER (
+                   ORDER BY day ROWS BETWEEN {RSI_WINDOW - 1} PRECEDING
+                   AND CURRENT ROW) AS n_window
+          FROM g
+        )
+        SELECT CAST(day AS TIMESTAMP) AS day, gain_cents, loss_cents,
+               CASE WHEN gain_cents + loss_cents > 0
+                    THEN 100.0 * CAST(gain_cents AS DOUBLE)
+                         / CAST(gain_cents + loss_cents AS DOUBLE)
+                    ELSE NULL END AS rsi
+        FROM w WHERE n_window = {RSI_WINDOW}
+    """,
+    doc=f"{RSI_WINDOW}-day simple RSI (relative strength index) of "
+        "daily revenue: day-over-day diffs in exact cents, gains and "
+        "losses summed over a trailing {RSI_WINDOW}-row window, RSI = "
+        "100 * gain / (gain + loss) as the single double division "
+        "(NULL on an all-flat window). Emitted only for complete "
+        "windows so both engines agree on the warm-up edge. All "
+        "windows run over the calendar-bounded daily series.",
+    tags=("staged", "statistics", "timeseries"),
+)
+def rsi_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_revenue(spark, sf_dir)
+    byday = Window.orderBy("day")
+    d = daily.select(
+        "day", (F.col("cents") - F.lag("cents").over(byday)).alias("diff"))
+    g = (d.where(F.col("diff").isNotNull())
+          .select("day",
+                  F.greatest("diff", F.lit(0)).alias("gain"),
+                  F.greatest(-F.col("diff"), F.lit(0)).alias("loss")))
+    trail = byday.rowsBetween(-(RSI_WINDOW - 1), Window.currentRow)
+    w = g.select(
+        "day",
+        F.sum("gain").over(trail).cast("long").alias("gain_cents"),
+        F.sum("loss").over(trail).cast("long").alias("loss_cents"),
+        F.count(F.lit(1)).over(trail).alias("n_window"))
+    return (w.where(F.col("n_window") == RSI_WINDOW)
+             .select(F.col("day").cast("timestamp").alias("day"),
+                     "gain_cents", "loss_cents",
+                     F.when(F.col("gain_cents") + F.col("loss_cents") > 0,
+                            F.lit(100.0)
+                            * F.col("gain_cents").cast("double")
+                            / (F.col("gain_cents")
+                               + F.col("loss_cents")).cast("double"))
+                      .alias("rsi")))
