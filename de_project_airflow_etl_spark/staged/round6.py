@@ -1651,3 +1651,276 @@ def rsi_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("gain_cents")
                                + F.col("loss_cents")).cast("double"))
                       .alias("rsi")))
+
+
+# ===================================================================
+# Corpus-curation additions: vocabulary dynamics and cluster-keeper
+# selection over the documents table, plus audience-overlap analysis
+# on events. Tokenization is the corpus-wide single-space split every
+# text query shares (operators/corpus_stats.py), so vocabularies are
+# comparable across the whole text family.
+# ===================================================================
+
+VOCAB_GROWTH_BUCKETS = 32
+
+
+@staged_query(
+    "vocab_growth_curve",
+    oracle=f"""
+        WITH bounds AS (
+          SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+        ),
+        bucketed AS (
+          SELECT LEAST({VOCAB_GROWTH_BUCKETS - 1},
+                       ((doc_id - lo) * {VOCAB_GROWTH_BUCKETS})
+                         // (hi - lo + 1)) AS bucket,
+                 text
+          FROM documents CROSS JOIN bounds
+        ),
+        toks AS (
+          SELECT bucket, unnest(string_split(text, ' ')) AS tok
+          FROM bucketed
+        ),
+        per_bucket AS (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+          FROM toks GROUP BY bucket
+        ),
+        first_seen AS (
+          SELECT tok, MIN(bucket) AS bucket FROM toks GROUP BY tok
+        ),
+        new_types AS (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new_types
+          FROM first_seen GROUP BY bucket
+        )
+        SELECT p.bucket, p.n_tokens,
+               COALESCE(t.n_new_types, 0) AS n_new_types,
+               CAST(SUM(p.n_tokens) OVER (
+                 ORDER BY p.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tokens,
+               CAST(SUM(COALESCE(t.n_new_types, 0)) OVER (
+                 ORDER BY p.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_types
+        FROM per_bucket p LEFT JOIN new_types t USING (bucket)
+    """,
+    doc="Heaps'-law vocabulary growth curve: cumulative token count "
+        "vs cumulative distinct-type count measured at "
+        f"{VOCAB_GROWTH_BUCKETS} fixed doc_id-range checkpoints (the "
+        "sub-linear V ~ k*N^beta curve that sizes tokenizer "
+        "vocabularies before training). A naive per-doc running "
+        "distinct needs a corpus-sized ordered window; bucketing to a "
+        "FIXED checkpoint count makes type attribution one "
+        "min-aggregate per token (its first bucket) and confines the "
+        "cumulative window to 32 rows. Bucket ids use pure integer "
+        "div against broadcast min/max bounds — no double rounding at "
+        "bucket edges on either engine.",
+    tags=("staged", "curation", "text"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bounds = docs.agg(F.min("doc_id").alias("lo"),
+                      F.max("doc_id").alias("hi"))
+    b = VOCAB_GROWTH_BUCKETS
+    bucketed = docs.crossJoin(F.broadcast(bounds)).select(
+        F.least(F.lit(b - 1),
+                F.expr(f"((doc_id - lo) * {b}) DIV (hi - lo + 1)"))
+         .alias("bucket"),
+        "text")
+    toks = bucketed.select(
+        "bucket", F.explode(F.split("text", " ")).alias("tok"))
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    first_seen = toks.groupBy("tok").agg(F.min("bucket").alias("bucket"))
+    new_types = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_types"))
+    cum = (Window.orderBy("bucket")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    joined = (per_bucket.join(new_types, "bucket", "left")
+              .select("bucket", "n_tokens",
+                      F.coalesce("n_new_types", F.lit(0)).cast("long")
+                       .alias("n_new_types")))
+    return joined.select(
+        "bucket", "n_tokens", "n_new_types",
+        F.sum("n_tokens").over(cum).cast("long").alias("cum_tokens"),
+        F.sum("n_new_types").over(cum).cast("long").alias("cum_types"))
+
+
+VOCAB_COVERAGE_K = 100
+
+
+@staged_query(
+    "vocab_coverage_topk",
+    oracle=f"""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        counts AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+          FROM toks GROUP BY tok
+        ),
+        total AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts
+        ),
+        top AS (
+          SELECT tok, n FROM counts
+          ORDER BY n DESC, tok LIMIT {VOCAB_COVERAGE_K}
+        )
+        SELECT ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank,
+               tok, n,
+               CAST(SUM(n) OVER (
+                 ORDER BY n DESC, tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS cum_share
+        FROM top CROSS JOIN total t
+    """,
+    doc=f"Corpus coverage of the top-{VOCAB_COVERAGE_K} vocabulary: "
+        "for each of the most frequent tokens (ties pinned by token), "
+        "the cumulative share of ALL token occurrences it and its "
+        "predecessors cover — the Zipf concentration read before "
+        "fixing a tokenizer's vocab size. Token counting is one "
+        "map-side-combinable aggregate; the top-k is "
+        "TakeOrderedAndProject (never a full sort); the corpus total "
+        "rides a one-row broadcast and the rank/cumsum windows run "
+        f"over exactly {VOCAB_COVERAGE_K} rows.",
+    tags=("staged", "curation", "text"),
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (load(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")).alias("tok")))
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("n_total"))
+    top = (counts.orderBy(F.col("n").desc(), "tok")
+           .limit(VOCAB_COVERAGE_K))
+    order = Window.orderBy(F.col("n").desc(), "tok")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (top.crossJoin(F.broadcast(total))
+            .select(F.row_number().over(order).alias("rank"),
+                    "tok", "n",
+                    (F.sum("n").over(cum).cast("double")
+                     / F.col("n_total").cast("double"))
+                     .alias("cum_share")))
+
+
+@staged_query(
+    "dup_cluster_canonical_pick",
+    oracle="""
+        WITH keyed AS (
+          SELECT doc_id, n_chars,
+                 md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), ' '),
+                     x -> x <> ''))), ' ')) AS norm_key
+          FROM documents
+        ),
+        g AS (
+          SELECT norm_key,
+                 CAST(COUNT(*) AS BIGINT) AS n_members,
+                 CAST(MAX(n_chars) AS BIGINT) AS canonical_len,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM keyed GROUP BY norm_key
+          HAVING COUNT(*) >= 2
+        )
+        SELECT g.norm_key, g.n_members,
+               MIN(k.doc_id) AS canonical_doc_id,
+               g.canonical_len,
+               g.sum_chars - g.canonical_len AS redundant_chars
+        FROM g JOIN keyed k
+          ON k.norm_key = g.norm_key AND k.n_chars = g.canonical_len
+        GROUP BY g.norm_key, g.n_members, g.canonical_len, g.sum_chars
+    """,
+    doc="Quality-aware keeper selection per near-duplicate cluster: "
+        "within each normalized-text cluster (the dedup_normalized_"
+        "text canonicalization, operators/dedup.py), keep the LONGEST "
+        "member (ties broken by smallest doc_id) instead of the "
+        "blind MIN(doc_id) keeper — the 'keep best, drop rest' "
+        "policy real curation pipelines apply after clustering. Two "
+        "hash aggregates plus one equi-join on (md5 key, max length); "
+        "the shuffle moves 32-byte keys and longs, never text, and no "
+        "window is needed (argmax = join-back-on-max + MIN "
+        "tiebreak, exact on both engines).",
+    tags=("staged", "dedup", "curation"),
+)
+def dup_cluster_canonical_pick(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.operators.dedup import (
+        _NORM_KEY_SPARK)
+    keyed = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr(_NORM_KEY_SPARK).alias("norm_key"))
+    g = (keyed.groupBy("norm_key")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+              F.max("n_chars").cast("long").alias("canonical_len"),
+              F.sum("n_chars").cast("long").alias("sum_chars"))
+         .where(F.col("n_members") >= 2))
+    k = keyed.select(F.col("norm_key").alias("k_key"), "doc_id",
+                     F.col("n_chars").cast("long").alias("k_len"))
+    return (g.join(k, (g.norm_key == k.k_key)
+                   & (g.canonical_len == k.k_len))
+            .groupBy("norm_key", "n_members", "canonical_len",
+                     "sum_chars")
+            .agg(F.min("doc_id").alias("canonical_doc_id"))
+            .select("norm_key", "n_members", "canonical_doc_id",
+                    "canonical_len",
+                    (F.col("sum_chars") - F.col("canonical_len"))
+                     .alias("redundant_chars")))
+
+
+@staged_query(
+    "event_type_user_jaccard",
+    oracle="""
+        WITH ut AS (
+          SELECT DISTINCT user_id, event_type FROM events
+        ),
+        sizes AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM ut GROUP BY event_type
+        ),
+        inter AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_both
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT i.type_a, i.type_b, sa.n_users AS n_a,
+               sb.n_users AS n_b, i.n_both,
+               CAST(i.n_both AS DOUBLE)
+                 / CAST(sa.n_users + sb.n_users - i.n_both AS DOUBLE)
+                 AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.event_type = i.type_a
+        JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+    doc="Audience-overlap matrix: exact Jaccard similarity of the "
+        "user sets behind every pair of event types (|A&B| / |A|B|, "
+        "all three counts exact longs, one division). The pair "
+        "intersection is a self-equi-join of the DISTINCT (user, "
+        "type) relation on user_id — each user contributes at most "
+        "C(#types, 2) pairs, and the type vocabulary is bounded, so "
+        "the join output is O(users), not quadratic; per-type sizes "
+        "broadcast back onto the bounded pair relation.",
+    tags=("staged", "analytics", "similarity"),
+)
+def event_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ut = (load(spark, sf_dir, "events")
+          .select("user_id", "event_type").distinct())
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("u2"),
+                  F.col("event_type").alias("type_b"))
+    inter = (a.join(b, (a.user_id == b.u2) & (a.type_a < b.type_b))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_both")))
+    sa = sizes.select(F.col("event_type").alias("ka"),
+                      F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("kb"),
+                      F.col("n_users").alias("n_b"))
+    return (inter.join(F.broadcast(sa), inter.type_a == sa.ka)
+            .join(F.broadcast(sb), inter.type_b == sb.kb)
+            .select("type_a", "type_b", "n_a", "n_b", "n_both",
+                    (F.col("n_both").cast("double")
+                     / (F.col("n_a") + F.col("n_b")
+                        - F.col("n_both")).cast("double"))
+                     .alias("jaccard")))
