@@ -77,6 +77,11 @@ def bnlj_builds_are_scalar(df: DataFrame) -> list[str]:
                     return node.groupingExpressions().isEmpty()
                 except Exception:  # py4j: node without the accessor
                     return False
+            # A limit-k root region (TakeOrderedAndProject /
+            # Global/CollectLimit) produces at most k rows, so it is
+            # just as broadcast-safe as a one-row global aggregate.
+            if "TakeOrderedAndProject" in cls or "Limit" in cls:
+                return True
             children = node.children()
             if children.size() != 1:
                 return False

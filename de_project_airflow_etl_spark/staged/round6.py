@@ -1729,9 +1729,16 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text")
     toks = bucketed.select(
         "bucket", F.explode(F.split("text", " ")).alias("tok"))
-    per_bucket = toks.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"))
-    first_seen = toks.groupBy("tok").agg(F.min("bucket").alias("bucket"))
+    # ONE corpus pass: the (bucket, token) rollup is vocab-sized and
+    # feeds BOTH downstream aggregates, so it is persisted (the
+    # bm25_term_scores single-computation precedent; every harness
+    # clears the cache per query) — document text is scanned and
+    # exploded exactly once, which tests/test_plans_r6.py gates.
+    base = toks.groupBy("bucket", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")).persist()
+    per_bucket = base.groupBy("bucket").agg(
+        F.sum("n_occ").cast("long").alias("n_tokens"))
+    first_seen = base.groupBy("tok").agg(F.min("bucket").alias("bucket"))
     new_types = first_seen.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_new_types"))
     cum = (Window.orderBy("bucket")

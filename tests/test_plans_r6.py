@@ -1,0 +1,149 @@
+"""Physical-plan gates for the round-6 staged bank: every staged
+query must already carry its 100 TB plan shape BEFORE promotion —
+no cartesian products, nested-loop joins only with scalar (one-row)
+broadcast builds, statistics windows confined to the post-aggregate
+daily rollup, and scans pruned to the columns the query consumes.
+Correct results with a wrong plan fail here."""
+
+from __future__ import annotations
+
+import pytest
+
+from de_project_airflow_etl_spark.plans.inspect import (
+    bnlj_builds_are_scalar, formatted_plan, scan_read_schema,
+)
+from de_project_airflow_etl_spark.staged import STAGED
+
+
+@pytest.fixture(autouse=True)
+def _release_caches(spark):
+    yield
+    spark.catalog.clearCache()
+
+
+# ------------------------------------------------- blanket join gate
+
+# BNLJ builds the scalar/limit detector cannot classify but whose
+# boundedness is a documented design property, not an accident:
+_JUSTIFIED_BNLJ_BUILDS = {
+    # month-end calendar spine: GROUP BY month => calendar-bounded
+    "orders_backlog_monthend",
+    # explicit vec_id % 50 evaluation sample, broadcast by design —
+    # this is the documented brute-force eval baseline; the ann_*
+    # family is the scale path (same split as knn_brute_force vs
+    # ann_ivf_search in the registry)
+    "knn_classifier_accuracy",
+}
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_plans_have_no_unbounded_nested_loops(spark, sf_dir, name):
+    """No staged query may plan a CartesianProduct, and any
+    BroadcastNestedLoopJoin must broadcast a bounded subtree (a
+    one-row global aggregate or a limit-k region), never an unbounded
+    data relation — except the two documented cases above."""
+    df = STAGED[name].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, name
+    if name in _JUSTIFIED_BNLJ_BUILDS:
+        return
+    offenders = bnlj_builds_are_scalar(df)
+    assert not offenders, f"{name}: non-scalar BNLJ builds: {offenders}"
+
+
+# ------------------------------- daily-rollup statistics family
+
+_DAILY_STATS = (
+    "mann_whitney_daily_value", "ks_statistic_daily_value",
+    "spearman_daily_price_volume", "autocorr_daily_revenue",
+    "rsi_daily_revenue",
+)
+
+
+@pytest.mark.parametrize("name", _DAILY_STATS)
+def test_daily_stats_window_sits_above_daily_aggregate(spark, sf_dir,
+                                                       name):
+    """The unpartitioned windows these tests use are only legal
+    because their input is the calendar-bounded daily rollup: the
+    plan must aggregate (day grouping) BEFORE the first Window, and
+    the orders scan must read only the two columns the rollup needs."""
+    df = STAGED[name].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan, f"{name}: expected a window"
+    # Structural check on the physical tree: EVERY window's input
+    # subtree must contain an aggregate (the daily rollup), proving
+    # windows consume per-day rows, not per-order rows.
+    from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
+
+    def subtree_has_aggregate(node) -> bool:
+        return any("Aggregate" in ch.getClass().getSimpleName()
+                   for ch in _walk_jplan(node))
+
+    jplan = df._jdf.queryExecution().sparkPlan()
+    windows = [n for n in _walk_jplan(jplan)
+               if n.getClass().getSimpleName().startswith("WindowExec")]
+    assert windows, f"{name}: expected a WindowExec"
+    for wnode in windows:
+        ch = wnode.children()
+        assert subtree_has_aggregate(ch.apply(0)), (
+            f"{name}: a window consumes un-aggregated input")
+    schemas = scan_read_schema(df)
+    assert schemas, name
+    for line in schemas:
+        assert "o_orderdate" in line and "o_totalprice" in line, line
+        assert "o_custkey" not in line and "o_orderstatus" not in line, (
+            f"{name}: orders scan not pruned: {line}")
+
+
+def test_benford_scan_prunes_to_totalprice(spark, sf_dir):
+    df = STAGED["benford_first_digit"].fn(spark, sf_dir)
+    (line,) = scan_read_schema(df)
+    assert "o_totalprice" in line and "o_orderdate" not in line, line
+
+
+# ------------------------------------------ vocabulary family
+
+def test_vocab_coverage_topk_is_take_ordered(spark, sf_dir):
+    """The top-k must plan as TakeOrderedAndProject (heap per
+    partition + driver merge of k rows), never a global sort of the
+    full token-count relation."""
+    plan = formatted_plan(STAGED["vocab_coverage_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_vocab_growth_explodes_corpus_once(spark, sf_dir):
+    """Document text is scanned and exploded exactly ONCE at runtime:
+    both downstream rollups (tokens-per-bucket, first-seen-bucket)
+    consume the (bucket, token) base aggregate's shuffle, so the
+    executed plan must reuse that exchange rather than re-run the
+    corpus explode."""
+    df = STAGED["vocab_growth_curve"].fn(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # Both rollups must read the persisted (bucket, token) base —
+    # every "Generate explode" string left in the executed plan is
+    # inside an InMemoryRelation's stored-lineage printout, and the
+    # live consumers are InMemoryTableScans (>= 2: tokens-per-bucket
+    # and first-seen-bucket).
+    assert executed.count("InMemoryTableScan") >= 2, executed[:3000]
+
+
+# ---------------------------------------- dedup keeper / overlap
+
+def test_canonical_pick_joins_on_key_without_window(spark, sf_dir):
+    """Keeper selection is the join-back argmax: no Window operator,
+    and the only joins are hash equi-joins on the md5 key."""
+    plan = formatted_plan(
+        STAGED["dup_cluster_canonical_pick"].fn(spark, sf_dir))
+    assert "Window" not in plan, "argmax degenerated to a window"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_event_type_jaccard_broadcasts_sizes(spark, sf_dir):
+    """Per-type sizes (bounded vocabulary) must broadcast onto the
+    pair relation; the user self-join is a hash equi-join."""
+    plan = formatted_plan(
+        STAGED["event_type_user_jaccard"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
