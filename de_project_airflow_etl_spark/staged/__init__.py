@@ -39,5 +39,6 @@ def staged_query(name: str, oracle: str | None, doc: str = "",
     return wrap
 
 
-# registration import at the bottom: round6 needs staged_query above
+# registration imports at the bottom: the modules need staged_query above
 from de_project_airflow_etl_spark.staged import round6  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round6b  # noqa: E402,F401

@@ -1,0 +1,385 @@
+"""Round-6 staged queries, second bank: sketch structures and
+ML-prep operators (see ``staged/__init__`` for the window-arithmetic
+rationale; same contract as ``round6.py`` — exact DuckDB oracle,
+identical aliases, exact-integer / fixed-point arithmetic for
+anything accumulated, no ``rand()``, no ``.collect()``).
+
+The sketch family here (count-min, Bloom, KMV) is deterministic by
+construction: every hash is a salted md5 prefix (13 hex chars = 52
+bits, losslessly representable in an IEEE double and in BIGINT on
+both engines), so the sketches are bit-identical across Spark and
+DuckDB and across retries — the same discipline as the registry's
+minhash / simhash / HLL queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.tables import load
+
+
+def _h52(spark_inner: str, salt: str) -> str:
+    """Spark-side salted 52-bit hash (BIGINT) of a string expression."""
+    return (f"CAST(conv(substring(md5(concat('{salt}', {spark_inner})),"
+            f" 1, 13), 16, 10) AS BIGINT)")
+
+
+def _sql_h52(sql_inner: str, salt: str) -> str:
+    """DuckDB mirror of :func:`_h52` — identical bits."""
+    return (f"CAST(('0x' || substring(md5('{salt}' || {sql_inner}),"
+            f" 1, 13)) AS BIGINT)")
+
+
+# ------------------------------------------------- count-min sketch
+
+CMS_DEPTH = 4     # independent hash rows
+CMS_WIDTH = 64    # buckets per row
+CMS_TOP = 20      # report the heaviest true keys
+
+_CMS_SPARK_KEY = "concat(CAST(r AS STRING), '|', CAST(user_id AS STRING))"
+_CMS_SQL_KEY = "CAST(r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)"
+
+
+@staged_query(
+    "cms_user_event_counts",
+    oracle=f"""
+        WITH rows_ AS (SELECT unnest(generate_series(0, {CMS_DEPTH - 1}))
+                       AS r),
+        cells AS (
+          SELECT r, {_sql_h52(_CMS_SQL_KEY, 'cms')} % {CMS_WIDTH} AS b,
+                 CAST(COUNT(*) AS BIGINT) AS counter
+          FROM events CROSS JOIN rows_
+          GROUP BY 1, 2
+        ),
+        truth AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+          FROM events GROUP BY 1
+          ORDER BY true_count DESC, user_id LIMIT {CMS_TOP}
+        ),
+        probe AS (
+          SELECT t.user_id, t.true_count, r.r,
+                 {_sql_h52('CAST(r.r AS VARCHAR) ' +
+                           "|| '|' || CAST(t.user_id AS VARCHAR)", 'cms')}
+                   % {CMS_WIDTH} AS b
+          FROM truth t CROSS JOIN rows_ r
+        )
+        SELECT p.user_id, p.true_count,
+               MIN(c.counter) AS cms_estimate,
+               MIN(c.counter) - p.true_count AS overcount
+        FROM probe p JOIN cells c ON c.r = p.r AND c.b = p.b
+        GROUP BY 1, 2
+    """,
+    doc="Count-min sketch over event user traffic: a 4x64 grid of "
+        "salted-md5 bucket counters, probed for the 20 heaviest true "
+        "users; the estimate is the row-wise minimum and `overcount` "
+        "is the sketch's collision error (always >= 0 — the CMS "
+        "one-sided guarantee, asserted by the staged tests). The "
+        "sketch build is ONE map-side-combinable aggregate into "
+        "depth*width = 256 cells regardless of input size — the "
+        "canonical 100 TB heavy-hitter pre-pass — and the probe side "
+        "joins 80 rows against 256, all broadcast. Hashes are salted "
+        "md5 prefixes, bit-identical on both engines.",
+    tags=("staged", "sketch"),
+)
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id")
+    rows = F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("r")
+    cells = (e.select("user_id", rows)
+              .select("r", (F.expr(_h52(_CMS_SPARK_KEY, 'cms'))
+                            % CMS_WIDTH).alias("b"))
+              .groupBy("r", "b")
+              .agg(F.count(F.lit(1)).alias("counter")))
+    truth = (e.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("true_count"))
+              .orderBy(F.desc("true_count"), "user_id")
+              .limit(CMS_TOP))
+    probe = (truth.select("user_id", "true_count", rows)
+                  .select("user_id", "true_count", "r",
+                          (F.expr(_h52(_CMS_SPARK_KEY, 'cms'))
+                           % CMS_WIDTH).alias("b")))
+    return (probe.join(F.broadcast(cells), ["r", "b"])
+                 .groupBy("user_id", "true_count")
+                 .agg(F.min("counter").alias("cms_estimate"))
+                 .select("user_id", "true_count", "cms_estimate",
+                         (F.col("cms_estimate") - F.col("true_count"))
+                         .alias("overcount")))
+
+
+# ----------------------------------------------------- Bloom filter
+
+BLOOM_M = 1 << 16    # bits — sized so absent probes see real FPs at sf0.1
+BLOOM_K = 5          # hash functions
+BLOOM_ABSENT = 10_000_000   # key offset guaranteed outside the key space
+
+_BLOOM_SPARK_KEY = "concat(CAST(i AS STRING), '|', CAST(k AS STRING))"
+_BLOOM_SQL_KEY = "CAST(i AS VARCHAR) || '|' || CAST(k AS VARCHAR)"
+
+
+@staged_query(
+    "bloom_buyer_membership",
+    oracle=f"""
+        WITH hs AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i),
+        buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        bits AS (
+          SELECT DISTINCT {_sql_h52(_BLOOM_SQL_KEY, 'bloom')} % {BLOOM_M}
+                 AS pos
+          FROM buyers CROSS JOIN hs
+        ),
+        cand AS (
+          SELECT c_custkey AS k, c_mktsegment, 'present' AS probe_kind
+          FROM customer
+          UNION ALL
+          SELECT c_custkey + {BLOOM_ABSENT} AS k, c_mktsegment,
+                 'absent' AS probe_kind
+          FROM customer
+        ),
+        probe AS (
+          SELECT c.k, c.c_mktsegment, c.probe_kind,
+                 {_sql_h52("CAST(h.i AS VARCHAR) || '|' || "
+                           "CAST(c.k AS VARCHAR)", 'bloom')}
+                   % {BLOOM_M} AS pos
+          FROM cand c CROSS JOIN hs h
+        ),
+        verdict AS (
+          SELECT p.k, p.c_mktsegment, p.probe_kind,
+                 CAST(COUNT(b.pos) AS BIGINT) AS n_hits
+          FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+          GROUP BY 1, 2, 3
+        ),
+        actual AS (SELECT k, 1 AS is_member FROM buyers)
+        SELECT v.c_mktsegment, v.probe_kind,
+               CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(CASE WHEN a.is_member = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN v.n_hits = {BLOOM_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bloom_positive,
+               CAST(SUM(CASE WHEN v.n_hits = {BLOOM_K}
+                              AND a.is_member IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_false_positive
+        FROM verdict v LEFT JOIN actual a ON a.k = v.k
+        GROUP BY 1, 2
+    """,
+    doc="Bloom-filter membership audit: a 2^16-bit / 5-hash filter "
+        "built over the distinct buyer keys in orders, probed with a "
+        "balanced present/absent candidate set (every customer key, "
+        "plus the same keys offset out of the key space), scored per "
+        "market segment — exact false-positive accounting against "
+        "the true member set, and zero false negatives by "
+        "construction (asserted by the staged tests; the filter is "
+        "deliberately small so absent probes see real collisions at "
+        "sf0.1). This is the join-pre-filter pattern at 100 TB: the "
+        "bit set is a DISTINCT over (keys x 5) positions — shuffles "
+        "carry 8-byte ints only — and the probe side joins "
+        "positions, never keys, so a 1000-executor run moves the "
+        "filter, not the fact table. Salted-md5 positions are "
+        "bit-identical across engines.",
+    tags=("staged", "sketch"),
+)
+def bloom_buyer_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hs = F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("i")
+    buyers = (load(spark, sf_dir, "orders")
+              .select(F.col("o_custkey").alias("k")).distinct())
+    bits = (buyers.select("k", hs)
+                  .select((F.expr(_h52(_BLOOM_SPARK_KEY, 'bloom'))
+                           % BLOOM_M).alias("pos"))
+                  .distinct()
+                  .withColumn("hit", F.lit(1)))
+    cust = load(spark, sf_dir, "customer").select("c_custkey",
+                                                  "c_mktsegment")
+    cand = (cust.select(F.col("c_custkey").alias("k"), "c_mktsegment",
+                        F.lit("present").alias("probe_kind"))
+                .unionAll(cust.select(
+                    (F.col("c_custkey") + BLOOM_ABSENT).alias("k"),
+                    "c_mktsegment", F.lit("absent").alias("probe_kind"))))
+    probe = (cand.select("k", "c_mktsegment", "probe_kind", hs)
+                 .select("k", "c_mktsegment", "probe_kind",
+                         (F.expr(_h52(_BLOOM_SPARK_KEY, 'bloom'))
+                          % BLOOM_M).alias("pos")))
+    verdict = (probe.join(bits.select("pos", "hit"), "pos", "left")
+                    .groupBy("k", "c_mktsegment", "probe_kind")
+                    .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                          .alias("n_hits")))
+    actual = buyers.withColumn("is_member", F.lit(1))
+    return (verdict.join(F.broadcast(actual), "k", "left")
+                   .groupBy("c_mktsegment", "probe_kind")
+                   .agg(F.count(F.lit(1)).alias("n_probes"),
+                        F.sum(F.when(F.col("is_member") == 1, 1)
+                               .otherwise(0)).alias("n_members"),
+                        F.sum(F.when(F.col("n_hits") == BLOOM_K, 1)
+                               .otherwise(0)).alias("n_bloom_positive"),
+                        F.sum(F.when((F.col("n_hits") == BLOOM_K)
+                                     & F.col("is_member").isNull(), 1)
+                               .otherwise(0)).alias("n_false_positive")))
+
+
+# ------------------------------------------------------- KMV sketch
+
+KMV_K = 256
+_KMV_POW52 = 1 << 52
+
+
+@staged_query(
+    "kmv_distinct_users",
+    oracle=f"""
+        WITH hashed AS (
+          SELECT DISTINCT
+                 {_sql_h52('CAST(user_id AS VARCHAR)', 'kmv')} AS h
+          FROM events
+        ),
+        kmin AS (
+          SELECT h FROM hashed ORDER BY h LIMIT {KMV_K}
+        ),
+        sk AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+                 CAST(MAX(h) AS BIGINT) AS kth_hash
+          FROM kmin
+        ),
+        truth AS (
+          SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                 AS true_distinct
+          FROM events
+        )
+        SELECT s.k_used, s.kth_hash,
+               CAST(s.k_used - 1 AS DOUBLE) * {float(_KMV_POW52)}
+                 / CAST(s.kth_hash AS DOUBLE) AS est_distinct,
+               t.true_distinct,
+               (CAST(s.k_used - 1 AS DOUBLE) * {float(_KMV_POW52)}
+                 / CAST(s.kth_hash AS DOUBLE))
+                 / CAST(t.true_distinct AS DOUBLE) AS est_over_true
+        FROM sk s CROSS JOIN truth t
+    """,
+    doc="K-minimum-values distinct sketch over event users: keep the "
+        "256 smallest distinct 52-bit salted-md5 hashes; the estimate "
+        "is (k-1) * 2^52 / kth_min, reported against the exact "
+        "distinct count. All inputs to the final division are "
+        "exactly-representable doubles (hashes < 2^52; (k-1) * 2^52 "
+        "has an 8-bit mantissa), so the IEEE result is bit-identical "
+        "across engines. At 100 TB the distinct-hash relation is the "
+        "only shuffle (8-byte ints) and the k-smallest step is a "
+        "TakeOrdered (per-partition top-k, no global sort) — the "
+        "mergeable-sketch alternative to an exact COUNT(DISTINCT) "
+        "when the key space itself is the bottleneck.",
+    tags=("staged", "sketch"),
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id")
+    hashed = (e.distinct()
+               .select(F.expr(_h52("CAST(user_id AS STRING)", 'kmv'))
+                        .alias("h")))
+    kmin = hashed.orderBy("h").limit(KMV_K)
+    sk = kmin.agg(F.count(F.lit(1)).alias("k_used"),
+                  F.max("h").alias("kth_hash"))
+    truth = e.agg(F.countDistinct("user_id").alias("true_distinct"))
+    est = (F.col("k_used").cast("double") - F.lit(1.0)) \
+        * F.lit(float(_KMV_POW52)) / F.col("kth_hash").cast("double")
+    return (sk.crossJoin(F.broadcast(truth))
+              .select("k_used", "kth_hash", est.alias("est_distinct"),
+                      "true_distinct",
+                      (est / F.col("true_distinct").cast("double"))
+                      .alias("est_over_true")))
+
+
+# -------------------------------------------------- daily OHLC bars
+
+
+@staged_query(
+    "daily_ohlc_bars",
+    oracle="""
+        WITH e AS (
+          SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, ts, event_id,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY day
+                                    ORDER BY ts, event_id) AS rn_o,
+                 row_number() OVER (PARTITION BY day
+                                    ORDER BY ts DESC, event_id DESC)
+                   AS rn_c
+          FROM e
+        )
+        SELECT day,
+               MAX(CASE WHEN rn_o = 1 THEN cents END) AS open_cents,
+               CAST(MAX(cents) AS BIGINT) AS high_cents,
+               CAST(MIN(cents) AS BIGINT) AS low_cents,
+               MAX(CASE WHEN rn_c = 1 THEN cents END) AS close_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM r GROUP BY day
+    """,
+    doc="Daily OHLC candlesticks over the event value stream: "
+        "open/close picked by deterministic (ts, event_id) row order "
+        "— event_id breaks timestamp ties so retries agree — "
+        "high/low/volume as plain integer-cents aggregates. One "
+        "exchange hash-partitioned by day feeds both window sorts "
+        "AND the final aggregate (day-partitioned windows, never "
+        "unpartitioned), the bar-building pattern for any "
+        "time-bucketed rollup at scale.",
+    tags=("staged", "timeseries"),
+)
+def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"), "ts", "event_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"))
+    w_open = Window.partitionBy("day").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("day").orderBy(F.desc("ts"),
+                                                F.desc("event_id"))
+    r = (e.withColumn("rn_o", F.row_number().over(w_open))
+          .withColumn("rn_c", F.row_number().over(w_close)))
+    return (r.groupBy("day")
+             .agg(F.max(F.when(F.col("rn_o") == 1, F.col("cents")))
+                   .alias("open_cents"),
+                  F.max("cents").alias("high_cents"),
+                  F.min("cents").alias("low_cents"),
+                  F.max(F.when(F.col("rn_c") == 1, F.col("cents")))
+                   .alias("close_cents"),
+                  F.count(F.lit(1)).alias("n_events"),
+                  F.sum("cents").alias("sum_cents")))
+
+
+# ------------------------------------------- balanced resample plan
+
+
+@staged_query(
+    "balanced_resample_plan",
+    oracle="""
+        WITH cls AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM embeddings GROUP BY label
+        ),
+        mx AS (SELECT CAST(MAX(n_vecs) AS BIGINT) AS max_n FROM cls)
+        SELECT c.label, c.n_vecs,
+               CAST((m.max_n + c.n_vecs - 1) // c.n_vecs AS BIGINT)
+                 AS rep_factor,
+               CAST(((m.max_n + c.n_vecs - 1) // c.n_vecs) * c.n_vecs
+                    AS BIGINT) AS n_resampled,
+               CAST(((m.max_n + c.n_vecs - 1) // c.n_vecs) * c.n_vecs
+                    - m.max_n AS BIGINT) AS overshoot
+        FROM cls c CROSS JOIN mx m
+    """,
+    doc="Class-balancing oversample plan for the labeled embedding "
+        "corpus: per-class ceil(max/n) replication factors and the "
+        "resulting resampled sizes — the deterministic alternative "
+        "to random oversampling (replicate whole classes, let the "
+        "downstream shuffle-shard pass interleave). One tiny "
+        "aggregate plus a one-row broadcast max; the plan is "
+        "metadata-sized no matter the corpus.",
+    tags=("staged", "curation"),
+)
+def balanced_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cls = (load(spark, sf_dir, "embeddings")
+           .groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs")))
+    mx = cls.agg(F.max("n_vecs").alias("max_n"))
+    rep = F.expr("(max_n + n_vecs - 1) div n_vecs")
+    return (cls.crossJoin(F.broadcast(mx))
+               .select("label", "n_vecs",
+                       rep.cast("long").alias("rep_factor"),
+                       (rep * F.col("n_vecs")).cast("long")
+                        .alias("n_resampled"),
+                       (rep * F.col("n_vecs") - F.col("max_n"))
+                        .cast("long").alias("overshoot")))

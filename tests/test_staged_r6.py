@@ -92,3 +92,52 @@ def test_bpe_merge_matches_greedy_reference(spark, tmp_path_factory, toks):
     assert row["n_after"] == len(expect)
     assert row["merged_md5"] == hashlib.md5(
         " ".join(expect).encode()).hexdigest()
+
+
+# --------------------------- sketch-family guarantees (round6b bank)
+
+
+def test_cms_estimates_never_undercount(spark, sf_dir):
+    """Count-min's one-sided error guarantee: estimate >= true count
+    for every probed key (collisions only ever ADD mass)."""
+    from de_project_airflow_etl_spark.staged.round6b import (
+        cms_user_event_counts)
+    rows = cms_user_event_counts(spark, sf_dir).collect()
+    assert rows, "empty CMS probe set"
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_count"], r
+        assert r["overcount"] == r["cms_estimate"] - r["true_count"]
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """Every true member must probe bloom-positive; false positives
+    are only ever counted among non-members."""
+    from de_project_airflow_etl_spark.staged.round6b import (
+        bloom_buyer_membership)
+    rows = bloom_buyer_membership(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # members ⊆ bloom-positives, and FP = positives outside members
+        assert r["n_bloom_positive"] >= r["n_members"] - (
+            r["n_probes"] - r["n_members"]), r
+        assert r["n_false_positive"] <= r["n_probes"] - r["n_members"], r
+        if r["probe_kind"] == "absent":
+            assert r["n_members"] == 0
+            assert r["n_false_positive"] == r["n_bloom_positive"]
+        else:
+            # no false negatives: positives cover every member
+            assert r["n_bloom_positive"] - r["n_false_positive"] == \
+                r["n_members"], r
+
+
+def test_kmv_estimate_is_close_at_small_cardinality(spark, sf_dir):
+    """When distinct users <= K the sketch degenerates to near-exact:
+    kth hash is the max and the estimate lands within 25% of truth
+    (looser than CMS/Bloom because the (k-1)/kth estimator is only
+    unbiased in expectation)."""
+    from de_project_airflow_etl_spark.staged.round6b import (
+        KMV_K, kmv_distinct_users)
+    row = kmv_distinct_users(spark, sf_dir).collect()[0]
+    assert row["k_used"] <= KMV_K
+    assert row["kth_hash"] > 0
+    assert 0.5 < row["est_over_true"] < 2.0, row
