@@ -383,3 +383,220 @@ def balanced_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("n_resampled"),
                        (rep * F.col("n_vecs") - F.col("max_n"))
                         .cast("long").alias("overshoot")))
+
+
+# ------------------------------------ Gini impurity feature ranking
+
+GINI_SCALE = 10 ** 12
+
+_GINI_FEATURES_SPARK = """
+    explode(array(
+      named_struct('feature', 'ship_year',
+                   'val', CAST(year(l_shipdate) AS STRING)),
+      named_struct('feature', 'linestatus', 'val', l_linestatus),
+      named_struct('feature', 'qty_band',
+                   'val', CAST(CAST(ROUND(l_quantity) AS BIGINT) div 10
+                               AS STRING)),
+      named_struct('feature', 'disc_band',
+                   'val', CAST(CAST(ROUND(l_discount * 100) AS BIGINT)
+                               AS STRING))))
+"""
+
+_GINI_FEATURES_SQL = """
+    SELECT 'ship_year' AS feature,
+           CAST(year(l_shipdate) AS VARCHAR) AS val, l_returnflag
+    FROM lineitem
+    UNION ALL
+    SELECT 'linestatus', l_linestatus, l_returnflag FROM lineitem
+    UNION ALL
+    SELECT 'qty_band',
+           CAST(CAST(ROUND(l_quantity) AS BIGINT) // 10 AS VARCHAR),
+           l_returnflag
+    FROM lineitem
+    UNION ALL
+    SELECT 'disc_band',
+           CAST(CAST(ROUND(l_discount * 100) AS BIGINT) AS VARCHAR),
+           l_returnflag
+    FROM lineitem
+"""
+
+
+@staged_query(
+    "gini_feature_split_rank",
+    oracle=f"""
+        WITH unpiv AS ({_GINI_FEATURES_SQL}),
+        cnt AS (
+          SELECT feature, val, l_returnflag,
+                 CAST(COUNT(*) AS BIGINT) AS n_vc
+          FROM unpiv GROUP BY 1, 2, 3
+        ),
+        vals AS (
+          SELECT feature, val,
+                 CAST(SUM(n_vc) AS BIGINT) AS n_v,
+                 SUM(CAST(n_vc AS HUGEINT) * n_vc) AS sumsq
+          FROM cnt GROUP BY 1, 2
+        ),
+        feat AS (
+          SELECT feature,
+                 CAST(COUNT(*) AS BIGINT) AS n_values,
+                 CAST(SUM(n_v) AS BIGINT) AS n_rows,
+                 SUM((CAST(n_v AS HUGEINT) * n_v - sumsq)
+                     * {GINI_SCALE} // n_v) AS imp
+          FROM vals GROUP BY 1
+        )
+        SELECT feature, n_values, n_rows,
+               CAST(imp // n_rows AS BIGINT) AS impurity_e12,
+               CAST(row_number() OVER (ORDER BY imp // n_rows, feature)
+                    AS BIGINT) AS split_rank
+        FROM feat
+    """,
+    doc="Gini-impurity feature ranking for predicting l_returnflag "
+        "from four candidate lineitem features (ship year / line "
+        "status / quantity band / discount band) — the "
+        "decision-stump feature-selection pass. The weighted impurity "
+        "1 - sum_c p_c^2 is computed ENTIRELY in integers: per "
+        "feature value, (n_v^2 - sum_c n_vc^2) * 1e12 floor-divided "
+        "by n_v (DECIMAL(38,0) wide, per the overflow rule), summed, "
+        "then floor-divided by the row count — bit-identical across "
+        "engines, no floating accumulation anywhere. One unpivoted "
+        "aggregate (4x the scan, map-side combinable into "
+        "vocabulary-bounded cells) and a 4-row ranking window.",
+    tags=("staged", "ml"),
+)
+def gini_feature_split_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_linestatus", "l_quantity", "l_discount",
+        "l_returnflag")
+    unpiv = li.select(F.expr(_GINI_FEATURES_SPARK).alias("fv"),
+                      "l_returnflag").select("fv.feature", "fv.val",
+                                             "l_returnflag")
+    cnt = (unpiv.groupBy("feature", "val", "l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n_vc")))
+    vals = (cnt.groupBy("feature", "val")
+               .agg(F.sum("n_vc").alias("n_v"),
+                    F.sum(F.expr("CAST(n_vc AS DECIMAL(38,0)) * n_vc"))
+                     .alias("sumsq")))
+    feat = (vals.groupBy("feature")
+                .agg(F.count(F.lit(1)).alias("n_values"),
+                     F.sum("n_v").alias("n_rows"),
+                     F.sum(F.expr(
+                         f"(CAST(n_v AS DECIMAL(38,0)) * n_v - sumsq)"
+                         f" * {GINI_SCALE} div n_v")).alias("imp")))
+    w = Window.orderBy(F.expr("imp div n_rows"), "feature")  # 4 rows
+    return feat.select(
+        "feature", "n_values", F.col("n_rows").cast("long").alias("n_rows"),
+        F.expr("CAST(imp div n_rows AS BIGINT)").alias("impurity_e12"),
+        F.row_number().over(w).cast("long").alias("split_rank"))
+
+
+# ------------------------------------- smoothed target encoding
+
+TENC_M = 100  # smoothing pseudo-count (orders)
+
+
+@staged_query(
+    "target_encoding_smoothed",
+    oracle=f"""
+        WITH j AS (
+          SELECT c.c_mktsegment,
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        seg AS (
+          SELECT c_mktsegment,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(cents) AS BIGINT) AS sum_cents
+          FROM j GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(n_orders) AS BIGINT) AS n_all,
+                 CAST(SUM(sum_cents) AS BIGINT) AS tot_cents
+          FROM seg
+        )
+        SELECT s.c_mktsegment, s.n_orders, s.sum_cents,
+               CAST(s.sum_cents AS DOUBLE) / CAST(s.n_orders AS DOUBLE)
+                 AS raw_mean_cents,
+               CAST(CAST(CAST(s.sum_cents AS HUGEINT) * g.n_all
+                         + {TENC_M} * CAST(g.tot_cents AS HUGEINT)
+                         AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(CAST(g.n_all AS HUGEINT)
+                             * (s.n_orders + {TENC_M})
+                             AS VARCHAR) AS DOUBLE) AS enc_cents
+        FROM seg s CROSS JOIN tot g
+    """,
+    doc="Smoothed target encoding of the customer market segment "
+        "against order value: enc = (sum + m * global_mean) / (n + m) "
+        "with m=100 pseudo-observations, the leakage-safe categorical "
+        "encoder for tabular ML. Computed as ONE exact rational — "
+        "numerator sum_cents * n_all + m * tot_cents and denominator "
+        "n_all * (n + m) both DECIMAL(38,0) — converted via the "
+        "STRING->DOUBLE route because the numerator passes 2^53 at "
+        "sf0.1 (the twap_user_values lesson). One fact-table "
+        "aggregate into 5 segment cells, one broadcast global row.",
+    tags=("staged", "ml"),
+)
+def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"))
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("cents").alias("sum_cents")))
+    glob = seg.agg(F.sum("n_orders").alias("n_all"),
+                   F.sum("sum_cents").alias("tot_cents"))
+    return (seg.crossJoin(F.broadcast(glob))
+               .select("c_mktsegment", "n_orders", "sum_cents",
+                       (F.col("sum_cents").cast("double")
+                        / F.col("n_orders").cast("double"))
+                       .alias("raw_mean_cents"),
+                       F.expr(
+                           f"CAST(CAST(CAST(sum_cents AS DECIMAL(38,0))"
+                           f" * n_all + {TENC_M}"
+                           f" * CAST(tot_cents AS DECIMAL(38,0))"
+                           f" AS STRING) AS DOUBLE)"
+                           f" / CAST(CAST(CAST(n_all AS DECIMAL(38,0))"
+                           f" * (n_orders + {TENC_M})"
+                           f" AS STRING) AS DOUBLE)").alias("enc_cents")))
+
+
+# ------------------------------------------- feature hashing (BoW)
+
+FH_BUCKETS = 32
+
+
+@staged_query(
+    "feature_hashing_bow",
+    oracle=f"""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        )
+        SELECT {_sql_h52('tok', 'fh|')} % {FH_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+               CAST(SUM(CASE WHEN {_sql_h52('tok', 'fhsign|')} % 2 = 0
+                             THEN 1 ELSE -1 END) AS BIGINT)
+                 AS signed_sum
+        FROM toks GROUP BY 1
+    """,
+    doc="The hashing trick over the document corpus: every token is "
+        "folded into one of 32 signed buckets (salted-md5 bucket + "
+        "independent salted-md5 sign, the Weinberger et al. "
+        "construction that keeps collisions unbiased), producing the "
+        "fixed-width bag-of-words projection used to featurize "
+        "unbounded vocabularies without a dictionary. One explode + "
+        "one map-side-combinable aggregate into 32 cells; the "
+        "distinct-token count is the only shuffle that carries "
+        "strings, bounded by vocabulary not corpus.",
+    tags=("staged", "ml"),
+)
+def feature_hashing_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (load(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")).alias("tok")))
+    return (toks.groupBy((F.expr(_h52('tok', 'fh|')) % FH_BUCKETS)
+                          .alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n_tokens"),
+                     F.countDistinct("tok").alias("n_distinct_tokens"),
+                     F.sum(F.when(F.expr(_h52('tok', 'fhsign|')) % 2 == 0,
+                                  1).otherwise(-1)).alias("signed_sum")))
