@@ -600,3 +600,387 @@ def feature_hashing_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.countDistinct("tok").alias("n_distinct_tokens"),
                      F.sum(F.when(F.expr(_h52('tok', 'fhsign|')) % 2 == 0,
                                   1).otherwise(-1)).alias("signed_sum")))
+
+
+# --------------------------------------- reciprocal rank fusion
+
+RRF_QUERY_ID = 1    # deterministic probe vector (knn family uses 0)
+RRF_TOPK = 50       # per-ranking candidate list length
+RRF_OUT = 20        # fused results returned
+RRF_C = 60          # the standard RRF dampening constant
+
+_L2_SPARK = (
+    "aggregate(zip_with(embedding, qv, (x, y) ->"
+    " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " 0D, (acc, v) -> acc + v)")
+
+_L2_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "generate_series(1, len(embedding)),"
+    " i -> (CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))"
+    " * (CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE)))),"
+    " (acc, v) -> acc + v)")
+
+
+def _rrf_score_sql(r1: str, r2: str) -> str:
+    """Exact-rational RRF: integer numerator/denominator, one final
+    IEEE division of exactly-representable ints (< 2^53)."""
+    c = RRF_C
+    return f"""
+        CASE WHEN {r1} IS NOT NULL AND {r2} IS NOT NULL
+             THEN CAST({2 * c} + {r1} + {r2} AS DOUBLE)
+                  / CAST(({c} + {r1}) * ({c} + {r2}) AS DOUBLE)
+             WHEN {r1} IS NOT NULL
+             THEN 1.0 / CAST({c} + {r1} AS DOUBLE)
+             ELSE 1.0 / CAST({c} + {r2} AS DOUBLE) END
+    """
+
+
+@staged_query(
+    "rrf_fusion_search",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings
+                   WHERE vec_id = {RRF_QUERY_ID}),
+        m AS (
+          SELECT vec_id,
+                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (acc, v) -> acc + v) / (SQRT(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (acc, v) -> acc + v)) * SQRT(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (acc, v) -> acc + v))) AS cosv,
+                 {_L2_SQL} AS l2sq
+          FROM embeddings CROSS JOIN q
+          WHERE vec_id <> {RRF_QUERY_ID}
+        ),
+        ra AS (
+          SELECT vec_id, r FROM (
+            SELECT vec_id, CAST(row_number() OVER
+                   (ORDER BY cosv DESC, vec_id) AS BIGINT) AS r FROM m)
+          WHERE r <= {RRF_TOPK}
+        ),
+        rb AS (
+          SELECT vec_id, r FROM (
+            SELECT vec_id, CAST(row_number() OVER
+                   (ORDER BY l2sq, vec_id) AS BIGINT) AS r FROM m)
+          WHERE r <= {RRF_TOPK}
+        ),
+        f AS (
+          SELECT COALESCE(ra.vec_id, rb.vec_id) AS vec_id,
+                 ra.r AS r1, rb.r AS r2
+          FROM ra FULL JOIN rb ON ra.vec_id = rb.vec_id
+        )
+        SELECT vec_id,
+               CAST(COALESCE(r1, -1) AS BIGINT) AS rank_cos,
+               CAST(COALESCE(r2, -1) AS BIGINT) AS rank_l2,
+               {_rrf_score_sql('r1', 'r2')} AS rrf_score
+        FROM f
+        ORDER BY rrf_score DESC, vec_id
+        LIMIT {RRF_OUT}
+    """,
+    doc="Reciprocal-rank fusion of two retrieval rankings (cosine "
+        "similarity and L2 distance) against one probe embedding: "
+        "top-50 candidate lists per ranking, fused with the standard "
+        "1/(60+rank) score and returned as the top-20 — the "
+        "multi-retriever blending step of a RAG / hybrid-search "
+        "stack. The score is an exact rational (integer numerator "
+        "over integer denominator, both < 2^53) so the final IEEE "
+        "division is bit-identical across engines; both metric folds "
+        "are sequential array aggregates (deterministic order). At "
+        "scale each ranking is a TakeOrdered top-k over a "
+        "broadcast-probe scan — no corpus shuffle, no global sort — "
+        "and ranking windows only ever run over the 50-row "
+        "candidate lists.",
+    tags=("staged", "similarity"),
+)
+def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.operators.similarity import cosine
+    e = load(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") == RRF_QUERY_ID)
+          .select(F.col("embedding").alias("qv")))
+    m = (e.filter(F.col("vec_id") != RRF_QUERY_ID)
+          .crossJoin(F.broadcast(q))
+          .select("vec_id", cosine("embedding", "qv").alias("cosv"),
+                  F.expr(_L2_SPARK).alias("l2sq")))
+    wa = Window.orderBy(F.desc("cosv"), "vec_id")   # over 50 rows only
+    wb = Window.orderBy("l2sq", "vec_id")           # over 50 rows only
+    ra = (m.orderBy(F.desc("cosv"), "vec_id").limit(RRF_TOPK)
+           .select("vec_id", F.row_number().over(wa).cast("long")
+                   .alias("r1")))
+    rb = (m.orderBy("l2sq", "vec_id").limit(RRF_TOPK)
+           .select("vec_id", F.row_number().over(wb).cast("long")
+                   .alias("r2")))
+    f = ra.join(rb, "vec_id", "full_outer")
+    return (f.select("vec_id",
+                     F.coalesce("r1", F.lit(-1)).cast("long")
+                      .alias("rank_cos"),
+                     F.coalesce("r2", F.lit(-1)).cast("long")
+                      .alias("rank_l2"),
+                     F.expr(_rrf_score_sql("r1", "r2")).alias("rrf_score"))
+             .orderBy(F.desc("rrf_score"), "vec_id")
+             .limit(RRF_OUT))
+
+
+# ----------------------------- Markov stationary event distribution
+
+MARKOV_SCALE = 10 ** 12
+MARKOV_ITERS = 12
+
+_MARKOV_BASE_SQL = f"""
+    pairs AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    trans AS (
+      SELECT prev AS src, event_type AS dst,
+             CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    rowtot AS (
+      SELECT src, CAST(SUM(n_ij) AS BIGINT) AS n_i FROM trans GROUP BY 1
+    ),
+    states AS (SELECT DISTINCT event_type AS state FROM events),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_states FROM states),
+    v0 AS (
+      SELECT state, CAST({MARKOV_SCALE} // n_states AS BIGINT) AS v
+      FROM states CROSS JOIN ns
+    )
+"""
+
+
+def _markov_oracle() -> str:
+    steps = []
+    for t in range(1, MARKOV_ITERS + 1):
+        steps.append(f"""
+        v{t} AS (
+          SELECT t.dst AS state,
+                 CAST(SUM((p.v * t.n_ij) // rt.n_i) AS BIGINT) AS v
+          FROM v{t - 1} p
+          JOIN trans t ON t.src = p.state
+          JOIN rowtot rt ON rt.src = t.src
+          GROUP BY 1
+        )""")
+    return (f"WITH {_MARKOV_BASE_SQL}, {','.join(steps)}\n"
+            f"SELECT state AS event_type, v AS stationary_e12\n"
+            f"FROM v{MARKOV_ITERS}")
+
+
+@staged_query(
+    "markov_stationary_event_mix",
+    oracle=_markov_oracle(),
+    doc="Stationary distribution of the user-journey Markov chain: "
+        "per-user consecutive event-type transitions (lag over the "
+        "(ts, event_id) order) define the transition counts; the "
+        "uniform start vector is power-iterated 12 times in 1e12 "
+        "fixed-point — every step is (v * n_ij) floor-div n_i in "
+        "pure integers, so Spark and the 12-step unrolled DuckDB "
+        "oracle agree bit-for-bit (the ann_ivf_kmeans_fit "
+        "discipline). The corpus-scale work is ONE lag window "
+        "partitioned by user and one transition aggregate; the "
+        "iteration itself runs on the state-vocabulary-sized matrix "
+        "(localCheckpointed per step to truncate lineage, like "
+        "pagerank_dup_graph at dedup.py:692).",
+    tags=("staged", "timeseries"),
+)
+def markov_stationary_event_mix(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "ts",
+                                             "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.withColumn("prev", F.lag("event_type").over(w))
+              .filter(F.col("prev").isNotNull()))
+    trans = (pairs.groupBy(F.col("prev").alias("src"),
+                           F.col("event_type").alias("dst"))
+                  .agg(F.count(F.lit(1)).alias("n_ij")))
+    rowtot = trans.groupBy("src").agg(F.sum("n_ij").alias("n_i"))
+    edges = (trans.join(rowtot, "src")
+                  .select("src", "dst", "n_ij", "n_i").localCheckpoint())
+    states = e.select(F.col("event_type").alias("state")).distinct()
+    n_states = states.count()  # vocabulary-sized driver scalar (cf. ns)
+    v = states.withColumn(
+        "v", F.lit(MARKOV_SCALE // n_states)).localCheckpoint()
+    for _ in range(MARKOV_ITERS):
+        v = (edges.join(v, edges.src == v.state)
+                  .select(F.col("dst").alias("state"),
+                          F.expr("(v * n_ij) div n_i").alias("c"))
+                  .groupBy("state")
+                  .agg(F.sum("c").cast("long").alias("v"))
+                  .localCheckpoint())
+    return v.select(F.col("state").alias("event_type"),
+                    F.col("v").alias("stationary_e12"))
+
+
+# ------------------------------------------- k-core decomposition
+
+KCORE_K = 2       # keep nodes with degree >= 2 among survivors
+KCORE_ROUNDS = 6  # fixed simultaneous peels (defined semantics)
+
+
+def _kcore_oracle() -> str:
+    from de_project_airflow_etl_spark.operators.dedup import _sql_lsh_pairs
+    # MATERIALIZED is load-bearing: e{t-1} is referenced twice per
+    # round, and DuckDB's default CTE inlining would otherwise expand
+    # the whole upstream minhash pipeline 2^rounds times.
+    steps = ["""
+        e0 AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        )"""]
+    for t in range(1, KCORE_ROUNDS + 1):
+        steps.append(f"""
+        k{t} AS MATERIALIZED (
+          SELECT src FROM e{t - 1}
+          GROUP BY src HAVING COUNT(*) >= {KCORE_K}
+        ),
+        e{t} AS MATERIALIZED (
+          SELECT e.src, e.dst
+          FROM e{t - 1} e
+          JOIN k{t} a ON a.src = e.src
+          JOIN k{t} b ON b.src = e.dst
+        )""")
+    return (f"WITH {_sql_lsh_pairs()}, {','.join(steps)}\n"
+            f"SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT)"
+            f" AS core_degree\n"
+            f"FROM e{KCORE_ROUNDS} GROUP BY src")
+
+
+@staged_query(
+    "kcore_dup_graph",
+    oracle=_kcore_oracle(),
+    doc="2-core of the LSH-verified near-dup graph by simultaneous "
+        "peeling: six fixed rounds of 'drop every node whose degree "
+        "among survivors is < 2', then report each survivor's "
+        "in-core degree — the standard strengthening of "
+        "connected-components that isolates the cyclically-connected "
+        "duplicate clusters (pendant one-off matches peel away). "
+        "Fixed round count keeps the semantics engine-independent; "
+        "the DuckDB oracle is the same six peels unrolled as CTEs "
+        "(the ann_ivf_kmeans_fit unrolled-oracle discipline). Each "
+        "round is one degree aggregate + two semi-join-shaped hash "
+        "joins on node ids, localCheckpointed to truncate lineage — "
+        "O(rounds) shuffles of id-sized rows, never text, same scale "
+        "shape as dedup_clusters' alternating-star loop "
+        "(dedup.py:600).",
+    tags=("staged", "graph"),
+)
+def kcore_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.operators.dedup import _lsh_verified
+    pairs = _lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+                  .union(pairs.select(F.col("doc_b").alias("src"),
+                                      F.col("doc_a").alias("dst")))
+                  .localCheckpoint())
+    for _ in range(KCORE_ROUNDS):
+        keep = (edges.groupBy("src")
+                     .agg(F.count(F.lit(1)).alias("d"))
+                     .filter(F.col("d") >= KCORE_K)
+                     .select("src"))
+        edges = (edges.join(keep, "src")
+                      .join(keep.withColumnRenamed("src", "dst"), "dst")
+                      .select("src", "dst")
+                      .localCheckpoint())
+    return (edges.groupBy(F.col("src").alias("doc_id"))
+                 .agg(F.count(F.lit(1)).alias("core_degree")))
+
+
+# --------------------------------- Holt linear trend (a = b = 1/2)
+
+
+def _tdiv2_spark(x: str) -> str:
+    """Truncate-toward-zero halving — pinned explicitly because Spark
+    `div` truncates while DuckDB `//` floors on negatives."""
+    return f"(CASE WHEN ({x}) < 0 THEN -((-({x})) div 2)" \
+           f" ELSE ({x}) div 2 END)"
+
+
+def _tdiv2_sql(x: str) -> str:
+    return f"(CASE WHEN ({x}) < 0 THEN -((-({x})) // 2)" \
+           f" ELSE ({x}) // 2 END)"
+
+
+def _holt_spark_expr() -> str:
+    lnew = _tdiv2_spark("e.cents + acc.l + acc.b")
+    bnew = _tdiv2_spark(f"{lnew} - acc.l + acc.b")
+    init = (
+        "named_struct("
+        "'l', element_at(arr, 1).cents,"
+        " 'b', element_at(arr, 2).cents - element_at(arr, 1).cents,"
+        " 'rows', array(named_struct("
+        "'day', element_at(arr, 1).day,"
+        " 'cents', element_at(arr, 1).cents,"
+        " 'level_c', element_at(arr, 1).cents,"
+        " 'trend_c', element_at(arr, 2).cents"
+        " - element_at(arr, 1).cents,"
+        " 'forecast_c', element_at(arr, 1).cents)))")
+    merge = (
+        f"named_struct('l', {lnew}, 'b', {bnew},"
+        f" 'rows', concat(acc.rows, array(named_struct("
+        f"'day', e.day, 'cents', e.cents, 'level_c', {lnew},"
+        f" 'trend_c', {bnew}, 'forecast_c', acc.l + acc.b))))")
+    return (f"inline(aggregate(slice(arr, 2, size(arr) - 1), {init},"
+            f" (acc, e) -> {merge}, acc -> acc.rows))")
+
+
+def _holt_oracle() -> str:
+    lnew = _tdiv2_sql("s.cents + i.level_c + i.trend_c")
+    bnew = _tdiv2_sql(f"{lnew} - i.level_c + i.trend_c")
+    return f"""
+        WITH RECURSIVE daily AS (
+          SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1
+        ),
+        seq AS (
+          SELECT day, cents,
+                 CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+          FROM daily
+        ),
+        it AS (
+          SELECT s1.t AS t, s1.day, s1.cents,
+                 s1.cents AS level_c,
+                 s2.cents - s1.cents AS trend_c,
+                 s1.cents AS forecast_c
+          FROM seq s1 JOIN seq s2 ON s2.t = 2
+          WHERE s1.t = 1
+          UNION ALL
+          SELECT s.t, s.day, s.cents,
+                 {lnew} AS level_c,
+                 {bnew} AS trend_c,
+                 i.level_c + i.trend_c AS forecast_c
+          FROM it i JOIN seq s ON s.t = i.t + 1
+        )
+        SELECT day, cents, level_c, trend_c, forecast_c FROM it
+    """
+
+
+@staged_query(
+    "holt_linear_daily_revenue",
+    oracle=_holt_oracle(),
+    doc="Holt's linear (double-exponential) smoothing of daily event "
+        "revenue with alpha = beta = 1/2: per day, the smoothed "
+        "level, trend, and the one-step-ahead forecast the PREVIOUS "
+        "state implied — the classic trend-following baseline the "
+        "EWMA family lacks. The recurrence runs in pure integer "
+        "cents with truncate-toward-zero halving (pinned via an "
+        "explicit CASE because Spark `div` truncates and DuckDB `//` "
+        "floors on negatives — trends go negative); Spark folds a "
+        "calendar-bounded sorted day array in ONE sequential "
+        "aggregate expression (single projection — the "
+        "winnowing_fingerprints CollapseProject lesson), the oracle "
+        "is a recursive CTE with identical arithmetic. The "
+        "corpus-scale work is the one daily rollup; the fold length "
+        "is the calendar, not the data.",
+    tags=("staged", "timeseries"),
+)
+def holt_linear_daily_revenue(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    daily = (load(spark, sf_dir, "events")
+             .groupBy(F.to_date("ts").cast("string").alias("day"))
+             .agg(F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+                   .cast("long").alias("cents")))
+    one = daily.agg(F.sort_array(
+        F.collect_list(F.struct("day", "cents"))).alias("arr"))
+    # inline() is a generator: one projection, columns named by the
+    # struct fields (day, cents, level_c, trend_c, forecast_c)
+    return one.select(F.expr(_holt_spark_expr()))
