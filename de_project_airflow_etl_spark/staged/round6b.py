@@ -984,3 +984,271 @@ def holt_linear_daily_revenue(spark: SparkSession,
     # inline() is a generator: one projection, columns named by the
     # struct fields (day, cents, level_c, trend_c, forecast_c)
     return one.select(F.expr(_holt_spark_expr()))
+
+
+# --------------------------------------- Theil-Sen robust trend
+
+_TS_DAILY_SQL = """
+        daily AS (
+          SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS x,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1
+        )
+"""
+
+
+@staged_query(
+    "theil_sen_daily_trend",
+    oracle=f"""
+        WITH {_TS_DAILY_SQL},
+        p AS (
+          SELECT b.cents - a.cents AS num,
+                 CAST(b.x - a.x AS BIGINT) AS den
+          FROM daily a JOIN daily b ON b.x > a.x
+        ),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p),
+        r AS (
+          SELECT num, den,
+                 row_number() OVER (ORDER BY
+                   CAST(num AS DOUBLE) / CAST(den AS DOUBLE), num, den)
+                   AS rn
+          FROM p
+        ),
+        med AS (
+          SELECT num AS med_num, den AS med_den
+          FROM r CROSS JOIN st WHERE rn = (n_pairs + 1) // 2
+        ),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        ic AS (
+          SELECT d.cents * m.med_den - m.med_num * d.x AS inum,
+                 m.med_den AS iden
+          FROM daily d CROSS JOIN med m
+        ),
+        icr AS (
+          SELECT inum, iden, row_number() OVER (ORDER BY inum) AS rn
+          FROM ic
+        ),
+        icm AS (
+          SELECT inum AS intercept_num, iden AS intercept_den
+          FROM icr CROSS JOIN nd WHERE rn = (n_days + 1) // 2
+        )
+        SELECT nd.n_days, st.n_pairs, m.med_num, m.med_den,
+               CAST(m.med_num AS DOUBLE) / CAST(m.med_den AS DOUBLE)
+                 AS slope_cents_per_day,
+               i.intercept_num, i.intercept_den,
+               CAST(i.intercept_num AS DOUBLE)
+                 / CAST(i.intercept_den AS DOUBLE) AS intercept_cents
+        FROM med m CROSS JOIN icm i CROSS JOIN nd CROSS JOIN st
+    """,
+    doc="Theil-Sen robust trend of daily event revenue: the (lower) "
+        "median of all pairwise slopes, then the median intercept at "
+        "the chosen slope — the estimator that shrugs off the "
+        "outlier days that wreck OLS. Slopes are exact rationals "
+        "(integer numerator/denominator; the ranking divides two "
+        "exactly-representable ints so the IEEE sort key is "
+        "bit-identical, with (num, den) tiebreaks), and intercepts "
+        "share the slope's denominator so their median orders by "
+        "integer numerator alone. Every window runs over "
+        "calendar-bounded relations (days and day-pairs); the "
+        "corpus-scale work is the one daily rollup.",
+    tags=("staged", "statistics"),
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (load(spark, sf_dir, "events")
+             .groupBy(F.datediff(F.to_date("ts"),
+                                 F.lit("1970-01-01")).alias("x"))
+             .agg(F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+                   .cast("long").alias("cents")))
+    a = daily.select(F.col("x").alias("xa"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("x").alias("xb"), F.col("cents").alias("cb"))
+    p = (a.join(b, F.col("xb") > F.col("xa"))
+          .select((F.col("cb") - F.col("ca")).alias("num"),
+                  (F.col("xb") - F.col("xa")).cast("long").alias("den")))
+    st = p.agg(F.count(F.lit(1)).alias("n_pairs"))
+    wr = Window.orderBy(F.expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"),
+                        "num", "den")  # day-pair-bounded
+    med = (p.withColumn("rn", F.row_number().over(wr))
+            .crossJoin(F.broadcast(st))
+            .filter(F.expr("rn = (n_pairs + 1) div 2"))
+            .select(F.col("num").alias("med_num"),
+                    F.col("den").alias("med_den"), "n_pairs"))
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    ic = (daily.crossJoin(F.broadcast(med))
+               .select(F.expr("cents * med_den - med_num * x")
+                        .alias("inum"),
+                       F.col("med_den").alias("iden")))
+    wi = Window.orderBy("inum")  # calendar-bounded
+    icm = (ic.withColumn("rn", F.row_number().over(wi))
+             .crossJoin(F.broadcast(nd))
+             .filter(F.expr("rn = (n_days + 1) div 2"))
+             .select(F.col("inum").alias("intercept_num"),
+                     F.col("iden").alias("intercept_den"), "n_days"))
+    return (med.crossJoin(F.broadcast(icm))
+               .select("n_days", "n_pairs", "med_num", "med_den",
+                       F.expr("CAST(med_num AS DOUBLE)"
+                              " / CAST(med_den AS DOUBLE)")
+                        .alias("slope_cents_per_day"),
+                       "intercept_num", "intercept_den",
+                       F.expr("CAST(intercept_num AS DOUBLE)"
+                              " / CAST(intercept_den AS DOUBLE)")
+                        .alias("intercept_cents")))
+
+
+# ------------------------------- contrastive negative sampling
+
+NEG_ANCHOR_MOD = 25   # anchors = vec_id % 25 == 0 (deterministic ~4%)
+NEG_PER_ANCHOR = 5
+
+_NEG_KEY_SPARK = ("concat(CAST(anchor_id AS STRING), '|', "
+                  "CAST(neg_id AS STRING))")
+_NEG_KEY_SQL = ("CAST(anchor_id AS VARCHAR) || '|' || "
+                "CAST(neg_id AS VARCHAR)")
+
+
+@staged_query(
+    "negative_sampling_pairs",
+    oracle=f"""
+        WITH a AS (
+          SELECT vec_id AS anchor_id, label AS anchor_label
+          FROM embeddings WHERE vec_id % {NEG_ANCHOR_MOD} = 0
+        ),
+        c AS (
+          SELECT vec_id AS neg_id, label AS neg_label FROM embeddings
+        ),
+        p AS (
+          SELECT anchor_id, anchor_label, neg_id, neg_label,
+                 {_sql_h52(_NEG_KEY_SQL, 'neg|')} AS score
+          FROM a JOIN c ON neg_label <> anchor_label
+        ),
+        r AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY anchor_id ORDER BY score, neg_id)
+                 AS BIGINT) AS neg_rank
+          FROM p
+        )
+        SELECT anchor_id, anchor_label, neg_id, neg_label, neg_rank,
+               score
+        FROM r WHERE neg_rank <= {NEG_PER_ANCHOR}
+    """,
+    doc="Deterministic negative mining for contrastive training: for "
+        "every anchor vector (a fixed ~4% hash-free id-slice), the 5 "
+        "different-label vectors with the smallest salted-md5 "
+        "(anchor, candidate) scores — i.e. a per-anchor uniform "
+        "'random' negative set that is exactly reproducible across "
+        "engines and retries (the no-rand() discipline). The anchor "
+        "side broadcasts onto the corpus (BroadcastNestedLoopJoin on "
+        "the label-inequality predicate), and the per-anchor top-5 "
+        "is a partitioned rank window — at 100 TB this is the "
+        "standard 'broadcast the query set, never shuffle the "
+        "corpus' sampling shape, and WindowGroupLimit keeps the "
+        "rank from materializing full partitions.",
+    tags=("staged", "ml"),
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    a = (e.filter(F.col("vec_id") % NEG_ANCHOR_MOD == 0)
+          .select(F.col("vec_id").alias("anchor_id"),
+                  F.col("label").alias("anchor_label")))
+    c = e.select(F.col("vec_id").alias("neg_id"),
+                 F.col("label").alias("neg_label"))
+    p = (c.join(F.broadcast(a),
+                F.col("neg_label") != F.col("anchor_label"))
+          .select("anchor_id", "anchor_label", "neg_id", "neg_label",
+                  F.expr(_h52(_NEG_KEY_SPARK, 'neg|')).alias("score")))
+    w = Window.partitionBy("anchor_id").orderBy("score", "neg_id")
+    return (p.withColumn("neg_rank",
+                         F.row_number().over(w).cast("long"))
+             .filter(F.col("neg_rank") <= NEG_PER_ANCHOR))
+
+
+# ----------------------------------- LSH dedup recall/precision audit
+
+LSH_AUDIT_MOD = 2   # audit subset: every even doc_id
+
+
+def _lsh_audit_oracle() -> str:
+    from de_project_airflow_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD, _sql_lsh_pairs)
+    m = LSH_AUDIT_MOD
+    return f"""
+        WITH {_sql_lsh_pairs()},
+        truth AS MATERIALIZED (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+          WHERE a.doc_id % {m} = 0 AND b.doc_id % {m} = 0
+            AND CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                / (len(a.hs) + len(b.hs)
+                   - len(list_intersect(a.hs, b.hs)))
+                >= {JACCARD_THRESHOLD}
+        ),
+        found AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM pairs
+          WHERE doc_a % {m} = 0 AND doc_b % {m} = 0
+        ),
+        hit AS (
+          SELECT t.doc_a FROM truth t
+          JOIN found f ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_lsh,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+               CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM truth) AS recall,
+               CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM found) AS precision
+    """
+
+
+@staged_query(
+    "lsh_dedup_recall_audit",
+    oracle=_lsh_audit_oracle(),
+    doc="Recall/precision audit of the banded-LSH near-dup pipeline "
+        "against exact ground truth on a bounded doc-id slice: "
+        "all-pairs exact Jaccard (shingle-digest intersection over "
+        "union, the dedup_minhash_lsh verification arithmetic) on "
+        "the even-doc_id half is the truth set; the production LSH pairs "
+        "restricted to the same slice are the candidates. Precision "
+        "is 1.0 by construction (every LSH candidate is "
+        "Jaccard-verified before emission) — the audit's real signal "
+        "is recall: how many true pairs the 4x2 banding misses. "
+        "This mirrors ann_recall_audit for the dedup family. The "
+        "quadratic truth join is confined to the deterministic "
+        "half-corpus audit slice (the evaluation-subset pattern — "
+        "at 100 TB the modulus widens so the slice stays fixed-size); the production side "
+        "stays the banded equi-join, never all-pairs.",
+    tags=("staged", "dedup", "evaluation"),
+)
+def lsh_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD, _lsh_verified, _shingled)
+    m = LSH_AUDIT_MOD
+    sub = (_shingled(spark, sf_dir).select("doc_id", "hs")
+           .filter(F.col("doc_id") % m == 0))
+    a = sub.select(F.col("doc_id").alias("doc_a"),
+                   F.col("hs").alias("hs_a"))
+    b = sub.select(F.col("doc_id").alias("doc_b"),
+                   F.col("hs").alias("hs_b"))
+    truth = (a.join(b, F.col("doc_a") < F.col("doc_b"))
+              .withColumn("n_inter", F.expr(
+                  "size(array_intersect(hs_a, hs_b))"))
+              .filter(F.expr(
+                  f"CAST(n_inter AS DOUBLE)"
+                  f" / (size(hs_a) + size(hs_b) - n_inter)"
+                  f" >= {JACCARD_THRESHOLD}"))
+              .select("doc_a", "doc_b"))
+    found = (_lsh_verified(spark, sf_dir)
+             .filter((F.col("doc_a") % m == 0) & (F.col("doc_b") % m == 0))
+             .select("doc_a", "doc_b"))
+    hit = truth.join(found, ["doc_a", "doc_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    nl = found.agg(F.count(F.lit(1)).alias("n_lsh"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (nt.crossJoin(F.broadcast(nl)).crossJoin(F.broadcast(nh))
+              .select("n_true", "n_lsh", "n_hit",
+                      (F.col("n_hit").cast("double")
+                       / F.col("n_true").cast("double")).alias("recall"),
+                      (F.col("n_hit").cast("double")
+                       / F.col("n_lsh").cast("double"))
+                      .alias("precision")))

@@ -33,6 +33,21 @@ _JUSTIFIED_BNLJ_BUILDS = {
     # family is the scale path (same split as knn_brute_force vs
     # ann_ivf_search in the registry)
     "knn_classifier_accuracy",
+    # day-pair self-join (b.x > a.x) over the daily rollup: both
+    # sides calendar-bounded, quadratic in days not data
+    "theil_sen_daily_trend",
+    # broadcasts the fixed ~4% anchor id-slice onto the corpus with a
+    # label-inequality predicate — the documented 'broadcast the query
+    # set, never shuffle the corpus' sampling shape
+    "negative_sampling_pairs",
+    # broadcasts the one-row probe embedding (vec_id = 1 filter); the
+    # detector cannot classify a filter as scalar, but the build is a
+    # single row by key-uniqueness (same shape as knn_brute_force)
+    "rrf_fusion_search",
+    # all-pairs exact-Jaccard ground truth on the deterministic audit
+    # slice — the evaluation-subset pattern; the production path in
+    # the same query stays the banded equi-join
+    "lsh_dedup_recall_audit",
 }
 
 
@@ -147,3 +162,77 @@ def test_event_type_jaccard_broadcasts_sizes(spark, sf_dir):
         STAGED["event_type_user_jaccard"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ----------------------------- round6b bank: targeted plan shapes
+
+
+def test_sketch_rankings_are_take_ordered(spark, sf_dir):
+    """The CMS heavy-key probe list and the KMV k-smallest selection
+    must plan as TakeOrdered (per-partition top-k merge), never a
+    global sort of the key space."""
+    for name in ("cms_user_event_counts", "kmv_distinct_users"):
+        plan = formatted_plan(STAGED[name].fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Sort [" not in plan.replace(
+            "TakeOrderedAndProject", ""), f"{name}: residual global sort"
+
+
+def test_feature_hashing_scan_prunes_to_text(spark, sf_dir):
+    schemas = scan_read_schema(
+        STAGED["feature_hashing_bow"].fn(spark, sf_dir))
+    assert schemas and all("struct<text:string>" in s for s in schemas), \
+        schemas
+
+
+def test_bloom_scans_prune_to_keys(spark, sf_dir):
+    schemas = scan_read_schema(
+        STAGED["bloom_buyer_membership"].fn(spark, sf_dir))
+    joined = " ".join(schemas)
+    assert "o_custkey" in joined and "o_totalprice" not in joined, schemas
+    assert "c_custkey" in joined and "c_name" not in joined, schemas
+
+
+def test_negative_sampling_rank_is_group_limited(spark, sf_dir):
+    """The per-anchor top-5 must run through WindowGroupLimit so no
+    anchor partition ever materializes its full candidate list."""
+    plan = formatted_plan(
+        STAGED["negative_sampling_pairs"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_target_encoding_broadcasts_customer_dim(spark, sf_dir):
+    from de_project_airflow_etl_spark.plans.inspect import (
+        has_broadcast_join)
+    assert has_broadcast_join(
+        STAGED["target_encoding_smoothed"].fn(spark, sf_dir))
+
+
+def test_gini_unpivot_scans_lineitem_once_per_feature_block(spark,
+                                                            sf_dir):
+    """The unpivot is ONE generator over one scan — the plan must
+    contain a single lineitem file scan (the explode fans out rows,
+    not scans) and prune it to the five consumed columns."""
+    schemas = scan_read_schema(
+        STAGED["gini_feature_split_rank"].fn(spark, sf_dir))
+    assert len(schemas) == 1, schemas
+    assert "l_extendedprice" not in schemas[0], schemas
+
+
+def test_markov_iteration_inputs_are_checkpointed(spark, sf_dir):
+    """Power iteration must run over the checkpointed
+    vocabulary-sized transition relation — the events scan may appear
+    at most in the (already materialized) lineage root, not once per
+    iteration."""
+    plan = formatted_plan(
+        STAGED["markov_stationary_event_mix"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 1, plan[:2000]
+
+
+def test_holt_is_single_projection_fold(spark, sf_dir):
+    """The Holt fold must stay ONE generator projection above the
+    daily rollup (the CollapseProject re-evaluation lesson): exactly
+    one aggregate() call in the executed plan."""
+    df = STAGED["holt_linear_daily_revenue"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("aggregate(") == 1, executed[:2000]
