@@ -5,6 +5,11 @@ tests/test_correctness.py, strictly stronger than the driver's
 order-insensitive hash), and print per-query wall time slowest first.
 
 Usage: python scripts/profile_correctness.py [sf_dir] [--no-compare]
+           [--staged]
+
+--staged sweeps the STAGED bank instead of the registry — run it at
+sf0.1 as well as sf0.01 before promotion (the round-5 lesson: two
+bugs were invisible at sf0.01).
 """
 
 from __future__ import annotations
@@ -25,7 +30,11 @@ def main() -> None:
     do_compare = "--no-compare" not in sys.argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark()
-    qs = all_queries()
+    if "--staged" in sys.argv:
+        from de_project_airflow_etl_spark.staged import STAGED
+        qs = dict(sorted(STAGED.items()))
+    else:
+        qs = all_queries()
     duck = None
     if do_compare:
         from tests.harness import compare, duck_connection
