@@ -637,6 +637,31 @@ def _rrf_score_sql(r1: str, r2: str) -> str:
     """
 
 
+def _ranked_lists(spark: SparkSession,
+                  sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The two top-50 candidate lists (cosine desc / L2 asc) with
+    their in-list ranks — shared by rrf_fusion_search and
+    kendall_tau_rankings so both consume identical rankings."""
+    from de_project_airflow_etl_spark.operators.similarity import cosine
+    e = load(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") == RRF_QUERY_ID)
+          .select(F.col("embedding").alias("qv")))
+    m = (e.filter(F.col("vec_id") != RRF_QUERY_ID)
+          .crossJoin(F.broadcast(q))
+          .select("vec_id", cosine("embedding", "qv").alias("cosv"),
+                  F.expr(_L2_SPARK).alias("l2sq")))
+    wa = Window.orderBy(F.desc("cosv"), "vec_id")   # over 50 rows only
+    wb = Window.orderBy("l2sq", "vec_id")           # over 50 rows only
+    ra = (m.orderBy(F.desc("cosv"), "vec_id").limit(RRF_TOPK)
+           .select("vec_id", F.row_number().over(wa).cast("long")
+                   .alias("r1")))
+    rb = (m.orderBy("l2sq", "vec_id").limit(RRF_TOPK)
+           .select("vec_id", F.row_number().over(wb).cast("long")
+                   .alias("r2")))
+    return ra, rb
+
+
+
 @staged_query(
     "rrf_fusion_search",
     oracle=f"""
@@ -690,22 +715,7 @@ def _rrf_score_sql(r1: str, r2: str) -> str:
     tags=("staged", "similarity"),
 )
 def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from de_project_airflow_etl_spark.operators.similarity import cosine
-    e = load(spark, sf_dir, "embeddings")
-    q = (e.filter(F.col("vec_id") == RRF_QUERY_ID)
-          .select(F.col("embedding").alias("qv")))
-    m = (e.filter(F.col("vec_id") != RRF_QUERY_ID)
-          .crossJoin(F.broadcast(q))
-          .select("vec_id", cosine("embedding", "qv").alias("cosv"),
-                  F.expr(_L2_SPARK).alias("l2sq")))
-    wa = Window.orderBy(F.desc("cosv"), "vec_id")   # over 50 rows only
-    wb = Window.orderBy("l2sq", "vec_id")           # over 50 rows only
-    ra = (m.orderBy(F.desc("cosv"), "vec_id").limit(RRF_TOPK)
-           .select("vec_id", F.row_number().over(wa).cast("long")
-                   .alias("r1")))
-    rb = (m.orderBy("l2sq", "vec_id").limit(RRF_TOPK)
-           .select("vec_id", F.row_number().over(wb).cast("long")
-                   .alias("r2")))
+    ra, rb = _ranked_lists(spark, sf_dir)
     f = ra.join(rb, "vec_id", "full_outer")
     return (f.select("vec_id",
                      F.coalesce("r1", F.lit(-1)).cast("long")
@@ -1252,3 +1262,146 @@ def lsh_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.col("n_hit").cast("double")
                        / F.col("n_lsh").cast("double"))
                       .alias("precision")))
+
+
+# --------------------------------- Kendall tau between rankings
+
+
+@staged_query(
+    "kendall_tau_rankings",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings
+                   WHERE vec_id = {RRF_QUERY_ID}),
+        m AS (
+          SELECT vec_id,
+                 {{SQL_COSINE}} AS cosv,
+                 {_L2_SQL} AS l2sq
+          FROM embeddings CROSS JOIN q
+          WHERE vec_id <> {RRF_QUERY_ID}
+        ),
+        ra AS (
+          SELECT vec_id, r FROM (
+            SELECT vec_id, CAST(row_number() OVER
+                   (ORDER BY cosv DESC, vec_id) AS BIGINT) AS r FROM m)
+          WHERE r <= {RRF_TOPK}
+        ),
+        rb AS (
+          SELECT vec_id, r FROM (
+            SELECT vec_id, CAST(row_number() OVER
+                   (ORDER BY l2sq, vec_id) AS BIGINT) AS r FROM m)
+          WHERE r <= {RRF_TOPK}
+        ),
+        both_ AS MATERIALIZED (
+          SELECT ra.vec_id, ra.r AS r1, rb.r AS r2
+          FROM ra JOIN rb ON ra.vec_id = rb.vec_id
+        ),
+        pairs_ AS (
+          SELECT CASE WHEN (a.r1 - b.r1) * (a.r2 - b.r2) > 0
+                      THEN 1 ELSE 0 END AS conc
+          FROM both_ a JOIN both_ b ON a.vec_id < b.vec_id
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM both_) AS n_common,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(conc) AS BIGINT) AS n_concordant,
+               CAST(COUNT(*) - SUM(conc) AS BIGINT) AS n_discordant,
+               CAST(2 * SUM(conc) - COUNT(*) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS tau
+        FROM pairs_
+    """,
+    doc="Kendall rank correlation between the cosine and L2 "
+        "retrieval rankings, on the vectors both top-50 lists "
+        "contain: exact concordant/discordant pair counting (no "
+        "ties — ranks are distinct by construction), tau = (C - D) "
+        "/ n_pairs as one division of exact integers. The ranking "
+        "agreement metric that tells you whether fusing retrievers "
+        "(rrf_fusion_search consumes the SAME _ranked_lists "
+        "helper) is worth it. All pair work is bounded by the "
+        "candidate lists (<= 50x50), never the corpus.",
+    tags=("staged", "statistics"),
+)
+def kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ra, rb = _ranked_lists(spark, sf_dir)
+    both = ra.join(rb, "vec_id").localCheckpoint()  # <= 50 rows
+    a = both.select(F.col("vec_id").alias("va"),
+                    F.col("r1").alias("r1a"), F.col("r2").alias("r2a"))
+    b = both.select(F.col("vec_id").alias("vb"),
+                    F.col("r1").alias("r1b"), F.col("r2").alias("r2b"))
+    pairs = (a.join(b, F.col("va") < F.col("vb"))
+              .select(F.when((F.col("r1a") - F.col("r1b"))
+                             * (F.col("r2a") - F.col("r2b")) > 0, 1)
+                       .otherwise(0).alias("conc")))
+    nc = both.agg(F.count(F.lit(1)).alias("n_common"))
+    return (pairs.agg(F.count(F.lit(1)).alias("n_pairs"),
+                      F.sum("conc").alias("n_concordant"))
+                 .crossJoin(F.broadcast(nc))
+                 .select("n_common", "n_pairs", "n_concordant",
+                         (F.col("n_pairs") - F.col("n_concordant"))
+                          .alias("n_discordant"),
+                         ((2 * F.col("n_concordant") - F.col("n_pairs"))
+                          .cast("double")
+                          / F.col("n_pairs").cast("double"))
+                         .alias("tau")))
+
+
+# ------------------------------ Markov next-event prediction eval
+
+
+@staged_query(
+    "markov_next_event_accuracy",
+    oracle="""
+        WITH pairs AS (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        ),
+        trans AS (
+          SELECT prev AS src, event_type AS dst,
+                 CAST(COUNT(*) AS BIGINT) AS n_ij
+          FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT src, dst, n_ij,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY n_ij DESC, dst) AS rn,
+                 CAST(SUM(n_ij) OVER (PARTITION BY src) AS BIGINT)
+                   AS n_total
+          FROM trans
+        )
+        SELECT src, dst AS predicted_next, n_total,
+               n_ij AS n_correct,
+               CAST(n_ij AS DOUBLE) / CAST(n_total AS DOUBLE)
+                 AS accuracy
+        FROM ranked WHERE rn = 1
+    """,
+    doc="Top-1 next-event prediction accuracy of the first-order "
+        "Markov model: per source event type, the argmax transition "
+        "(count-desc, lexicographic tiebreak) and the exact fraction "
+        "of observed transitions it would have predicted — the "
+        "evaluation companion to markov_stationary_event_mix and "
+        "user_event_transitions. One lag window partitioned by user, "
+        "one vocabulary-bounded aggregate, and rank/total windows "
+        "that only ever see |vocab|^2 rows.",
+    tags=("staged", "evaluation"),
+)
+def markov_next_event_accuracy(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "ts",
+                                             "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.withColumn("prev", F.lag("event_type").over(w))
+              .filter(F.col("prev").isNotNull()))
+    trans = (pairs.groupBy(F.col("prev").alias("src"),
+                           F.col("event_type").alias("dst"))
+                  .agg(F.count(F.lit(1)).alias("n_ij")))
+    wr = Window.partitionBy("src").orderBy(F.desc("n_ij"), "dst")
+    wt = Window.partitionBy("src")
+    ranked = (trans.withColumn("rn", F.row_number().over(wr))
+                   .withColumn("n_total",
+                               F.sum("n_ij").over(wt).cast("long")))
+    return (ranked.filter(F.col("rn") == 1)
+                  .select("src", F.col("dst").alias("predicted_next"),
+                          "n_total", F.col("n_ij").alias("n_correct"),
+                          (F.col("n_ij").cast("double")
+                           / F.col("n_total").cast("double"))
+                          .alias("accuracy")))
