@@ -463,10 +463,14 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(n) AS BIGINT) AS n_docs,
                CAST(COUNT(*) AS BIGINT) AS n_langs,
                CAST(SUM(CAST(n AS HUGEINT) * n) AS BIGINT) AS sum_sq,
-               1.0 - CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE)
-                   / CAST(SUM(n) * SUM(n) AS DOUBLE) AS simpson_index,
-               CAST(SUM(n) * SUM(n) AS DOUBLE)
-                 / CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE)
+               1.0 - CAST(CAST(SUM(CAST(n AS HUGEINT) * n) AS VARCHAR)
+                          AS DOUBLE)
+                   / CAST(CAST(CAST(SUM(n) AS HUGEINT) * SUM(n)
+                               AS VARCHAR) AS DOUBLE) AS simpson_index,
+               CAST(CAST(CAST(SUM(n) AS HUGEINT) * SUM(n) AS VARCHAR)
+                    AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(n AS HUGEINT) * n) AS VARCHAR)
+                        AS DOUBLE)
                    AS effective_langs
         FROM c GROUP BY source
     """,
@@ -489,17 +493,22 @@ def language_diversity_by_source(spark: SparkSession,
     d = load(spark, sf_dir, "documents")
     c = (d.groupBy("source", "lang")
           .agg(F.count(F.lit(1)).alias("n")))
+    # counts can be corpus-sized at scale: BOTH quadratic terms —
+    # sum(n^2) and n_docs^2 — go through DECIMAL(38,0), and wide-int
+    # -> double rides the CAST(CAST(x AS STRING) AS DOUBLE) route
+    # (exact decimal string, identical nearest-double parse on both
+    # engines) so nothing ANSI-aborts past 2^63.
+    sq_dec = "CAST(CAST(sum_sq_dec AS STRING) AS DOUBLE)"
+    nd_dec = ("CAST(CAST(CAST(n_docs AS DECIMAL(38,0)) * n_docs "
+              "AS STRING) AS DOUBLE)")
     return (c.groupBy("source")
              .agg(F.sum("n").alias("n_docs"),
                   F.count(F.lit(1)).alias("n_langs"),
-                  # counts can be corpus-sized at scale: widen the
-                  # squared accumulation (oracle: HUGEINT product)
                   F.sum((F.col("n").cast("decimal(38,0)") * F.col("n")))
-                   .cast("long").alias("sum_sq"))
-             .select("source", "n_docs", "n_langs", "sum_sq",
-                     (F.lit(1.0) - F.col("sum_sq").cast("double")
-                      / (F.col("n_docs") * F.col("n_docs"))
-                      .cast("double")).alias("simpson_index"),
-                     ((F.col("n_docs") * F.col("n_docs")).cast("double")
-                      / F.col("sum_sq").cast("double"))
-                         .alias("effective_langs")))
+                   .alias("sum_sq_dec"))
+             .select("source", "n_docs", "n_langs",
+                     F.col("sum_sq_dec").cast("long").alias("sum_sq"),
+                     F.expr(f"1.0 - {sq_dec} / {nd_dec}")
+                      .alias("simpson_index"),
+                     F.expr(f"{nd_dec} / {sq_dec}")
+                      .alias("effective_langs")))

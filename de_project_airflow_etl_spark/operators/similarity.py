@@ -1415,10 +1415,10 @@ from de_project_airflow_etl_spark.queries.analytics import CENT_SCALE  # noqa: E
 )
 def centroid_assignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_project_airflow_etl_spark.queries.analytics import (
-        embedding_label_centroids,
+        embedding_label_centroids_arrays,
     )
     e = load(spark, sf_dir, "embeddings")
-    cent = (embedding_label_centroids(spark, sf_dir)
+    cent = (embedding_label_centroids_arrays(spark, sf_dir)
             .select(F.col("label").alias("clabel"), "centroid"))
     dist = (e.crossJoin(F.broadcast(cent))
              .select("vec_id", "label", "clabel",

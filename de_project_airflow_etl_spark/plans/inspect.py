@@ -77,10 +77,16 @@ def bnlj_builds_are_scalar(df: DataFrame) -> list[str]:
                     return node.groupingExpressions().isEmpty()
                 except Exception:  # py4j: node without the accessor
                     return False
-            # A limit-k root region (TakeOrderedAndProject /
-            # Global/CollectLimit) produces at most k rows, so it is
+            # A limit-k root region produces at most k rows, so it is
             # just as broadcast-safe as a one-row global aggregate.
-            if "TakeOrderedAndProject" in cls or "Limit" in cls:
+            # Explicit node names only: a bare "Limit" substring would
+            # also match WindowGroupLimitExec, whose output is k rows
+            # PER GROUP (data-sized), and wrongly bless a data build.
+            # (LocalLimit is deliberately absent: k rows PER
+            # PARTITION is data-sized; the peel reaches the
+            # GlobalLimit above it first in any real limit plan.)
+            if cls in ("TakeOrderedAndProjectExec", "GlobalLimitExec",
+                       "CollectLimitExec"):
                 return True
             children = node.children()
             if children.size() != 1:

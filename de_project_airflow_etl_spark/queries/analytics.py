@@ -611,6 +611,43 @@ def doc_length_iqr_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 CENT_SCALE = 1000000  # fixed-point quantization: floor(x * 1e6)
 
 
+def _label_centroid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (label, n_vecs, dim, s, cv) centroid cells shared by the
+    array API and the driver-facing serialized variant: s is the exact
+    fixed-point integer coordinate sum, cv the final one-shot IEEE
+    division back to double."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select("label", F.expr(
+        f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+        f"* {CENT_SCALE}.0) AS BIGINT))").alias("qv"))
+    d = q.select("label", F.posexplode("qv").alias("dim", "v"))
+    g = d.groupBy("label", "dim").agg(F.sum("v").alias("s"))
+    n = e.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+    return g.join(n, "label").select(
+        "label", "n_vecs", "dim", "s",
+        F.expr(f"CAST(s AS DOUBLE) / ({CENT_SCALE}.0 "
+               f"* CAST(n_vecs AS DOUBLE))").alias("cv"))
+
+
+def embedding_label_centroids_arrays(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Array-returning centroid API: per-label ``centroid``
+    (array<double>, dim order) plus n_vecs and sq_norm. The registered
+    driver-facing variant (``embedding_label_centroids``) serializes
+    the centroid because the verification harness canonicalizes rows
+    through pandas, which cannot hash list cells (CORRECTNESS_r05);
+    this function is the shape pipelines compose with
+    (``centroid_assignment_margin`` consumes the array directly)."""
+    c = _label_centroid_cells(spark, sf_dir)
+    arr = c.groupBy("label", "n_vecs").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, cv))), "
+               "p -> p.cv)").alias("centroid"))
+    return arr.select(
+        "label", "n_vecs", "centroid",
+        F.expr("aggregate(centroid, CAST(0 AS DOUBLE), "
+               "(acc, x) -> acc + x * x)").alias("sq_norm"))
+
+
 @query(
     "embedding_label_centroids",
     oracle=f"""
@@ -629,13 +666,14 @@ CENT_SCALE = 1000000  # fixed-point quantization: floor(x * 1e6)
           SELECT label, dim, SUM(v) AS s FROM d GROUP BY label, dim
         ),
         c AS (
-          SELECT g.label, n.n_vecs, g.dim,
+          SELECT g.label, n.n_vecs, g.dim, g.s,
                  CAST(g.s AS DOUBLE)
                    / ({CENT_SCALE}.0 * CAST(n.n_vecs AS DOUBLE)) AS cv
           FROM g JOIN n USING (label)
         )
         SELECT label, n_vecs,
-               list(cv ORDER BY dim) AS centroid,
+               array_to_string(list(CAST(s AS VARCHAR) ORDER BY dim),
+                               ' ') AS centroid_sums,
                list_reduce(
                  list_prepend(CAST(0 AS DOUBLE),
                               list_transform(list(cv ORDER BY dim),
@@ -653,28 +691,26 @@ CENT_SCALE = 1000000  # fixed-point quantization: floor(x * 1e6)
         "posexplode -> one (label, dim) aggregate -> rebuild the array "
         "with an in-group sort over 64 dims. Shuffle volume is "
         "|labels| x dims partials — the centroid step of distributed "
-        "k-means / class-prototype analysis, linear at 100 TB.",
+        "k-means / class-prototype analysis, linear at 100 TB. Driver "
+        "contract: the centroid ships as the space-joined PRE-DIVISION "
+        "fixed-point integer sums (lossless — centroid[i] = sums[i] / "
+        "(1e6 * n_vecs) reconstructs every double bit-exactly) because "
+        "the harness canonicalizer cannot hash list cells; "
+        "``embedding_label_centroids_arrays`` is the array-typed API.",
     tags=("analytics", "similarity",),
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    q = e.select("label", F.expr(
-        f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
-        f"* {CENT_SCALE}.0) AS BIGINT))").alias("qv"))
-    d = q.select("label", F.posexplode("qv").alias("dim", "v"))
-    g = d.groupBy("label", "dim").agg(F.sum("v").alias("s"))
-    n = e.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
-    c = g.join(n, "label").select(
-        "label", "n_vecs", "dim",
-        F.expr(f"CAST(s AS DOUBLE) / ({CENT_SCALE}.0 "
-               f"* CAST(n_vecs AS DOUBLE))").alias("cv"))
-    arr = c.groupBy("label", "n_vecs").agg(
-        F.expr("transform(array_sort(collect_list(struct(dim, cv))), "
-               "p -> p.cv)").alias("centroid"))
-    return arr.select(
-        "label", "n_vecs", "centroid",
-        F.expr("aggregate(centroid, CAST(0 AS DOUBLE), "
-               "(acc, x) -> acc + x * x)").alias("sq_norm"))
+    c = _label_centroid_cells(spark, sf_dir)
+    cells = c.groupBy("label", "n_vecs").agg(
+        F.expr("array_sort(collect_list(struct(dim, s, cv)))")
+         .alias("cells"))
+    return cells.select(
+        "label", "n_vecs",
+        F.expr("array_join(transform(cells, p -> CAST(p.s AS STRING)), "
+               "' ')").alias("centroid_sums"),
+        F.expr("aggregate(transform(cells, p -> p.cv), "
+               "CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")
+         .alias("sq_norm"))
 
 
 # ----------------------------------------------- 2D Pareto skyline

@@ -13,7 +13,9 @@ moved under ``queries/``) the round after their window opens.
 Round-5 history: the 30 round-4 staged queries lived here as
 ``round5.py``; they were promoted to
 ``queries/analytics.py`` in round 5 once CORRECTNESS_r04 adjudicated
-green. The pen is currently EMPTY — round-6 overflow goes here.
+green. Round 6: the 39 round-5 staged queries (``round6.py`` 22 +
+``round6b.py`` 17) are being promoted this round now that
+CORRECTNESS_r05 adjudicated; round-6 overflow banks here next.
 """
 
 from __future__ import annotations

@@ -622,6 +622,14 @@ _L2_SQL = (
     " * (CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE)))),"
     " (acc, v) -> acc + v)")
 
+# DuckDB cosine(embedding, qv) — the oracle-side twin of
+# operators.similarity.cosine, shared by every oracle in this module
+# that ranks by cosine (rrf_fusion_search, kendall_tau_rankings).
+_COS_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (acc, v) -> acc + v)"
+    " / (SQRT(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (acc, v) -> acc + v))"
+    " * SQRT(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (acc, v) -> acc + v)))")
+
 
 def _rrf_score_sql(r1: str, r2: str) -> str:
     """Exact-rational RRF: integer numerator/denominator, one final
@@ -669,7 +677,7 @@ def _ranked_lists(spark: SparkSession,
                    WHERE vec_id = {RRF_QUERY_ID}),
         m AS (
           SELECT vec_id,
-                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (acc, v) -> acc + v) / (SQRT(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (acc, v) -> acc + v)) * SQRT(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (acc, v) -> acc + v))) AS cosv,
+                 {_COS_SQL} AS cosv,
                  {_L2_SQL} AS l2sq
           FROM embeddings CROSS JOIN q
           WHERE vec_id <> {RRF_QUERY_ID}
@@ -1274,7 +1282,7 @@ def lsh_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WHERE vec_id = {RRF_QUERY_ID}),
         m AS (
           SELECT vec_id,
-                 {{SQL_COSINE}} AS cosv,
+                 {_COS_SQL} AS cosv,
                  {_L2_SQL} AS l2sq
           FROM embeddings CROSS JOIN q
           WHERE vec_id <> {RRF_QUERY_ID}
@@ -1315,32 +1323,39 @@ def lsh_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/ n_pairs as one division of exact integers. The ranking "
         "agreement metric that tells you whether fusing retrievers "
         "(rrf_fusion_search consumes the SAME _ranked_lists "
-        "helper) is worth it. All pair work is bounded by the "
-        "candidate lists (<= 50x50), never the corpus.",
+        "helper) is worth it. Pairs are emitted IN-ARRAY over the "
+        "collected <= 50-row candidate list (frequent_item_pairs' "
+        "nested-lambda pattern) — no join, no "
+        "BroadcastNestedLoopJoin, never the corpus.",
     tags=("staged", "statistics"),
 )
 def kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No pair JOIN at all (an inequality-only self-join would plan as
+    # BroadcastNestedLoopJoin and trip the repo's all-pairs gate even
+    # though the input is <= 50 rows): collect the common candidates
+    # into ONE sorted array and emit the C(n,2) ordered pairs with the
+    # same nested transform/slice lambdas frequent_item_pairs uses.
+    # xs is an aggregate output (physical operator boundary), so the
+    # lambda references below cannot CollapseProject-inline anything
+    # expensive — and each fold touches <= C(50,2) = 1225 elements.
     ra, rb = _ranked_lists(spark, sf_dir)
-    both = ra.join(rb, "vec_id").localCheckpoint()  # <= 50 rows
-    a = both.select(F.col("vec_id").alias("va"),
-                    F.col("r1").alias("r1a"), F.col("r2").alias("r2a"))
-    b = both.select(F.col("vec_id").alias("vb"),
-                    F.col("r1").alias("r1b"), F.col("r2").alias("r2b"))
-    pairs = (a.join(b, F.col("va") < F.col("vb"))
-              .select(F.when((F.col("r1a") - F.col("r1b"))
-                             * (F.col("r2a") - F.col("r2b")) > 0, 1)
-                       .otherwise(0).alias("conc")))
-    nc = both.agg(F.count(F.lit(1)).alias("n_common"))
-    return (pairs.agg(F.count(F.lit(1)).alias("n_pairs"),
-                      F.sum("conc").alias("n_concordant"))
-                 .crossJoin(F.broadcast(nc))
-                 .select("n_common", "n_pairs", "n_concordant",
-                         (F.col("n_pairs") - F.col("n_concordant"))
-                          .alias("n_discordant"),
-                         ((2 * F.col("n_concordant") - F.col("n_pairs"))
-                          .cast("double")
-                          / F.col("n_pairs").cast("double"))
-                         .alias("tau")))
+    both = ra.join(rb, "vec_id")  # equi-join, <= 50 rows
+    packed = both.agg(F.expr(
+        "sort_array(collect_list(struct(vec_id, r1, r2)))").alias("xs"))
+    conc_sum = (
+        "aggregate(flatten(transform(xs, (x, i) -> "
+        "transform(slice(xs, i + 2, size(xs) - i - 1), "
+        "y -> CASE WHEN (x.r1 - y.r1) * (x.r2 - y.r2) > 0 "
+        "THEN 1L ELSE 0L END))), 0L, (acc, v) -> acc + v)")
+    n_pairs = ("CAST(size(xs) AS BIGINT) "
+               "* (CAST(size(xs) AS BIGINT) - 1) DIV 2")
+    return packed.select(
+        F.expr("CAST(size(xs) AS BIGINT)").alias("n_common"),
+        F.expr(n_pairs).alias("n_pairs"),
+        F.expr(conc_sum).alias("n_concordant"),
+        F.expr(f"{n_pairs} - {conc_sum}").alias("n_discordant"),
+        F.expr(f"CAST(2 * {conc_sum} - {n_pairs} AS DOUBLE)"
+               f" / CAST({n_pairs} AS DOUBLE)").alias("tau"))
 
 
 # ------------------------------ Markov next-event prediction eval

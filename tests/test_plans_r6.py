@@ -42,8 +42,12 @@ _JUSTIFIED_BNLJ_BUILDS = {
     "negative_sampling_pairs",
     # broadcasts the one-row probe embedding (vec_id = 1 filter); the
     # detector cannot classify a filter as scalar, but the build is a
-    # single row by key-uniqueness (same shape as knn_brute_force)
+    # single row by key-uniqueness (same shape as knn_brute_force).
+    # kendall_tau_rankings consumes the SAME _ranked_lists helper, so
+    # it inherits exactly this probe broadcast (its pair generation
+    # itself is join-free, in-array).
     "rrf_fusion_search",
+    "kendall_tau_rankings",
     # all-pairs exact-Jaccard ground truth on the deterministic audit
     # slice — the evaluation-subset pattern; the production path in
     # the same query stays the banded equi-join
