@@ -1,7 +1,7 @@
-"""Round-6 staged queries, second bank: sketch structures and
-ML-prep operators (see ``staged/__init__`` for the window-arithmetic
-rationale; same contract as ``round6.py`` — exact DuckDB oracle,
-identical aliases, exact-integer / fixed-point arithmetic for
+"""Sketch structures, retrieval-evaluation and ML-prep operators
+(promoted from ``staged/round6b.py`` in round 6 once CORRECTNESS_r05
+adjudicated; same contract as every registered query — exact DuckDB
+oracle, identical aliases, exact-integer / fixed-point arithmetic for
 anything accumulated, no ``rand()``, no ``.collect()``).
 
 The sketch family here (count-min, Bloom, KMV) is deterministic by
@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 
@@ -43,7 +43,7 @@ _CMS_SPARK_KEY = "concat(CAST(r AS STRING), '|', CAST(user_id AS STRING))"
 _CMS_SQL_KEY = "CAST(r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)"
 
 
-@staged_query(
+@query(
     "cms_user_event_counts",
     oracle=f"""
         WITH rows_ AS (SELECT unnest(generate_series(0, {CMS_DEPTH - 1}))
@@ -76,13 +76,13 @@ _CMS_SQL_KEY = "CAST(r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)"
         "salted-md5 bucket counters, probed for the 20 heaviest true "
         "users; the estimate is the row-wise minimum and `overcount` "
         "is the sketch's collision error (always >= 0 — the CMS "
-        "one-sided guarantee, asserted by the staged tests). The "
+        "one-sided guarantee, asserted by the property tests). The "
         "sketch build is ONE map-side-combinable aggregate into "
         "depth*width = 256 cells regardless of input size — the "
         "canonical 100 TB heavy-hitter pre-pass — and the probe side "
         "joins 80 rows against 256, all broadcast. Hashes are salted "
         "md5 prefixes, bit-identical on both engines.",
-    tags=("staged", "sketch"),
+    tags=("sketch"),
 )
 def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select("user_id")
@@ -118,7 +118,7 @@ _BLOOM_SPARK_KEY = "concat(CAST(i AS STRING), '|', CAST(k AS STRING))"
 _BLOOM_SQL_KEY = "CAST(i AS VARCHAR) || '|' || CAST(k AS VARCHAR)"
 
 
-@staged_query(
+@query(
     "bloom_buyer_membership",
     oracle=f"""
         WITH hs AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i),
@@ -169,7 +169,7 @@ _BLOOM_SQL_KEY = "CAST(i AS VARCHAR) || '|' || CAST(k AS VARCHAR)"
         "plus the same keys offset out of the key space), scored per "
         "market segment — exact false-positive accounting against "
         "the true member set, and zero false negatives by "
-        "construction (asserted by the staged tests; the filter is "
+        "construction (asserted by the property tests; the filter is "
         "deliberately small so absent probes see real collisions at "
         "sf0.1). This is the join-pre-filter pattern at 100 TB: the "
         "bit set is a DISTINCT over (keys x 5) positions — shuffles "
@@ -177,7 +177,7 @@ _BLOOM_SQL_KEY = "CAST(i AS VARCHAR) || '|' || CAST(k AS VARCHAR)"
         "positions, never keys, so a 1000-executor run moves the "
         "filter, not the fact table. Salted-md5 positions are "
         "bit-identical across engines.",
-    tags=("staged", "sketch"),
+    tags=("sketch"),
 )
 def bloom_buyer_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("i")
@@ -222,7 +222,7 @@ KMV_K = 256
 _KMV_POW52 = 1 << 52
 
 
-@staged_query(
+@query(
     "kmv_distinct_users",
     oracle=f"""
         WITH hashed AS (
@@ -263,7 +263,7 @@ _KMV_POW52 = 1 << 52
         "TakeOrdered (per-partition top-k, no global sort) — the "
         "mergeable-sketch alternative to an exact COUNT(DISTINCT) "
         "when the key space itself is the bottleneck.",
-    tags=("staged", "sketch"),
+    tags=("sketch"),
 )
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select("user_id")
@@ -286,7 +286,7 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------- daily OHLC bars
 
 
-@staged_query(
+@query(
     "daily_ohlc_bars",
     oracle="""
         WITH e AS (
@@ -320,7 +320,7 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND the final aggregate (day-partitioned windows, never "
         "unpartitioned), the bar-building pattern for any "
         "time-bucketed rollup at scale.",
-    tags=("staged", "timeseries"),
+    tags=("timeseries"),
 )
 def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
@@ -345,7 +345,7 @@ def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- balanced resample plan
 
 
-@staged_query(
+@query(
     "balanced_resample_plan",
     oracle="""
         WITH cls AS (
@@ -369,7 +369,7 @@ def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "downstream shuffle-shard pass interleave). One tiny "
         "aggregate plus a one-row broadcast max; the plan is "
         "metadata-sized no matter the corpus.",
-    tags=("staged", "curation"),
+    tags=("curation"),
 )
 def balanced_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls = (load(spark, sf_dir, "embeddings")
@@ -421,7 +421,7 @@ _GINI_FEATURES_SQL = """
 """
 
 
-@staged_query(
+@query(
     "gini_feature_split_rank",
     oracle=f"""
         WITH unpiv AS ({_GINI_FEATURES_SQL}),
@@ -461,7 +461,7 @@ _GINI_FEATURES_SQL = """
         "engines, no floating accumulation anywhere. One unpivoted "
         "aggregate (4x the scan, map-side combinable into "
         "vocabulary-bounded cells) and a 4-row ranking window.",
-    tags=("staged", "ml"),
+    tags=("ml"),
 )
 def gini_feature_split_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
@@ -494,7 +494,7 @@ def gini_feature_split_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 TENC_M = 100  # smoothing pseudo-count (orders)
 
 
-@staged_query(
+@query(
     "target_encoding_smoothed",
     oracle=f"""
         WITH j AS (
@@ -533,7 +533,7 @@ TENC_M = 100  # smoothing pseudo-count (orders)
         "STRING->DOUBLE route because the numerator passes 2^53 at "
         "sf0.1 (the twap_user_values lesson). One fact-table "
         "aggregate into 5 segment cells, one broadcast global row.",
-    tags=("staged", "ml"),
+    tags=("ml"),
 )
 def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
@@ -566,7 +566,7 @@ def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
 FH_BUCKETS = 32
 
 
-@staged_query(
+@query(
     "feature_hashing_bow",
     oracle=f"""
         WITH toks AS (
@@ -589,7 +589,7 @@ FH_BUCKETS = 32
         "one map-side-combinable aggregate into 32 cells; the "
         "distinct-token count is the only shuffle that carries "
         "strings, bounded by vocabulary not corpus.",
-    tags=("staged", "ml"),
+    tags=("ml"),
 )
 def feature_hashing_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (load(spark, sf_dir, "documents")
@@ -670,7 +670,7 @@ def _ranked_lists(spark: SparkSession,
 
 
 
-@staged_query(
+@query(
     "rrf_fusion_search",
     oracle=f"""
         WITH q AS (SELECT embedding AS qv FROM embeddings
@@ -720,7 +720,7 @@ def _ranked_lists(spark: SparkSession,
         "broadcast-probe scan — no corpus shuffle, no global sort — "
         "and ranking windows only ever run over the 50-row "
         "candidate lists.",
-    tags=("staged", "similarity"),
+    tags=("similarity"),
 )
 def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ra, rb = _ranked_lists(spark, sf_dir)
@@ -781,7 +781,7 @@ def _markov_oracle() -> str:
             f"FROM v{MARKOV_ITERS}")
 
 
-@staged_query(
+@query(
     "markov_stationary_event_mix",
     oracle=_markov_oracle(),
     doc="Stationary distribution of the user-journey Markov chain: "
@@ -796,7 +796,7 @@ def _markov_oracle() -> str:
         "iteration itself runs on the state-vocabulary-sized matrix "
         "(localCheckpointed per step to truncate lineage, like "
         "pagerank_dup_graph at dedup.py:692).",
-    tags=("staged", "timeseries"),
+    tags=("timeseries"),
 )
 def markov_stationary_event_mix(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -861,7 +861,7 @@ def _kcore_oracle() -> str:
             f"FROM e{KCORE_ROUNDS} GROUP BY src")
 
 
-@staged_query(
+@query(
     "kcore_dup_graph",
     oracle=_kcore_oracle(),
     doc="2-core of the LSH-verified near-dup graph by simultaneous "
@@ -878,7 +878,7 @@ def _kcore_oracle() -> str:
         "O(rounds) shuffles of id-sized rows, never text, same scale "
         "shape as dedup_clusters' alternating-star loop "
         "(dedup.py:600).",
-    tags=("staged", "graph"),
+    tags=("graph"),
 )
 def kcore_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_project_airflow_etl_spark.operators.dedup import _lsh_verified
@@ -972,7 +972,7 @@ def _holt_oracle() -> str:
     """
 
 
-@staged_query(
+@query(
     "holt_linear_daily_revenue",
     oracle=_holt_oracle(),
     doc="Holt's linear (double-exponential) smoothing of daily event "
@@ -989,7 +989,7 @@ def _holt_oracle() -> str:
         "is a recursive CTE with identical arithmetic. The "
         "corpus-scale work is the one daily rollup; the fold length "
         "is the calendar, not the data.",
-    tags=("staged", "timeseries"),
+    tags=("timeseries"),
 )
 def holt_linear_daily_revenue(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -1017,7 +1017,7 @@ _TS_DAILY_SQL = """
 """
 
 
-@staged_query(
+@query(
     "theil_sen_daily_trend",
     oracle=f"""
         WITH {_TS_DAILY_SQL},
@@ -1071,7 +1071,7 @@ _TS_DAILY_SQL = """
         "integer numerator alone. Every window runs over "
         "calendar-bounded relations (days and day-pairs); the "
         "corpus-scale work is the one daily rollup.",
-    tags=("staged", "statistics"),
+    tags=("statistics"),
 )
 def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (load(spark, sf_dir, "events")
@@ -1125,7 +1125,7 @@ _NEG_KEY_SQL = ("CAST(anchor_id AS VARCHAR) || '|' || "
                 "CAST(neg_id AS VARCHAR)")
 
 
-@staged_query(
+@query(
     "negative_sampling_pairs",
     oracle=f"""
         WITH a AS (
@@ -1162,7 +1162,7 @@ _NEG_KEY_SQL = ("CAST(anchor_id AS VARCHAR) || '|' || "
         "standard 'broadcast the query set, never shuffle the "
         "corpus' sampling shape, and WindowGroupLimit keeps the "
         "rank from materializing full partitions.",
-    tags=("staged", "ml"),
+    tags=("ml"),
 )
 def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -1219,7 +1219,7 @@ def _lsh_audit_oracle() -> str:
     """
 
 
-@staged_query(
+@query(
     "lsh_dedup_recall_audit",
     oracle=_lsh_audit_oracle(),
     doc="Recall/precision audit of the banded-LSH near-dup pipeline "
@@ -1236,7 +1236,7 @@ def _lsh_audit_oracle() -> str:
         "half-corpus audit slice (the evaluation-subset pattern — "
         "at 100 TB the modulus widens so the slice stays fixed-size); the production side "
         "stays the banded equi-join, never all-pairs.",
-    tags=("staged", "dedup", "evaluation"),
+    tags=("dedup", "evaluation"),
 )
 def lsh_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_project_airflow_etl_spark.operators.dedup import (
@@ -1275,7 +1275,7 @@ def lsh_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------- Kendall tau between rankings
 
 
-@staged_query(
+@query(
     "kendall_tau_rankings",
     oracle=f"""
         WITH q AS (SELECT embedding AS qv FROM embeddings
@@ -1327,7 +1327,7 @@ def lsh_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "collected <= 50-row candidate list (frequent_item_pairs' "
         "nested-lambda pattern) — no join, no "
         "BroadcastNestedLoopJoin, never the corpus.",
-    tags=("staged", "statistics"),
+    tags=("statistics"),
 )
 def kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No pair JOIN at all (an inequality-only self-join would plan as
@@ -1361,7 +1361,7 @@ def kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------ Markov next-event prediction eval
 
 
-@staged_query(
+@query(
     "markov_next_event_accuracy",
     oracle="""
         WITH pairs AS (
@@ -1397,7 +1397,7 @@ def kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_event_transitions. One lag window partitioned by user, "
         "one vocabulary-bounded aggregate, and rank/total windows "
         "that only ever see |vocab|^2 rows.",
-    tags=("staged", "evaluation"),
+    tags=("evaluation"),
 )
 def markov_next_event_accuracy(spark: SparkSession,
                                sf_dir: str) -> DataFrame:

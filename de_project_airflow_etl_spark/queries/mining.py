@@ -1,11 +1,11 @@
-"""Round-6 staged queries (see package docstring: the round-5 driver
-window is full at exactly 50, so new surface banks here, fully
-implemented + oracle-verified, and is promoted next round).
+"""Mining / statistics / cohort analytics (promoted from
+``staged/round6.py`` in round 6 once CORRECTNESS_r05 adjudicated).
 
-Same contract as registered queries: ``(spark, sf_dir) -> DataFrame``
-plus an exact DuckDB oracle, identical column aliases on both sides,
-exact-integer / fixed-point arithmetic for anything accumulated, a
-100 TB plan story per doc string, no ``rand()``, no ``.collect()``.
+Same contract as every registered query: ``(spark, sf_dir) ->
+DataFrame`` plus an exact DuckDB oracle, identical column aliases on
+both sides, exact-integer / fixed-point arithmetic for anything
+accumulated, a 100 TB plan story per doc string, no ``rand()``, no
+``.collect()``.
 """
 
 from __future__ import annotations
@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _O_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
@@ -24,7 +24,7 @@ _O_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
 RULE_MIN_SUPPORT = 5
 
 
-@staged_query(
+@query(
     "market_basket_rules",
     oracle=f"""
         WITH baskets AS (
@@ -70,7 +70,7 @@ RULE_MIN_SUPPORT = 5
         "item counts broadcast back, the corpus size rides a one-row "
         "broadcast. Brand vocabulary bounds every relation except the "
         "basket scan.",
-    tags=("staged", "analytics"),
+    tags=("analytics"),
 )
 def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -114,7 +114,7 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------ weekday x hour heatmap
 
 
-@staged_query(
+@query(
     "weekday_hour_heatmap",
     oracle="""
         WITH e AS (
@@ -141,7 +141,7 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dayofweek/hour agree across engines on plain timestamps "
         "(DuckDB dayofweek is 0=Sunday; Spark dayofweek is 1=Sunday — "
         "the Spark side subtracts 1 to pin the 0-based convention).",
-    tags=("staged", "reporting"),
+    tags=("reporting"),
 )
 def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
@@ -161,7 +161,7 @@ def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------- cohort net revenue retention
 
 
-@staged_query(
+@query(
     "customer_cohort_nrr",
     oracle=f"""
         WITH o AS (
@@ -204,7 +204,7 @@ def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(per-customer cohort min, then per-(cohort, offset) rollup); "
         "the month-0 base joins back broadcast because cohorts are "
         "calendar-bounded.",
-    tags=("staged", "reporting", "timeseries"),
+    tags=("reporting", "timeseries"),
 )
 def customer_cohort_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
@@ -240,7 +240,7 @@ _XYZ_X_NUM, _XYZ_X_DEN = 1, 25    # 0.04
 _XYZ_Y_NUM, _XYZ_Y_DEN = 1, 4     # 0.25
 
 
-@staged_query(
+@query(
     "part_demand_xyz_classes",
     oracle=f"""
         WITH m AS (
@@ -283,7 +283,7 @@ _XYZ_Y_NUM, _XYZ_Y_DEN = 1, 4     # 0.25
         "by cross-multiplication in HUGEINT/DECIMAL(38,0) — no sqrt, "
         "no division, no doubles anywhere. Two map-side-combinable "
         "rollups (part x month, then part), bounded report.",
-    tags=("staged", "analytics", "statistics"),
+    tags=("analytics", "statistics"),
 )
 def part_demand_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
@@ -320,7 +320,7 @@ KM_CENSOR_DAYS = 7  # still-active horizon: last event within 7 days
                     # of corpus end = censored (alive), not churned
 
 
-@staged_query(
+@query(
     "survival_retention_curve",
     oracle=f"""
         WITH u AS (
@@ -378,7 +378,7 @@ KM_CENSOR_DAYS = 7  # still-active horizon: last event within 7 days
         "transcendental-free analog of the exp(sum(log)) trick, so "
         "both engines multiply identical doubles in identical order. "
         "Per-user rollup is the only corpus-scale shuffle.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def survival_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
@@ -424,7 +424,7 @@ def survival_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEP_SCALE = 1_000_000  # fixed-point quantization of squared distances
 
 
-@staged_query(
+@query(
     "label_separation_scores",
     oracle=f"""
         WITH d AS (
@@ -499,7 +499,7 @@ SEP_SCALE = 1_000_000  # fixed-point quantization of squared distances
         "corpus-scale accumulation is an exact integer sum immune to "
         "partial-aggregation order. One broadcast of the |labels| x "
         "dims centroid relation; per-vector work is a single fold.",
-    tags=("staged", "similarity", "evaluation"),
+    tags=("similarity", "evaluation"),
 )
 def label_separation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -564,7 +564,7 @@ KNN_CLS_K = 5
 KNN_CLS_MOD = 50   # deterministic evaluation sample: vec_id % 50 == 0
 
 
-@staged_query(
+@query(
     "knn_classifier_accuracy",
     oracle=f"""
         WITH q AS (
@@ -620,7 +620,7 @@ KNN_CLS_MOD = 50   # deterministic evaluation sample: vec_id % 50 == 0
         "bounded aggregates. Unnormalized dot product is the ranking "
         "key (vectors here have near-equal norms; cosine's extra "
         "norm folds would change nothing but cost).",
-    tags=("staged", "similarity", "evaluation"),
+    tags=("similarity", "evaluation"),
 )
 def knn_classifier_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -660,7 +660,7 @@ def knn_classifier_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- BPE merge application
 
 
-@staged_query(
+@query(
     "bpe_merge_apply",
     oracle="""
         WITH toks AS (
@@ -734,7 +734,7 @@ def knn_classifier_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "explode + per-doc windows (doc-partitioned), top pair rides "
         "a one-row broadcast; at 100 TB the iteration loops this "
         "step, writing each generation back to the lake.",
-    tags=("staged", "tokenize", "curation"),
+    tags=("tokenize", "curation"),
 )
 def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -794,7 +794,7 @@ def _rake_stop_sql() -> str:
     return _sql_in_list(STOPWORDS["en"])
 
 
-@staged_query(
+@query(
     "text_keyphrase_rake",
     oracle=f"""
         WITH toks AS (
@@ -861,7 +861,7 @@ def _rake_stop_sql() -> str:
         "TakeOrderedAndProject heap with full tie-breaks. Shuffles: "
         "the phrase regroup, the word-stats aggregate, and one "
         "broadcast-able join of words back to phrases.",
-    tags=("staged", "text", "keyphrases"),
+    tags=("text", "keyphrases"),
 )
 def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_project_airflow_etl_spark.operators.text import STOPWORDS
@@ -911,7 +911,7 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------- point-in-time backlog
 
 
-@staged_query(
+@query(
     "orders_backlog_monthend",
     oracle=f"""
         WITH ship AS (
@@ -947,7 +947,7 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "most its open-months count. Per-order last-ship is one "
         "map-side-combinable aggregate; ages are exact integer "
         "days.",
-    tags=("staged", "reporting", "timeseries"),
+    tags=("reporting", "timeseries"),
 )
 def orders_backlog_monthend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship = (load(spark, sf_dir, "lineitem")
@@ -977,7 +977,7 @@ CUSUM_K_NUM, CUSUM_K_DEN = 1, 2   # slack k = 0.5 * |grand mean|
 CUSUM_H_NUM, CUSUM_H_DEN = 4, 1   # alarm threshold h = 4 * k
 
 
-@staged_query(
+@query(
     "daily_value_cusum_drift",
     oracle=f"""
         WITH daily AS (
@@ -1036,7 +1036,7 @@ CUSUM_H_NUM, CUSUM_H_DEN = 4, 1   # alarm threshold h = 4 * k
         "daily rollup, one map-side-combinable aggregate. Deviations "
         "divide identical exact cent/count longs, and both engines "
         "execute the identical IEEE fold sequence.",
-    tags=("staged", "timeseries", "anomaly"),
+    tags=("timeseries", "anomaly"),
 )
 def daily_value_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
@@ -1093,7 +1093,7 @@ _LOF_D2 = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
            "- CAST(o.embedding[i] AS DOUBLE)))), (acc, v) -> acc + v)")
 
 
-@staged_query(
+@query(
     "lof_bucket_outliers",
     oracle=f"""
         WITH b AS (
@@ -1163,7 +1163,7 @@ _LOF_D2 = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
         "rank order so both engines accumulate identical IEEE "
         "sequences. Buckets smaller than k+1 are excluded by "
         "definition.",
-    tags=("staged", "similarity", "anomaly"),
+    tags=("similarity", "anomaly"),
 )
 def lof_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -1253,7 +1253,7 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_orders")))
 
 
-@staged_query(
+@query(
     "mann_whitney_daily_value",
     oracle=f"""
         WITH {_DAILY_REV_SQL},
@@ -1300,7 +1300,7 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "DAILY totals — calendar-bounded — and the corpus-scale work "
         "is the one daily rollup. dayofweek parity: DuckDB dayofweek "
         "is 0=Sunday; Spark dayofweek is 1=Sunday, shifted by -1.",
-    tags=("staged", "statistics"),
+    tags=("statistics"),
 )
 def mann_whitney_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_revenue(spark, sf_dir)
@@ -1328,7 +1328,7 @@ def mann_whitney_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("n_weekend").cast("double"))).alias("auc"))
 
 
-@staged_query(
+@query(
     "ks_statistic_daily_value",
     oracle=f"""
         WITH {_DAILY_REV_SQL},
@@ -1371,7 +1371,7 @@ def mann_whitney_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "common-denominator form |c1(v)*n2 - c2(v)*n1| (an integer!) "
         "divided once at the end. Same bounded-window / one-rollup "
         "scale shape as mann_whitney_daily_value.",
-    tags=("staged", "statistics"),
+    tags=("statistics"),
 )
 def ks_statistic_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_revenue(spark, sf_dir)
@@ -1400,7 +1400,7 @@ def ks_statistic_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.any_value("n2").cast("double"))).alias("d_stat"))
 
 
-@staged_query(
+@query(
     "spearman_daily_price_volume",
     oracle=f"""
         WITH {_DAILY_REV_SQL},
@@ -1439,7 +1439,7 @@ def ks_statistic_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "accumulators, wide-int -> double through a string cast, one "
         "IEEE division at the end — the doubling factors cancel). "
         "Rank windows run over the calendar-bounded daily rollup.",
-    tags=("staged", "statistics"),
+    tags=("statistics"),
 )
 def spearman_daily_price_volume(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -1473,7 +1473,7 @@ _BENFORD_CASE = ("CASE digit " + " ".join(
     for d, v in _BENFORD.items()) + " END")
 
 
-@staged_query(
+@query(
     "benford_first_digit",
     oracle=f"""
         WITH d AS (
@@ -1501,7 +1501,7 @@ _BENFORD_CASE = ("CASE digit " + " ".join(
         "literals on both engines so no cross-engine log() call is "
         "trusted. One map-side-combinable aggregate into a 9-row "
         "domain; the shares divide exact longs once.",
-    tags=("staged", "statistics", "quality"),
+    tags=("statistics", "quality"),
 )
 def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "orders").select(
@@ -1516,7 +1516,7 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(share - F.expr(_BENFORD_CASE)).alias("abs_dev"))
 
 
-@staged_query(
+@query(
     "autocorr_daily_revenue",
     oracle=f"""
         WITH {_DAILY_REV_SQL},
@@ -1559,7 +1559,7 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band in the oracle); sums accumulate exact cents products in "
         "DECIMAL(38,0)/HUGEINT per the corr_matrix_lineitem "
         "discipline.",
-    tags=("staged", "statistics", "timeseries"),
+    tags=("statistics", "timeseries"),
 )
 def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_project_airflow_etl_spark.queries.analytics import (
@@ -1583,7 +1583,7 @@ def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 RSI_WINDOW = 14
 
 
-@staged_query(
+@query(
     "rsi_daily_revenue",
     oracle=f"""
         WITH {_DAILY_REV_SQL},
@@ -1625,7 +1625,7 @@ RSI_WINDOW = 14
         "(NULL on an all-flat window). Emitted only for complete "
         "windows so both engines agree on the warm-up edge. All "
         "windows run over the calendar-bounded daily series.",
-    tags=("staged", "statistics", "timeseries"),
+    tags=("statistics", "timeseries"),
 )
 def rsi_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_revenue(spark, sf_dir)
@@ -1664,7 +1664,7 @@ def rsi_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_GROWTH_BUCKETS = 32
 
 
-@staged_query(
+@query(
     "vocab_growth_curve",
     oracle=f"""
         WITH bounds AS (
@@ -1715,7 +1715,7 @@ VOCAB_GROWTH_BUCKETS = 32
         "cumulative window to 32 rows. Bucket ids use pure integer "
         "div against broadcast min/max bounds — no double rounding at "
         "bucket edges on either engine.",
-    tags=("staged", "curation", "text"),
+    tags=("curation", "text"),
 )
 def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -1756,7 +1756,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_COVERAGE_K = 100
 
 
-@staged_query(
+@query(
     "vocab_coverage_topk",
     oracle=f"""
         WITH toks AS (
@@ -1790,7 +1790,7 @@ VOCAB_COVERAGE_K = 100
         "TakeOrderedAndProject (never a full sort); the corpus total "
         "rides a one-row broadcast and the rank/cumsum windows run "
         f"over exactly {VOCAB_COVERAGE_K} rows.",
-    tags=("staged", "curation", "text"),
+    tags=("curation", "text"),
 )
 def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (load(spark, sf_dir, "documents")
@@ -1810,7 +1810,7 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("cum_share")))
 
 
-@staged_query(
+@query(
     "dup_cluster_canonical_pick",
     oracle="""
         WITH keyed AS (
@@ -1847,7 +1847,7 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the shuffle moves 32-byte keys and longs, never text, and no "
         "window is needed (argmax = join-back-on-max + MIN "
         "tiebreak, exact on both engines).",
-    tags=("staged", "dedup", "curation"),
+    tags=("dedup", "curation"),
 )
 def dup_cluster_canonical_pick(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -1873,7 +1873,7 @@ def dup_cluster_canonical_pick(spark: SparkSession,
                      .alias("redundant_chars")))
 
 
-@staged_query(
+@query(
     "event_type_user_jaccard",
     oracle="""
         WITH ut AS (
@@ -1907,7 +1907,7 @@ def dup_cluster_canonical_pick(spark: SparkSession,
         "C(#types, 2) pairs, and the type vocabulary is bounded, so "
         "the join output is O(users), not quadratic; per-type sizes "
         "broadcast back onto the bounded pair relation.",
-    tags=("staged", "analytics", "similarity"),
+    tags=("analytics", "similarity"),
 )
 def event_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ut = (load(spark, sf_dir, "events")

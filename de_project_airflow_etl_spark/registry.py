@@ -59,47 +59,42 @@ def query(name: str, oracle: str | None, doc: str = "",
 # filtered out automatically, so it records the CURRENT round's plan
 # (historical rounds' plans live in git history + CORRECTNESS_r*.json).
 #
-# Round-5 window (exactly 50): the 2 round-4 canonicalizer-crash
-# retries (output reshaped to driver-hashable scalars, VERDICT r4 #1),
-# the 30 promoted round-4 staged queries (now queries/analytics.py,
-# VERDICT r4 #2), and the 18 new round-5 queries (pandas GROUPED_AGG
-# UDAF family + evaluation/reporting analytics, VERDICT r4 #3).
+# Round-6 window (1 + 39 + new-surface entries, <= ~50): the round-5
+# canonicalizer-crash retry (centroid now serialized as pre-division
+# fixed-point sums, VERDICT r5 #2), the 39 promoted round-5 staged
+# queries (now queries/mining.py + queries/features.py, VERDICT r5 #4;
+# recorded promotion precondition: sf0.01 AND sf0.1 staged sweeps both
+# 39/39 green, 2026-08-14), and the new round-6 surface (VERDICT r5
+# #5) which self-promotes into the window by registration order.
 #
 # Truncation is never the only correctness signal: the full registry is
 # exercised locally by ``tests/test_correctness.py`` (exact values, all
 # queries) and ``scripts/profile_correctness.py`` (hash replica of the
 # driver's check) — see those for the complete picture.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-4 driver-canonicalizer crashes, outputs now scalar-serialized
-    "tokenize_to_ids", "embedding_rank_normalize",
-    # the 30 promoted round-4 staged queries (queries/analytics.py),
+    # round-5 driver-canonicalizer crash, output now scalar-serialized
+    "embedding_label_centroids",
+    # the 22 promoted round-5 staged queries from queries/mining.py,
     # in their staged registration order
-    "frequent_item_pairs", "changelog_apply_cdc", "weighted_sample_wor",
-    "twap_user_values", "corr_matrix_lineitem", "containment_dup_pairs",
-    "trigram_lm_counts", "doc_length_iqr_flags",
-    "embedding_label_centroids", "skyline_pareto_orders",
-    "orders_abc_classification", "bm25_term_scores",
-    "chi_square_event_drift", "winnowing_fingerprints",
-    "ngram_novelty_score", "trailing_anomaly_events",
-    "source_overlap_matrix", "funnel_conversion_latency",
-    "char_class_gini", "user_ltv_cohort_curves", "seasonal_weekday_index",
-    "shipping_lag_quantiles", "revenue_concentration_hhi",
-    "sessionized_bounce_rate", "winsorized_value_stats",
-    "repeat_purchase_intervals", "grouped_discount_quantity_corr",
-    "class_distinctive_terms", "revenue_gini_by_nation",
-    "word_cooccurrence_lift",
-    # new in round 5: the grouped-aggregate pandas UDAF surface
-    # (operators/udaf.py) — the one UDF shape the registry lacked
-    "udaf_weighted_median_brand", "udaf_trimmed_mean_segment",
-    "udaf_iqr_outlier_events", "udaf_longest_active_streak",
-    "udaf_rolling_median_window", "udaf_modal_event_type",
-    # new in round 5: evaluation / reporting / matching analytics
-    "monthly_revenue_mom_yoy", "fuzzy_name_match_pairs",
-    "language_diversity_by_source", "session_path_counts",
-    "revenue_pareto_curve", "ann_recall_audit",
-    "stratified_kfold_assignment", "decile_conversion_lift",
-    "dedup_normalized_text", "lang_id_confusion_matrix",
-    "order_fulfillment_aging", "centroid_assignment_margin",
+    "market_basket_rules", "weekday_hour_heatmap", "customer_cohort_nrr",
+    "part_demand_xyz_classes", "survival_retention_curve",
+    "label_separation_scores", "knn_classifier_accuracy",
+    "bpe_merge_apply", "text_keyphrase_rake", "orders_backlog_monthend",
+    "daily_value_cusum_drift", "lof_bucket_outliers",
+    "mann_whitney_daily_value", "ks_statistic_daily_value",
+    "spearman_daily_price_volume", "benford_first_digit",
+    "autocorr_daily_revenue", "rsi_daily_revenue", "vocab_growth_curve",
+    "vocab_coverage_topk", "dup_cluster_canonical_pick",
+    "event_type_user_jaccard",
+    # the 17 promoted round-5 staged queries from queries/features.py
+    "cms_user_event_counts", "bloom_buyer_membership",
+    "kmv_distinct_users", "daily_ohlc_bars", "balanced_resample_plan",
+    "gini_feature_split_rank", "target_encoding_smoothed",
+    "feature_hashing_bow", "rrf_fusion_search",
+    "markov_stationary_event_mix", "kcore_dup_graph",
+    "holt_linear_daily_revenue", "theil_sen_daily_trend",
+    "negative_sampling_pairs", "lsh_dedup_recall_audit",
+    "kendall_tau_rankings", "markov_next_event_accuracy",
 )
 
 
@@ -124,7 +119,7 @@ def all_queries() -> dict[str, Query]:
     from de_project_airflow_etl_spark.queries import (  # noqa: F401
         timeseries, scalar, subqueries, grouping,
         flagship, etl, aggregates_ext, relational, joins, windows, setops,
-        tpch, analytics,
+        tpch, analytics, mining, features,
     )
     ordered: dict[str, Query] = {}
     verified = _driver_verified()

@@ -10,12 +10,12 @@ same ``Query`` shape — a ``staged_query`` decorator mirroring
 ``registry.query`` — and are promoted (decorator swapped, module
 moved under ``queries/``) the round after their window opens.
 
-Round-5 history: the 30 round-4 staged queries lived here as
-``round5.py``; they were promoted to
-``queries/analytics.py`` in round 5 once CORRECTNESS_r04 adjudicated
-green. Round 6: the 39 round-5 staged queries (``round6.py`` 22 +
-``round6b.py`` 17) are being promoted this round now that
-CORRECTNESS_r05 adjudicated; round-6 overflow banks here next.
+Promotion history: round 5 promoted the 30 round-4 staged queries
+(``round5.py`` -> ``queries/analytics.py``); round 6 promoted the 39
+round-5 staged queries (``round6.py`` -> ``queries/mining.py``,
+``round6b.py`` -> ``queries/features.py``) after the recorded sf0.01
+AND sf0.1 staged sweeps ran 39/39 green. The pen is currently EMPTY —
+round-6 overflow goes here.
 """
 
 from __future__ import annotations
@@ -41,6 +41,5 @@ def staged_query(name: str, oracle: str | None, doc: str = "",
     return wrap
 
 
-# registration imports at the bottom: the modules need staged_query above
-from de_project_airflow_etl_spark.staged import round6  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round6b  # noqa: E402,F401
+# registration imports at the bottom (the modules need staged_query
+# above); none currently — the pen is empty.

@@ -1,42 +1,28 @@
-"""Round-6 staged queries: exact-value verification vs DuckDB through
-the same harness the registry uses, ahead of their promotion into the
-driver-facing registry (see de_project_airflow_etl_spark/staged/__init__.py
-for the window-arithmetic rationale)."""
+"""Algorithmic property tests for the mining / features query banks
+(promoted from staged/round6*.py in round 6): guarantees the DuckDB
+oracle equality in tests/test_correctness.py cannot express — BPE
+greedy-merge equivalence on adversarial inputs, the sketch family's
+one-sided error bounds. Oracle equality for these queries now rides
+the registry-wide sweep.
+"""
 
 from __future__ import annotations
 
 import pytest
 
 from de_project_airflow_etl_spark.staged import STAGED
-from tests.harness import compare
 
 
 @pytest.fixture(autouse=True)
-def _release_staged_caches(spark):
+def _release_caches(spark):
     yield
     spark.catalog.clearCache()
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_query_matches_oracle(name, spark, sf_dir, duck):
-    q = STAGED[name]
-    assert q.oracle is not None, f"{name}: staged queries must ship oracles"
-    problems = compare(q.fn(spark, sf_dir),
-                       duck.execute(q.oracle).fetchdf(), name)
-    assert not problems, "\n".join(problems)
-
-
-def test_staged_names_do_not_collide_with_registry():
+def test_staged_pen_names_do_not_collide_with_registry():
     from de_project_airflow_etl_spark.registry import all_queries
     clash = set(STAGED) & set(all_queries())
     assert not clash, f"staged names already registered: {sorted(clash)}"
-
-
-def test_staged_results_nonempty(spark, sf_dir):
-    for name, q in sorted(STAGED.items()):
-        df = q.fn(spark, sf_dir)
-        assert df.columns, f"{name}: empty schema"
-        assert df.limit(1).count() == 1, f"{name}: empty result at {sf_dir}"
 
 
 # ------------------------------ BPE merge overlap-resolution property
@@ -84,7 +70,7 @@ def test_bpe_merge_matches_greedy_reference(spark, tmp_path_factory, toks):
         "doc_id long, text string, lang string, source string,"
         " n_chars long")
      .write.mode("overwrite").parquet(f"{tmp}/documents.parquet"))
-    from de_project_airflow_etl_spark.staged.round6 import bpe_merge_apply
+    from de_project_airflow_etl_spark.queries.mining import bpe_merge_apply
     row = bpe_merge_apply(spark, str(tmp)).collect()[0]
     expect, merges = _py_bpe_one_merge(toks)
     assert row["n_before"] == len(toks)
@@ -100,7 +86,7 @@ def test_bpe_merge_matches_greedy_reference(spark, tmp_path_factory, toks):
 def test_cms_estimates_never_undercount(spark, sf_dir):
     """Count-min's one-sided error guarantee: estimate >= true count
     for every probed key (collisions only ever ADD mass)."""
-    from de_project_airflow_etl_spark.staged.round6b import (
+    from de_project_airflow_etl_spark.queries.features import (
         cms_user_event_counts)
     rows = cms_user_event_counts(spark, sf_dir).collect()
     assert rows, "empty CMS probe set"
@@ -112,7 +98,7 @@ def test_cms_estimates_never_undercount(spark, sf_dir):
 def test_bloom_has_no_false_negatives(spark, sf_dir):
     """Every true member must probe bloom-positive; false positives
     are only ever counted among non-members."""
-    from de_project_airflow_etl_spark.staged.round6b import (
+    from de_project_airflow_etl_spark.queries.features import (
         bloom_buyer_membership)
     rows = bloom_buyer_membership(spark, sf_dir).collect()
     assert rows
@@ -135,7 +121,7 @@ def test_kmv_estimate_is_close_at_small_cardinality(spark, sf_dir):
     kth hash is the max and the estimate lands within 25% of truth
     (looser than CMS/Bloom because the (k-1)/kth estimator is only
     unbiased in expectation)."""
-    from de_project_airflow_etl_spark.staged.round6b import (
+    from de_project_airflow_etl_spark.queries.features import (
         KMV_K, kmv_distinct_users)
     row = kmv_distinct_users(spark, sf_dir).collect()[0]
     assert row["k_used"] <= KMV_K

@@ -1,9 +1,9 @@
-"""Physical-plan gates for the round-6 staged bank: every staged
-query must already carry its 100 TB plan shape BEFORE promotion —
-no cartesian products, nested-loop joins only with scalar (one-row)
-broadcast builds, statistics windows confined to the post-aggregate
-daily rollup, and scans pruned to the columns the query consumes.
-Correct results with a wrong plan fail here."""
+"""Physical-plan gates for the round-6 promoted bank
+(queries/mining.py + queries/features.py): no cartesian products,
+nested-loop joins only with scalar (one-row) broadcast builds,
+statistics windows confined to the post-aggregate daily rollup, and
+scans pruned to the columns the query consumes. Correct results with
+a wrong plan fail here."""
 
 from __future__ import annotations
 
@@ -12,7 +12,13 @@ import pytest
 from de_project_airflow_etl_spark.plans.inspect import (
     bnlj_builds_are_scalar, formatted_plan, scan_read_schema,
 )
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+# the round-6 bank: everything registered by the two promoted modules
+R6_BANK = {n: q for n, q in all_queries().items()
+           if q.fn.__module__ in
+           ("de_project_airflow_etl_spark.queries.mining",
+            "de_project_airflow_etl_spark.queries.features")}
 
 
 @pytest.fixture(autouse=True)
@@ -55,13 +61,13 @@ _JUSTIFIED_BNLJ_BUILDS = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
+@pytest.mark.parametrize("name", sorted(R6_BANK))
 def test_staged_plans_have_no_unbounded_nested_loops(spark, sf_dir, name):
     """No staged query may plan a CartesianProduct, and any
     BroadcastNestedLoopJoin must broadcast a bounded subtree (a
     one-row global aggregate or a limit-k region), never an unbounded
     data relation — except the two documented cases above."""
-    df = STAGED[name].fn(spark, sf_dir)
+    df = R6_BANK[name].fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, name
     if name in _JUSTIFIED_BNLJ_BUILDS:
@@ -86,7 +92,7 @@ def test_daily_stats_window_sits_above_daily_aggregate(spark, sf_dir,
     because their input is the calendar-bounded daily rollup: the
     plan must aggregate (day grouping) BEFORE the first Window, and
     the orders scan must read only the two columns the rollup needs."""
-    df = STAGED[name].fn(spark, sf_dir)
+    df = R6_BANK[name].fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "Window" in plan, f"{name}: expected a window"
     # Structural check on the physical tree: EVERY window's input
@@ -115,7 +121,7 @@ def test_daily_stats_window_sits_above_daily_aggregate(spark, sf_dir,
 
 
 def test_benford_scan_prunes_to_totalprice(spark, sf_dir):
-    df = STAGED["benford_first_digit"].fn(spark, sf_dir)
+    df = R6_BANK["benford_first_digit"].fn(spark, sf_dir)
     (line,) = scan_read_schema(df)
     assert "o_totalprice" in line and "o_orderdate" not in line, line
 
@@ -126,7 +132,7 @@ def test_vocab_coverage_topk_is_take_ordered(spark, sf_dir):
     """The top-k must plan as TakeOrderedAndProject (heap per
     partition + driver merge of k rows), never a global sort of the
     full token-count relation."""
-    plan = formatted_plan(STAGED["vocab_coverage_topk"].fn(spark, sf_dir))
+    plan = formatted_plan(R6_BANK["vocab_coverage_topk"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
 
 
@@ -136,7 +142,7 @@ def test_vocab_growth_explodes_corpus_once(spark, sf_dir):
     consume the (bucket, token) base aggregate's shuffle, so the
     executed plan must reuse that exchange rather than re-run the
     corpus explode."""
-    df = STAGED["vocab_growth_curve"].fn(spark, sf_dir)
+    df = R6_BANK["vocab_growth_curve"].fn(spark, sf_dir)
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     # Both rollups must read the persisted (bucket, token) base —
@@ -153,7 +159,7 @@ def test_canonical_pick_joins_on_key_without_window(spark, sf_dir):
     """Keeper selection is the join-back argmax: no Window operator,
     and the only joins are hash equi-joins on the md5 key."""
     plan = formatted_plan(
-        STAGED["dup_cluster_canonical_pick"].fn(spark, sf_dir))
+        R6_BANK["dup_cluster_canonical_pick"].fn(spark, sf_dir))
     assert "Window" not in plan, "argmax degenerated to a window"
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -163,7 +169,7 @@ def test_event_type_jaccard_broadcasts_sizes(spark, sf_dir):
     """Per-type sizes (bounded vocabulary) must broadcast onto the
     pair relation; the user self-join is a hash equi-join."""
     plan = formatted_plan(
-        STAGED["event_type_user_jaccard"].fn(spark, sf_dir))
+        R6_BANK["event_type_user_jaccard"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -176,7 +182,7 @@ def test_sketch_rankings_are_take_ordered(spark, sf_dir):
     must plan as TakeOrdered (per-partition top-k merge), never a
     global sort of the key space."""
     for name in ("cms_user_event_counts", "kmv_distinct_users"):
-        plan = formatted_plan(STAGED[name].fn(spark, sf_dir))
+        plan = formatted_plan(R6_BANK[name].fn(spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, name
         assert "Sort [" not in plan.replace(
             "TakeOrderedAndProject", ""), f"{name}: residual global sort"
@@ -184,14 +190,14 @@ def test_sketch_rankings_are_take_ordered(spark, sf_dir):
 
 def test_feature_hashing_scan_prunes_to_text(spark, sf_dir):
     schemas = scan_read_schema(
-        STAGED["feature_hashing_bow"].fn(spark, sf_dir))
+        R6_BANK["feature_hashing_bow"].fn(spark, sf_dir))
     assert schemas and all("struct<text:string>" in s for s in schemas), \
         schemas
 
 
 def test_bloom_scans_prune_to_keys(spark, sf_dir):
     schemas = scan_read_schema(
-        STAGED["bloom_buyer_membership"].fn(spark, sf_dir))
+        R6_BANK["bloom_buyer_membership"].fn(spark, sf_dir))
     joined = " ".join(schemas)
     assert "o_custkey" in joined and "o_totalprice" not in joined, schemas
     assert "c_custkey" in joined and "c_name" not in joined, schemas
@@ -201,7 +207,7 @@ def test_negative_sampling_rank_is_group_limited(spark, sf_dir):
     """The per-anchor top-5 must run through WindowGroupLimit so no
     anchor partition ever materializes its full candidate list."""
     plan = formatted_plan(
-        STAGED["negative_sampling_pairs"].fn(spark, sf_dir))
+        R6_BANK["negative_sampling_pairs"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan[:2000]
 
 
@@ -209,7 +215,7 @@ def test_target_encoding_broadcasts_customer_dim(spark, sf_dir):
     from de_project_airflow_etl_spark.plans.inspect import (
         has_broadcast_join)
     assert has_broadcast_join(
-        STAGED["target_encoding_smoothed"].fn(spark, sf_dir))
+        R6_BANK["target_encoding_smoothed"].fn(spark, sf_dir))
 
 
 def test_gini_unpivot_scans_lineitem_once_per_feature_block(spark,
@@ -218,7 +224,7 @@ def test_gini_unpivot_scans_lineitem_once_per_feature_block(spark,
     contain a single lineitem file scan (the explode fans out rows,
     not scans) and prune it to the five consumed columns."""
     schemas = scan_read_schema(
-        STAGED["gini_feature_split_rank"].fn(spark, sf_dir))
+        R6_BANK["gini_feature_split_rank"].fn(spark, sf_dir))
     assert len(schemas) == 1, schemas
     assert "l_extendedprice" not in schemas[0], schemas
 
@@ -229,7 +235,7 @@ def test_markov_iteration_inputs_are_checkpointed(spark, sf_dir):
     at most in the (already materialized) lineage root, not once per
     iteration."""
     plan = formatted_plan(
-        STAGED["markov_stationary_event_mix"].fn(spark, sf_dir))
+        R6_BANK["markov_stationary_event_mix"].fn(spark, sf_dir))
     assert plan.count("Scan parquet") <= 1, plan[:2000]
 
 
@@ -237,6 +243,6 @@ def test_holt_is_single_projection_fold(spark, sf_dir):
     """The Holt fold must stay ONE generator projection above the
     daily rollup (the CollapseProject re-evaluation lesson): exactly
     one aggregate() call in the executed plan."""
-    df = STAGED["holt_linear_daily_revenue"].fn(spark, sf_dir)
+    df = R6_BANK["holt_linear_daily_revenue"].fn(spark, sf_dir)
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert executed.count("aggregate(") == 1, executed[:2000]
