@@ -119,7 +119,7 @@ def all_queries() -> dict[str, Query]:
     from de_project_airflow_etl_spark.queries import (  # noqa: F401
         timeseries, scalar, subqueries, grouping,
         flagship, etl, aggregates_ext, relational, joins, windows, setops,
-        tpch, analytics, mining, features,
+        tpch, analytics, mining, features, surfaces_r6,
     )
     ordered: dict[str, Query] = {}
     verified = _driver_verified()
