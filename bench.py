@@ -106,6 +106,27 @@ HEADLINE = (
     "revenue_pareto_curve",        # bucketed distributed rank + deciles
     "ann_recall_audit",            # single-pass batch recall@k
     "dedup_normalized_text",       # canonical-key hash-aggregate dedup
+    # round-6 additions: promoted mining/features representatives +
+    # the new surface bank (I/O-surface queries jsonl/statestore are
+    # deliberately absent — their wall time is sink/stream setup, not
+    # engine cost, and they'd add per-iteration tmp-dir churn)
+    "market_basket_rules",         # basket explode + rule cross-ratios
+    "survival_retention_curve",    # Kaplan-Meier sequential fold
+    "customer_cohort_nrr",         # cohort month-arithmetic rollup
+    "lof_bucket_outliers",         # bucket-local density outliers
+    "vocab_growth_curve",          # Heaps-law bucketed vocab dynamics
+    "dup_cluster_canonical_pick",  # join-back argmax keeper pick
+    "event_type_user_jaccard",     # audience-overlap self-join
+    "text_keyphrase_rake",         # phrase-island keyphrase extraction
+    "cms_user_event_counts",       # count-min sketch build + probe
+    "feature_hashing_bow",         # signed hashing-trick featurizer
+    "target_encoding_smoothed",    # smoothed categorical encoder
+    "rrf_fusion_search",           # dual-ranking reciprocal fusion
+    "kcore_dup_graph",             # six simultaneous k-core peels
+    "variant_props_explode",       # VARIANT shredding generator
+    "xml_order_roundtrip",         # to_xml/from_xml/xpath round trip
+    "embedding_dim_variance_rank",  # fixed-point dim variance + rank
+    "token_budget_shard_plan",     # hierarchical prefix-sum sharding
 )
 
 

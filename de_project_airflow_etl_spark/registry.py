@@ -151,13 +151,14 @@ _CORRECTNESS_ROUNDS: tuple[str, ...] = (
     "CORRECTNESS_r02.json",
     "CORRECTNESS_r03.json",
     "CORRECTNESS_r04.json",
-    # r05/r06 are listed ahead of adjudication: the files do not exist
+    "CORRECTNESS_r05.json",
+    # r06/r07 are listed ahead of adjudication: the files do not exist
     # yet (missing files degrade gracefully), but the moment the driver
     # writes one the rotation self-maintains — latest-round rows win,
     # so any recorded failure demotes its query back into the priority
     # window even if the next session forgets to touch this list.
-    "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
+    "CORRECTNESS_r07.json",
 )
 
 _DRIVER_VERIFIED_CACHE: set[str] | None = None
