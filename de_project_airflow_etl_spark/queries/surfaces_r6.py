@@ -387,3 +387,72 @@ def token_budget_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.sum("n_tokens").alias("shard_tokens"),
                       F.min("doc_id").alias("first_doc"),
                       F.max("doc_id").alias("last_doc")))
+
+
+# ------------------------------ recursive CTE: month spine gap-fill
+
+@query(
+    "recursive_month_spine_revenue",
+    oracle="""
+        WITH RECURSIVE spine(m) AS (
+          SELECT (SELECT CAST(date_trunc('month', MIN(o_orderdate))
+                         AS TIMESTAMP) FROM orders)
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM spine
+          WHERE m < (SELECT CAST(date_trunc('month', MAX(o_orderdate))
+                            AS TIMESTAMP) FROM orders)
+        ),
+        rev AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                   AS m,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS revenue_cents,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT s.m AS month_start,
+               COALESCE(r.revenue_cents, 0) AS revenue_cents,
+               COALESCE(r.n_orders, 0) AS n_orders,
+               r.m IS NULL AS is_gap
+        FROM spine s LEFT JOIN rev r ON s.m = r.m
+    """,
+    doc="Recursive CTE surface (Spark 4.1 WITH RECURSIVE): generate "
+        "the complete month spine from MIN to MAX order date by "
+        "recursion, then LEFT-join the monthly revenue rollup so "
+        "calendar months with no orders surface as explicit zero/gap "
+        "rows — the gap-filling step every reporting pipeline needs "
+        "and plain GROUP BY cannot produce (it has no row to group). "
+        "Recursion depth = number of months in the data's fixed date "
+        "span (~80 for the TPC-H calendar), far under the engine's "
+        "recursion limit and INDEPENDENT of data volume — the "
+        "data-sized work is one map-side-combinable monthly aggregate "
+        "and a broadcast join of the tiny spine onto it. Money rides "
+        "as exact cents.",
+    tags=("surface", "recursive-cte", "timeseries"),
+)
+def recursive_month_spine_revenue(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    o.createOrReplaceTempView("rcte_orders")
+    return spark.sql("""
+        WITH RECURSIVE spine(m) AS (
+          SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP)
+          FROM rcte_orders
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM spine
+          WHERE m < (SELECT CAST(date_trunc('month', MAX(o_orderdate))
+                            AS TIMESTAMP) FROM rcte_orders)
+        ),
+        rev AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   AS revenue_cents,
+                 COUNT(*) AS n_orders
+          FROM rcte_orders GROUP BY 1
+        )
+        SELECT s.m AS month_start,
+               COALESCE(r.revenue_cents, 0L) AS revenue_cents,
+               COALESCE(r.n_orders, 0L) AS n_orders,
+               r.m IS NULL AS is_gap
+        FROM spine s LEFT JOIN rev r ON s.m = r.m
+    """)

@@ -246,3 +246,25 @@ def test_holt_is_single_projection_fold(spark, sf_dir):
     df = R6_BANK["holt_linear_daily_revenue"].fn(spark, sf_dir)
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert executed.count("aggregate(") == 1, executed[:2000]
+
+
+def test_survival_retention_windows_sit_above_lifetime_aggregate(
+        spark, sf_dir):
+    """survival_retention_curve's unpartitioned suffix-sum window is
+    only legal because its input is the calendar-bounded distinct-
+    lifetime aggregate: every WindowExec subtree must contain an
+    Aggregate, and the events scan must prune to (user_id, ts)."""
+    from de_project_airflow_etl_spark.plans.inspect import (
+        _walk_jplan, scan_read_schema)
+    df = R6_BANK["survival_retention_curve"].fn(spark, sf_dir)
+    jplan = df._jdf.queryExecution().sparkPlan()
+    windows = [n for n in _walk_jplan(jplan)
+               if n.getClass().getSimpleName().startswith("WindowExec")]
+    assert windows, "expected the n_at_risk suffix-sum WindowExec"
+    for wnode in windows:
+        sub = list(_walk_jplan(wnode.children().apply(0)))
+        assert any("Aggregate" in ch.getClass().getSimpleName()
+                   for ch in sub), "window consumes un-aggregated rows"
+    for line in scan_read_schema(df):
+        assert "event_type" not in line and "props" not in line, (
+            f"events scan not pruned: {line}")

@@ -24,7 +24,7 @@ def _release_caches(spark):
 
 
 def test_surface_bank_is_registered():
-    assert len(SURFACE_BANK) == 6, sorted(SURFACE_BANK)
+    assert len(SURFACE_BANK) == 7, sorted(SURFACE_BANK)
 
 
 @pytest.mark.parametrize("name", sorted(SURFACE_BANK))
