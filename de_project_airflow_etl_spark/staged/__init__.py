@@ -14,8 +14,8 @@ Promotion history: round 5 promoted the 30 round-4 staged queries
 (``round5.py`` -> ``queries/analytics.py``); round 6 promoted the 39
 round-5 staged queries (``round6.py`` -> ``queries/mining.py``,
 ``round6b.py`` -> ``queries/features.py``) after the recorded sf0.01
-AND sf0.1 staged sweeps ran 39/39 green. The pen is currently EMPTY —
-round-6 overflow goes here.
+AND sf0.1 staged sweeps ran 39/39 green. ``round7.py`` currently
+stages the round-6 overflow, pending the round-6 window.
 """
 
 from __future__ import annotations
@@ -41,5 +41,5 @@ def staged_query(name: str, oracle: str | None, doc: str = "",
     return wrap
 
 
-# registration imports at the bottom (the modules need staged_query
-# above); none currently — the pen is empty.
+# registration imports at the bottom: the modules need staged_query above
+from de_project_airflow_etl_spark.staged import round7  # noqa: E402,F401
