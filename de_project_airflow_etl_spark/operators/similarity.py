@@ -881,10 +881,12 @@ def embedding_rank_normalize_arrays(spark: SparkSession,
         "API). Shape: explode to (dim, value), ONE hash exchange "
         "into 64 dim-partitions (equal-sized by construction — no "
         "skew), per-partition sort for exact ranks, then regroup per "
-        "vector with position-sorted re-aggregation. At 100 TB exact "
-        "ranks per dim are a sort per dim-partition; the approximate "
-        "path swaps in approx_percentile bins with the same plan "
-        "shape.",
+        "vector with position-sorted re-aggregation. The dim-partitioned "
+        "window is the definitional form; the SCALE path is the "
+        "value-range-bucketed twin (staged "
+        "``embedding_rank_normalize_bucketed``: bounded 64 x 1024 "
+        "offset cells + per-bucket row_number, no fixed-key window "
+        "over data) — both plans, one exact answer.",
     tags=("similarity", "normalize", "window"),
 )
 def embedding_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -858,3 +858,94 @@ def recursive_dup_reachability(spark: SparkSession,
                CAST(MAX(depth) AS BIGINT) AS max_depth
         FROM walk GROUP BY root
     """)
+
+
+# -------------------- distributed per-dimension rank normalization
+
+RANKB_K = 1024  # value-range buckets per dimension
+
+
+@staged_query(
+    "embedding_rank_normalize_bucketed",
+    oracle="""
+        WITH comp AS (
+          SELECT vec_id,
+                 generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings
+        ),
+        ranked AS (
+          SELECT vec_id, i,
+                 CAST(rank() OVER (PARTITION BY i ORDER BY v) - 1
+                      AS BIGINT) AS num,
+                 CAST(COUNT(*) OVER (PARTITION BY i) - 1
+                      AS BIGINT) AS denom
+          FROM comp
+        )
+        SELECT r.vec_id, ANY_VALUE(e.label) AS label,
+               array_to_string(list(r.num ORDER BY r.i),
+                               ' ') AS rank_nums,
+               MAX(r.denom) AS denom
+        FROM ranked r JOIN embeddings e USING (vec_id)
+        GROUP BY r.vec_id
+    """,
+    doc="The SCALE-PATH twin of embedding_rank_normalize: identical "
+        "output (exact rational per-dim ranks), but no window ever "
+        "partitions by the FIXED 64-dim key — at 1e12 vectors a "
+        "dim-partition holds 1e12 rows, the same hazard class as "
+        "lof_bucket_outliers' bucket window. Plan: value-range "
+        "buckets per dim (floor((v - vmin)/w), monotone in v by "
+        "construction, so bucket boundaries cannot reorder values), "
+        "per-(dim, bucket) counts prefix-summed over the BOUNDED "
+        "64 x 1024 cell relation, offsets broadcast back, and "
+        "row_number runs per (dim, bucket) partition — each holding "
+        "~n/1024 rows per dim, with the curriculum_global_rank "
+        "adaptive re-split as the documented escalation for spiky "
+        "distributions. rank() tie semantics are restored exactly by "
+        "grouping the per-row numbers on (dim, value) and taking the "
+        "group minimum (tied values share the first position). The "
+        "oracle is the definitional window form — both plans, one "
+        "answer.",
+    tags=("staged", "similarity", "normalize", "scale"),
+)
+def embedding_rank_normalize_bucketed(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    comp = (e.select("vec_id", F.posexplode("embedding").alias("i0", "v0"))
+             .select("vec_id", (F.col("i0") + 1).alias("i"),
+                     F.col("v0").cast("double").alias("v")))
+    bounds = comp.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    binned = (comp.crossJoin(F.broadcast(bounds))
+              .withColumn("b", F.expr(
+                  f"CASE WHEN vmax = vmin THEN 0 ELSE "
+                  f"least(CAST(floor((v - vmin) / ((vmax - vmin) "
+                  f"/ {RANKB_K})) AS INT), {RANKB_K - 1}) END"))
+              .select("vec_id", "i", "v", "b"))
+    counts = binned.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+    woff = (Window.partitionBy("i").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.select(  # <= 64 x 1024 rows: bounded by construction
+        "i", "b",
+        F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off"))
+    wrn = Window.partitionBy("i", "b").orderBy("v", "vec_id")
+    rn = (binned.join(F.broadcast(offs), ["i", "b"])
+                .withColumn("rn_dim",
+                            (F.col("off")
+                             + F.row_number().over(wrn)).cast("long")))
+    mn = rn.groupBy("i", "v").agg(F.min("rn_dim").alias("mnr"))
+    ranked = (rn.join(mn, ["i", "v"])
+                .select("vec_id", "i",
+                        (F.col("mnr") - 1).cast("long").alias("num")))
+    den = (comp.groupBy("i")
+               .agg((F.count(F.lit(1)) - 1).cast("long").alias("denom")))
+    return (ranked.join(F.broadcast(den), "i")
+                  .groupBy("vec_id")
+                  .agg(F.array_join(
+                          F.transform(
+                              F.array_sort(
+                                  F.collect_list(F.struct("i", "num"))),
+                              lambda s: s["num"].cast("string")),
+                          " ").alias("rank_nums"),
+                       F.max("denom").alias("denom"))
+                  .join(e.select("vec_id", "label"), "vec_id")
+                  .select("vec_id", "label", "rank_nums", "denom"))
