@@ -827,30 +827,32 @@ REACH_DEPTH_CAP = 50  # guards the engine recursion limit at scale
 )
 def recursive_dup_reachability(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
+    # Spark re-evaluates non-recursive CTEs referenced INSIDE the
+    # recursion on EVERY iteration (measured: 16/32 MB shuffle when
+    # grp/edges lived in the WITH — the md5 keying + rank window and
+    # the chain join re-ran per step). Materialize the bounded edge
+    # and root relations ONCE; only the walk itself recurses.
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_BAG_KEY_SPARK).alias("k"))
-    d.createOrReplaceTempView("reach_docs")
+    w = Window.partitionBy("k").orderBy("doc_id")
+    grp = (d.withColumn("rn", F.row_number().over(w))
+             .localCheckpoint())
+    a = grp.select(F.col("doc_id").alias("src"), "k", "rn")
+    b = grp.select(F.col("doc_id").alias("dst"), "k",
+                   (F.col("rn") - 1).alias("rn"))
+    edges = a.join(b, ["k", "rn"]).select("src", "dst").localCheckpoint()
+    roots = (grp.groupBy("k")
+                .agg(F.min("doc_id").alias("root"),
+                     F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1).select("root").localCheckpoint())
+    edges.createOrReplaceTempView("reach_edges")
+    roots.createOrReplaceTempView("reach_roots")
     return spark.sql(f"""
-        WITH RECURSIVE grp AS (
-          SELECT doc_id, k,
-                 row_number() OVER (PARTITION BY k ORDER BY doc_id)
-                   AS rn
-          FROM reach_docs
-        ),
-        edges AS (
-          SELECT a.doc_id AS src, b.doc_id AS dst
-          FROM grp a JOIN grp b
-            ON a.k = b.k AND b.rn = a.rn + 1
-        ),
-        roots AS (
-          SELECT k, MIN(doc_id) AS root FROM grp GROUP BY k
-          HAVING COUNT(*) > 1
-        ),
-        walk AS (
-          SELECT root, root AS doc, 0 AS depth FROM roots
+        WITH RECURSIVE walk AS (
+          SELECT root, root AS doc, 0 AS depth FROM reach_roots
           UNION ALL
           SELECT w.root, e.dst, w.depth + 1
-          FROM walk w JOIN edges e ON e.src = w.doc
+          FROM walk w JOIN reach_edges e ON e.src = w.doc
           WHERE w.depth < {REACH_DEPTH_CAP}
         )
         SELECT CAST(root AS BIGINT) AS root_doc,
@@ -949,3 +951,58 @@ def embedding_rank_normalize_bucketed(spark: SparkSession,
                        F.max("denom").alias("denom"))
                   .join(e.select("vec_id", "label"), "vec_id")
                   .select("vec_id", "label", "rank_nums", "denom"))
+
+
+# ----------------------------- collation-aware casefold grouping
+
+@staged_query(
+    "collation_casefold_group",
+    oracle="""
+        WITH mixed AS (
+          SELECT CASE WHEN doc_id % 3 = 0 THEN upper(lang)
+                      WHEN doc_id % 3 = 1
+                        THEN upper(substr(lang, 1, 1))
+                             || substr(lang, 2)
+                      ELSE lang END AS lang_mixed,
+                 n_chars, source
+          FROM documents
+        )
+        SELECT lower(lang_mixed) AS lang_folded,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM mixed GROUP BY lower(lang_mixed)
+    """,
+    doc="Collation-aware grouping (Spark 4 COLLATE): language codes "
+        "are deterministically re-cased three ways (upper / initcap "
+        "/ as-is, keyed on doc_id), then grouped under UTF8_LCASE "
+        "collation so the case variants merge WITHOUT rewriting the "
+        "key — the engine-level casefold semantics that replace "
+        "lower()-wrapping every comparison. The emitted group key is "
+        "explicitly lower()ed because a collated group's "
+        "representative value is whichever variant a partial "
+        "aggregate saw first (partial-order-dependent — exactly the "
+        "nondeterminism the output contract bans); the oracle is the "
+        "classic lower() GROUP BY. Counts/sums exact; one scan, one "
+        "|langs|-cell map-side-combinable exchange at any scale.",
+    tags=("staged", "relational", "collation"),
+)
+def collation_casefold_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                "n_chars", "source")
+    d.createOrReplaceTempView("collate_docs")
+    return spark.sql("""
+        WITH mixed AS (
+          SELECT CASE WHEN doc_id % 3 = 0 THEN upper(lang)
+                      WHEN doc_id % 3 = 1 THEN initcap(lang)
+                      ELSE lang END AS lang_mixed,
+                 n_chars, source
+          FROM collate_docs
+        )
+        SELECT lower(lang_mixed COLLATE UTF8_LCASE) AS lang_folded,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(n_chars) AS sum_chars,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM mixed
+        GROUP BY lang_mixed COLLATE UTF8_LCASE
+    """)
