@@ -400,3 +400,300 @@ def cramers_v_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_total", "n_rows", "n_cols",
                 "CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof",
                 "chi2", f"{_V_FINAL} AS cramers_v"))
+
+
+# ------------------------------ theta sketch: user-set overlap
+
+THETA_K = 64
+_POW52 = 1 << 52
+_THETA_SALT = "theta"
+
+
+def _uh_spark() -> str:
+    return (f"CAST(conv(substring(md5(concat('{_THETA_SALT}', "
+            f"CAST(user_id AS STRING))), 1, 13), 16, 10) AS BIGINT)")
+
+
+def _uh_sql() -> str:
+    return (f"CAST(('0x' || substring(md5('{_THETA_SALT}' || "
+            f"CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)")
+
+
+# est = |retained below theta| * 2^52 / theta: every operand is an
+# exactly-representable double (hash < 2^52, count * 2^52 < 2^60),
+# one IEEE division -> bit-identical across engines.
+def _theta_est(cnt: str, theta: str) -> str:
+    return (f"CAST({cnt} AS DOUBLE) * {float(_POW52)}"
+            f" / CAST({theta} AS DOUBLE)")
+
+
+@staged_query(
+    "theta_sketch_user_overlap",
+    oracle=f"""
+        WITH ua AS (
+          SELECT DISTINCT {_uh_sql()} AS h FROM events
+          WHERE event_type = 'click'
+        ),
+        ub AS (
+          SELECT DISTINCT {_uh_sql()} AS h FROM events
+          WHERE event_type = 'purchase'
+        ),
+        ka AS (SELECT h FROM ua ORDER BY h LIMIT {THETA_K}),
+        kb AS (SELECT h FROM ub ORDER BY h LIMIT {THETA_K}),
+        ta AS (
+          SELECT CASE WHEN COUNT(*) >= {THETA_K} THEN MAX(h)
+                      ELSE {_POW52} END AS theta_a
+          FROM ka
+        ),
+        tb AS (
+          SELECT CASE WHEN COUNT(*) >= {THETA_K} THEN MAX(h)
+                      ELSE {_POW52} END AS theta_b
+          FROM kb
+        ),
+        merged AS (
+          SELECT COALESCE(a.h, b.h) AS h,
+                 CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+                 CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+          FROM ka a FULL JOIN kb b ON a.h = b.h
+        ),
+        est AS (
+          SELECT CAST(SUM(CASE WHEN m.in_a = 1 AND m.h < ta.theta_a
+                          THEN 1 ELSE 0 END) AS BIGINT) AS r_a,
+                 CAST(SUM(CASE WHEN m.in_b = 1 AND m.h < tb.theta_b
+                          THEN 1 ELSE 0 END) AS BIGINT) AS r_b,
+                 CAST(SUM(CASE WHEN m.h < LEAST(ta.theta_a, tb.theta_b)
+                          AND (m.in_a = 1 OR m.in_b = 1)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS r_u,
+                 CAST(SUM(CASE WHEN m.h < LEAST(ta.theta_a, tb.theta_b)
+                          AND m.in_a = 1 AND m.in_b = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS r_i,
+                 MAX(ta.theta_a) AS theta_a, MAX(tb.theta_b) AS theta_b
+          FROM merged m CROSS JOIN ta CROSS JOIN tb
+        ),
+        truth AS (
+          SELECT CAST(SUM(has_a) AS BIGINT) AS true_click,
+                 CAST(SUM(has_b) AS BIGINT) AS true_purchase,
+                 CAST(SUM(CASE WHEN has_a = 1 OR has_b = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS true_union,
+                 CAST(SUM(has_a * has_b) AS BIGINT) AS true_inter
+          FROM (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'click'
+                       THEN 1 ELSE 0 END) AS has_a,
+                   MAX(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS has_b
+            FROM events GROUP BY user_id
+          )
+        )
+        SELECT CAST({THETA_K} AS BIGINT) AS k_cap,
+               t.true_click, t.true_purchase, t.true_union,
+               t.true_inter,
+               {_theta_est('e.r_a', 'e.theta_a')} AS est_click,
+               {_theta_est('e.r_b', 'e.theta_b')} AS est_purchase,
+               {_theta_est('e.r_u',
+                           'LEAST(e.theta_a, e.theta_b)')} AS est_union,
+               {_theta_est('e.r_i',
+                           'LEAST(e.theta_a, e.theta_b)')} AS est_inter
+        FROM est e CROSS JOIN truth t
+    """,
+    doc="Theta-sketch set algebra over user identities: KMV-style "
+        "bottom-k (k=64) samples of the salted-md5 hash space for the "
+        "click and purchase user sets, combined into union AND "
+        "intersection cardinality estimates — the mergeable-sketch "
+        "answer to 'how many users did both X and Y' that "
+        "kmv_distinct_users (single-set) cannot pose. Retention is "
+        "strictly-below-theta (theta = kth min when saturated, else "
+        "the full 2^52 hash space), so the estimator |sample|/theta "
+        "is the textbook theta-sketch form; all estimates divide "
+        "exactly-representable doubles once. Exact truths ride one "
+        "per-user flag aggregate for the accuracy report. Plan: two "
+        "distinct-hash relations (8-byte shuffles) + TakeOrdered "
+        "heads; every downstream relation is <= 2k rows. At 100 TB "
+        "the sketches merge associatively across partitions — the "
+        "point of the structure.",
+    tags=("staged", "sketch",),
+)
+def theta_sketch_user_overlap(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+
+    def keep(tp: str) -> DataFrame:
+        return (e.filter(F.col("event_type") == tp)
+                 .select(F.expr(_uh_spark()).alias("h"))
+                 .distinct()
+                 .orderBy("h").limit(THETA_K))
+
+    ka, kb = keep("click"), keep("purchase")
+    ta = ka.agg(F.expr(
+        f"CASE WHEN COUNT(*) >= {THETA_K} THEN MAX(h)"
+        f" ELSE {_POW52} END").alias("theta_a"))
+    tb = kb.agg(F.expr(
+        f"CASE WHEN COUNT(*) >= {THETA_K} THEN MAX(h)"
+        f" ELSE {_POW52} END").alias("theta_b"))
+    merged = (ka.selectExpr("h", "1 AS in_a")
+                .join(kb.selectExpr("h AS hb", "1 AS in_b"),
+                      F.col("h") == F.col("hb"), "full")
+                .selectExpr("COALESCE(h, hb) AS h",
+                            "COALESCE(in_a, 0) AS in_a",
+                            "COALESCE(in_b, 0) AS in_b"))
+    est = (merged.crossJoin(F.broadcast(ta))
+                 .crossJoin(F.broadcast(tb))
+                 .agg(F.expr("CAST(SUM(CASE WHEN in_a = 1 AND h < theta_a"
+                             " THEN 1 ELSE 0 END) AS BIGINT)").alias("r_a"),
+                      F.expr("CAST(SUM(CASE WHEN in_b = 1 AND h < theta_b"
+                             " THEN 1 ELSE 0 END) AS BIGINT)").alias("r_b"),
+                      F.expr("CAST(SUM(CASE WHEN h < LEAST(theta_a, theta_b)"
+                             " AND (in_a = 1 OR in_b = 1)"
+                             " THEN 1 ELSE 0 END) AS BIGINT)").alias("r_u"),
+                      F.expr("CAST(SUM(CASE WHEN h < LEAST(theta_a, theta_b)"
+                             " AND in_a = 1 AND in_b = 1"
+                             " THEN 1 ELSE 0 END) AS BIGINT)").alias("r_i"),
+                      F.max("theta_a").alias("theta_a"),
+                      F.max("theta_b").alias("theta_b")))
+    truth = (e.groupBy("user_id")
+              .agg(F.max(F.when(F.col("event_type") == "click", 1)
+                          .otherwise(0)).alias("has_a"),
+                   F.max(F.when(F.col("event_type") == "purchase", 1)
+                          .otherwise(0)).alias("has_b"))
+              .agg(F.sum("has_a").cast("long").alias("true_click"),
+                   F.sum("has_b").cast("long").alias("true_purchase"),
+                   F.expr("CAST(SUM(CASE WHEN has_a = 1 OR has_b = 1"
+                          " THEN 1 ELSE 0 END) AS BIGINT)")
+                    .alias("true_union"),
+                   F.sum(F.col("has_a") * F.col("has_b")).cast("long")
+                    .alias("true_inter")))
+    return (est.crossJoin(F.broadcast(truth))
+               .selectExpr(
+                   f"CAST({THETA_K} AS BIGINT) AS k_cap",
+                   "true_click", "true_purchase", "true_union",
+                   "true_inter",
+                   f"{_theta_est('r_a', 'theta_a')} AS est_click",
+                   f"{_theta_est('r_b', 'theta_b')} AS est_purchase",
+                   f"{_theta_est('r_u', 'LEAST(theta_a, theta_b)')}"
+                   f" AS est_union",
+                   f"{_theta_est('r_i', 'LEAST(theta_a, theta_b)')}"
+                   f" AS est_inter"))
+
+
+# ------------------------- mean average precision of cosine retrieval
+
+MAP_K = 10
+_AP_LCM = 2520          # lcm(1..10): keeps per-rank precisions integral
+MAP_ANCHOR_STEP = 25    # fixed 20-query panel: vec_id in {0,25,...,475}
+
+
+@staged_query(
+    "map_retrieval_eval",
+    oracle=f"""
+        WITH anchors AS (
+          SELECT vec_id AS qid, label AS q_label, embedding AS qv
+          FROM embeddings
+          WHERE vec_id % {MAP_ANCHOR_STEP} = 0 AND vec_id < 500
+        ),
+        scored AS (
+          SELECT a.qid, e.vec_id,
+                 CASE WHEN e.label = a.q_label THEN 1 ELSE 0 END
+                   AS rel,
+                 {{COS}} AS cosv
+          FROM embeddings e CROSS JOIN anchors a
+          WHERE e.vec_id <> a.qid
+        ),
+        ranked AS (
+          SELECT qid, rel,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cosv DESC, vec_id) AS BIGINT) AS rn
+          FROM scored
+        ),
+        top AS (SELECT * FROM ranked WHERE rn <= {MAP_K}),
+        c AS (
+          SELECT qid, rel, rn,
+                 SUM(rel) OVER (PARTITION BY qid ORDER BY rn
+                   ROWS UNBOUNDED PRECEDING) AS hits_k
+          FROM top
+        ),
+        per_q AS (
+          SELECT qid,
+                 CAST(SUM(CASE WHEN rel = 1
+                      THEN hits_k * ({_AP_LCM} // rn)
+                      ELSE 0 END) AS BIGINT) AS ap_fp,
+                 CAST(SUM(rel) AS BIGINT) AS hits
+          FROM c GROUP BY qid
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST({MAP_K} AS BIGINT) AS k_eval,
+               CAST(SUM(hits) AS DOUBLE)
+                 / (COUNT(*) * {MAP_K}) AS precision_at_k,
+               CAST(SUM(ap_fp) AS DOUBLE)
+                 / (COUNT(*) * {_AP_LCM} * {MAP_K}) AS map_at_k
+        FROM per_q
+    """.replace("{COS}", "("
+        "list_reduce(list_prepend(0.0, list_transform("
+        "generate_series(1, len(e.embedding)),"
+        " i -> CAST(e.embedding[i] AS DOUBLE)"
+        " * CAST(a.qv[i] AS DOUBLE))), (acc, v) -> acc + v)"
+        " / (SQRT(list_reduce(list_prepend(0.0, list_transform("
+        "generate_series(1, len(e.embedding)),"
+        " i -> CAST(e.embedding[i] AS DOUBLE)"
+        " * CAST(e.embedding[i] AS DOUBLE))), (acc, v) -> acc + v))"
+        " * SQRT(list_reduce(list_prepend(0.0, list_transform("
+        "generate_series(1, len(a.qv)),"
+        " i -> CAST(a.qv[i] AS DOUBLE)"
+        " * CAST(a.qv[i] AS DOUBLE))), (acc, v) -> acc + v))))"),
+    doc="Mean average precision @10 of brute-force cosine retrieval "
+        "against label-match relevance, over a FIXED 20-vector query "
+        "panel — the retrieval-quality scorecard an embedding "
+        "pipeline tracks per release. AP is computed exactly: "
+        "precision@k has denominator k <= 10, so scaling by "
+        "lcm(1..10) = 2520 keeps every per-query AP an integer until "
+        "the single final division (no summed doubles, unlike NDCG "
+        "whose log2 discount would be engine-specific). Ranking "
+        "ties break on vec_id over bit-identical cosines (the "
+        "module's fold idiom inside the cosine). Plan: the panel "
+        "broadcasts onto one corpus scan (never shuffles the "
+        "corpus); per-anchor top-k runs in TWO phases — a "
+        "64-way salted local rank then a rank over the bounded "
+        "64*k-row union per anchor — so no window partition holds a "
+        "corpus-sized slice at 100 TB (the bounded-key-window "
+        "hazard); AP folds over <=10-row groups.",
+    tags=("staged", "evaluation", "similarity"),
+)
+def map_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.operators.similarity import cosine
+    e = load(spark, sf_dir, "embeddings")
+    anchors = (e.filter((F.col("vec_id") % MAP_ANCHOR_STEP == 0)
+                        & (F.col("vec_id") < 500))
+                .select(F.col("vec_id").alias("qid"),
+                        F.col("label").alias("q_label"),
+                        F.col("embedding").alias("qv")))
+    scored = (e.crossJoin(F.broadcast(anchors))
+               .filter(F.col("vec_id") != F.col("qid"))
+               .select("qid", "vec_id",
+                       F.when(F.col("label") == F.col("q_label"), 1)
+                        .otherwise(0).alias("rel"),
+                       cosine("embedding", "qv").alias("cosv")))
+    # phase 1: salted local heads (bounds every window partition to a
+    # 1/64 slice); phase 2 re-ranks the 64*k union exactly, so the
+    # salt never changes the result and the oracle needs no salt.
+    w1 = (Window.partitionBy("qid", F.pmod(F.hash("vec_id"), F.lit(64)))
+                .orderBy(F.desc("cosv"), "vec_id"))
+    heads = (scored.withColumn("rn1", F.row_number().over(w1))
+                   .filter(F.col("rn1") <= MAP_K).drop("rn1"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cosv"), "vec_id")
+    top = (heads.withColumn("rn", F.row_number().over(w2).cast("long"))
+                .filter(F.col("rn") <= MAP_K))
+    wc = (Window.partitionBy("qid").orderBy("rn")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    c = top.select("qid", "rel", "rn",
+                   F.sum("rel").over(wc).alias("hits_k"))
+    per_q = (c.groupBy("qid")
+              .agg(F.expr(f"CAST(SUM(CASE WHEN rel = 1"
+                          f" THEN hits_k * ({_AP_LCM} DIV rn)"
+                          f" ELSE 0 END) AS BIGINT)").alias("ap_fp"),
+                   F.sum("rel").cast("long").alias("hits")))
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(MAP_K).cast("long").alias("k_eval"),
+        F.expr(f"CAST(SUM(hits) AS DOUBLE) / (COUNT(*) * {MAP_K})")
+         .alias("precision_at_k"),
+        F.expr(f"CAST(SUM(ap_fp) AS DOUBLE)"
+               f" / (COUNT(*) * {_AP_LCM} * {MAP_K})").alias("map_at_k"))

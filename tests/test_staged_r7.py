@@ -47,6 +47,10 @@ _JUSTIFIED_BNLJ_BUILDS = {
     # set, never shuffle the corpus' shape (same as
     # negative_sampling_pairs in the promoted bank)
     "contrastive_triplet_mining",
+    # broadcasts the FIXED 20-vector evaluation panel onto one corpus
+    # scan with a self-exclusion inequality — same shape, and the
+    # panel is constant-size by construction (vec_id < 500 gate)
+    "map_retrieval_eval",
 }
 
 
