@@ -697,3 +697,157 @@ def map_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("precision_at_k"),
         F.expr(f"CAST(SUM(ap_fp) AS DOUBLE)"
                f" / (COUNT(*) * {_AP_LCM} * {MAP_K})").alias("map_at_k"))
+
+
+# ----------------------------------- Bollinger bands on daily revenue
+
+BOLL_W = 20   # SMA window (trading-days convention)
+
+_BOLL_MEAN = f"{_wide('s')} / n / 100"
+# rolling stddev from exact window moments, in dollars; the window
+# sum of per-day squared cents rides DECIMAL(38,0) (a single day can
+# carry ~1e13 cents at 100 TB; its square passes 2^63).
+_BOLL_SD = (f"SQRT(({_wide('q')} - {_wide('s')} * {_wide('s')} / n)"
+            f" / (n - 1)) / 100")
+
+
+@staged_query(
+    "bollinger_daily_revenue",
+    oracle=f"""
+        WITH d AS (
+          SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                 CAST(SUM({_CENTS}) AS BIGINT) AS cents
+          FROM events GROUP BY 1
+        ),
+        w AS (
+          SELECT day, cents,
+                 CAST(COUNT(*) OVER win AS BIGINT) AS n,
+                 SUM(CAST(cents AS DECIMAL(38,0))) OVER win AS s,
+                 SUM(CAST(cents AS DECIMAL(38,0)) * cents) OVER win
+                   AS q
+          FROM d
+          WINDOW win AS (ORDER BY day
+            ROWS BETWEEN {BOLL_W - 1} PRECEDING AND CURRENT ROW)
+        ),
+        b AS (
+          SELECT day, CAST(cents AS DOUBLE) / 100 AS revenue,
+                 {_BOLL_MEAN} AS sma, {_BOLL_SD} AS sd
+          FROM w WHERE n = {BOLL_W}
+        )
+        SELECT day, revenue, sma, sd,
+               sma + 2 * sd AS upper_band,
+               sma - 2 * sd AS lower_band,
+               CAST(CASE WHEN revenue > sma + 2 * sd
+                         OR revenue < sma - 2 * sd
+                    THEN 1 ELSE 0 END AS BIGINT) AS outside
+        FROM b
+    """,
+    doc="Bollinger bands over daily revenue: the 20-day simple moving "
+        "average with +/-2 rolling-stddev envelopes and a breakout "
+        "flag — the mean-reversion band monitor that complements the "
+        "EMA-recurrence views (MACD, RSI, Holt) in the bank with a "
+        "windowed-moment one. The rolling variance comes from exact "
+        "window moments (BIGINT day cents; squares widened to "
+        "DECIMAL(38,0) since one day's cents squared passes 2^63 at "
+        "corpus scale), so mean/stddev are single IEEE ops on "
+        "identical operands; emitted only for complete windows. "
+        "Plan: one map-side-combinable daily rollup, then frame "
+        "windows over the calendar-bounded daily table — nothing "
+        "data-sized past the scan at 100 TB.",
+    tags=("staged", "timeseries",),
+)
+def bollinger_daily_revenue(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    d = (load(spark, sf_dir, "events")
+         .selectExpr("CAST(CAST(ts AS DATE) AS STRING) AS day",
+                     f"{_CENTS} AS c")
+         .groupBy("day").agg(F.sum("c").cast("long").alias("cents")))
+    win = (Window.orderBy("day")
+                 .rowsBetween(-(BOLL_W - 1), Window.currentRow))
+    w = d.select(
+        "day", "cents",
+        F.count(F.lit(1)).over(win).cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(win).alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).over(win)
+         .alias("q"))
+    b = (w.filter(F.col("n") == BOLL_W)
+          .selectExpr("day", "CAST(cents AS DOUBLE) / 100 AS revenue",
+                      f"{_BOLL_MEAN} AS sma", f"{_BOLL_SD} AS sd"))
+    return b.selectExpr(
+        "day", "revenue", "sma", "sd",
+        "sma + 2 * sd AS upper_band",
+        "sma - 2 * sd AS lower_band",
+        "CAST(CASE WHEN revenue > sma + 2 * sd"
+        " OR revenue < sma - 2 * sd THEN 1 ELSE 0 END AS BIGINT)"
+        " AS outside")
+
+
+# ------------------------------- seasonal-naive MASE of daily revenue
+
+
+@staged_query(
+    "seasonal_naive_mase",
+    oracle=f"""
+        WITH d AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(SUM({_CENTS}) AS BIGINT) AS cents
+          FROM events GROUP BY 1
+        ),
+        j AS (
+          SELECT t.day, t.cents,
+                 s.cents AS lag7, n.cents AS lag1
+          FROM d t
+          JOIN d s ON s.day = t.day - 7
+          JOIN d n ON n.day = t.day - 1
+        ),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+                 SUM(CAST(ABS(cents - lag7) AS DECIMAL(38,0)))
+                   AS ae_seasonal,
+                 SUM(CAST(ABS(cents - lag1) AS DECIMAL(38,0)))
+                   AS ae_naive1
+          FROM j
+        )
+        SELECT n_eval_days,
+               {_wide('ae_seasonal')} / n_eval_days / 100
+                 AS mae_seasonal,
+               {_wide('ae_naive1')} / n_eval_days / 100 AS mae_naive1,
+               {_wide('ae_seasonal')} / {_wide('ae_naive1')} AS mase
+        FROM a
+    """,
+    doc="Mean absolute scaled error of the weekly seasonal-naive "
+        "forecast (predict today = same weekday last week) scaled by "
+        "the one-step naive walk — the standard scale-free forecast "
+        "benchmark (MASE < 1 means weekly seasonality beats a random "
+        "walk), complementing the fitted forecasters (Holt, "
+        "Theil-Sen) with the baseline every forecast eval needs. "
+        "Calendar-correct: lags come from date-arithmetic self-joins "
+        "on the daily table (a missing day drops its eval row rather "
+        "than silently shifting), absolute errors accumulate exactly "
+        "in DECIMAL(38,0), and the MASE ratio is one division of "
+        "wide-int-routed doubles. Plan: one daily rollup, two "
+        "broadcast-sized self-joins on the calendar-bounded daily "
+        "table, single row out.",
+    tags=("staged", "timeseries",),
+)
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (load(spark, sf_dir, "events")
+         .selectExpr("CAST(ts AS DATE) AS day", f"{_CENTS} AS c")
+         .groupBy("day").agg(F.sum("c").cast("long").alias("cents")))
+    t = d.alias("t")
+    s = d.selectExpr("date_add(day, 7) AS day7", "cents AS lag7")
+    n1 = d.selectExpr("date_add(day, 1) AS day1", "cents AS lag1")
+    j = (t.join(F.broadcast(s), F.col("t.day") == F.col("day7"))
+          .join(F.broadcast(n1), F.col("t.day") == F.col("day1"))
+          .select("t.cents", "lag7", "lag1"))
+    a = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_days"),
+        F.sum(F.expr("CAST(ABS(cents - lag7) AS DECIMAL(38,0))"))
+         .alias("ae_seasonal"),
+        F.sum(F.expr("CAST(ABS(cents - lag1) AS DECIMAL(38,0))"))
+         .alias("ae_naive1"))
+    return a.selectExpr(
+        "n_eval_days",
+        f"{_wide('ae_seasonal')} / n_eval_days / 100 AS mae_seasonal",
+        f"{_wide('ae_naive1')} / n_eval_days / 100 AS mae_naive1",
+        f"{_wide('ae_seasonal')} / {_wide('ae_naive1')} AS mase")
