@@ -851,3 +851,176 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_wide('ae_seasonal')} / n_eval_days / 100 AS mae_seasonal",
         f"{_wide('ae_naive1')} / n_eval_days / 100 AS mae_naive1",
         f"{_wide('ae_seasonal')} / {_wide('ae_naive1')} AS mase")
+
+
+# --------------------- unigram LM inverse-probability per source
+
+_INV_SCALE = 1_000_000_000_000  # 1e12 fixed-point for 1/(c_w + 1)
+
+
+@staged_query(
+    "unigram_inverse_prob_by_source",
+    oracle=f"""
+        WITH tok AS (
+          SELECT source, UNNEST(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        t AS (SELECT source, w FROM tok WHERE w <> ''),
+        vocab AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+          FROM t GROUP BY w
+        ),
+        g AS (
+          SELECT CAST(SUM(c_w) AS BIGINT) AS n_corpus,
+                 CAST(COUNT(*) AS BIGINT) AS v_size
+          FROM vocab
+        ),
+        s AS (
+          SELECT t.source,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 SUM(CAST({_INV_SCALE} // (v.c_w + 1)
+                     AS DECIMAL(38,0))) AS inv_fp
+          FROM t JOIN vocab v ON t.w = v.w
+          GROUP BY t.source
+        )
+        SELECT s.source, s.n_tokens, g.n_corpus, g.v_size,
+               CAST(g.n_corpus + g.v_size AS DOUBLE)
+                 * ({_wide('s.inv_fp')} / {float(_INV_SCALE)})
+                 / s.n_tokens AS mean_inv_prob
+        FROM s CROSS JOIN g
+    """,
+    doc="Micro-averaged inverse add-one-smoothed unigram probability "
+        "per source — the log-free perplexity proxy (mean of "
+        "1/p(w) = (N+V)/(c_w+1) over a source's tokens): rare-token-"
+        "heavy sources score high exactly where perplexity would, "
+        "but the statistic is a rational function of counts, so it "
+        "verifies bit-exactly where a log-prob sum cannot (the "
+        "ln()-divergence lesson). Per-token reciprocals are "
+        "1e12-fixed-point integer divisions (identical truncation on "
+        "both engines) accumulated in DECIMAL(38,0); one shared "
+        "double expression at the end. Plan: token explode, one "
+        "vocab aggregate, a token-keyed vocab-lookup join (AQE "
+        "handles stopword skew), per-source regroup, broadcast of "
+        "the 1-row corpus totals.",
+    tags=("staged", "text", "corpus"),
+)
+def unigram_inverse_prob_by_source(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    t = (load(spark, sf_dir, "documents")
+         .select("source", F.explode(F.split("text", " ")).alias("w"))
+         .filter(F.col("w") != ""))
+    vocab = t.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    g = vocab.agg(F.sum("c_w").cast("long").alias("n_corpus"),
+                  F.count(F.lit(1)).cast("long").alias("v_size"))
+    s = (t.join(vocab, "w")
+          .groupBy("source")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+               F.sum(F.expr(f"CAST({_INV_SCALE} DIV (c_w + 1)"
+                            f" AS DECIMAL(38,0))")).alias("inv_fp")))
+    return (s.crossJoin(F.broadcast(g))
+             .selectExpr(
+                 "source", "n_tokens", "n_corpus", "v_size",
+                 f"CAST(n_corpus + v_size AS DOUBLE)"
+                 f" * ({_wide('inv_fp')} / {float(_INV_SCALE)})"
+                 f" / n_tokens AS mean_inv_prob"))
+
+
+# ------------------ total-variation drift of source unigram mixes
+
+# TV(p_s, p_corpus) = 1/2 sum_w |p_s(w) - p(w)| — the log-free
+# distribution-drift measure (bounded [0,1], the metric KL/JS lack
+# bit-exact verifiability for). Split over the source's present
+# vocabulary + the absent-mass term:
+#   present: |n_sw * N - n_w * N_s|  (exact DECIMAL integers)
+#   absent : sum of n_w over words the source never emits
+#          = N - sum_{w in vocab_s} n_w
+_TV_DEN = "CAST(n_tokens AS DECIMAL(38,0)) * n_corpus"
+_TV = (f"({_wide('tv_num')} / ({_wide(_TV_DEN)})"
+       f" + (CAST(n_corpus AS DOUBLE) - {_wide('cov_mass')})"
+       f" / n_corpus) / 2")
+
+
+@staged_query(
+    "source_unigram_tv_distance",
+    oracle=f"""
+        WITH tok AS (
+          SELECT source, UNNEST(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        t AS (SELECT source, w FROM tok WHERE w <> ''),
+        sw AS (
+          SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n_sw
+          FROM t GROUP BY source, w
+        ),
+        vocab AS (
+          SELECT w, CAST(SUM(n_sw) AS BIGINT) AS n_w
+          FROM sw GROUP BY w
+        ),
+        g AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_corpus FROM vocab),
+        st AS (
+          SELECT source, CAST(SUM(n_sw) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct
+          FROM sw GROUP BY source
+        ),
+        d AS (
+          SELECT sw.source,
+                 SUM(ABS(CAST(sw.n_sw AS DECIMAL(38,0)) * g.n_corpus
+                         - CAST(v.n_w AS DECIMAL(38,0)) * st.n_tokens))
+                   AS tv_num,
+                 SUM(CAST(v.n_w AS DECIMAL(38,0))) AS cov_mass
+          FROM sw
+          JOIN vocab v ON sw.w = v.w
+          JOIN st ON st.source = sw.source
+          CROSS JOIN g
+          GROUP BY sw.source
+        )
+        SELECT st.source, st.n_tokens, st.n_distinct, g.n_corpus,
+               {_wide('d.cov_mass')} / g.n_corpus AS corpus_coverage,
+               {_TV.replace('n_tokens', 'st.n_tokens')
+                   .replace('n_corpus', 'g.n_corpus')
+                   .replace('tv_num', 'd.tv_num')
+                   .replace('cov_mass', 'd.cov_mass')} AS tv_distance
+        FROM d JOIN st ON st.source = d.source CROSS JOIN g
+    """,
+    doc="Total-variation distance between each source's unigram "
+        "distribution and the whole-corpus distribution — the "
+        "mixture-drift scorecard a curation pipeline ranks sources "
+        "by before reweighting. TV is chosen over KL/JS deliberately "
+        "(the Simpson-over-Shannon precedent): it is a rational "
+        "function of counts, so the present-vocabulary term "
+        "|n_sw*N - n_w*N_s| and the absent-mass term N - cov_s both "
+        "accumulate exactly in DECIMAL(38,0), with two shared double "
+        "divisions at the end. Plan: one (source, word) aggregate, a "
+        "word-keyed regroup for corpus counts joined back on the "
+        "word key, per-source reduction; the only data-sized "
+        "shuffles are token-keyed; source totals broadcast.",
+    tags=("staged", "text", "corpus", "quality"),
+)
+def source_unigram_tv_distance(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    t = (load(spark, sf_dir, "documents")
+         .select("source", F.explode(F.split("text", " ")).alias("w"))
+         .filter(F.col("w") != ""))
+    sw = (t.groupBy("source", "w")
+           .agg(F.count(F.lit(1)).alias("n_sw")))
+    vocab = sw.groupBy("w").agg(F.sum("n_sw").cast("long").alias("n_w"))
+    g = vocab.agg(F.sum("n_w").cast("long").alias("n_corpus"))
+    st = (sw.groupBy("source")
+            .agg(F.sum("n_sw").cast("long").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_distinct")))
+    d = (sw.join(vocab, "w")
+           .join(F.broadcast(st.select("source", "n_tokens")), "source")
+           .crossJoin(F.broadcast(g))
+           .groupBy("source")
+           .agg(F.sum(F.expr(
+                    "ABS(CAST(n_sw AS DECIMAL(38,0)) * n_corpus"
+                    " - CAST(n_w AS DECIMAL(38,0)) * n_tokens)"))
+                 .alias("tv_num"),
+                F.sum(F.expr("CAST(n_w AS DECIMAL(38,0))"))
+                 .alias("cov_mass")))
+    return (d.join(F.broadcast(st), "source")
+             .crossJoin(F.broadcast(g))
+             .selectExpr(
+                 "source", "n_tokens", "n_distinct", "n_corpus",
+                 f"{_wide('cov_mass')} / n_corpus AS corpus_coverage",
+                 f"{_TV} AS tv_distance"))
