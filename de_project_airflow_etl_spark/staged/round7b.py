@@ -1024,3 +1024,220 @@ def source_unigram_tv_distance(spark: SparkSession,
                  "source", "n_tokens", "n_distinct", "n_corpus",
                  f"{_wide('cov_mass')} / n_corpus AS corpus_coverage",
                  f"{_TV} AS tv_distance"))
+
+
+# ------------------------------ GROUP BY ALL / ORDER BY ALL surface
+
+
+@staged_query(
+    "group_by_all_weekday_mix",
+    oracle=f"""
+        SELECT event_type,
+               CAST(CASE WHEN dayofweek(ts) IN (0, 6)
+                    THEN 'weekend' ELSE 'weekday' END AS VARCHAR)
+                 AS day_kind,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM({_CENTS}) AS DOUBLE) / 100 AS revenue
+        FROM events
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    doc="GROUP BY ALL / ORDER BY ALL resolution — the analyst-"
+        "ergonomics SQL surface (infer grouping keys from the "
+        "non-aggregate select items) that Spark and DuckDB both "
+        "support; the engine must bind ALL to (event_type, day_kind) "
+        "including the computed CASE column, not just plain "
+        "attributes. Literally the same GROUP BY ALL text runs on "
+        "both engines (only the weekday bridge differs: DuckDB "
+        "dayofweek is 0=Sunday, Spark's is shifted by -1). Exact "
+        "cents sum, one division. Plan: a single map-side-"
+        "combinable hash aggregate over the scan, identical to the "
+        "explicitly-keyed form — ALL is purely a binding feature.",
+    tags=("staged", "sql-surface",),
+)
+def group_by_all_weekday_mix(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("gba_events")
+    return spark.sql(f"""
+        SELECT event_type,
+               CAST(CASE WHEN (dayofweek(ts) - 1) IN (0, 6)
+                    THEN 'weekend' ELSE 'weekday' END AS STRING)
+                 AS day_kind,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM({_CENTS}) AS DOUBLE) / 100 AS revenue
+        FROM gba_events
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
+
+
+# --------------------------- U-shaped multi-touch attribution
+
+ATTR_WINDOW_DAYS = 7
+_ATTR_SCALE = 1_000_000  # micro-credit units per cent
+
+
+def _attr_credit(div_op: str) -> str:
+    """Position-based (40/20/40) credit in exact micro-cent units;
+    the middle share uses explicit integer division so both engines
+    truncate identically."""
+    return (f"CASE WHEN n = 1 THEN CAST(c AS BIGINT) * {_ATTR_SCALE}"
+            f" WHEN n = 2 THEN CAST(c AS BIGINT) * {_ATTR_SCALE // 2}"
+            f" WHEN rn = 1 OR rn = n"
+            f" THEN CAST(c AS BIGINT) * {_ATTR_SCALE * 2 // 5}"
+            f" ELSE (CAST(c AS BIGINT) * {_ATTR_SCALE // 5})"
+            f" {div_op} (n - 2) END")
+
+
+@staged_query(
+    "position_attribution_revenue",
+    oracle=f"""
+        WITH p AS (
+          SELECT event_id AS pid, user_id, ts AS pts,
+                 {_CENTS} AS c
+          FROM events WHERE event_type = 'purchase'
+        ),
+        touch AS (
+          SELECT p.pid, p.c, e.event_type,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY p.pid
+                   ORDER BY e.ts, e.event_id) AS BIGINT) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY p.pid)
+                   AS BIGINT) AS n
+          FROM p JOIN events e
+            ON e.user_id = p.user_id
+           AND e.ts < p.pts
+           AND e.ts >= p.pts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+           AND e.event_id <> p.pid
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_conversions,
+               {_wide(f"SUM(CAST({_attr_credit('//')} "
+                      f"AS DECIMAL(38,0)))")}
+                 / {float(_ATTR_SCALE * 100)} AS attributed_revenue
+        FROM touch GROUP BY event_type
+    """,
+    doc="U-shaped (position-based 40/20/40) multi-touch attribution: "
+        "every purchase distributes its value over the user's touches "
+        "in the preceding 7 days — 40% to the first touch, 40% to the "
+        "last, 20% split across the middle — answering 'which channel "
+        "(event type) earns the revenue' beyond last_touch_"
+        "attribution's winner-takes-all. Credits are exact micro-cent "
+        "integers (the middle share is explicit integer division, "
+        "truncating identically on both engines) summed in "
+        "DECIMAL(38,0). Plan: purchases join touches as an equi-join "
+        "on user_id with the time range as residual predicate (sort-"
+        "merge co-partitioned by user, never a nested loop); rank and "
+        "count windows partition by purchase id — a grows-with-data "
+        "key with per-window fan-in bounded by the 7-day lookback.",
+    tags=("staged", "analytics", "attribution"),
+)
+def position_attribution_revenue(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    p = (e.filter(F.col("event_type") == "purchase")
+          .selectExpr("event_id AS pid", "user_id AS puid",
+                      "ts AS pts", f"{_CENTS} AS c"))
+    joined = p.join(
+        e,
+        (F.col("user_id") == F.col("puid"))
+        & (F.col("ts") < F.col("pts"))
+        & (F.col("ts") >= F.expr(
+            f"pts - INTERVAL {ATTR_WINDOW_DAYS} DAY"))
+        & (F.col("event_id") != F.col("pid")))
+    wp = Window.partitionBy("pid")
+    touch = joined.select(
+        "pid", "c", "event_type",
+        F.row_number().over(wp.orderBy("ts", "event_id")).cast("long")
+         .alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"))
+    return (touch.groupBy("event_type")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_touches"),
+                      F.countDistinct("pid").cast("long")
+                       .alias("n_conversions"),
+                      F.sum(F.expr(f"CAST({_attr_credit('DIV')}"
+                                   f" AS DECIMAL(38,0))")).alias("fp"))
+                 .selectExpr("event_type", "n_touches", "n_conversions",
+                             f"{_wide('fp')}"
+                             f" / {float(_ATTR_SCALE * 100)}"
+                             f" AS attributed_revenue"))
+
+
+# ----------------------------- two-feature OLS via normal equations
+
+# Closed-form OLS of extendedprice on (quantity, discount), all three
+# scaled to exact integer hundredths. Raw moments accumulate exactly
+# in DECIMAL(38,0); the centered normal-equation terms (n*Sxx - Sx^2
+# and friends) would overflow 38 digits at corpus scale if kept in
+# decimal, so each MOMENT routes to double first (string route) and
+# the centered algebra runs in shared double fragments — identical
+# operands, identical order, bit-identical results.
+_M = {m: _wide(m) for m in
+      ("n_", "sx", "sz", "sy", "sxx", "sxz", "szz", "sxy", "szy",
+       "syy")}
+_C = {
+    "cxx": f"({_M['n_']} * {_M['sxx']} - {_M['sx']} * {_M['sx']})",
+    "cxz": f"({_M['n_']} * {_M['sxz']} - {_M['sx']} * {_M['sz']})",
+    "czz": f"({_M['n_']} * {_M['szz']} - {_M['sz']} * {_M['sz']})",
+    "cxy": f"({_M['n_']} * {_M['sxy']} - {_M['sx']} * {_M['sy']})",
+    "czy": f"({_M['n_']} * {_M['szy']} - {_M['sz']} * {_M['sy']})",
+    "cyy": f"({_M['n_']} * {_M['syy']} - {_M['sy']} * {_M['sy']})",
+}
+_DET = f"({_C['cxx']} * {_C['czz']} - {_C['cxz']} * {_C['cxz']})"
+_B1 = f"(({_C['czz']} * {_C['cxy']} - {_C['cxz']} * {_C['czy']}) / {_DET})"
+_B2 = f"(({_C['cxx']} * {_C['czy']} - {_C['cxz']} * {_C['cxy']}) / {_DET})"
+_OLS_FINAL = (
+    f"SELECT CAST(n_ AS BIGINT) AS n, {_B1} AS beta_qty,"
+    f" {_B2} AS beta_disc,"
+    f" ({_M['sy']} - {_B1} * {_M['sx']} - {_B2} * {_M['sz']})"
+    f" / {_M['n_']} / 100 AS intercept,"
+    f" ({_B1} * {_C['cxy']} + {_B2} * {_C['czy']}) / {_C['cyy']} AS r2")
+
+_OLS_MOMENTS = f"""
+          SELECT COUNT(*) AS n_,
+                 SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(z AS DECIMAL(38,0))) AS sz,
+                 SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                 SUM(CAST(x AS DECIMAL(38,0)) * z) AS sxz,
+                 SUM(CAST(z AS DECIMAL(38,0)) * z) AS szz,
+                 SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+                 SUM(CAST(z AS DECIMAL(38,0)) * y) AS szy,
+                 SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+"""
+
+
+@staged_query(
+    "ols_two_feature_price",
+    oracle=f"""
+        WITH b AS (
+          SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS z,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+          FROM lineitem
+        ),
+        m AS ({_OLS_MOMENTS} FROM b)
+        {_OLS_FINAL} FROM m
+    """,
+    doc="Two-feature ordinary least squares by the closed-form normal "
+        "equations: extendedprice ~ quantity + discount over lineitem "
+        "— the multivariate step past regression_aggregates' single-"
+        "regressor regr_slope, fitted distributively (Cramer's rule "
+        "on centered second moments) instead of iteratively. The ten "
+        "raw moments accumulate exactly in one map-side-combinable "
+        "DECIMAL(38,0) aggregate; every centered term, the 2x2 "
+        "determinant, both betas, the intercept and R^2 are shared "
+        "double fragments over those exact moments. Plan: one "
+        "aggregate pass over the scan projecting three columns, a "
+        "single row out — the textbook 'learn on 100 TB with one "
+        "shuffle-free reduction' shape.",
+    tags=("staged", "statistics", "ml"),
+)
+def ols_two_feature_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = load(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(ROUND(l_quantity * 100) AS BIGINT) AS x",
+        "CAST(ROUND(l_discount * 100) AS BIGINT) AS z",
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y")
+    b.createOrReplaceTempView("ols_base")
+    return spark.sql(
+        f"WITH m AS ({_OLS_MOMENTS} FROM ols_base) {_OLS_FINAL} FROM m")
