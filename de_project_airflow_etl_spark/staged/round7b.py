@@ -650,11 +650,12 @@ MAP_ANCHOR_STEP = 25    # fixed 20-query panel: vec_id in {0,25,...,475}
         "ties break on vec_id over bit-identical cosines (the "
         "module's fold idiom inside the cosine). Plan: the panel "
         "broadcasts onto one corpus scan (never shuffles the "
-        "corpus); per-anchor top-k runs in TWO phases — a "
-        "64-way salted local rank then a rank over the bounded "
-        "64*k-row union per anchor — so no window partition holds a "
-        "corpus-sized slice at 100 TB (the bounded-key-window "
-        "hazard); AP folds over <=10-row groups.",
+        "corpus); the per-anchor rank<=k filter triggers Spark's "
+        "rank-limit pushdown (WindowGroupLimit Partial before the "
+        "exchange), so each map task forwards at most k rows per "
+        "anchor and no window partition holds a corpus-sized slice "
+        "at 100 TB (the bounded-key-window hazard, solved engine-"
+        "natively); AP folds over <=10-row groups.",
     tags=("staged", "evaluation", "similarity"),
 )
 def map_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,16 +672,14 @@ def map_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.when(F.col("label") == F.col("q_label"), 1)
                         .otherwise(0).alias("rel"),
                        cosine("embedding", "qv").alias("cosv")))
-    # phase 1: salted local heads (bounds every window partition to a
-    # 1/64 slice); phase 2 re-ranks the 64*k union exactly, so the
-    # salt never changes the result and the oracle needs no salt.
-    w1 = (Window.partitionBy("qid", F.pmod(F.hash("vec_id"), F.lit(64)))
-                .orderBy(F.desc("cosv"), "vec_id"))
-    heads = (scored.withColumn("rn1", F.row_number().over(w1))
-                   .filter(F.col("rn1") <= MAP_K).drop("rn1"))
+    # rank + filter plans as WindowGroupLimit(Partial) -> exchange ->
+    # WindowGroupLimit(Final): Spark's rank-limit pushdown keeps only
+    # k rows per (map partition, qid) BEFORE the shuffle, so no window
+    # partition ever holds a corpus-sized slice — the engine-native
+    # two-phase top-k (gated in tests/test_staged_r7b.py).
     w2 = Window.partitionBy("qid").orderBy(F.desc("cosv"), "vec_id")
-    top = (heads.withColumn("rn", F.row_number().over(w2).cast("long"))
-                .filter(F.col("rn") <= MAP_K))
+    top = (scored.withColumn("rn", F.row_number().over(w2).cast("long"))
+                 .filter(F.col("rn") <= MAP_K))
     wc = (Window.partitionBy("qid").orderBy("rn")
                 .rowsBetween(Window.unboundedPreceding, 0))
     c = top.select("qid", "rel", "rn",

@@ -1,0 +1,119 @@
+"""Targeted physical-plan gates for the round-7b staged bank
+(evaluation statistics, sketches, attribution) — the 100 TB shape
+evidence each query's docstring claims, asserted before promotion.
+
+The blanket oracle-match / non-empty / BNLJ gates in
+tests/test_staged_r7.py already parametrize over ALL staged queries;
+this module pins the query-specific plan shapes.
+"""
+
+from __future__ import annotations
+
+from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
+from de_project_airflow_etl_spark.staged import STAGED
+
+
+def _node_names(df):
+    jplan = df._jdf.queryExecution().sparkPlan()
+    return [n.getClass().getSimpleName() for n in _walk_jplan(jplan)]
+
+
+def _window_nodes(df):
+    jplan = df._jdf.queryExecution().sparkPlan()
+    return [n for n in _walk_jplan(jplan)
+            if n.getClass().getSimpleName().startswith("WindowExec")]
+
+
+def _windows_sit_above_aggregates(df) -> None:
+    windows = _window_nodes(df)
+    assert windows, "expected a WindowExec"
+    for wnode in windows:
+        sub = list(_walk_jplan(wnode.children().apply(0)))
+        assert any("Aggregate" in ch.getClass().getSimpleName()
+                   for ch in sub), "window consumes un-aggregated rows"
+
+
+def test_auc_cumulation_sits_above_score_aggregate(spark, sf_dir):
+    """roc_auc's unpartitioned cumulative-negatives window is only
+    legal because its input is the bounded integer-cents score
+    distribution: every WindowExec subtree must contain an
+    Aggregate (the global_row_number lesson applied to ranks)."""
+    _windows_sit_above_aggregates(
+        STAGED["roc_auc_purchase_value"].fn(spark, sf_dir))
+
+
+def test_fold_statistics_use_no_windows(spark, sf_dir):
+    """ANOVA and Cramér's V reduce their per-group double terms with
+    the sorted-fold idiom, NOT an ordered running-sum window — the
+    plan must contain no WindowExec fed by raw rows; Cramér's V's
+    margin windows must sit above the contingency aggregate."""
+    df = STAGED["anova_event_type_value"].fn(spark, sf_dir)
+    assert not _window_nodes(df), _node_names(df)
+    _windows_sit_above_aggregates(
+        STAGED["cramers_v_event_dow"].fn(spark, sf_dir))
+
+
+def test_single_pass_statistics_have_no_joins_or_windows(spark, sf_dir):
+    """Welch t and the two-feature OLS are one map-side-combinable
+    aggregate over the scan: no joins, no windows anywhere."""
+    for name in ("welch_t_test_weekend_value", "ols_two_feature_price"):
+        names = _node_names(STAGED[name].fn(spark, sf_dir))
+        assert not any("Join" in n for n in names), (name, names)
+        assert not any(n.startswith("WindowExec") for n in names), (
+            name, names)
+
+
+def test_map_retrieval_rank_gets_partial_group_limit(spark, sf_dir):
+    """The per-anchor top-k must trigger Spark's rank-limit pushdown:
+    a WindowGroupLimit in Partial mode BEFORE the exchange keeps at
+    most k rows per (map partition, anchor), so the rank window never
+    receives a corpus-sized partition — the engine-native two-phase
+    top-k."""
+    df = STAGED["map_retrieval_eval"].fn(spark, sf_dir)
+    jplan = df._jdf.queryExecution().sparkPlan()
+    limits = [n.toString().split("\n")[0] for n in _walk_jplan(jplan)
+              if n.getClass().getSimpleName()
+                  .startswith("WindowGroupLimit")]
+    assert any("Partial" in s for s in limits), (
+        "no partial rank-limit pushdown: " + str(limits))
+
+
+def test_theta_sketch_heads_are_take_ordered(spark, sf_dir):
+    """Both bottom-k sketch heads must plan as TakeOrderedAndProject
+    (per-partition heaps, no global sort of the hash relation)."""
+    names = _node_names(STAGED["theta_sketch_user_overlap"]
+                        .fn(spark, sf_dir))
+    assert sum(1 for n in names
+               if "TakeOrderedAndProject" in n) >= 2, names
+    assert not any("Sort" == n for n in names), names
+
+
+def test_attribution_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The purchase-touch fan-out must ride the user_id equi-join
+    (sort-merge / shuffled-hash with the time range as residual),
+    never a nested loop or cartesian over the fact table."""
+    names = _node_names(STAGED["position_attribution_revenue"]
+                        .fn(spark, sf_dir))
+    assert not any("BroadcastNestedLoopJoin" in n
+                   or "CartesianProduct" in n for n in names), names
+    # hash-equi on user_id (broadcast at small SF, sort-merge once
+    # the purchase side outgrows the broadcast threshold)
+    assert any("SortMergeJoin" in n or "ShuffledHashJoin" in n
+               or "BroadcastHashJoin" in n for n in names), names
+
+
+def test_daily_rollup_windows_sit_above_aggregates(spark, sf_dir):
+    """Bollinger's frame windows consume the calendar-bounded daily
+    aggregate, never raw events."""
+    _windows_sit_above_aggregates(
+        STAGED["bollinger_daily_revenue"].fn(spark, sf_dir))
+
+
+def test_group_by_all_plans_as_plain_aggregate(spark, sf_dir):
+    """GROUP BY ALL must bind to the same single hash aggregate as
+    the explicitly-keyed form — no windows, no joins."""
+    names = _node_names(STAGED["group_by_all_weekday_mix"]
+                        .fn(spark, sf_dir))
+    assert not any("Join" in n for n in names), names
+    assert not any(n.startswith("WindowExec") for n in names), names
+    assert any("Aggregate" in n for n in names), names
