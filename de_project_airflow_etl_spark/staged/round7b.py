@@ -1240,3 +1240,189 @@ def ols_two_feature_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     b.createOrReplaceTempView("ols_base")
     return spark.sql(
         f"WITH m AS ({_OLS_MOMENTS} FROM ols_base) {_OLS_FINAL} FROM m")
+
+
+# ------------------------- Cohen's kappa between two quality rules
+
+# Agreement beyond chance between two deterministic binary labelers:
+#   kappa = (po - pe) / (1 - pe)
+#         = (n*(n11+n00) - X) / (n*n - X),
+#   X = (n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)
+# — a rational function of the four contingency counts, so it
+# verifies bit-exactly (the Simpson-over-Shannon discipline applied
+# to inter-annotator agreement).
+_KAPPA_X = ("(CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            " + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00))")
+_KAPPA_FINAL = f"""
+        SELECT n_docs, n11 AS n_both, n10 AS n_only_a,
+               n01 AS n_only_b, n00 AS n_neither,
+               CAST(n11 + n00 AS DOUBLE) / n_docs AS po,
+               {_wide(_KAPPA_X)}
+                 / {_wide('CAST(n_docs AS DECIMAL(38,0)) * n_docs')}
+                 AS pe,
+               {_wide(f'(CAST(n_docs AS DECIMAL(38,0)) * (n11 + n00)'
+                      f' - {_KAPPA_X})')}
+                 / {_wide(f'(CAST(n_docs AS DECIMAL(38,0)) * n_docs'
+                          f' - {_KAPPA_X})')}
+                 AS kappa
+"""
+
+
+@staged_query(
+    "cohens_kappa_quality_rules",
+    oracle=f"""
+        WITH r AS (
+          SELECT CASE WHEN contains(text, 'data') THEN 1 ELSE 0 END
+                   AS a,
+                 CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS b
+          FROM documents
+        ),
+        c AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(a * b) AS BIGINT) AS n11,
+                 CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                 CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+                 CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+          FROM r
+        )
+        {_KAPPA_FINAL} FROM c
+    """,
+    doc="Cohen's kappa between two deterministic document-quality "
+        "rules (a content heuristic vs a length heuristic) — the "
+        "chance-corrected agreement statistic a labeling pipeline "
+        "reports before trusting heuristic labels, a metric CLASS "
+        "(inter-annotator agreement) the bank lacked. Kappa is a "
+        "rational function of the 2x2 contingency counts: the "
+        "observed- and expected-agreement numerators stay in "
+        "DECIMAL(38,0) (marginal products pass 2^63 at corpus scale) "
+        "and the two final divisions ride the decimal-string->double "
+        "route. Plan: one map-side-combinable aggregate over the "
+        "scan, one row out.",
+    tags=("staged", "statistics", "quality"),
+)
+def cohens_kappa_quality_rules(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "documents").selectExpr(
+        "CASE WHEN contains(text, 'data') THEN 1 ELSE 0 END AS a",
+        "CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS b")
+    c = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.expr("a * b")).cast("long").alias("n11"),
+        F.sum(F.expr("a * (1 - b)")).cast("long").alias("n10"),
+        F.sum(F.expr("(1 - a) * b")).cast("long").alias("n01"),
+        F.sum(F.expr("(1 - a) * (1 - b)")).cast("long").alias("n00"))
+    c.createOrReplaceTempView("kappa_counts")
+    return spark.sql(f"{_KAPPA_FINAL} FROM kappa_counts")
+
+
+# ----------------- parameterized SQL + IDENTIFIER() binding surface
+
+PARAM_MIN_ORDER_TOTAL = 150_000.0
+PARAM_TOP_N = 7
+
+
+@staged_query(
+    "param_bound_revenue_floor",
+    oracle=f"""
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_totalprice >= {PARAM_MIN_ORDER_TOTAL}
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n_name
+        LIMIT {PARAM_TOP_N}
+    """,
+    doc="Named-parameter SQL binding plus the IDENTIFIER() clause — "
+        "the injection-safe templating surface (Spark 3.4+/4.x): the "
+        "statement text carries :min_total / :top_n value markers AND "
+        "an IDENTIFIER(:tbl) table reference, bound via "
+        "spark.sql(..., args=...), never string interpolation. "
+        "Semantically the classic revenue-floor leaderboard (exact "
+        "cents, broadcast dims, TakeOrdered top-n with full "
+        "tie-break), so the oracle is the same query with literals "
+        "inlined — what the binding must be equivalent to. Plan "
+        "bonus: the bound :min_total folds to a literal predicate "
+        "that pushes into the orders scan.",
+    tags=("staged", "sql-surface",),
+)
+def param_bound_revenue_floor(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pb_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("pb_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("pb_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS revenue
+        FROM IDENTIFIER(:tbl) o
+        JOIN pb_customer c ON o.o_custkey = c.c_custkey
+        JOIN pb_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_totalprice >= :min_total
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n_name
+        LIMIT :top_n
+        """,
+        args={"tbl": "pb_orders",
+              "min_total": PARAM_MIN_ORDER_TOTAL,
+              "top_n": PARAM_TOP_N})
+
+
+# --------------------------- lateral column alias chain surface
+
+
+@staged_query(
+    "lateral_alias_charge_chain",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(net) AS DOUBLE) / 100 AS net_revenue,
+               CAST(SUM(charged) AS DOUBLE) / 100 AS charged_revenue
+        FROM (
+          SELECT l_returnflag,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS gross,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+                 CAST(ROUND(l_tax * 100) AS BIGINT) AS t,
+                 gross * (100 - d) // 100 AS net,
+                 net * (100 + t) // 100 AS charged
+          FROM lineitem
+        )
+        GROUP BY l_returnflag
+    """,
+    doc="Lateral column aliases: a SELECT item referencing the alias "
+        "of an EARLIER item in the same list (gross -> net -> "
+        "charged), two levels deep — the analyst-ergonomics binding "
+        "feature (Spark 3.4+, DuckDB native) that otherwise forces "
+        "nested subqueries; the engine must expand the chain without "
+        "re-evaluating gross per reference. Charge math is exact "
+        "integer cents with explicit truncating division (identical "
+        "on both engines), aggregated per return flag. Plan: one "
+        "projection (the aliases collapse into a single Project — no "
+        "CollapseProject re-evaluation, these are scalar ints) and "
+        "one hash aggregate.",
+    tags=("staged", "sql-surface",),
+)
+def lateral_alias_charge_chain(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lac_li")
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(net) AS DOUBLE) / 100 AS net_revenue,
+               CAST(SUM(charged) AS DOUBLE) / 100 AS charged_revenue
+        FROM (
+          SELECT l_returnflag,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS gross,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+                 CAST(ROUND(l_tax * 100) AS BIGINT) AS t,
+                 gross * (100 - d) DIV 100 AS net,
+                 net * (100 + t) DIV 100 AS charged
+          FROM lac_li
+        )
+        GROUP BY l_returnflag
+    """)

@@ -109,6 +109,17 @@ def test_daily_rollup_windows_sit_above_aggregates(spark, sf_dir):
         STAGED["bollinger_daily_revenue"].fn(spark, sf_dir))
 
 
+def test_param_binding_folds_into_pushed_filter(spark, sf_dir):
+    """The :min_total named parameter must fold to a literal that
+    reaches the orders scan as a pushed filter — binding cannot cost
+    pushdown."""
+    from de_project_airflow_etl_spark.plans.inspect import (
+        formatted_plan, has_pushed_filter)
+    df = STAGED["param_bound_revenue_floor"].fn(spark, sf_dir)
+    assert has_pushed_filter(df, "o_totalprice"), (
+        formatted_plan(df)[:1500])
+
+
 def test_group_by_all_plans_as_plain_aggregate(spark, sf_dir):
     """GROUP BY ALL must bind to the same single hash aggregate as
     the explicitly-keyed form — no windows, no joins."""
