@@ -1426,3 +1426,209 @@ def lateral_alias_charge_chain(spark: SparkSession,
         )
         GROUP BY l_returnflag
     """)
+
+
+# ----------------------------- PIVOT with multiple aggregates
+
+_PIVOT_STATUSES = ("F", "O", "P")
+
+
+@staged_query(
+    "pivot_multi_agg_segment_status",
+    oracle="""
+        SELECT c.c_mktsegment,
+               {cols}
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """.format(cols=",\n               ".join(
+        f"CAST(SUM(CASE WHEN o.o_orderstatus = '{s}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{s.lower()},"
+        f" CAST(SUM(CASE WHEN o.o_orderstatus = '{s}'"
+        f" THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)"
+        f" ELSE 0 END) AS DOUBLE) / 100 AS rev_{s.lower()}"
+        for s in _PIVOT_STATUSES)),
+    doc="PIVOT carrying TWO aggregates per pivot value (order count "
+        "AND exact-cents revenue per status column) — the multi-"
+        "measure crosstab surface beyond pivot_status_by_segment's "
+        "single count: the engine must suffix-expand value x measure "
+        "into flat columns in one aggregate pass, equivalent to the "
+        "oracle's CASE-conditional aggregation. Explicit pivot value "
+        "list keeps the plan a single hash aggregate (no distinct-"
+        "values pre-query); dims broadcast. Exact integer counts and "
+        "cents, divisions at the end.",
+    tags=("staged", "sql-surface", "grouping"),
+)
+def pivot_multi_agg_segment_status(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    piv = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .pivot("o_orderstatus", list(_PIVOT_STATUSES))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.expr("CAST(ROUND(o_totalprice * 100)"
+                              " AS BIGINT)")).alias("cents")))
+    exprs = ["c_mktsegment"]
+    for s in _PIVOT_STATUSES:
+        exprs.append(f"CAST(COALESCE(`{s}_n`, 0) AS BIGINT)"
+                     f" AS n_{s.lower()}")
+        exprs.append(f"CAST(COALESCE(`{s}_cents`, 0) AS DOUBLE) / 100"
+                     f" AS rev_{s.lower()}")
+    return piv.selectExpr(*exprs)
+
+
+# ------------------------------ try_* error-guard arithmetic
+
+_TRY_THRESH = 9_223_372_036_854_775_807 - 10_000  # overflows past key 10k
+
+
+@staged_query(
+    "try_arithmetic_null_guards",
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderkey % 7 = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_div_by_zero,
+               CAST(SUM(CASE WHEN o_orderkey > 10000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow,
+               CAST(SUM(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER)
+                        IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bad_casts,
+               CAST(SUM(TRY_CAST(substring(o_orderpriority, 1, 1)
+                        AS INTEGER)) AS BIGINT) AS sum_priority_digit
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="ANSI-mode error-guard arithmetic: try_divide / try_add / "
+        "try_cast return NULL exactly where strict evaluation would "
+        "abort the job (division by zero, BIGINT overflow, malformed "
+        "cast) — the guard family a pipeline running under ANSI "
+        "semantics (this repo's default) needs for dirty columns. "
+        "The Spark side routes every probe through the try_ "
+        "functions and counts the NULLs; the oracle states the "
+        "equivalent closed-form conditions (DuckDB TRY_CAST for the "
+        "casts, explicit predicates for the synthetic zero/overflow "
+        "probes), so the test pins the exact null-surface. All "
+        "counts exact integers; one hash aggregate.",
+    tags=("staged", "sql-surface",),
+)
+def try_arithmetic_null_guards(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").selectExpr(
+        "o_orderstatus",
+        "try_divide(100.0, CAST(o_orderkey % 7 AS DOUBLE)) AS dv",
+        f"try_add({_TRY_THRESH}, o_orderkey) AS av",
+        "try_cast(o_orderpriority AS INT) AS cv",
+        "try_cast(substring(o_orderpriority, 1, 1) AS INT) AS pd",
+    ).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("dv").isNull(), 1).otherwise(0)).cast("long")
+         .alias("n_div_by_zero"),
+        F.sum(F.when(F.col("av").isNull(), 1).otherwise(0)).cast("long")
+         .alias("n_add_overflow"),
+        F.sum(F.when(F.col("cv").isNull(), 1).otherwise(0)).cast("long")
+         .alias("n_bad_casts"),
+        F.sum("pd").cast("long").alias("sum_priority_digit"))
+
+
+# ------------------------- Wilson confidence interval for a share
+
+_WILSON_Z = "1.96"
+_ZZ = f"({_WILSON_Z} * {_WILSON_Z})"
+_PHAT = "(CAST(x AS DOUBLE) / n)"
+_W_DEN = f"(1.0 + {_ZZ} / n)"
+_W_CENTER = f"(({_PHAT} + {_ZZ} / (2.0 * n)) / {_W_DEN})"
+_W_HALF = (f"({_WILSON_Z} * SQRT({_PHAT} * (1.0 - {_PHAT}) / n"
+           f" + {_ZZ} / (4.0 * n * n)) / {_W_DEN})")
+
+
+@staged_query(
+    "wilson_ci_weekend_share",
+    oracle=f"""
+        WITH c AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS x
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, n, x, {_PHAT} AS p_hat,
+               {_W_CENTER} - {_W_HALF} AS ci_low,
+               {_W_CENTER} + {_W_HALF} AS ci_high
+        FROM c
+    """,
+    doc="Wilson score 95% confidence interval for each event type's "
+        "weekend share — the uncertainty quantification every rate "
+        "metric in a monitoring pipeline should carry (Wilson is the "
+        "interval that behaves at small n and extreme p, unlike the "
+        "Wald +/-z*se). The interval is a rational function of the "
+        "exact (n, x) counts plus one IEEE sqrt, evaluated via "
+        "shared fragments — identical operands and order on both "
+        "engines (the z=1.96 literal parses to the same double). "
+        "Plan: one map-side-combinable aggregate, five rows out.",
+    tags=("staged", "statistics",),
+)
+def wilson_ci_weekend_share(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    c = (load(spark, sf_dir, "events")
+         .selectExpr("event_type",
+                     "CASE WHEN (dayofweek(ts) - 1) IN (0, 6)"
+                     " THEN 1 ELSE 0 END AS wknd")
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("wknd").cast("long").alias("x")))
+    return c.selectExpr(
+        "event_type", "n", "x", f"{_PHAT} AS p_hat",
+        f"{_W_CENTER} - {_W_HALF} AS ci_low",
+        f"{_W_CENTER} + {_W_HALF} AS ci_high")
+
+
+# ---------------------------------- SQL UNPIVOT clause surface
+
+
+@staged_query(
+    "unpivot_sql_order_metrics",
+    oracle="""
+        WITH a AS (
+          SELECT o_orderstatus,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_cents,
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                   AS n_customers
+          FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, 'n_orders' AS metric,
+               n_orders AS metric_value FROM a
+        UNION ALL
+        SELECT o_orderstatus, 'rev_cents', rev_cents FROM a
+        UNION ALL
+        SELECT o_orderstatus, 'n_customers', n_customers FROM a
+    """,
+    doc="The SQL UNPIVOT clause (Spark 3.4+ parser surface, distinct "
+        "from the DataFrame melt already covered by "
+        "unpivot_nation_metrics): three per-status measures rotate "
+        "into (metric, metric_value) rows inside one statement. The "
+        "oracle states the semantics as the equivalent UNION ALL of "
+        "projections — exactly what the clause must expand to. "
+        "Measures are exact integers (cents kept integral so the "
+        "unpivoted value column has a single exact type). Plan: one "
+        "hash aggregate over the scan, then a 3-way Expand over the "
+        "|statuses|-row result — constant-size at any scale.",
+    tags=("staged", "sql-surface",),
+)
+def unpivot_sql_order_metrics(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ups_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, metric, metric_value FROM (
+          SELECT o_orderstatus,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_cents,
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                   AS n_customers
+          FROM ups_orders GROUP BY o_orderstatus
+        )
+        UNPIVOT (metric_value FOR metric
+                 IN (n_orders, rev_cents, n_customers))
+    """)
