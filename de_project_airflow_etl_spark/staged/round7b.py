@@ -1632,3 +1632,240 @@ def unpivot_sql_order_metrics(spark: SparkSession,
         UNPIVOT (metric_value FOR metric
                  IN (n_orders, rev_cents, n_customers))
     """)
+
+
+# ----------------------- McNemar's test between the two quality rules
+
+
+@staged_query(
+    "mcnemar_test_rules",
+    oracle="""
+        WITH r AS (
+          SELECT CASE WHEN contains(text, 'data') THEN 1 ELSE 0 END
+                   AS a,
+                 CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS b
+          FROM documents
+        ),
+        c AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                 CAST(SUM((1 - a) * b) AS BIGINT) AS n01
+          FROM r
+        )
+        SELECT n_docs, n10 AS n_only_a, n01 AS n_only_b,
+               CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                 / (n10 + n01) AS mcnemar_chi2,
+               CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1)
+                    AS DOUBLE) / (n10 + n01) AS mcnemar_chi2_cc
+        FROM c
+    """,
+    doc="McNemar's test on the two document-quality rules' discordant "
+        "cells — the PAIRED marginal-homogeneity question ('does rule "
+        "A fire more often than rule B on the same documents') that "
+        "Cohen's kappa (agreement) and chi-square independence "
+        "deliberately do not answer; reported with and without the "
+        "Edwards continuity correction. The statistic is a ratio of "
+        "exact integers (squared discordant difference over "
+        "discordant total) — one division. Plan: one map-side-"
+        "combinable aggregate, one row out.",
+    tags=("staged", "statistics", "quality"),
+)
+def mcnemar_test_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "documents").selectExpr(
+        "CASE WHEN contains(text, 'data') THEN 1 ELSE 0 END AS a",
+        "CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS b")
+    c = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.expr("a * (1 - b)")).cast("long").alias("n10"),
+        F.sum(F.expr("(1 - a) * b")).cast("long").alias("n01"))
+    return c.selectExpr(
+        "n_docs", "n10 AS n_only_a", "n01 AS n_only_b",
+        "CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)"
+        " AS mcnemar_chi2",
+        "CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1) AS DOUBLE)"
+        " / (n10 + n01) AS mcnemar_chi2_cc")
+
+
+# ------------------------------ maximum drawdown of daily revenue
+
+
+@staged_query(
+    "max_drawdown_daily_revenue",
+    oracle=f"""
+        WITH d AS (
+          SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                 CAST(SUM({_CENTS}) AS BIGINT) AS cents
+          FROM events GROUP BY 1
+        ),
+        c AS (
+          SELECT day,
+                 SUM(CAST(cents AS DECIMAL(38,0)))
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS cum
+          FROM d
+        ),
+        p AS (
+          SELECT day, cum,
+                 MAX(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS peak
+          FROM c
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               {_wide('MAX(cum)')} / 100 AS final_cum_revenue,
+               {_wide('MAX(peak - cum)')} / 100 AS max_drawdown,
+               MAX(CASE WHEN peak > 0
+                   THEN {_wide('(peak - cum)')} / {_wide('peak')}
+                   ELSE 0.0 END) AS max_drawdown_frac
+        FROM p
+    """,
+    doc="Maximum drawdown of cumulative daily revenue: the largest "
+        "peak-to-trough decline, absolute and as a fraction of the "
+        "running peak — the path statistic (sensitive to ORDER, "
+        "unlike every moment/quantile in the bank) risk dashboards "
+        "track. Running totals and running maxima are exact DECIMAL "
+        "integers over the calendar-bounded daily table; the "
+        "fractional drawdown divides exact operands per day and "
+        "takes a MAX (order-insensitive exact comparison), so no "
+        "double is ever summed. Plan: one daily rollup, two "
+        "cumulative windows over the bounded daily table, one row.",
+    tags=("staged", "timeseries",),
+)
+def max_drawdown_daily_revenue(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    d = (load(spark, sf_dir, "events")
+         .selectExpr("CAST(CAST(ts AS DATE) AS STRING) AS day",
+                     f"{_CENTS} AS c")
+         .groupBy("day").agg(F.sum("c").cast("long").alias("cents")))
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    p = (d.select("day", F.sum(F.col("cents").cast("decimal(38,0)"))
+                          .over(wc).alias("cum"))
+          .select("day", "cum", F.max("cum").over(wc).alias("peak")))
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(f"{_wide('MAX(cum)')} / 100").alias("final_cum_revenue"),
+        F.expr(f"{_wide('MAX(peak - cum)')} / 100").alias("max_drawdown"),
+        F.expr(f"MAX(CASE WHEN peak > 0"
+               f" THEN {_wide('(peak - cum)')} / {_wide('peak')}"
+               f" ELSE 0.0 END)").alias("max_drawdown_frac"))
+
+
+# ------------------------- regexp function family (Spark 3.5 additions)
+
+_RX_COUNT = "ta"            # non-overlapping occurrence count
+_RX_FIRST = "st[a-z]+"      # first-match extraction
+
+
+@staged_query(
+    "regexp_function_family_stats",
+    oracle=f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '{_RX_COUNT}')))
+                    AS BIGINT) AS total_matches,
+               CAST(SUM(CASE WHEN regexp_matches(text, '{_RX_COUNT}')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_docs_with_match,
+               CAST(SUM(length(NULLIF(
+                    regexp_extract(text, '{_RX_FIRST}'), '')))
+                    AS BIGINT) AS sum_first_match_len
+        FROM documents GROUP BY source
+    """,
+    doc="The regexp function family beyond extract: regexp_count "
+        "(non-overlapping occurrences), regexp_like membership, and "
+        "regexp_substr first-match extraction (Spark 3.5+ additions), "
+        "aggregated per source. Match-absence normalization is "
+        "pinned: Spark regexp_substr returns NULL where DuckDB "
+        "regexp_extract returns '' — the oracle NULLIFs, so the test "
+        "locks the cross-engine bridge. Patterns avoid engine-"
+        "divergent syntax (Java regex vs RE2): literal + character-"
+        "class only. Exact integer counts. Plan: one aggregate over "
+        "the scan, regex evaluation stays in whole-stage codegen.",
+    tags=("staged", "text", "sql-surface"),
+)
+def regexp_function_family_stats(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "documents")
+            .selectExpr(
+                "source",
+                f"regexp_count(text, '{_RX_COUNT}') AS c",
+                f"regexp_like(text, '{_RX_COUNT}') AS m",
+                f"regexp_substr(text, '{_RX_FIRST}') AS fm")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("c").cast("long").alias("total_matches"),
+                 F.sum(F.when(F.col("m"), 1).otherwise(0)).cast("long")
+                  .alias("n_docs_with_match"),
+                 F.sum(F.length("fm")).cast("long")
+                  .alias("sum_first_match_len")))
+
+
+# -------------------- audio-style overlapping chunking (multimodal)
+
+CHUNK_BYTES = 200   # window size over the byte stream
+CHUNK_HOP = 100     # 50% overlap — the standard audio framing shape
+
+
+def _chunk_payloads(batches):
+    """mapInPandas worker: overlapping windows over each opaque
+    payload — the framing step every audio/DSP pipeline runs before
+    per-chunk feature extraction (the decode itself would live here;
+    the testdata ships no real media, so the payload is the utf-8
+    text bytes and the per-chunk feature is its md5)."""
+    import hashlib
+
+    import pandas as pd
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            payload = text.encode("utf-8")
+            start, idx = 0, 0
+            while start < len(payload):
+                chunk = payload[start:start + CHUNK_BYTES]
+                rows.append((int(doc_id), idx, start, len(chunk),
+                             hashlib.md5(chunk).hexdigest()))
+                start += CHUNK_HOP
+                idx += 1
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "chunk_idx", "start_byte", "n_bytes",
+            "chunk_md5"])
+
+
+@staged_query(
+    "multimodal_audio_chunk_windows",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(i * {CHUNK_HOP} AS BIGINT) AS start_byte,
+               CAST(LEAST({CHUNK_BYTES},
+                    octet_length(encode(text)) - i * {CHUNK_HOP})
+                    AS BIGINT) AS n_bytes,
+               md5(substring(text, i * {CHUNK_HOP} + 1,
+                             {CHUNK_BYTES})) AS chunk_md5
+        FROM documents,
+             UNNEST(generate_series(0,
+               CAST(CEIL(CAST(octet_length(encode(text)) AS DOUBLE)
+                    / {CHUNK_HOP}) AS BIGINT) - 1)) AS u(i)
+    """,
+    doc="Audio-style overlapping segmentation of an opaque binary "
+        "column: 200-byte windows at a 100-byte hop (50% overlap), "
+        "each chunk emitted with its offset, length and content "
+        "hash — the 1-to-N Arrow-batched mapInPandas framing shape "
+        "(distinct from multimodal_frame_sample's strided 1-to-N and "
+        "multimodal_resize's 1-to-1) that precedes per-chunk feature "
+        "extraction in any audio pipeline. The oracle reproduces the "
+        "chunk grid relationally (generate_series x substring), "
+        "pinning the Python worker's windowing arithmetic exactly; "
+        "payloads are utf-8 text bytes since the testdata ships no "
+        "real media — the plumbing (schema, batching, overlap math) "
+        "is the tested surface. Plan: embarrassingly parallel "
+        "mapInPandas, no shuffle at any scale; chunk fan-out is "
+        "len/hop per document.",
+    tags=("staged", "multimodal",),
+)
+def multimodal_audio_chunk_windows(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = ("doc_id BIGINT, chunk_idx BIGINT, start_byte BIGINT, "
+              "n_bytes BIGINT, chunk_md5 STRING")
+    return d.mapInPandas(_chunk_payloads, schema=schema)
