@@ -523,7 +523,11 @@ def theta_sketch_user_overlap(spark: SparkSession,
                  .distinct()
                  .orderBy("h").limit(THETA_K))
 
-    ka, kb = keep("click"), keep("purchase")
+    # each <=k-row sketch head feeds two consumers (its theta agg and
+    # the merge); checkpoint the 64-row relations so neither branch
+    # re-scans the fact table.
+    ka = keep("click").localCheckpoint()
+    kb = keep("purchase").localCheckpoint()
     ta = ka.agg(F.expr(
         f"CASE WHEN COUNT(*) >= {THETA_K} THEN MAX(h)"
         f" ELSE {_POW52} END").alias("theta_a"))
@@ -908,7 +912,12 @@ def unigram_inverse_prob_by_source(spark: SparkSession,
     t = (load(spark, sf_dir, "documents")
          .select("source", F.explode(F.split("text", " ")).alias("w"))
          .filter(F.col("w") != ""))
-    vocab = t.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    # vocab is consumed twice (corpus totals + the lookup join);
+    # checkpoint the vocab-sized aggregate so the token stream is
+    # exploded once for building it and once for probing it, never a
+    # third time.
+    vocab = (t.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+              .localCheckpoint())
     g = vocab.agg(F.sum("c_w").cast("long").alias("n_corpus"),
                   F.count(F.lit(1)).cast("long").alias("v_size"))
     s = (t.join(vocab, "w")
@@ -1000,8 +1009,15 @@ def source_unigram_tv_distance(spark: SparkSession,
     t = (load(spark, sf_dir, "documents")
          .select("source", F.explode(F.split("text", " ")).alias("w"))
          .filter(F.col("w") != ""))
+    # sw feeds FOUR consumers (vocab, corpus total, source totals, the
+    # drift join); without materialization each reference re-scans and
+    # re-explodes the token stream (6 scans / 12 shuffles observed).
+    # Checkpointing the |sources x vocab| aggregate — far smaller than
+    # the token stream — collapses the plan to one scan (the
+    # lof_bucket_outliers precedent).
     sw = (t.groupBy("source", "w")
-           .agg(F.count(F.lit(1)).alias("n_sw")))
+           .agg(F.count(F.lit(1)).alias("n_sw"))
+           .localCheckpoint())
     vocab = sw.groupBy("w").agg(F.sum("n_sw").cast("long").alias("n_w"))
     g = vocab.agg(F.sum("n_w").cast("long").alias("n_corpus"))
     st = (sw.groupBy("source")

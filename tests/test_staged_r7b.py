@@ -79,12 +79,23 @@ def test_map_retrieval_rank_gets_partial_group_limit(spark, sf_dir):
 
 
 def test_theta_sketch_heads_are_take_ordered(spark, sf_dir):
-    """Both bottom-k sketch heads must plan as TakeOrderedAndProject
-    (per-partition heaps, no global sort of the hash relation)."""
-    names = _node_names(STAGED["theta_sketch_user_overlap"]
-                        .fn(spark, sf_dir))
-    assert sum(1 for n in names
-               if "TakeOrderedAndProject" in n) >= 2, names
+    """Each bottom-k sketch head must plan as TakeOrderedAndProject
+    (per-partition heaps, no global sort of the hash relation). The
+    heads are checkpointed in the query (lineage truncated), so the
+    pre-checkpoint shape is asserted by rebuilding one head exactly
+    the way the query does."""
+    from pyspark.sql import functions as F
+
+    from de_project_airflow_etl_spark.staged.round7b import (
+        THETA_K, _uh_spark)
+    from de_project_airflow_etl_spark.tables import load
+    head = (load(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "click")
+            .select(F.expr(_uh_spark()).alias("h"))
+            .distinct()
+            .orderBy("h").limit(THETA_K))
+    names = _node_names(head)
+    assert any("TakeOrderedAndProject" in n for n in names), names
     assert not any("Sort" == n for n in names), names
 
 
@@ -107,6 +118,24 @@ def test_daily_rollup_windows_sit_above_aggregates(spark, sf_dir):
     aggregate, never raw events."""
     _windows_sit_above_aggregates(
         STAGED["bollinger_daily_revenue"].fn(spark, sf_dir))
+
+
+def test_multi_consumer_intermediates_are_materialized(spark, sf_dir):
+    """Relations feeding multiple consumers (the tv-distance
+    source-word aggregate, the inverse-prob vocab, the sketch heads)
+    must be checkpointed so the token/fact stream is never re-scanned
+    per consumer — bounded parquet-scan counts in the FINAL plan
+    (the lof_bucket_outliers precedent)."""
+    budgets = {"source_unigram_tv_distance": 0,
+               "unigram_inverse_prob_by_source": 1,
+               "theta_sketch_user_overlap": 1}
+    for name, max_scans in budgets.items():
+        df = STAGED[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("Scan parquet")
+        assert n_scans <= max_scans, (
+            f"{name}: {n_scans} parquet scans (budget {max_scans}) — "
+            f"a multi-consumer intermediate lost its checkpoint")
 
 
 def test_param_binding_folds_into_pushed_filter(spark, sf_dir):
