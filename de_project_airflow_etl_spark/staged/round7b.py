@@ -834,9 +834,13 @@ def bollinger_daily_revenue(spark: SparkSession,
     tags=("staged", "timeseries",),
 )
 def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the daily rollup feeds three join branches; checkpoint the
+    # calendar-bounded daily table so the fact-table aggregate runs
+    # once, not per branch.
     d = (load(spark, sf_dir, "events")
          .selectExpr("CAST(ts AS DATE) AS day", f"{_CENTS} AS c")
-         .groupBy("day").agg(F.sum("c").cast("long").alias("cents")))
+         .groupBy("day").agg(F.sum("c").cast("long").alias("cents"))
+         .localCheckpoint())
     t = d.alias("t")
     s = d.selectExpr("date_add(day, 7) AS day7", "cents AS lag7")
     n1 = d.selectExpr("date_add(day, 1) AS day1", "cents AS lag1")

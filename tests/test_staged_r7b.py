@@ -128,7 +128,8 @@ def test_multi_consumer_intermediates_are_materialized(spark, sf_dir):
     (the lof_bucket_outliers precedent)."""
     budgets = {"source_unigram_tv_distance": 0,
                "unigram_inverse_prob_by_source": 1,
-               "theta_sketch_user_overlap": 1}
+               "theta_sketch_user_overlap": 1,
+               "seasonal_naive_mase": 0}
     for name, max_scans in budgets.items():
         df = STAGED[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
