@@ -15,9 +15,9 @@ Promotion history: round 5 promoted the 30 round-4 staged queries
 round-5 staged queries (``round6.py`` -> ``queries/mining.py``,
 ``round6b.py`` -> ``queries/features.py``) after the recorded sf0.01
 AND sf0.1 staged sweeps ran 39/39 green. ``round7.py`` (12 queries)
-and ``round7b.py`` (20: evaluation statistics, sketch set algebra,
-SQL surfaces) currently stage the round-6 overflow, pending the
-round-6 window.
+and ``round7b.py`` (24: evaluation statistics, sketch set algebra,
+SQL surfaces, multimodal framing) currently stage the round-6
+overflow, pending the round-6 window.
 """
 
 from __future__ import annotations
