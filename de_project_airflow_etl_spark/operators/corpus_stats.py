@@ -418,6 +418,11 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("doc_id", "source", "n_tokens", "n_distinct", "keep"))
     exploded = docs.select("doc_id",
                            F.explode(F.expr(_GRAMS_EXPR)).alias("gram"))
+    # NOTE (round 6): checkpointing boiler+vocab here regressed the
+    # sf0.1 bench 4.8x — the eager keep-list materializations cost
+    # more than the two extra linear document passes they save, and
+    # the gram keep-list is gram-vocabulary-sized (expensive to store
+    # at scale). The re-derive-per-reference shape is deliberate.
     boiler = (exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
                       .filter(F.col("df") >= BOILER_MIN_DF).select("gram"))
     per_doc_b = (exploded.join(boiler.withColumn("b", F.lit(1)),

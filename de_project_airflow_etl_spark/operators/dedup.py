@@ -338,8 +338,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .agg(F.count(F.lit(1)).alias("df"))
                     .filter(F.col("df") <= NGRAM_DF_CAP)
                     .select("shingle"))
+    # NOTE (round 6): kept feeds four consumers, but checkpointing the
+    # data-sized shingle stream is a measured loss (the containment
+    # A/B: materialization costs more than linear re-derivation);
+    # only the bounded per-doc counts earn one.
     kept = shing.join(keepers, "shingle")
-    cnt = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cnt = (kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+               .localCheckpoint())
     sx, sy = kept.alias("sx"), kept.alias("sy")
     inter = (
         sx.join(sy, (F.col("sx.shingle") == F.col("sy.shingle"))
@@ -812,15 +817,19 @@ NEW_BATCH_FRAC_NUM, NEW_BATCH_FRAC_DEN = 4, 5
 )
 def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # the 1-row cutoff and the verified near-dup pairs each feed two
+    # consumers; checkpoint both so neither branch re-runs its source
+    # scan (the pair derivation is a full LSH pass).
     cut = docs.agg(((F.max("doc_id") + 1) * NEW_BATCH_FRAC_NUM
-                    / NEW_BATCH_FRAC_DEN).alias("c"))
+                    / NEW_BATCH_FRAC_DEN).alias("c")).localCheckpoint()
     docs_c = docs.crossJoin(F.broadcast(cut))
     corpus_md5 = (docs_c.filter(F.col("doc_id") < F.col("c"))
                         .select(F.md5("text").alias("h")).distinct())
     new_docs = (docs_c.filter(F.col("doc_id") >= F.col("c"))
                       .select("doc_id", "source", F.md5("text").alias("h")))
     pairs = (_lsh_verified(spark, sf_dir)
-             .select("doc_a", "doc_b").crossJoin(F.broadcast(cut)))
+             .select("doc_a", "doc_b").crossJoin(F.broadcast(cut))
+             .localCheckpoint())
     near_corpus = (pairs.filter((F.col("doc_a") < F.col("c"))
                                 & (F.col("doc_b") >= F.col("c")))
                         .select(F.col("doc_b").alias("doc_id")).distinct()

@@ -796,8 +796,16 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .withColumnRenamed("j2", "j"))
         m = raw.agg((F.expr(f"greatest(max(abs(raw)), 1) div {PCA_SCALE}")
                      + F.lit(1)).alias("d"))
+        # raw is consumed twice (normalizer + update), so an
+        # un-materialized v DOUBLES its lineage every round —
+        # exponential plan growth (8 re-scans of the corpus from 3
+        # rounds, observed). Checkpoint the 64-row direction per
+        # round; the iteration then runs purely on the materialized
+        # Gram (the recursive-CTE re-evaluation lesson, DataFrame
+        # edition).
         v = (raw.crossJoin(F.broadcast(m))
-                .select("j", F.expr("raw div d").alias("val")))
+                .select("j", F.expr("raw div d").alias("val"))
+                .localCheckpoint())
     proj = (quant.join(F.broadcast(v), quant.i == v.j)
                  .groupBy("vec_id")
                  .agg(F.sum(F.col("q") * F.col("val")).alias("proj")))

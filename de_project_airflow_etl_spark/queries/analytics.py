@@ -404,6 +404,11 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     low_df = (grams.groupBy("gh").count()
                    .filter(F.col("count") <= CONT_DF_CAP).select("gh"))
+    # NOTE (round 6): the kept stream feeds both self-join sides, but
+    # checkpointing it is a measured LOSS (interleaved warm A/B at
+    # sf0.1: 3.27s vs 2.56s) — materializing the data-sized exploded
+    # gram stream costs more than re-deriving it per side. Only
+    # aggregate-sized multi-consumer intermediates earn a checkpoint.
     kept = grams.join(low_df, "gh")
     a, b = kept.alias("a"), kept.alias("b")
     inter = (a.join(b, (F.col("a.gh") == F.col("b.gh"))
@@ -1365,17 +1370,23 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     fc = (ev.filter("event_type = 'click'")
             .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    # c_ts is constant within the per-user group, so min(c_ts) carries
+    # it through the purchase aggregate — joining fc a second time
+    # for it re-derived the per-user click rollup (two extra scans).
     fp = (ev.filter("event_type = 'purchase'")
             .join(fc, "user_id")
             .filter(F.col("ts") >= F.col("c_ts"))
-            .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
-    d = (fc.join(fp, "user_id")
-           .selectExpr(
-               "CAST(CAST(c_ts AS DATE) AS TIMESTAMP) AS cohort_day",
-               "(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000 "
-               "AS delta_s"))
+            .groupBy("user_id").agg(F.min("ts").alias("p_ts"),
+                                    F.min("c_ts").alias("c_ts")))
+    d = fp.selectExpr(
+        "CAST(CAST(c_ts AS DATE) AS TIMESTAMP) AS cohort_day",
+        "(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000 "
+        "AS delta_s")
+    # the distribution histogram feeds each quantile's rank probe;
+    # checkpoint it so the funnel join-tree runs once.
     counts = (d.groupBy("cohort_day", F.col("delta_s").alias("val"))
-                .agg(F.count("*").alias("cnt")))
+                .agg(F.count("*").alias("cnt"))
+                .localCheckpoint())
     q = exact_group_quantiles(counts, ["cohort_day"],
                               {"q25": 0.25, "q50": 0.5, "q75": 0.75})
     return q.withColumnRenamed("n_rows", "n_conversions")

@@ -1074,16 +1074,24 @@ _TS_DAILY_SQL = """
     tags=("statistics"),
 )
 def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # daily feeds FOUR consumers (both pair-join sides, the day count,
+    # the intercept residuals) and the pair relation feeds two; left
+    # un-materialized, every reference re-scanned and re-aggregated
+    # the fact table (10 scans observed). Both relations are
+    # calendar-bounded (<= |days| and |days|^2/2 rows), so checkpoint
+    # them — the rollup runs once at any scale.
     daily = (load(spark, sf_dir, "events")
              .groupBy(F.datediff(F.to_date("ts"),
                                  F.lit("1970-01-01")).alias("x"))
              .agg(F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
-                   .cast("long").alias("cents")))
+                   .cast("long").alias("cents"))
+             .localCheckpoint())
     a = daily.select(F.col("x").alias("xa"), F.col("cents").alias("ca"))
     b = daily.select(F.col("x").alias("xb"), F.col("cents").alias("cb"))
     p = (a.join(b, F.col("xb") > F.col("xa"))
           .select((F.col("cb") - F.col("ca")).alias("num"),
-                  (F.col("xb") - F.col("xa")).cast("long").alias("den")))
+                  (F.col("xb") - F.col("xa")).cast("long").alias("den"))
+          .localCheckpoint())
     st = p.agg(F.count(F.lit(1)).alias("n_pairs"))
     wr = Window.orderBy(F.expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"),
                         "num", "den")  # day-pair-bounded

@@ -75,12 +75,18 @@ RULE_MIN_SUPPORT = 5
 def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # baskets feeds three consumers (order count, item supports, the
+    # per-order sets) and item two; un-materialized each reference
+    # re-ran the scan + dedup (4 lineitem + 4 part scans observed).
+    # The deduped basket relation is the working set anyway.
     baskets = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-                 .select("l_orderkey", "p_brand").distinct())
+                 .select("l_orderkey", "p_brand").distinct()
+                 .localCheckpoint())
     n_orders = (baskets.select("l_orderkey").distinct()
                 .agg(F.count(F.lit(1)).alias("n_all")))
-    item = baskets.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("item_count"))
+    item = (baskets.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("item_count"))
+            .localCheckpoint())
     # both directions from each order's sorted distinct brand set:
     # every ordered pair (x, y), x != y, emitted in-array
     sets = (baskets.groupBy("l_orderkey")
@@ -507,7 +513,12 @@ def label_separation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
         "* 1000000.0) AS BIGINT))").alias("qv"))
     d = q.select("label", F.posexplode("qv").alias("dim", "v"))
-    g = d.groupBy("label", "dim").agg(F.sum("v").alias("s"))
+    # the |labels x dims| moment table feeds both the per-class and
+    # the global centroid; un-materialized, each reference re-scanned
+    # and re-exploded the corpus (7 scans observed) — checkpoint the
+    # 640-row relation.
+    g = (d.groupBy("label", "dim").agg(F.sum("v").alias("s"))
+          .localCheckpoint())
     n = e.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
     ntot = e.agg(F.count(F.lit(1)).alias("n_all"))
     c = g.join(n, "label").select(
@@ -519,9 +530,12 @@ def label_separation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("dim",
                      F.expr("CAST(stot AS DOUBLE) / (1000000.0 "
                             "* CAST(n_all AS DOUBLE))").alias("gv")))
+    # the |labels|-row centroid table feeds the within-scatter join
+    # AND the between-scatter — checkpoint so its lineage is a leaf.
     cent = (c.groupBy("clabel")
              .agg(F.expr("transform(array_sort(collect_list("
-                         "struct(dim, cv))), p -> p.cv)").alias("centroid")))
+                         "struct(dim, cv))), p -> p.cv)").alias("centroid"))
+             .localCheckpoint())
     # within: one broadcast join of the |labels|-row centroid table
     within = (e.join(F.broadcast(cent), e.label == cent.clabel)
                .select("vec_id", "label",
