@@ -75,22 +75,23 @@ RULE_MIN_SUPPORT = 5
 def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # baskets feeds three consumers (order count, item supports, the
-    # per-order sets) and item two; un-materialized each reference
-    # re-ran the scan + dedup (4 lineitem + 4 part scans observed).
-    # The deduped basket relation is the working set anyway.
-    baskets = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-                 .select("l_orderkey", "p_brand").distinct()
-                 .localCheckpoint())
-    n_orders = (baskets.select("l_orderkey").distinct()
-                .agg(F.count(F.lit(1)).alias("n_all")))
-    item = (baskets.groupBy("p_brand")
+    # ONE orderkey exchange builds the per-order brand sets directly
+    # (collect_set dedups in-group with map-side partials — no
+    # standalone distinct exchange), and every other relation (order
+    # count, item supports, the pair stream) derives from the
+    # checkpointed sets, so the fact table is scanned once (was 4
+    # lineitem + 4 part scans, one per un-materialized reference).
+    sets = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .groupBy("l_orderkey")
+              .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+              .localCheckpoint())
+    n_orders = sets.agg(F.count(F.lit(1)).alias("n_all"))
+    item = (sets.select(F.explode("bs").alias("p_brand"))
+            .groupBy("p_brand")
             .agg(F.count(F.lit(1)).alias("item_count"))
             .localCheckpoint())
     # both directions from each order's sorted distinct brand set:
     # every ordered pair (x, y), x != y, emitted in-array
-    sets = (baskets.groupBy("l_orderkey")
-            .agg(F.sort_array(F.collect_set("p_brand")).alias("bs")))
     pair = (sets.select(F.explode(F.expr(
                 "flatten(transform(bs, x -> "
                 "transform(filter(bs, y -> y <> x), "
