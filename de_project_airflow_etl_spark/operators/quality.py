@@ -382,12 +382,16 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (load(spark, sf_dir, "events")
          .select("event_type",
                  F.round(F.col("value") * 100).cast("long").alias("cv")))
+    # the two 5-row percentile tables are each consumed by TWO
+    # downstream references; un-materialized, every reference re-ran
+    # the full-data percentile pass (the median computed ~3x, events
+    # scanned 4x). Checkpoint the bounded stats, never the dev rows.
     med = e.groupBy("event_type").agg(
-        F.expr("percentile(cv, 0.5)").alias("med"))
+        F.expr("percentile(cv, 0.5)").alias("med")).localCheckpoint()
     dev = (e.join(F.broadcast(med), "event_type")
             .withColumn("adev", F.abs(F.col("cv") - F.col("med"))))
     mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad"))
+        F.expr("percentile(adev, 0.5)").alias("mad")).localCheckpoint()
     return (dev.join(F.broadcast(mad), "event_type")
                .groupBy("event_type")
                .agg(F.count(F.lit(1)).alias("n_events"),

@@ -654,10 +654,16 @@ def _ranked_lists(spark: SparkSession,
     e = load(spark, sf_dir, "embeddings")
     q = (e.filter(F.col("vec_id") == RRF_QUERY_ID)
           .select(F.col("embedding").alias("qv")))
+    # the scored relation feeds BOTH ranking branches (cosine desc,
+    # L2 asc); un-materialized, each TakeOrdered re-scored the corpus
+    # (4 scans between rrf_fusion_search and kendall_tau_rankings).
+    # The (vec_id, cosv, l2sq) triple is ~10x narrower than the
+    # embeddings it derives from — checkpoint it once.
     m = (e.filter(F.col("vec_id") != RRF_QUERY_ID)
           .crossJoin(F.broadcast(q))
           .select("vec_id", cosine("embedding", "qv").alias("cosv"),
-                  F.expr(_L2_SPARK).alias("l2sq")))
+                  F.expr(_L2_SPARK).alias("l2sq"))
+          .localCheckpoint())
     wa = Window.orderBy(F.desc("cosv"), "vec_id")   # over 50 rows only
     wb = Window.orderBy("l2sq", "vec_id")           # over 50 rows only
     ra = (m.orderBy(F.desc("cosv"), "vec_id").limit(RRF_TOPK)

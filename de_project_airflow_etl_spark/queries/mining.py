@@ -225,7 +225,10 @@ def customer_cohort_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((F.year("m") - F.year("cohort_month")) * 12
                  + (F.month("m") - F.month("cohort_month"))).cast("long"))
             .groupBy("cohort_month", "months_since")
-            .agg(F.sum("cents").alias("revenue_cents")))
+            .agg(F.sum("cents").alias("revenue_cents"))
+            # feeds the base-month slice AND the final join; the
+            # cohort-month x months grid is calendar-bounded
+            .localCheckpoint())
     base = (rev.filter(F.col("months_since") == 0)
                .select("cohort_month",
                        F.col("revenue_cents").alias("base_cents")))
@@ -1057,9 +1060,13 @@ def daily_value_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("day"),
         F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"))
+    # both the daily rollup and the deviation table feed two consumers
+    # each; checkpoint the calendar-bounded relations so the fact
+    # scan runs once (was 4 scans, one per reference).
     daily = (e.groupBy("event_type", "day")
               .agg(F.sum("cents").alias("cents"),
-                   F.count(F.lit(1)).alias("n")))
+                   F.count(F.lit(1)).alias("n"))
+              .localCheckpoint())
     grand = (daily.groupBy("event_type")
              .agg((F.sum("cents").cast("double")
                    / F.sum("n").cast("double")).alias("mu")))
@@ -1068,7 +1075,8 @@ def daily_value_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.col("cents").cast("double")
                     / F.col("n").cast("double") - F.col("mu"))
                        .alias("dev"),
-                   (F.col("mu") * CUSUM_K_NUM / CUSUM_K_DEN).alias("k")))
+                   (F.col("mu") * CUSUM_K_NUM / CUSUM_K_DEN).alias("k"))
+           .localCheckpoint())
     arr = (dev.groupBy("event_type")
            .agg(F.expr("array_sort(collect_list(struct(day, dev)))")
                  .alias("a"),
@@ -1935,8 +1943,14 @@ def dup_cluster_canonical_pick(spark: SparkSession,
     tags=("analytics", "similarity"),
 )
 def event_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ut feeds three consumers (sizes + both self-join sides);
+    # un-materialized each re-ran the distinct over the fact table.
+    # Unlike the gram streams (measured loss), ut is the |users x
+    # types| reduction — orders of magnitude smaller than events —
+    # so materializing it trades three full-data distincts for one.
     ut = (load(spark, sf_dir, "events")
-          .select("user_id", "event_type").distinct())
+          .select("user_id", "event_type").distinct()
+          .localCheckpoint())
     sizes = ut.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"))
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
