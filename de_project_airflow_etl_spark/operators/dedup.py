@@ -817,24 +817,27 @@ NEW_BATCH_FRAC_NUM, NEW_BATCH_FRAC_DEN = 4, 5
 )
 def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    # the 1-row cutoff and the verified near-dup pairs each feed two
-    # consumers; checkpoint both so neither branch re-runs its source
-    # scan (the pair derivation is a full LSH pass).
-    cut = docs.agg(((F.max("doc_id") + 1) * NEW_BATCH_FRAC_NUM
-                    / NEW_BATCH_FRAC_DEN).alias("c")).localCheckpoint()
-    docs_c = docs.crossJoin(F.broadcast(cut))
-    corpus_md5 = (docs_c.filter(F.col("doc_id") < F.col("c"))
-                        .select(F.md5("text").alias("h")).distinct())
-    new_docs = (docs_c.filter(F.col("doc_id") >= F.col("c"))
-                      .select("doc_id", "source", F.md5("text").alias("h")))
+    # The 1-row cutoff is batch-boundary METADATA (the repo's bounded
+    # first()/collect exception): extracting the scalar to the driver
+    # turns every boundary test into a LITERAL predicate — doc_id < c
+    # pushes down to the parquet scan (a broadcast-scalar crossJoin
+    # cannot), and no BroadcastNestedLoopJoin appears at all. One
+    # max() scan, one 1-row fetch.
+    c = float(docs.agg(((F.max("doc_id") + 1) * NEW_BATCH_FRAC_NUM
+                        / NEW_BATCH_FRAC_DEN).alias("c")).first()[0])
+    corpus_md5 = (docs.filter(F.col("doc_id") < c)
+                      .select(F.md5("text").alias("h")).distinct())
+    new_docs = (docs.filter(F.col("doc_id") >= c)
+                    .select("doc_id", "source", F.md5("text").alias("h")))
+    # the verified near-dup pairs feed two consumers; checkpoint so
+    # neither branch re-runs the full LSH pass that derives them.
     pairs = (_lsh_verified(spark, sf_dir)
-             .select("doc_a", "doc_b").crossJoin(F.broadcast(cut))
-             .localCheckpoint())
-    near_corpus = (pairs.filter((F.col("doc_a") < F.col("c"))
-                                & (F.col("doc_b") >= F.col("c")))
+             .select("doc_a", "doc_b").localCheckpoint())
+    near_corpus = (pairs.filter((F.col("doc_a") < c)
+                                & (F.col("doc_b") >= c))
                         .select(F.col("doc_b").alias("doc_id")).distinct()
                         .withColumn("near_c", F.lit(1)))
-    near_batch = (pairs.filter(F.col("doc_a") >= F.col("c"))
+    near_batch = (pairs.filter(F.col("doc_a") >= c)
                        .select(F.col("doc_b").alias("doc_id")).distinct()
                        .withColumn("near_b", F.lit(1)))
     exact = corpus_md5.withColumn("dup_exact", F.lit(1))

@@ -25,7 +25,14 @@ SCAN_BUDGETS = {
     "market_basket_rules": 0,         # was 8: baskets + item supports
     "label_separation_scores": 2,     # was 7: moment + centroid tables
     "funnel_conversion_latency": 0,   # was 6: c_ts carried, histogram ckpt
-    "incremental_dedup_new_docs": 2,  # was 6: cutoff + verified pairs
+    # was 6, then 2 (cutoff + verified pairs checkpointed). The cutoff
+    # is now extracted as driver-side metadata so the batch boundary
+    # is a LITERAL predicate: doc_id pushes to the parquet scans and
+    # no BroadcastNestedLoopJoin remains. 4 = the 2 real doc scans
+    # (both boundary-pruned now) + 2 doc_id-only bloom-builder scans
+    # Spark's InjectRuntimeFilter adds to pre-filter the pairs side —
+    # thin, pushed-down, and map-side profitable at scale.
+    "incremental_dedup_new_docs": 4,
     # the two below keep their data-sized streams re-derived on
     # purpose (measured loss to materialize); the budget pins the
     # CURRENT shape so it can't silently worsen
