@@ -46,3 +46,4 @@ def staged_query(name: str, oracle: str | None, doc: str = "",
 # registration imports at the bottom: the modules need staged_query above
 from de_project_airflow_etl_spark.staged import round7  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round7b  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round8  # noqa: E402,F401
