@@ -590,3 +590,450 @@ def jarque_bera_daily_revenue(spark: SparkSession,
         "n / 6.0 * ((m3 / (m2 * SQRT(m2))) * (m3 / (m2 * SQRT(m2)))"
         " + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0)"
         " AS jb_stat")
+
+
+# ---------------------------------------------------------------------
+# Group B: distribution statistics. Shared fold helpers (the round-7b
+# deterministic-double-reduction idiom: both engines fold the SORTED
+# bounded term array sequentially from an explicit 0.0 seed).
+
+
+def _fold_spark(terms_col: str) -> str:
+    return (f"aggregate(array_sort({terms_col}), CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)")
+
+
+def _fold_sql(term_expr: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_sort(list({term_expr}))), (acc, v) -> acc + v)")
+
+
+# ----------------- Kruskal-Wallis rank test of value across types
+
+# Midranks without a global rank over raw rows (the roc_auc cumulation
+# pattern): group by the exact integer cents score, cumulate counts
+# below each distinct value, and keep 2x the midrank integral:
+#   midrank2_v = 2 * cum_below_v + cnt_v + 1.
+# R2_g = sum_v cnt_gv * midrank2_v is then exact in DECIMAL(38,0), and
+# since R_g = R2_g / 2, the 12/(N(N+1)) coefficient becomes 3:
+#   H = 3 / (N (N+1)) * sum_g R2_g^2 / n_g - 3 (N + 1).
+_KW_TERM = ("CAST(CAST(r2 AS STRING) AS DOUBLE)"
+            " * CAST(CAST(r2 AS STRING) AS DOUBLE)"
+            " / CAST(n_g AS DOUBLE)")
+
+
+@staged_query(
+    "kruskal_wallis_value_by_type",
+    oracle=f"""
+        WITH gv AS (
+          SELECT event_type AS g, {_CENTS} AS v,
+                 CAST(COUNT(*) AS BIGINT) AS cnt_gv
+          FROM events GROUP BY 1, 2
+        ),
+        vv AS (
+          SELECT v, CAST(SUM(cnt_gv) AS BIGINT) AS cnt_v
+          FROM gv GROUP BY v
+        ),
+        mr AS (
+          SELECT v, cnt_v,
+                 2 * COALESCE(CAST(SUM(cnt_v) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) + cnt_v + 1 AS midrank2
+          FROM vv
+        ),
+        rg AS (
+          SELECT g,
+                 SUM(CAST(cnt_gv AS DECIMAL(38,0)) * midrank2) AS r2,
+                 CAST(SUM(cnt_gv) AS BIGINT) AS n_g
+          FROM gv JOIN mr USING (v) GROUP BY g
+        ),
+        tot AS (
+          SELECT CAST(SUM(cnt_v) AS BIGINT) AS n,
+                 SUM(CAST(cnt_v AS DECIMAL(38,0)) * cnt_v * cnt_v
+                     - cnt_v) AS tie_num
+          FROM vv
+        ),
+        folded AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 {_fold_sql(_KW_TERM)} AS f
+          FROM rg
+        )
+        SELECT t.n AS n_events, folded.n_groups,
+               3.0 * folded.f
+                 / (CAST(t.n AS DOUBLE) * (t.n + 1.0))
+                 - 3.0 * (t.n + 1.0) AS h_stat,
+               1.0 - CAST(CAST(t.tie_num AS STRING) AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                    * t.n - t.n) AS tie_correction,
+               (3.0 * folded.f
+                 / (CAST(t.n AS DOUBLE) * (t.n + 1.0))
+                 - 3.0 * (t.n + 1.0))
+               / (1.0 - CAST(CAST(t.tie_num AS STRING) AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                    * t.n - t.n)) AS h_adj
+        FROM folded, tot t
+    """,
+    doc="Kruskal-Wallis rank test: do the five event types draw their "
+        "values from the same distribution — the k-sample extension "
+        "of the staged Mann-Whitney, robust where ANOVA's normality "
+        "assumption fails. Midranks are computed WITHOUT a global "
+        "rank over raw rows: group by the exact integer cents score "
+        "(bounded distinct values), cumulate counts below each value, "
+        "and keep 2x-midranks integral so every rank sum R2_g rides "
+        "DECIMAL(38,0); tie correction sums cnt^3 - cnt exactly. The "
+        "five R2_g^2/n_g double terms reduce via the sorted fold. "
+        "Plan: one map-side-combinable (type, cents) aggregate; the "
+        "cumulation window sits above the value aggregate (bounded "
+        "input, the roc_auc shape); everything after is 5-row math.",
+    tags=("staged", "statistics",),
+)
+def kruskal_wallis_value_by_type(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    gv = (load(spark, sf_dir, "events")
+          .selectExpr("event_type AS g", f"{_CENTS} AS v")
+          .groupBy("g", "v")
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt_gv")))
+    vv = gv.groupBy("v").agg(F.sum("cnt_gv").cast("long").alias("cnt_v"))
+    cumw = (Window.orderBy("v")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    mr = vv.select(
+        "v", "cnt_v",
+        (2 * F.coalesce(F.sum("cnt_v").over(cumw).cast("long"),
+                        F.lit(0))
+         + F.col("cnt_v") + 1).alias("midrank2"))
+    rg = (gv.join(mr.select("v", "midrank2"), "v")
+            .groupBy("g")
+            .agg(F.expr("SUM(CAST(cnt_gv AS DECIMAL(38,0)) * midrank2)")
+                  .alias("r2"),
+                 F.sum("cnt_gv").cast("long").alias("n_g")))
+    tot = vv.agg(
+        F.sum("cnt_v").cast("long").alias("n"),
+        F.expr("SUM(CAST(cnt_v AS DECIMAL(38,0)) * cnt_v * cnt_v"
+               " - cnt_v)").alias("tie_num"))
+    folded = rg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.expr(_fold_spark(f"collect_list({_KW_TERM})")).alias("f"))
+    h = ("3.0 * f / (CAST(n AS DOUBLE) * (n + 1.0))"
+         " - 3.0 * (n + 1.0)")
+    tc = ("1.0 - CAST(CAST(tie_num AS STRING) AS DOUBLE)"
+          " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * n - n)")
+    return (folded.crossJoin(F.broadcast(tot))
+                  .selectExpr("n AS n_events", "n_groups",
+                              f"{h} AS h_stat",
+                              f"{tc} AS tie_correction",
+                              f"({h}) / ({tc}) AS h_adj"))
+
+
+# ------------- Brown-Forsythe (median-based Levene) weekend variance
+
+
+@staged_query(
+    "brown_forsythe_weekend_value",
+    oracle=f"""
+        WITH b AS (
+          SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                   AS wknd,
+                 {_CENTS} AS c
+          FROM events
+        ),
+        med AS (
+          SELECT wknd, quantile_cont(c, 0.5) AS med
+          FROM b GROUP BY wknd
+        ),
+        z AS (
+          SELECT b.wknd,
+                 CAST(ABS(2 * b.c - 2 * m.med) AS BIGINT) AS z2
+          FROM b JOIN med m ON m.wknd = b.wknd
+        ),
+        g AS (
+          SELECT wknd, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 SUM(CAST(z2 AS DECIMAL(38,0))) AS s_g,
+                 SUM(CAST(z2 AS DECIMAL(38,0)) * z2) AS q_g
+          FROM z GROUP BY wknd
+        ),
+        f AS (
+          SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                 CAST(CAST(SUM(s_g) AS STRING) AS DOUBLE) AS s_tot,
+                 CAST(CAST(SUM(q_g) AS STRING) AS DOUBLE) AS q_tot,
+                 {_fold_sql("CAST(CAST(s_g AS STRING) AS DOUBLE)"
+                            " * CAST(CAST(s_g AS STRING) AS DOUBLE)"
+                            " / CAST(n_g AS DOUBLE)")} AS fold_sq,
+                 MAX(CASE WHEN wknd = 1 THEN n_g END) AS n_we,
+                 MAX(CASE WHEN wknd = 0 THEN n_g END) AS n_wd
+          FROM g
+        ),
+        m2 AS (
+          SELECT MAX(CASE WHEN wknd = 1 THEN med END) / 100 AS med_we,
+                 MAX(CASE WHEN wknd = 0 THEN med END) / 100 AS med_wd
+          FROM med
+        )
+        SELECT f.n_we AS n_weekend, f.n_wd AS n_weekday,
+               m2.med_we AS median_weekend, m2.med_wd AS median_weekday,
+               (n - 2) * (fold_sq - s_tot * s_tot / n)
+                 / (q_tot - fold_sq) AS w_stat
+        FROM f, m2
+    """,
+    doc="Brown-Forsythe test (median-based Levene): do weekend and "
+        "weekday values differ in SPREAD, not just location — the "
+        "variance-homogeneity gate that decides whether the staged "
+        "Welch t was even needed. Deviations from the group median "
+        "stay integral as |2c - 2*median| (an exact integer-valued "
+        "double: the median of integer cents is *.0 or *.5); their "
+        "sums and squares ride DECIMAL(38,0); the two S_g^2/n_g "
+        "double terms reduce via the sorted fold and the W statistic "
+        "is a handful of IEEE ops on identical operands. percentile "
+        "<-> quantile_cont is the established exact pair. Plan: one "
+        "median aggregate (5-row output broadcast back), one "
+        "moment aggregate — no window touches raw rows.",
+    tags=("staged", "statistics",),
+)
+def brown_forsythe_weekend_value(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    b = load(spark, sf_dir, "events").selectExpr(
+        "CASE WHEN (dayofweek(ts) - 1) IN (0, 6) THEN 1 ELSE 0 END"
+        " AS wknd",
+        f"{_CENTS} AS c")
+    med = b.groupBy("wknd").agg(
+        F.expr("percentile(c, 0.5)").alias("med"))
+    z = (b.join(F.broadcast(med), "wknd")
+          .selectExpr("wknd",
+                      "CAST(ABS(2 * c - 2 * med) AS BIGINT) AS z2"))
+    g = z.groupBy("wknd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.expr("SUM(CAST(z2 AS DECIMAL(38,0)))").alias("s_g"),
+        F.expr("SUM(CAST(z2 AS DECIMAL(38,0)) * z2)").alias("q_g"))
+    fold_term = ("CAST(CAST(s_g AS STRING) AS DOUBLE)"
+                 " * CAST(CAST(s_g AS STRING) AS DOUBLE)"
+                 " / CAST(n_g AS DOUBLE)")
+    f = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.expr("CAST(CAST(SUM(s_g) AS STRING) AS DOUBLE)")
+         .alias("s_tot"),
+        F.expr("CAST(CAST(SUM(q_g) AS STRING) AS DOUBLE)")
+         .alias("q_tot"),
+        F.expr(_fold_spark(f"collect_list({fold_term})"))
+         .alias("fold_sq"),
+        F.expr("MAX(CASE WHEN wknd = 1 THEN n_g END)").alias("n_we"),
+        F.expr("MAX(CASE WHEN wknd = 0 THEN n_g END)").alias("n_wd"))
+    m2 = med.agg(
+        F.expr("MAX(CASE WHEN wknd = 1 THEN med END) / 100")
+         .alias("med_we"),
+        F.expr("MAX(CASE WHEN wknd = 0 THEN med END) / 100")
+         .alias("med_wd"))
+    return (f.crossJoin(F.broadcast(m2))
+             .selectExpr("n_we AS n_weekend", "n_wd AS n_weekday",
+                         "med_we AS median_weekend",
+                         "med_wd AS median_weekday",
+                         "(n - 2) * (fold_sq - s_tot * s_tot / n)"
+                         " / (q_tot - fold_sq) AS w_stat"))
+
+
+# --------------- Hellinger distance: weekend vs weekday value mix
+
+HELL_BIN_C = 5000   # 50-dollar value bands
+HELL_BINS = 10
+
+# Integer division EXPLICITLY (Spark DIV / DuckDB //): a plain '/'
+# is float division in both engines and DuckDB's CAST-to-BIGINT then
+# ROUNDS where Spark's truncates — measured as a whole bin shifting.
+_HBIN_SPARK = (f"LEAST(CAST({HELL_BINS - 1} AS BIGINT), "
+               f"CAST({_CENTS} DIV {HELL_BIN_C} AS BIGINT))")
+_HBIN_SQL = (f"LEAST(CAST({HELL_BINS - 1} AS BIGINT), "
+             f"CAST({_CENTS} // {HELL_BIN_C} AS BIGINT))")
+
+
+@staged_query(
+    "hellinger_weekend_value_drift",
+    oracle=f"""
+        WITH b AS (
+          SELECT {_HBIN_SQL} AS bin,
+                 CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                   AS wknd
+          FROM events
+        ),
+        per_bin AS (
+          SELECT bin,
+                 CAST(SUM(wknd) AS BIGINT) AS n_we,
+                 CAST(SUM(1 - wknd) AS BIGINT) AS n_wd
+          FROM b GROUP BY bin
+        ),
+        tot AS (
+          SELECT CAST(SUM(n_we) AS BIGINT) AS t_we,
+                 CAST(SUM(n_wd) AS BIGINT) AS t_wd,
+                 CAST(COUNT(*) AS BIGINT) AS n_bins
+          FROM per_bin
+        ),
+        f AS (
+          SELECT {_fold_sql(
+              "SQRT((CAST(n_wd AS DOUBLE) / (SELECT t_wd FROM tot))"
+              " * (CAST(n_we AS DOUBLE) / (SELECT t_we FROM tot)))")}
+            AS bc
+          FROM per_bin
+        )
+        SELECT t.t_wd AS n_weekday, t.t_we AS n_weekend,
+               t.n_bins, f.bc AS bc_coef,
+               SQRT(1.0 - f.bc) AS hellinger
+        FROM f, tot t
+    """,
+    doc="Hellinger distance between the weekday and weekend value "
+        "distributions over 10 fixed 50-dollar bands — the drift "
+        "score a mixture monitor tracks per slice. Hellinger is "
+        "chosen over KL/PSI DELIBERATELY: it needs only sqrt (IEEE "
+        "correctly rounded, bit-identical cross-engine) where the "
+        "log-based divergences differ in the last ulp between the "
+        "JVM and DuckDB (measured, module head). Bin probabilities "
+        "are single divisions of exact integers; the <=10 "
+        "sqrt(p*q) terms reduce via the sorted fold. Plan: one "
+        "map-side-combinable bin aggregate; 10-row math after.",
+    tags=("staged", "statistics",),
+)
+def hellinger_weekend_value_drift(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    b = load(spark, sf_dir, "events").selectExpr(
+        f"{_HBIN_SPARK} AS bin",
+        "CASE WHEN (dayofweek(ts) - 1) IN (0, 6) THEN 1 ELSE 0 END"
+        " AS wknd")
+    per_bin = b.groupBy("bin").agg(
+        F.expr("CAST(SUM(wknd) AS BIGINT)").alias("n_we"),
+        F.expr("CAST(SUM(1 - wknd) AS BIGINT)").alias("n_wd"))
+    tot = per_bin.agg(
+        F.sum("n_we").cast("long").alias("t_we"),
+        F.sum("n_wd").cast("long").alias("t_wd"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"))
+    witht = per_bin.crossJoin(F.broadcast(tot))
+    f = witht.agg(F.expr(_fold_spark(
+        "collect_list(SQRT((CAST(n_wd AS DOUBLE) / t_wd)"
+        " * (CAST(n_we AS DOUBLE) / t_we)))")).alias("bc"))
+    return (f.crossJoin(F.broadcast(tot))
+             .selectExpr("t_wd AS n_weekday", "t_we AS n_weekend",
+                         "n_bins", "bc AS bc_coef",
+                         "SQRT(1.0 - bc) AS hellinger"))
+
+
+# ------------------ Brier score calibration of a value-based scorer
+
+BRIER_SCALE = 50000  # score = cents / 50000 in [0, 1) (max value 490.02)
+
+
+@staged_query(
+    "brier_calibration_purchase",
+    oracle=f"""
+        WITH e AS (
+          SELECT {_CENTS} AS c,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS y
+          FROM events
+        )
+        SELECT LEAST(CAST(9 AS BIGINT), CAST(c // {HELL_BIN_C} AS BIGINT))
+                 AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(CAST(SUM(CAST(c AS DECIMAL(38,0))) AS STRING)
+                 AS DOUBLE) / {BRIER_SCALE} / COUNT(*) AS mean_pred,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos,
+               CAST(CAST(SUM(CAST(c - {BRIER_SCALE} * y AS DECIMAL(38,0))
+                     * (c - {BRIER_SCALE} * y)) AS STRING) AS DOUBLE)
+                 / {BRIER_SCALE} / {BRIER_SCALE} / COUNT(*)
+                 AS bin_brier
+        FROM e GROUP BY 1
+    """,
+    doc="Brier-score reliability table for a transparent value-"
+        "proportional purchase scorer (score = cents/50000): per "
+        "calibration bin, the mean predicted probability, observed "
+        "positive rate, and mean squared error — the calibration "
+        "curve every propensity model ships with. The squared error "
+        "stays EXACT: (c - 50000 y)^2 is integral per row, summed in "
+        "DECIMAL(38,0), divided once at emit — never a summed double "
+        "(the global Brier is the n-weighted mean of bin_brier). "
+        "Plan: one map-side-combinable aggregate over the fact "
+        "table, 10 output rows.",
+    tags=("staged", "evaluation", "statistics"),
+)
+def brier_calibration_purchase(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").selectExpr(
+        f"{_CENTS} AS c",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y")
+    return (e.groupBy(F.expr(
+                f"LEAST(CAST(9 AS BIGINT),"
+                f" CAST(c DIV {HELL_BIN_C} AS BIGINT))").alias("bin"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                  F.sum("y").cast("long").alias("n_pos"),
+                  F.expr(f"CAST(CAST(SUM(CAST(c AS DECIMAL(38,0)))"
+                         f" AS STRING) AS DOUBLE) / {BRIER_SCALE}"
+                         f" / COUNT(*)").alias("mean_pred"),
+                  F.expr("CAST(SUM(y) AS DOUBLE) / COUNT(*)")
+                   .alias("frac_pos"),
+                  F.expr(f"CAST(CAST(SUM(CAST(c - {BRIER_SCALE} * y"
+                         f" AS DECIMAL(38,0)) * (c - {BRIER_SCALE} * y))"
+                         f" AS STRING) AS DOUBLE) / {BRIER_SCALE}"
+                         f" / {BRIER_SCALE} / COUNT(*)")
+                   .alias("bin_brier")))
+
+
+# ------------------- Cochran's Q over three document quality rules
+
+
+@staged_query(
+    "cochrans_q_quality_rules",
+    oracle="""
+        WITH r AS (
+          SELECT CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS x1,
+                 CASE WHEN text LIKE '%window%' THEN 1 ELSE 0 END AS x2,
+                 CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS x3
+          FROM documents
+        ),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(x1) AS BIGINT) AS c1,
+                 CAST(SUM(x2) AS BIGINT) AS c2,
+                 CAST(SUM(x3) AS BIGINT) AS c3,
+                 CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT)
+                   AS sum_r2
+          FROM r
+        )
+        SELECT n_docs, c1, c2, c3,
+               CAST(2 AS BIGINT) AS df,
+               2.0 * (3.0 * (CAST(CAST(CAST(c1 AS DECIMAL(38,0)) * c1
+                       + CAST(c2 AS DECIMAL(38,0)) * c2
+                       + CAST(c3 AS DECIMAL(38,0)) * c3 AS STRING)
+                       AS DOUBLE))
+                 - (CAST(CAST(CAST(c1 + c2 + c3 AS DECIMAL(38,0))
+                     * (c1 + c2 + c3) AS STRING) AS DOUBLE)))
+               / (3.0 * (c1 + c2 + c3) - sum_r2) AS q_stat
+        FROM a
+    """,
+    doc="Cochran's Q test: do three binary document-quality rules "
+        "(mentions 'spark', mentions 'window', >= 300 chars) flag at "
+        "the same rate — the k-treatment extension of the staged "
+        "McNemar test, the gate for 'is any rule systematically "
+        "stricter' before ensembling them. Everything is integer "
+        "until the single final division: column totals and the "
+        "per-doc row-sum squares accumulate in BIGINT, the squared "
+        "totals ride DECIMAL(38,0) through the wide string cast. "
+        "Plan: ONE map-side-combinable aggregate over documents, one "
+        "output row, no shuffle beyond the 1-row final merge.",
+    tags=("staged", "statistics", "quality"),
+)
+def cochrans_q_quality_rules(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "documents").selectExpr(
+        "CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS x1",
+        "CASE WHEN text LIKE '%window%' THEN 1 ELSE 0 END AS x2",
+        "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS x3")
+    a = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("x1").cast("long").alias("c1"),
+        F.sum("x2").cast("long").alias("c2"),
+        F.sum("x3").cast("long").alias("c3"),
+        F.expr("CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT)")
+         .alias("sum_r2"))
+    return a.selectExpr(
+        "n_docs", "c1", "c2", "c3",
+        "CAST(2 AS BIGINT) AS df",
+        "2.0 * (3.0 * (CAST(CAST(CAST(c1 AS DECIMAL(38,0)) * c1"
+        " + CAST(c2 AS DECIMAL(38,0)) * c2"
+        " + CAST(c3 AS DECIMAL(38,0)) * c3 AS STRING) AS DOUBLE))"
+        " - (CAST(CAST(CAST(c1 + c2 + c3 AS DECIMAL(38,0))"
+        " * (c1 + c2 + c3) AS STRING) AS DOUBLE)))"
+        " / (3.0 * (c1 + c2 + c3) - sum_r2) AS q_stat")
