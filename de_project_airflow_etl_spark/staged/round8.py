@@ -348,7 +348,11 @@ def mann_kendall_daily_trend(spark: SparkSession,
     d = (load(spark, sf_dir, "events")
          .selectExpr("CAST(CAST(ts AS DATE) AS STRING) AS day",
                      f"{_CENTS} AS c")
-         .groupBy("day").agg(F.sum("c").cast("long").alias("cents")))
+         .groupBy("day").agg(F.sum("c").cast("long").alias("cents"))
+         # the calendar-bounded daily table feeds BOTH the pair fold
+         # and the tie aggregate; materialize so the fact table scans
+         # once (multi-consumer intermediates re-execute per reference)
+         .localCheckpoint())
     arr = d.agg(
         F.expr("transform(array_sort(collect_list(struct(day, cents))),"
                " x -> x.cents)").alias("a"),
@@ -692,7 +696,11 @@ def kruskal_wallis_value_by_type(spark: SparkSession,
     gv = (load(spark, sf_dir, "events")
           .selectExpr("event_type AS g", f"{_CENTS} AS v")
           .groupBy("g", "v")
-          .agg(F.count(F.lit(1)).cast("long").alias("cnt_gv")))
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt_gv"))
+          # the (type, cents) table is bounded (5 types x bounded
+          # distinct cents) and feeds the value rollup AND the rank
+          # sums; materialize so the fact table scans once
+          .localCheckpoint())
     vv = gv.groupBy("v").agg(F.sum("cnt_gv").cast("long").alias("cnt_v"))
     cumw = (Window.orderBy("v")
                   .rowsBetween(Window.unboundedPreceding, -1))
@@ -794,7 +802,10 @@ def brown_forsythe_weekend_value(spark: SparkSession,
         " AS wknd",
         f"{_CENTS} AS c")
     med = b.groupBy("wknd").agg(
-        F.expr("percentile(c, 0.5)").alias("med"))
+        F.expr("percentile(c, 0.5)").alias("med")).localCheckpoint()
+    # ^ the 2-row median table feeds the deviation join AND the
+    # reporting projection; un-materialized, each reference re-runs
+    # the full-data percentile pass
     z = (b.join(F.broadcast(med), "wknd")
           .selectExpr("wknd",
                       "CAST(ABS(2 * c - 2 * med) AS BIGINT) AS z2"))
@@ -895,7 +906,10 @@ def hellinger_weekend_value_drift(spark: SparkSession,
         " AS wknd")
     per_bin = b.groupBy("bin").agg(
         F.expr("CAST(SUM(wknd) AS BIGINT)").alias("n_we"),
-        F.expr("CAST(SUM(1 - wknd) AS BIGINT)").alias("n_wd"))
+        F.expr("CAST(SUM(1 - wknd) AS BIGINT)").alias("n_wd")
+        # the 10-row bin table feeds the totals AND the fold;
+        # materialize so the fact table scans once
+        ).localCheckpoint()
     tot = per_bin.agg(
         F.sum("n_we").cast("long").alias("t_we"),
         F.sum("n_wd").cast("long").alias("t_wd"),
@@ -1037,3 +1051,334 @@ def cochrans_q_quality_rules(spark: SparkSession,
         " - (CAST(CAST(CAST(c1 + c2 + c3 AS DECIMAL(38,0))"
         " * (c1 + c2 + c3) AS STRING) AS DOUBLE)))"
         " / (3.0 * (c1 + c2 + c3) - sum_r2) AS q_stat")
+
+
+# ---------------------------------------------------------------------
+# Group C: text-richness metrics and graded retrieval evaluation.
+
+
+# ----------------------------- Yule's K vocabulary richness by source
+
+
+@staged_query(
+    "yules_k_by_source",
+    oracle="""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+          FROM tok WHERE term <> '' GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT source,
+                 CAST(SUM(f) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 SUM(CAST(f AS DECIMAL(38,0)) * f) AS s2
+          FROM tf GROUP BY source
+        )
+        SELECT source, n_tokens, n_types,
+               10000.0 * (CAST(CAST(s2 AS STRING) AS DOUBLE) - n_tokens)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens) AS yules_k
+        FROM agg
+    """,
+    doc="Yule's K vocabulary-richness characteristic per source: "
+        "K = 10^4 (sum f^2 - N) / N^2 over term frequencies — the "
+        "repetitiveness fingerprint that separates boilerplate-heavy "
+        "sources from diverse prose in a curation scorecard (higher "
+        "K = fewer types dominating more tokens). sum f^2 rides "
+        "DECIMAL(38,0) through the wide string cast; one double "
+        "division at emit. Plan: tokenize-explode feeds ONE "
+        "map-side-combinable (source, term) count, then a per-source "
+        "rollup — the same two-exchange shape as the promoted "
+        "vocab/tf queries; nothing data-sized past the term counts.",
+    tags=("staged", "text", "quality"),
+)
+def yules_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (load(spark, sf_dir, "documents")
+          .select("source",
+                  F.explode(F.split("text", " ")).alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy("source", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("f")))
+    agg = tf.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.expr("SUM(CAST(f AS DECIMAL(38,0)) * f)").alias("s2"))
+    return agg.selectExpr(
+        "source", "n_tokens", "n_types",
+        "10000.0 * (CAST(CAST(s2 AS STRING) AS DOUBLE) - n_tokens)"
+        " / (CAST(n_tokens AS DOUBLE) * n_tokens) AS yules_k")
+
+
+# -------------------- burstiness (VMR) of the top corpus-wide terms
+
+BURST_TOP = 20
+
+
+@staged_query(
+    "term_burstiness_vmr",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        td AS (
+          SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok WHERE term <> '' GROUP BY 1, 2
+        ),
+        top AS (
+          SELECT term, CAST(SUM(c) AS BIGINT) AS total_count
+          FROM td GROUP BY term
+          ORDER BY total_count DESC, term LIMIT {BURST_TOP}
+        ),
+        d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        per AS (
+          SELECT t.term, t.total_count,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs_present,
+                 SUM(CAST(td.c AS DECIMAL(38,0)) * td.c) AS q
+          FROM td JOIN top t USING (term)
+          GROUP BY t.term, t.total_count
+        )
+        SELECT term, n_docs_present, total_count,
+               (CAST(d.n_docs AS DOUBLE)
+                  * CAST(CAST(q AS STRING) AS DOUBLE)
+                - CAST(total_count AS DOUBLE) * total_count)
+               / (CAST(d.n_docs AS DOUBLE) * total_count) AS vmr
+        FROM per, d
+    """,
+    doc="Burstiness of the top-20 corpus terms as the variance-to-"
+        "mean ratio of their per-document counts (zeros included "
+        "implicitly: VMR = (D*sum c^2 - S^2) / (D*S) needs only the "
+        "present-document moments plus the corpus size) — VMR >> 1 "
+        "marks topical/bursty terms, VMR ~ 1 Poisson background, the "
+        "Church-Gale diagnostic for stopword-list and keyword "
+        "curation. All moments exact (DECIMAL(38,0) squares); one "
+        "double expression at emit. Plan: one (term, doc) count, one "
+        "term rollup, a TakeOrdered top-20 broadcast back onto the "
+        "per-doc counts, and the 1-row corpus size broadcast — the "
+        "scalar-build nested loop the blanket gate recognizes.",
+    tags=("staged", "text", "statistics"),
+)
+def term_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    td = (docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("term"))
+              .filter(F.col("term") != "")
+              .groupBy("term", "doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    top = (td.groupBy("term")
+             .agg(F.sum("c").cast("long").alias("total_count"))
+             .orderBy(F.desc("total_count"), "term")
+             .limit(BURST_TOP)
+             # the 20-row keep-list would otherwise re-derive its own
+             # tokenize-and-count pass inside the joined plan
+             .localCheckpoint())
+    d = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    per = (td.join(F.broadcast(top), "term")
+             .groupBy("term", "total_count")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs_present"),
+                  F.expr("SUM(CAST(c AS DECIMAL(38,0)) * c)").alias("q")))
+    return (per.crossJoin(F.broadcast(d))
+               .selectExpr(
+                   "term", "n_docs_present", "total_count",
+                   "(CAST(n_docs AS DOUBLE)"
+                   " * CAST(CAST(q AS STRING) AS DOUBLE)"
+                   " - CAST(total_count AS DOUBLE) * total_count)"
+                   " / (CAST(n_docs AS DOUBLE) * total_count) AS vmr"))
+
+
+# ------------------- graded retrieval evaluation: NDCG@10 and MRR@10
+
+# NDCG's 1/log2(rank+1) discounts are the ONE place a log is
+# unavoidable — so it is evaluated exactly once, in Python at module
+# import, and inlined as IDENTICAL double literals into both engines
+# (repr round-trips exactly). log2 computed engine-side would differ
+# in the last ulp (module head).
+import math as _math
+
+NDCG_K = 10
+_DISCOUNTS = [1.0 / _math.log2(i + 1) for i in range(1, NDCG_K + 1)]
+_IDCG_PREFIX = [sum(_DISCOUNTS[:i + 1]) for i in range(NDCG_K)]
+# DuckDB list literals of bare decimals type as DECIMAL(18,17), and
+# DuckDB's decimal->double cast is NOT correctly rounded (measured:
+# 0.2890648263178879 arrives as ...794). Routing each literal through
+# a STRING cast uses strtod, which IS correctly rounded.
+_D_LIT = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in _DISCOUNTS)
+_P_LIT = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in _IDCG_PREFIX)
+# Spark parses bare decimal literals as DECIMAL (measured: a DECIMAL
+# idcg with trailing-zero scale); the D suffix forces DOUBLE. DuckDB
+# has no D suffix — its bare literals in a list already read as
+# DOUBLE-compatible and the fold seed fixes the type.
+_D_LIT_SPARK = ", ".join(repr(x) + "D" for x in _DISCOUNTS)
+_P_LIT_SPARK = ", ".join(repr(x) + "D" for x in _IDCG_PREFIX)
+
+NDCG_ANCHOR_STEP = 25
+NDCG_ANCHOR_OFF = 10   # distinct 20-query panel from map_retrieval_eval
+
+_SQL_COS = (
+    "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform("
+    "generate_series(1, len(e.embedding)),"
+    " i -> CAST(e.embedding[i] AS DOUBLE)"
+    " * CAST(a.qv[i] AS DOUBLE))), (acc, v) -> acc + v)"
+    " / (SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(generate_series(1, len(e.embedding)),"
+    " i -> CAST(e.embedding[i] AS DOUBLE)"
+    " * CAST(e.embedding[i] AS DOUBLE))), (acc, v) -> acc + v))"
+    " * SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(generate_series(1, len(a.qv)),"
+    " i -> CAST(a.qv[i] AS DOUBLE)"
+    " * CAST(a.qv[i] AS DOUBLE))), (acc, v) -> acc + v))))")
+
+_SQL_TOPK_REL = f"""
+        anchors AS (
+          SELECT vec_id AS qid, label AS q_label, embedding AS qv
+          FROM embeddings
+          WHERE vec_id % {NDCG_ANCHOR_STEP} = {NDCG_ANCHOR_OFF}
+            AND vec_id < {NDCG_ANCHOR_OFF + 500}
+        ),
+        scored AS (
+          SELECT a.qid, a.q_label, e.vec_id,
+                 CASE WHEN e.label = a.q_label THEN 1 ELSE 0 END AS rel,
+                 {_SQL_COS} AS cosv
+          FROM embeddings e CROSS JOIN anchors a
+          WHERE e.vec_id <> a.qid
+        ),
+        ranked AS (
+          SELECT qid, q_label, rel,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cosv DESC, vec_id) AS BIGINT) AS rn
+          FROM scored
+        ),
+        top AS (SELECT * FROM ranked WHERE rn <= {NDCG_K})"""
+
+
+def _spark_topk_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.operators.similarity import cosine
+    e = load(spark, sf_dir, "embeddings")
+    anchors = (e.filter(
+                  (F.col("vec_id") % NDCG_ANCHOR_STEP == NDCG_ANCHOR_OFF)
+                  & (F.col("vec_id") < NDCG_ANCHOR_OFF + 500))
+                .select(F.col("vec_id").alias("qid"),
+                        F.col("label").alias("q_label"),
+                        F.col("embedding").alias("qv")))
+    scored = (e.crossJoin(F.broadcast(anchors))
+               .filter(F.col("vec_id") != F.col("qid"))
+               .select("qid", "q_label", "vec_id",
+                       F.when(F.col("label") == F.col("q_label"), 1)
+                        .otherwise(0).alias("rel"),
+                       cosine("embedding", "qv").alias("cosv")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosv"), "vec_id")
+    return (scored.withColumn("rn",
+                              F.row_number().over(w).cast("long"))
+                  .filter(F.col("rn") <= NDCG_K))
+
+
+@staged_query(
+    "ndcg_retrieval_eval",
+    oracle=f"""
+        WITH {_SQL_TOPK_REL},
+        lc AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+          FROM embeddings GROUP BY label
+        ),
+        per_q AS (
+          SELECT t.qid, ANY_VALUE(t.q_label) AS q_label,
+                 CAST(SUM(t.rel) AS BIGINT) AS hits,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list_sort(list({{'rn': t.rn,
+                     'rel': t.rel}})),
+                     x -> x.rel * ([{_D_LIT}])[CAST(x.rn AS INTEGER)])),
+                   (acc, v) -> acc + v) AS dcg
+          FROM top t GROUP BY t.qid
+        )
+        SELECT p.qid, p.q_label, p.hits, p.dcg,
+               ([{_P_LIT}])[CAST(LEAST({NDCG_K},
+                  lc.n_label - 1) AS INTEGER)] AS idcg,
+               p.dcg / ([{_P_LIT}])[CAST(LEAST({NDCG_K},
+                  lc.n_label - 1) AS INTEGER)] AS ndcg
+        FROM per_q p JOIN lc ON lc.label = p.q_label
+    """,
+    doc="NDCG@10 of brute-force cosine retrieval against label-match "
+        "relevance over a fixed 20-vector panel (disjoint from the "
+        "MAP panel) — the graded-ranking scorecard MAP cannot "
+        "express: position discounts reward early hits. The "
+        "1/log2(rank+1) discounts and their ideal-DCG prefix sums "
+        "are computed ONCE in Python and inlined as identical double "
+        "literals into both engines (engine-side log2 differs in the "
+        "last ulp — module head), so DCG is a fold over the rank-"
+        "sorted top-10 structs with literal weights: bit-identical. "
+        "IDCG indexes the prefix literal at min(k, |same-label| - 1). "
+        "Plan: panel broadcasts onto one corpus scan; rank<=k rides "
+        "the WindowGroupLimit pushdown (no corpus-sized window "
+        "partition); per-query folds touch <= 10 rows each.",
+    tags=("staged", "evaluation", "similarity"),
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top = _spark_topk_rel(spark, sf_dir)
+    lc = (load(spark, sf_dir, "embeddings")
+          .groupBy("label")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_label")))
+    per_q = top.groupBy("qid").agg(
+        F.expr("ANY_VALUE(q_label)").alias("q_label"),
+        F.sum("rel").cast("long").alias("hits"),
+        F.expr(f"aggregate(array_sort(collect_list(struct(rn, rel))),"
+               f" CAST(0.0 AS DOUBLE),"
+               f" (acc, x) -> acc + x.rel"
+               f" * element_at(array({_D_LIT_SPARK}),"
+               f" CAST(x.rn AS INT)))").alias("dcg"))
+    idcg = (f"element_at(array({_P_LIT_SPARK}),"
+            f" CAST(LEAST({NDCG_K}, n_label - 1) AS INT))")
+    return (per_q.join(F.broadcast(lc),
+                       per_q.q_label == lc.label)
+                 .selectExpr("qid", "q_label", "hits", "dcg",
+                             f"{idcg} AS idcg",
+                             f"dcg / {idcg} AS ndcg"))
+
+
+@staged_query(
+    "mrr_retrieval_eval",
+    oracle=f"""
+        WITH {_SQL_TOPK_REL},
+        per_q AS (
+          SELECT qid,
+                 MIN(CASE WHEN rel = 1 THEN rn END) AS first_hit
+          FROM top GROUP BY qid
+        ),
+        rr AS (
+          SELECT qid,
+                 CASE WHEN first_hit IS NULL THEN CAST(0.0 AS DOUBLE)
+                      ELSE CAST(1.0 AS DOUBLE) / first_hit END AS rr
+          FROM per_q
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_with_hit,
+               {_fold_sql("rr")} / COUNT(*) AS mrr
+        FROM rr
+    """,
+    doc="Mean reciprocal rank @10 over the NDCG panel: where does the "
+        "FIRST same-label neighbor land — the metric that grades "
+        "known-item search (one right answer) where MAP/NDCG grade "
+        "recall sets. Each per-query reciprocal 1/rank is a single "
+        "exact division; the 20 doubles reduce via the sorted fold "
+        "and divide by the panel size once. Plan: identical to the "
+        "NDCG scan (panel broadcast + WindowGroupLimit top-k); the "
+        "final fold is one 20-row aggregate.",
+    tags=("staged", "evaluation", "similarity"),
+)
+def mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top = _spark_topk_rel(spark, sf_dir)
+    per_q = top.groupBy("qid").agg(
+        F.expr("MIN(CASE WHEN rel = 1 THEN rn END)").alias("first_hit"))
+    rr = per_q.selectExpr(
+        "qid",
+        "CASE WHEN first_hit IS NULL THEN CAST(0.0 AS DOUBLE)"
+        " ELSE CAST(1.0 AS DOUBLE) / first_hit END AS rr")
+    return rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.expr("CAST(SUM(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT)")
+         .alias("n_with_hit"),
+        F.expr(f"{_fold_spark('collect_list(rr)')} / COUNT(*)")
+         .alias("mrr"))

@@ -51,6 +51,10 @@ _JUSTIFIED_BNLJ_BUILDS = {
     # scan with a self-exclusion inequality — same shape, and the
     # panel is constant-size by construction (vec_id < 500 gate)
     "map_retrieval_eval",
+    # the round-8 graded-retrieval pair shares the exact same fixed
+    # 20-vector panel-broadcast shape (offset panel, vec_id < 510)
+    "ndcg_retrieval_eval",
+    "mrr_retrieval_eval",
 }
 
 
