@@ -16,8 +16,10 @@ round-5 staged queries (``round6.py`` -> ``queries/mining.py``,
 ``round6b.py`` -> ``queries/features.py``) after the recorded sf0.01
 AND sf0.1 staged sweeps ran 39/39 green. ``round7.py`` (12 queries)
 and ``round7b.py`` (24: evaluation statistics, sketch set algebra,
-SQL surfaces, multimodal framing) currently stage the round-6
-overflow, pending the round-6 window.
+SQL surfaces, multimodal framing) stage the round-6 overflow,
+pending the round-6 window; ``round8.py`` (15: time-series
+diagnostics, distribution statistics, text richness, graded
+retrieval) banks surface for the round-8 window.
 """
 
 from __future__ import annotations
