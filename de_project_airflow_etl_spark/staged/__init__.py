@@ -19,7 +19,9 @@ and ``round7b.py`` (24: evaluation statistics, sketch set algebra,
 SQL surfaces, multimodal framing) stage the round-6 overflow,
 pending the round-6 window; ``round8.py`` (15: time-series
 diagnostics, distribution statistics, text richness, graded
-retrieval) banks surface for the round-8 window.
+retrieval) and ``round8b.py`` (13: six more daily-bar technical
+indicators, seven nonparametric / evaluation statistics) bank
+surface for the round-8 window.
 """
 
 from __future__ import annotations
@@ -49,3 +51,4 @@ def staged_query(name: str, oracle: str | None, doc: str = "",
 from de_project_airflow_etl_spark.staged import round7  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round7b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round8  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round8b  # noqa: E402,F401
