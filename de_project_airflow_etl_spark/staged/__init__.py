@@ -21,7 +21,10 @@ pending the round-6 window; ``round8.py`` (15: time-series
 diagnostics, distribution statistics, text richness, graded
 retrieval) and ``round8b.py`` (13: six more daily-bar technical
 indicators, seven nonparametric / evaluation statistics) bank
-surface for the round-8 window.
+surface for the round-8 window; ``round9.py`` (8: readability
+indices, dup-graph link prediction, forecast/calibration summaries,
+runs test, Page's trend, retrieval diversity, FILTER clause) banks
+surface for the round-9 window.
 """
 
 from __future__ import annotations
@@ -52,3 +55,4 @@ from de_project_airflow_etl_spark.staged import round7  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round7b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round8  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round8b  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round9  # noqa: E402,F401

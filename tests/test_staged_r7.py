@@ -55,6 +55,9 @@ _JUSTIFIED_BNLJ_BUILDS = {
     # 20-vector panel-broadcast shape (offset panel, vec_id < 510)
     "ndcg_retrieval_eval",
     "mrr_retrieval_eval",
+    # round-9 intra-list diversity reuses the identical fixed
+    # 20-vector panel broadcast (same _spark_topk_rel helper)
+    "ild_retrieval_diversity",
 }
 
 
