@@ -705,3 +705,184 @@ def ild_retrieval_diversity(spark: SparkSession,
         "aggregate(array_sort(pcos), CAST(0.0 AS DOUBLE),"
         " (acc, v) -> acc + v)"
         " / (n_items * (n_items - 1) DIV 2) AS mean_pair_cos")
+
+
+# ---------------------------------------------------------------------
+# Rescaled-range (R/S) table — the Hurst-exponent evidence without
+# the log-log fit (engine ln/log is not correctly rounded; the table
+# IS the statistic, the fit is a driver-side eyeball).
+
+RS_SCALES = (8, 16)
+
+
+@staged_query(
+    "rescaled_range_daily",
+    oracle=f"""
+        WITH d AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(SUM({_CENTS}) AS BIGINT) AS cents
+          FROM events GROUP BY 1
+        ),
+        arr AS (
+          SELECT list(cents ORDER BY day) AS a,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM d
+        ),
+        blocks AS (
+          SELECT s.scale, b.b,
+                 list_slice(arr.a, (b.b - 1) * s.scale + 1,
+                            b.b * s.scale) AS blk
+          FROM arr
+          CROSS JOIN (SELECT unnest([{", ".join(
+              f"CAST({x} AS BIGINT)" for x in RS_SCALES)}]) AS scale) s
+          CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+              arr.n // s.scale)) AS b) b
+        ),
+        m AS (
+          SELECT scale, b,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), blk),
+                             (acc, v) -> acc + v) AS sx,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), blk),
+                             (acc, v) -> acc + v * v) AS sxx,
+                 list_max(list_transform(generate_series(1, scale),
+                   i -> scale * list_reduce(list_prepend(
+                          CAST(0 AS BIGINT), list_slice(blk, 1, i)),
+                          (acc, v) -> acc + v) - i
+                        * list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          blk), (acc, v) -> acc + v))) AS maxt,
+                 list_min(list_transform(generate_series(1, scale),
+                   i -> scale * list_reduce(list_prepend(
+                          CAST(0 AS BIGINT), list_slice(blk, 1, i)),
+                          (acc, v) -> acc + v) - i
+                        * list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          blk), (acc, v) -> acc + v))) AS mint
+          FROM blocks
+        )
+        SELECT scale, b AS block,
+               CAST(GREATEST(maxt, 0) - LEAST(mint, 0) AS BIGINT)
+                 AS range_scaled,
+               CAST(scale * sxx - sx * sx AS BIGINT) AS var_scaled,
+               CASE WHEN scale * sxx - sx * sx = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(GREATEST(maxt, 0) - LEAST(mint, 0)
+                         AS DOUBLE)
+                         / SQRT(CAST(scale * sxx - sx * sx AS DOUBLE))
+                    END AS rs_stat
+        FROM m
+    """,
+    doc="Rescaled-range (R/S) table of daily revenue at window "
+        "scales 8 and 16 days: per block, the range of mean-adjusted "
+        "cumulative deviations over the population std — the Hurst-"
+        "exponent evidence (persistent series grow R/S faster with "
+        "scale) WITHOUT the log-log fit, because engine ln is not "
+        "correctly rounded; the table is the exact statistic and the "
+        "fit is a reader-side eyeball. Everything is integer until "
+        "one division and one sqrt: deviations are cleared of the "
+        "mean's denominator by scaling prefix sums by s (t_i = "
+        "s*prefix_i - i*sum, so R = (max t - min t)/s including the "
+        "i=0 baseline), and s^2 * variance = s*sum(x^2) - sum(x)^2 "
+        "exactly, so R/S = (max t - min t)/sqrt(s*sxx - sx^2) with "
+        "the s factors cancelling. All block work runs inside one "
+        "row's array lambdas (O(s^2) = 256 adds per block over the "
+        "CALENDAR-BOUNDED daily array). Plan: one map-side-"
+        "combinable daily rollup; a 1-row array collect; explode by "
+        "scale and block index.",
+    tags=("staged", "timeseries", "statistics"),
+)
+def rescaled_range_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (load(spark, sf_dir, "events")
+         .selectExpr("CAST(ts AS DATE) AS day", f"{_CENTS} AS c")
+         .groupBy("day").agg(F.sum("c").cast("long").alias("cents")))
+    arr = d.agg(
+        F.expr("transform(array_sort(collect_list(struct(day, cents))),"
+               " x -> x.cents)").alias("a"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    scales = ", ".join(f"CAST({x} AS BIGINT)" for x in RS_SCALES)
+    blocks = (arr.selectExpr("a", "n",
+                             f"explode(array({scales})) AS scale")
+                 .selectExpr(
+                     "scale",
+                     "explode(sequence(1, CAST(n DIV scale AS INT)))"
+                     " AS b",
+                     "a")
+                 .selectExpr(
+                     "scale", "CAST(b AS BIGINT) AS b",
+                     "slice(a, CAST((b - 1) * scale + 1 AS INT),"
+                     " CAST(scale AS INT)) AS blk"))
+    isum = ("aggregate({x}, CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    sx = isum.format(x="blk")
+    sxx = "aggregate(blk, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+    t_i = (f"scale * {isum.format(x='slice(blk, 1, CAST(i AS INT))')}"
+           f" - i * {sx}")
+    m = blocks.selectExpr(
+        "scale", "b",
+        f"{sx} AS sx", f"{sxx} AS sxx",
+        f"array_max(transform(sequence(1, CAST(scale AS INT)),"
+        f" i -> {t_i})) AS maxt",
+        f"array_min(transform(sequence(1, CAST(scale AS INT)),"
+        f" i -> {t_i})) AS mint")
+    return m.selectExpr(
+        "scale", "b AS block",
+        "CAST(GREATEST(maxt, 0) - LEAST(mint, 0) AS BIGINT)"
+        " AS range_scaled",
+        "CAST(scale * sxx - sx * sx AS BIGINT) AS var_scaled",
+        "CASE WHEN scale * sxx - sx * sx = 0 THEN CAST(NULL AS DOUBLE)"
+        " ELSE CAST(GREATEST(maxt, 0) - LEAST(mint, 0) AS DOUBLE)"
+        " / SQRT(CAST(scale * sxx - sx * sx AS DOUBLE)) END AS rs_stat")
+
+
+# ---------------------------------------------------------------------
+# Named WINDOW clause surface.
+
+
+@staged_query(
+    "named_window_daily_stats",
+    oracle=f"""
+        WITH d AS (
+          SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                 CAST(SUM({_CENTS}) AS BIGINT) AS cents
+          FROM events GROUP BY 1
+        )
+        SELECT day, cents,
+               lag(cents) OVER w AS prev_cents,
+               lead(cents) OVER w AS next_cents,
+               CAST(SUM(cents) OVER w7 AS BIGINT) AS sum_7d,
+               CAST(COUNT(*) OVER w7 AS BIGINT) AS n_7d,
+               CAST(row_number() OVER w AS BIGINT) AS day_idx
+        FROM d
+        WINDOW w AS (ORDER BY day),
+               w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                      AND CURRENT ROW)
+    """,
+    doc="SQL named WINDOW clause surface: a WINDOW clause defining "
+        "two reusable window specs — the bare day ordering shared by "
+        "lag/lead/row_number and a framed trailing-7-day variant "
+        "shared by the sum and count — the windowed-query ergonomics "
+        "feature that Spark and DuckDB both accept with literally "
+        "the same text (Spark accepts named-window REFERENCES only, "
+        "not in-place frame refinement of one, measured). Exact "
+        "integer cents; no division at all. Plan: one map-side-"
+        "combinable daily rollup; every window runs over the "
+        "calendar-bounded daily table under a single sort.",
+    tags=("staged", "sql-surface", "timeseries"),
+)
+def named_window_daily_stats(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("nwd_events")
+    return spark.sql(f"""
+        WITH d AS (
+          SELECT CAST(CAST(ts AS DATE) AS STRING) AS day,
+                 CAST(SUM({_CENTS}) AS BIGINT) AS cents
+          FROM nwd_events GROUP BY day
+        )
+        SELECT day, cents,
+               lag(cents) OVER w AS prev_cents,
+               lead(cents) OVER w AS next_cents,
+               CAST(SUM(cents) OVER w7 AS BIGINT) AS sum_7d,
+               CAST(COUNT(*) OVER w7 AS BIGINT) AS n_7d,
+               CAST(row_number() OVER w AS BIGINT) AS day_idx
+        FROM d
+        WINDOW w AS (ORDER BY day),
+               w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                      AND CURRENT ROW)
+    """)

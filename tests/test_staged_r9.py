@@ -23,6 +23,8 @@ SCAN_BUDGETS_R9 = {
     "runs_test_daily_updown": 1,
     "filter_clause_weekday_mix": 1,
     "ild_retrieval_diversity": 3,         # corpus + panel + join-back
+    "rescaled_range_daily": 1,
+    "named_window_daily_stats": 1,
 }
 
 
@@ -45,7 +47,7 @@ def _window_nodes(df):
 
 @pytest.mark.parametrize("name", [
     "theil_u_daily_forecasts", "runs_test_daily_updown",
-    "pages_trend_test_dow",
+    "pages_trend_test_dow", "named_window_daily_stats",
 ])
 def test_r9_windows_consume_aggregated_rows_only(spark, sf_dir, name):
     df = STAGED[name].fn(spark, sf_dir)
@@ -148,3 +150,26 @@ def test_r9_ild_bounded(spark, sf_dir):
         assert r.n_items == 10
         assert r.n_pairs == 45
         assert -1.0 - 1e-9 <= r.mean_pair_cos <= 1.0 + 1e-9
+
+
+def test_r9_rescaled_range_consistent(spark, sf_dir):
+    rows = STAGED["rescaled_range_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    scales = {r.scale for r in rows}
+    assert scales == {8, 16}
+    for r in rows:
+        assert r.range_scaled >= 0
+        assert r.var_scaled >= 0
+        if r.rs_stat is not None:
+            # 1 <= R/S <= sqrt(s) for any series of length s
+            assert 0.0 < r.rs_stat <= r.scale ** 0.5 + 1e-9
+
+
+def test_r9_named_window_consistent(spark, sf_dir):
+    rows = sorted(STAGED["named_window_daily_stats"].fn(
+        spark, sf_dir).collect(), key=lambda r: r.day)
+    assert rows
+    for i, r in enumerate(rows):
+        assert r.day_idx == i + 1
+        assert r.n_7d == min(7, i + 1)
+        assert r.sum_7d == sum(x.cents for x in rows[max(0, i - 6):i + 1])
