@@ -21,11 +21,11 @@ pending the round-6 window; ``round8.py`` (15: time-series
 diagnostics, distribution statistics, text richness, graded
 retrieval) and ``round8b.py`` (13: six more daily-bar technical
 indicators, seven nonparametric / evaluation statistics) bank
-surface for the round-8 window; ``round9.py`` (10: readability
+surface for the round-8 window; ``round9.py`` (11: readability
 indices, dup-graph link prediction, forecast/calibration summaries,
 runs test, Page's trend, retrieval diversity, rescaled-range table,
-FILTER and named-WINDOW clauses) banks surface for the round-9
-window.
+FILTER and named-WINDOW clauses, full-outer stream-stream join)
+banks surface for the round-9 window.
 """
 
 from __future__ import annotations

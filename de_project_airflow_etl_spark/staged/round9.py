@@ -886,3 +886,114 @@ def named_window_daily_stats(spark: SparkSession,
                w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
                       AND CURRENT ROW)
     """)
+
+
+# ---------------------------------------------------------------------
+# Stream-stream FULL OUTER join — completes the inner/left family in
+# streaming/stateful.py with both-side watermark-gated null emission.
+
+
+@staged_query(
+    "streaming_stream_stream_full_join",
+    oracle="""
+        WITH clicks AS (
+          SELECT user_id, ts AS click_ts, event_id AS click_event_id
+          FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+          SELECT user_id, ts AS purchase_ts, event_id
+          FROM events WHERE event_type = 'purchase'
+        ),
+        wm AS (
+          SELECT LEAST(
+            (SELECT (epoch_us(MAX(click_ts)) // 1000) * 1000
+             FROM clicks),
+            (SELECT (epoch_us(MAX(purchase_ts)) // 1000) * 1000
+             FROM purchases)) - 1000000 AS wm_us
+        ),
+        matched AS (
+          SELECT 'matched' AS side, p.user_id, p.event_id,
+                 c.click_event_id,
+                 epoch_us(p.purchase_ts) - epoch_us(c.click_ts)
+                   AS gap_us
+          FROM purchases p JOIN clicks c
+            ON p.user_id = c.user_id
+           AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 1 HOUR
+                              AND p.purchase_ts
+        ),
+        purchase_only AS (
+          SELECT 'purchase_only' AS side, p.user_id, p.event_id,
+                 CAST(NULL AS BIGINT) AS click_event_id,
+                 CAST(NULL AS BIGINT) AS gap_us
+          FROM purchases p, wm
+          WHERE NOT EXISTS (
+            SELECT 1 FROM clicks c
+            WHERE c.user_id = p.user_id
+              AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 1 HOUR
+                                 AND p.purchase_ts)
+            AND epoch_us(p.purchase_ts) < wm.wm_us
+        ),
+        click_only AS (
+          SELECT 'click_only' AS side, c.user_id,
+                 CAST(NULL AS BIGINT) AS event_id,
+                 c.click_event_id,
+                 CAST(NULL AS BIGINT) AS gap_us
+          FROM clicks c, wm
+          WHERE NOT EXISTS (
+            SELECT 1 FROM purchases p
+            WHERE p.user_id = c.user_id
+              AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 1 HOUR
+                                 AND p.purchase_ts)
+            AND epoch_us(c.click_ts) + 3600000000 < wm.wm_us
+        )
+        SELECT * FROM matched
+        UNION ALL SELECT * FROM purchase_only
+        UNION ALL SELECT * FROM click_only
+    """,
+    doc="Stream-stream FULL OUTER join with watermarks — the "
+        "completion of the inner/left family in streaming/"
+        "stateful.py: purchases join clicks in the preceding hour, "
+        "and BOTH sides emit null rows for unmatched state, each "
+        "gated by its own eviction point. The oracle encodes the "
+        "asymmetric rule exactly: an unmatched purchase is safe once "
+        "the global watermark (min-over-sides ms-floored max event "
+        "time minus the delay) passes purchase_ts — no earlier click "
+        "can still arrive — but an unmatched CLICK must wait until "
+        "the watermark passes click_ts + 1 HOUR, because a matching "
+        "purchase may arrive up to the range bound later; that "
+        "derived-constraint wait is what keeps full-outer join state "
+        "bounded at 100 TB. Drained with availableNow.",
+    tags=("staged", "streaming", "join", "outer"),
+)
+def streaming_stream_stream_full_join(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    from de_project_airflow_etl_spark.streaming.stateful import (
+        _drain, read_event_stream,
+    )
+    ev = read_event_stream(spark, sf_dir, with_watermark=None)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", F.col("ts").alias("click_ts"),
+                        F.col("event_id").alias("click_event_id"))
+                .withWatermark("click_ts", "1 second"))
+    ev2 = read_event_stream(spark, sf_dir, with_watermark=None)
+    purchases = (ev2.filter(F.col("event_type") == "purchase")
+                    .select(F.col("user_id").alias("p_user_id"),
+                            F.col("ts").alias("purchase_ts"),
+                            "event_id")
+                    .withWatermark("purchase_ts", "1 second"))
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("click_ts")
+           >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "fullOuter")
+    out = joined.select(
+        F.expr("CASE WHEN purchase_ts IS NULL THEN 'click_only'"
+               " WHEN click_ts IS NULL THEN 'purchase_only'"
+               " ELSE 'matched' END").alias("side"),
+        F.coalesce("p_user_id", "user_id").alias("user_id"),
+        "event_id", "click_event_id",
+        (F.unix_micros("purchase_ts")
+         - F.unix_micros("click_ts")).alias("gap_us"))
+    return _drain(out, spark, output_mode="append")

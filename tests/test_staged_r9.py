@@ -173,3 +173,22 @@ def test_r9_named_window_consistent(spark, sf_dir):
         assert r.day_idx == i + 1
         assert r.n_7d == min(7, i + 1)
         assert r.sum_7d == sum(x.cents for x in rows[max(0, i - 6):i + 1])
+
+
+def test_r9_full_join_sides_consistent(spark, sf_dir):
+    rows = STAGED["streaming_stream_stream_full_join"].fn(
+        spark, sf_dir).collect()
+    assert rows
+    sides = {r.side for r in rows}
+    assert "matched" in sides
+    for r in rows:
+        if r.side == "matched":
+            assert r.event_id is not None and r.click_event_id is not None
+            assert 0 <= r.gap_us <= 3_600_000_000
+        elif r.side == "purchase_only":
+            assert r.event_id is not None and r.click_event_id is None
+            assert r.gap_us is None
+        else:
+            assert r.side == "click_only"
+            assert r.event_id is None and r.click_event_id is not None
+            assert r.gap_us is None
