@@ -25,7 +25,10 @@ surface for the round-8 window; ``round9.py`` (11: readability
 indices, dup-graph link prediction, forecast/calibration summaries,
 runs test, Page's trend, retrieval diversity, rescaled-range table,
 FILTER and named-WINDOW clauses, full-outer stream-stream join)
-banks surface for the round-9 window.
+banks surface for the round-9 window; ``round10.py`` (6: cluster-
+validity indices over the embedding labels, Cliff's delta, Quade
+test, SMOG/Fog readability, MATTR lexical diversity) banks surface
+for the round-10 window.
 """
 
 from __future__ import annotations
@@ -57,3 +60,4 @@ from de_project_airflow_etl_spark.staged import round7b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round8  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round8b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round9  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round10  # noqa: E402,F401

@@ -1,0 +1,133 @@
+"""Targeted gates for the round-10 staged bank (cluster-validity
+indices, Cliff's delta, Quade test, SMOG/Fog, MATTR) — scan budgets,
+window shape evidence, and range invariants.
+
+The blanket oracle-match / non-empty / BNLJ gates in
+tests/test_staged_r7.py already parametrize over ALL staged queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
+from de_project_airflow_etl_spark.staged import STAGED
+
+SCAN_BUDGETS_R10 = {
+    # corpus pass + the panel's scalar-aggregate build (the panel is
+    # deliberately NOT checkpointed so the BNLJ gate can see its
+    # scalar root)
+    "simplified_silhouette_labels": 2,
+    # scatter table ckpt'd; the final pair math rebuilds the panel
+    "davies_bouldin_labels": 1,
+    "cliffs_delta_weekend": 0,           # distinct-cents table ckpt'd
+    "quade_test_dow": 0,                 # (week, dow) table ckpt'd
+    "smog_fog_readability_by_source": 1,
+    "mattr_lexical_diversity_by_source": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R10))
+def test_r10_final_plan_scan_budget(spark, sf_dir, name):
+    df = STAGED[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= SCAN_BUDGETS_R10[name], (
+        f"{name}: {n_scans} parquet scans (budget "
+        f"{SCAN_BUDGETS_R10[name]}) — a bounded multi-consumer "
+        f"intermediate lost its checkpoint")
+
+
+def _window_nodes(df):
+    jplan = df._jdf.queryExecution().sparkPlan()
+    return [n for n in _walk_jplan(jplan)
+            if n.getClass().getSimpleName().startswith("WindowExec")]
+
+
+@pytest.mark.parametrize("name", ["cliffs_delta_weekend",
+                                  "quade_test_dow"])
+def test_r10_windows_consume_aggregated_rows_only(spark, sf_dir, name):
+    df = STAGED[name].fn(spark, sf_dir)
+    windows = _window_nodes(df)
+    assert windows, f"{name}: expected a WindowExec"
+    for wnode in windows:
+        sub = list(_walk_jplan(wnode.children().apply(0)))
+        names = [ch.getClass().getSimpleName() for ch in sub]
+        assert any("Aggregate" in n for n in names) or not any(
+            "FileSourceScan" in n for n in names), (
+            f"{name}: window consumes un-aggregated file rows")
+
+
+@pytest.mark.parametrize("name", ["simplified_silhouette_labels",
+                                  "davies_bouldin_labels",
+                                  "smog_fog_readability_by_source",
+                                  "mattr_lexical_diversity_by_source"])
+def test_r10_panel_queries_use_no_data_windows(spark, sf_dir, name):
+    """The panel/aggregate queries reduce via array lambdas and plain
+    aggregates — any WindowExec present must sit above an Aggregate
+    (the centroid rebuild), never over raw file rows."""
+    df = STAGED[name].fn(spark, sf_dir)
+    for wnode in _window_nodes(df):
+        sub = list(_walk_jplan(wnode.children().apply(0)))
+        names = [ch.getClass().getSimpleName() for ch in sub]
+        assert any("Aggregate" in n for n in names) or not any(
+            "FileSourceScan" in n for n in names), name
+
+
+# ------------------------------------------------ range invariants
+
+
+def test_r10_silhouette_bounded(spark, sf_dir):
+    rows = STAGED["simplified_silhouette_labels"].fn(
+        spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_positive <= r.n_vecs
+        assert -1.0 - 1e-9 <= r.mean_silhouette <= 1.0 + 1e-9
+        # sum is the quantized per-point sum: |sum| <= n * scale
+        assert abs(r.sil_sum_fp) <= r.n_vecs * 1_000_000_000_000
+
+
+def test_r10_davies_bouldin_positive(spark, sf_dir):
+    rows = STAGED["davies_bouldin_labels"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.scatter_mean >= 0.0
+        assert r.r_max > 0.0
+
+
+def test_r10_cliffs_delta_bounded(spark, sf_dir):
+    row = STAGED["cliffs_delta_weekend"].fn(spark, sf_dir).collect()[0]
+    assert -1.0 - 1e-12 <= row.cliffs_delta <= 1.0 + 1e-12
+    assert row.n_weekend > 0 and row.n_weekday > 0
+
+
+def test_r10_quade_consistent(spark, sf_dir):
+    row = STAGED["quade_test_dow"].fn(spark, sf_dir).collect()[0]
+    assert row.n_blocks >= 1
+    assert row.a_term >= 0.0
+    assert row.b_term >= 0.0
+    # B <= A always (Cauchy-Schwarz over blocks)
+    assert row.b_term <= row.a_term + 1e-9
+    if row.f_stat is not None:
+        assert row.f_stat >= 0.0
+
+
+def test_r10_smog_fog_consistent(spark, sf_dir):
+    rows = STAGED["smog_fog_readability_by_source"].fn(
+        spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_complex <= r.n_words
+        assert r.fog_index >= 0.0
+        assert r.smog_index >= 3.1291 - 1e-12
+
+
+def test_r10_mattr_bounded(spark, sf_dir):
+    rows = STAGED["mattr_lexical_diversity_by_source"].fn(
+        spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs_scored >= 1
+        # TTR of a 25-token window is in (0, 1]
+        assert 0.0 < r.mean_mattr <= 1.0 + 1e-9
