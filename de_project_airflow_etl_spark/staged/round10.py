@@ -645,3 +645,151 @@ def mattr_lexical_diversity_by_source(spark: SparkSession,
                          f"CAST(mattr_sum_fp AS DOUBLE)"
                          f" / (n_docs_scored"
                          f" * {_dlit(float(SIL_SCALE))}) AS mean_mattr"))
+
+
+# ------------- Ansari-Bradley dispersion test: weekend vs weekday
+
+# Ansari-Bradley scores rank from BOTH ends of the pooled sample:
+# score(p) = min(p, N+1-p). For a tied run occupying positions
+# [lo+1, lo+cnt] the midscore convention assigns each element the
+# run's average score, so the run's 2x-score TOTAL is what matters:
+#   g2(x) = sum_{p=1..x} 2*min(p, N1-p)      (N1 = N+1, H = N1 DIV 2)
+#         = x(x+1)                            for x <= H
+#         = 2H(H+1) + 2(x-H)N1 - x(x+1)       for x >  H
+# — exact integers at any N via DECIMAL(38,0) (x^2 passes 2^63 once
+# N does 3e9). runtotal2_v = g2(lo+cnt) - g2(lo).
+
+
+def _g2(x: str, div: str) -> str:
+    h = f"((nn + 1) {div} 2)"
+    xd = f"CAST({x} AS DECIMAL(38,0))"
+    return (f"(CASE WHEN {x} <= {h} THEN {xd} * ({x} + 1)"
+            f" ELSE 2 * CAST({h} AS DECIMAL(38,0)) * ({h} + 1)"
+            f" + 2 * CAST({x} - {h} AS DECIMAL(38,0)) * (nn + 1)"
+            f" - {xd} * ({x} + 1) END)")
+
+
+_AB_TERM = ("cnt_we * (CAST(CAST(rt2 AS STRING) AS DOUBLE) / cnt_v)")
+_AB_SS = ("(CAST(CAST(rt2 AS STRING) AS DOUBLE)"
+          " * CAST(CAST(rt2 AS STRING) AS DOUBLE)) / cnt_v")
+
+
+@staged_query(
+    "ansari_bradley_weekend_value",
+    oracle=f"""
+        WITH b AS (
+          SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                   AS wknd,
+                 {_CENTS} AS c
+          FROM events
+        ),
+        gv AS (
+          SELECT c AS v,
+                 CAST(SUM(CASE WHEN wknd = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cnt_we,
+                 CAST(SUM(CASE WHEN wknd = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cnt_wd
+          FROM b GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(cnt_we) AS BIGINT) AS n1,
+                 CAST(SUM(cnt_wd) AS BIGINT) AS n2,
+                 CAST(SUM(cnt_we + cnt_wd) AS BIGINT) AS nn
+          FROM gv
+        ),
+        runs AS (
+          SELECT v, cnt_we, cnt_we + cnt_wd AS cnt_v,
+                 COALESCE(CAST(SUM(cnt_we + cnt_wd) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS lo,
+                 t.nn
+          FROM gv, tot t
+        ),
+        scored AS (
+          SELECT cnt_we, cnt_v,
+                 {_g2("(lo + cnt_v)", "//")} - {_g2("lo", "//")} AS rt2
+          FROM runs
+        ),
+        folded AS (
+          SELECT {_fold_sql(_AB_TERM)} AS ab2,
+                 {_fold_sql(_AB_SS)} AS ss2
+          FROM scored
+        ),
+        tot2 AS (
+          SELECT CAST(CAST((CASE WHEN nn <= ((nn + 1) // 2) THEN CAST(nn AS DECIMAL(38,0)) * (nn + 1) ELSE 2 * CAST(((nn + 1) // 2) AS DECIMAL(38,0)) * (((nn + 1) // 2) + 1) + 2 * CAST(nn - ((nn + 1) // 2) AS DECIMAL(38,0)) * (nn + 1) - CAST(nn AS DECIMAL(38,0)) * (nn + 1) END) AS STRING) AS DOUBLE) AS total2
+          FROM tot
+        ),
+        fin AS (
+          SELECT t.n1, t.n2, t.nn, f.ab2, f.ss2, t2.total2
+          FROM folded f, tot t, tot2 t2
+        )
+        SELECT n1 AS n_weekend, n2 AS n_weekday, ab2 AS ab2_stat,
+               n1 * total2 / nn AS e_ab2,
+               CAST(n1 AS DOUBLE) * n2 / (CAST(nn AS DOUBLE) * (nn - 1))
+                 * (ss2 - total2 * total2 / nn) AS var_ab2,
+               (ab2 - n1 * total2 / nn)
+                 / SQRT(CAST(n1 AS DOUBLE) * n2
+                   / (CAST(nn AS DOUBLE) * (nn - 1))
+                   * (ss2 - total2 * total2 / nn)) AS z_stat
+        FROM fin
+    """,
+    doc="Ansari-Bradley test: do weekend and weekday values differ "
+        "in DISPERSION — the rank-based scale test that needs no "
+        "moments at all (the nonparametric companion to the staged "
+        "Brown-Forsythe, which is median-but-moment-based). Scores "
+        "rank from both ends of the pooled sample; tied runs get the "
+        "midscore convention via a CLOSED-FORM triangular sum "
+        "g2(x) over the run's position span — exact DECIMAL(38,0) "
+        "integers per distinct value, no per-row ranking anywhere. "
+        "The per-value midscore terms (rational: run total / run "
+        "size) reduce via the sorted fold; the finite-population "
+        "mean/variance and one sqrt finish it. Plan: one map-side-"
+        "combinable per-cents aggregate; the position cumulation "
+        "window runs over the value-domain-bounded distinct table "
+        "(the roc_auc shape); 1-row math.",
+    tags=("staged", "statistics",),
+)
+def ansari_bradley_weekend_value(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    b = load(spark, sf_dir, "events").selectExpr(
+        "CASE WHEN (dayofweek(ts) - 1) IN (0, 6) THEN 1 ELSE 0 END"
+        " AS wknd",
+        f"{_CENTS} AS c")
+    gv = (b.groupBy(F.col("c").alias("v"))
+           .agg(F.sum(F.when(F.col("wknd") == 1, 1).otherwise(0))
+                 .cast("long").alias("cnt_we"),
+                F.sum(F.when(F.col("wknd") == 0, 1).otherwise(0))
+                 .cast("long").alias("cnt_wd"))
+           .localCheckpoint())
+    tot = gv.agg(F.sum("cnt_we").cast("long").alias("n1"),
+                 F.sum("cnt_wd").cast("long").alias("n2"),
+                 F.expr("CAST(SUM(cnt_we + cnt_wd) AS BIGINT)")
+                  .alias("nn"))
+    cumw = (Window.orderBy("v")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    runs = (gv.select(
+                "v", "cnt_we",
+                (F.col("cnt_we") + F.col("cnt_wd")).alias("cnt_v"),
+                F.coalesce(F.sum(F.col("cnt_we") + F.col("cnt_wd"))
+                            .over(cumw).cast("long"), F.lit(0))
+                 .alias("lo"))
+              .crossJoin(F.broadcast(tot)))
+    scored = runs.selectExpr(
+        "cnt_we", "cnt_v",
+        f"{_g2('(lo + cnt_v)', 'DIV')} - {_g2('lo', 'DIV')} AS rt2")
+    folded = scored.agg(
+        F.expr(_fold_spark(f"collect_list({_AB_TERM})")).alias("ab2"),
+        F.expr(_fold_spark(f"collect_list({_AB_SS})")).alias("ss2"))
+    fin = (folded.crossJoin(F.broadcast(tot))
+                 .selectExpr(
+                     "n1", "n2", "nn", "ab2", "ss2",
+                     f"CAST(CAST({_g2('nn', 'DIV')} AS STRING)"
+                     " AS DOUBLE) AS total2"))
+    e_ab2 = "n1 * total2 / nn"
+    var = ("CAST(n1 AS DOUBLE) * n2 / (CAST(nn AS DOUBLE) * (nn - 1))"
+           " * (ss2 - total2 * total2 / nn)")
+    return fin.selectExpr(
+        "n1 AS n_weekend", "n2 AS n_weekday", "ab2 AS ab2_stat",
+        f"{e_ab2} AS e_ab2",
+        f"{var} AS var_ab2",
+        f"(ab2 - {e_ab2}) / SQRT({var}) AS z_stat")

@@ -24,6 +24,7 @@ SCAN_BUDGETS_R10 = {
     "quade_test_dow": 0,                 # (week, dow) table ckpt'd
     "smog_fog_readability_by_source": 1,
     "mattr_lexical_diversity_by_source": 1,
+    "ansari_bradley_weekend_value": 0,   # distinct-cents table ckpt'd
 }
 
 
@@ -45,7 +46,8 @@ def _window_nodes(df):
 
 
 @pytest.mark.parametrize("name", ["cliffs_delta_weekend",
-                                  "quade_test_dow"])
+                                  "quade_test_dow",
+                                  "ansari_bradley_weekend_value"])
 def test_r10_windows_consume_aggregated_rows_only(spark, sf_dir, name):
     df = STAGED[name].fn(spark, sf_dir)
     windows = _window_nodes(df)
@@ -131,3 +133,17 @@ def test_r10_mattr_bounded(spark, sf_dir):
         assert r.n_docs_scored >= 1
         # TTR of a 25-token window is in (0, 1]
         assert 0.0 < r.mean_mattr <= 1.0 + 1e-9
+
+
+def test_r10_ansari_bradley_consistent(spark, sf_dir):
+    row = STAGED["ansari_bradley_weekend_value"].fn(
+        spark, sf_dir).collect()[0]
+    n = row.n_weekend + row.n_weekday
+    # total 2x-scores = g2(N); weekend share bounded by the whole
+    assert 0.0 < row.ab2_stat
+    assert row.e_ab2 > 0.0
+    assert row.var_ab2 > 0.0
+    assert row.z_stat == row.z_stat
+    # each element's 2x midscore is in [2, N+1]
+    assert row.ab2_stat >= 2.0 * row.n_weekend - 1e-6
+    assert row.ab2_stat <= (n + 1.0) * row.n_weekend + 1e-6
