@@ -32,7 +32,8 @@ from __future__ import annotations
 from datetime import date, timedelta
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, DataSourceWriter, InputPartition,
+    DataSource, DataSourceReader, DataSourceStreamWriter,
+    DataSourceWriter, InputPartition,
     SimpleDataSourceStreamReader, WriterCommitMessage,
 )
 
@@ -235,6 +236,82 @@ class JsonlSinkWriter(DataSourceWriter):
                       ignore_errors=True)
 
 
+class JsonlStreamSinkWriter(DataSourceStreamWriter):
+    """Streaming twin of :class:`JsonlSinkWriter`: each microbatch's
+    tasks stage files and the driver commit renames them into place
+    under batch-scoped names, appending a per-batch entry to a
+    ``_STREAM_MANIFEST.json``. EXACTLY-ONCE across engine retries: a
+    replayed batchId that is already in the manifest discards its
+    staging files instead of committing twice (the same applied-batch
+    idempotency gate the foreachBatch MERGE sink uses), so the sink's
+    contents are a function of the committed offsets, not of how many
+    attempts it took."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        if "path" not in options:
+            raise ValueError("jsonl stream sink requires option 'path'")
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> JsonlCommit:
+        import json
+        import os
+        import uuid
+
+        stage = os.path.join(self.path, "_staging")
+        os.makedirs(stage, exist_ok=True)
+        tmp = os.path.join(stage, f"task-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(recursive=True),
+                                   default=str) + "\n")
+                n += 1
+        return JsonlCommit(tmp, n)
+
+    def _manifest_path(self) -> str:
+        import os
+        return os.path.join(self.path, "_STREAM_MANIFEST.json")
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = {"batches": {}}
+        if os.path.exists(self._manifest_path()):
+            with open(self._manifest_path()) as f:
+                manifest = json.load(f)
+        if str(batchId) in manifest["batches"]:
+            # replayed batch: already committed — drop the staging
+            # files, never double-append (exactly-once)
+            for m in messages:
+                if m is not None and os.path.exists(m.tmp_path):
+                    os.remove(m.tmp_path)
+            return
+        entry = []
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(
+                self.path, f"batch-{batchId:05d}-{i:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+            entry.append({"file": os.path.basename(final),
+                          "rows": m.n_rows})
+        manifest["batches"][str(batchId)] = entry
+        manifest["total_rows"] = sum(
+            e["rows"] for b in manifest["batches"].values() for e in b)
+        tmp_manifest = self._manifest_path() + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_manifest, self._manifest_path())
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class LaunchLibraryDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -256,3 +333,7 @@ class LaunchLibraryDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
         return JsonlSinkWriter(self.options, overwrite)
+
+    def streamWriter(self, schema,
+                     overwrite: bool) -> JsonlStreamSinkWriter:
+        return JsonlStreamSinkWriter(self.options, overwrite)

@@ -793,3 +793,68 @@ def ansari_bradley_weekend_value(spark: SparkSession,
         f"{e_ab2} AS e_ab2",
         f"{var} AS var_ab2",
         f"(ab2 - {e_ab2}) / SQRT({var}) AS z_stat")
+
+
+# ---------------- Python Data Source STREAMING writer: JSONL sink
+
+
+@staged_query(
+    "jsonl_stream_sink_roundtrip",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
+        FROM events
+        WHERE event_id % 19 = 0
+        GROUP BY event_type
+    """,
+    doc="Write-path attestation for the Python Data Source STREAMING "
+        "JSONL sink (sources/launch_library.py JsonlStreamSinkWriter "
+        "— completing the DS matrix: batch read/write + stream "
+        "read/write): a deterministic events slice streams out "
+        "through the sink's per-microbatch two-phase commit "
+        "(task-staged files, driver rename under batch-scoped names, "
+        "a _STREAM_MANIFEST with an applied-batch idempotency gate "
+        "so replayed batchIds never double-append), is read back "
+        "from the committed batch files with an explicit schema, and "
+        "is aggregated — the driver hash covers the full streaming "
+        "write->commit->read round trip. Exactly-once is the "
+        "MANIFEST's property, not the trigger's: a retried batch "
+        "discards its staging files. Scale: commits are O(tasks) "
+        "driver renames per batch; row data never moves through the "
+        "driver.",
+    tags=("staged", "streaming", "sink", "datasource"),
+)
+def jsonl_stream_sink_roundtrip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from de_project_airflow_etl_spark.queries.surfaces_r6 import _tmp_dir
+    from de_project_airflow_etl_spark.sources.launch_library import (
+        LaunchLibraryDataSource,
+    )
+    from de_project_airflow_etl_spark.streaming.ingest import (
+        read_event_stream,
+    )
+    spark.dataSource.register(LaunchLibraryDataSource)
+    out = _tmp_dir("jsonl_stream", sf_dir)
+    cp = _tmp_dir("jsonl_stream_cp", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+    src = (read_event_stream(spark, sf_dir, with_watermark=None)
+           .filter(F.col("event_id") % 19 == 0)
+           .selectExpr("event_id", "event_type", f"{_CENTS} AS cents"))
+    q = (src.writeStream.format("launch_library")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("jsonl_stream_sink_roundtrip: timed out")
+    back = spark.read.schema(
+        "event_id long, event_type string, cents long"
+    ).json(os.path.join(out, "batch-*.jsonl"))
+    return (back.groupBy("event_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                     F.sum("cents").cast("long").alias("sum_cents")))

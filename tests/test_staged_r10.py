@@ -26,6 +26,8 @@ SCAN_BUDGETS_R10 = {
     "mattr_lexical_diversity_by_source": 1,
     "ansari_bradley_weekend_value": 0,   # distinct-cents table ckpt'd
 }
+# jsonl_stream_sink_roundtrip deliberately has NO scan budget: its
+# plan is a read-back of the files the streaming sink just committed.
 
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R10))
@@ -147,3 +149,48 @@ def test_r10_ansari_bradley_consistent(spark, sf_dir):
     # each element's 2x midscore is in [2, N+1]
     assert row.ab2_stat >= 2.0 * row.n_weekend - 1e-6
     assert row.ab2_stat <= (n + 1.0) * row.n_weekend + 1e-6
+
+
+def test_r10_stream_sink_replayed_batch_commits_once(tmp_path):
+    """The streaming sink's manifest gate: committing the SAME batchId
+    twice must not double-append — the second commit discards its
+    staging files (exactly-once across engine retries)."""
+    import json
+    import os
+
+    from de_project_airflow_etl_spark.sources.launch_library import (
+        JsonlCommit, JsonlStreamSinkWriter,
+    )
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    w = JsonlStreamSinkWriter({"path": out}, overwrite=False)
+
+    def staged(rows):
+        stage = os.path.join(out, "_staging")
+        os.makedirs(stage, exist_ok=True)
+        p = os.path.join(stage, f"t{rows}.jsonl")
+        with open(p, "w") as f:
+            for i in range(rows):
+                f.write(json.dumps({"i": i}) + "\n")
+        return JsonlCommit(p, rows)
+
+    w.commit([staged(3)], batchId=0)
+    w.commit([staged(2)], batchId=1)
+    # replay batch 1 with different staged content
+    replay = staged(5)
+    w.commit([replay], batchId=1)
+    with open(os.path.join(out, "_STREAM_MANIFEST.json")) as f:
+        m = json.load(f)
+    assert m["total_rows"] == 5  # 3 + 2, replay discarded
+    assert not os.path.exists(replay.tmp_path)
+    files = [n for n in os.listdir(out) if n.startswith("batch-")]
+    assert sorted(files) == ["batch-00000-00000.jsonl",
+                             "batch-00001-00000.jsonl"]
+
+
+def test_r10_stream_sink_roundtrip_nonempty(spark, sf_dir):
+    rows = STAGED["jsonl_stream_sink_roundtrip"].fn(
+        spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events > 0 and r.sum_cents >= 0
