@@ -115,3 +115,79 @@ def udtf_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM gap_stats(TABLE(SELECT user_id, ts FROM events)
                                 PARTITION BY user_id ORDER BY ts)
     """)
+
+
+# ------------------- UDTF with analyze(): schema computed per call
+
+
+@query(
+    "udtf_props_dynamic_schema",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS sum_k,
+               CAST(SUM(CASE WHEN json_extract(props, '$.missing')
+                 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Polymorphic Python UDTF with a static analyze() (Spark 4): "
+        "the OUTPUT SCHEMA is computed per call site from the "
+        "constant keys argument — parse_props(props, 'k,missing') "
+        "binds one BIGINT column per requested JSON key at analysis "
+        "time, the table-function analog of from_json with a "
+        "call-provided schema. The query requests one key present in "
+        "every row and one absent (its column is all NULL), then "
+        "aggregates — so the driver hash pins registration, the "
+        "AnalyzeResult schema, per-row JSON extraction AND null "
+        "semantics against a relational json_extract oracle. Plan: "
+        "the UDTF runs in the scan's project (ArrowEvalPython "
+        "batches); the aggregate above it is map-side combinable.",
+    tags=("udtf", "sql-surface", "text"),
+)
+def udtf_props_dynamic_schema(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import LongType, StructType
+
+    @udtf
+    class ParseProps:
+        """JSON props + constant key list -> one typed column per
+        key; schema decided by analyze() from the literal argument."""
+
+        @staticmethod
+        def analyze(props: AnalyzeArgument,
+                    keys: AnalyzeArgument) -> AnalyzeResult:
+            if not keys.isConstantExpression:
+                raise ValueError("keys must be a constant string")
+            schema = StructType()
+            for k in str(keys.value).split(","):
+                schema = schema.add(f"v_{k.strip()}", LongType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, props: str, keys: str):
+            import json
+            try:
+                d = json.loads(props) if props is not None else {}
+            except ValueError:
+                d = {}
+            out = []
+            for k in keys.split(","):
+                v = d.get(k.strip())
+                out.append(int(v) if isinstance(v, (int, float))
+                           else None)
+            yield tuple(out)
+
+    spark.udtf.register("parse_props", ParseProps)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql("""
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(p.v_k) AS BIGINT) AS sum_k,
+               CAST(SUM(CASE WHEN p.v_missing IS NULL THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_missing
+        FROM events e,
+             LATERAL parse_props(e.props, 'k,missing') p
+        GROUP BY e.event_type
+    """)
