@@ -25,10 +25,11 @@ surface for the round-8 window; ``round9.py`` (11: readability
 indices, dup-graph link prediction, forecast/calibration summaries,
 runs test, Page's trend, retrieval diversity, rescaled-range table,
 FILTER and named-WINDOW clauses, full-outer stream-stream join)
-banks surface for the round-9 window; ``round10.py`` (8: cluster-
+banks surface for the round-9 window; ``round10.py`` (9: cluster-
 validity indices over the embedding labels, Cliff's delta, Quade
 and Ansari-Bradley tests, SMOG/Fog readability, MATTR lexical
-diversity, the Python Data Source STREAMING writer round-trip)
+diversity, the Python Data Source STREAMING writer round-trip, the
+Arrow-optimized scalar Python UDF path)
 banks surface for the round-10 window.
 """
 

@@ -194,3 +194,16 @@ def test_r10_stream_sink_roundtrip_nonempty(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.n_events > 0 and r.sum_cents >= 0
+
+
+def test_r10_arrow_udf_plans_arrow_not_pickle(spark, sf_dir):
+    """useArrow=True must plan as ArrowEvalPython — BatchEvalPython
+    would be the 10-100x-slower pickled-row path."""
+    df = STAGED["arrow_udf_text_normalize"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_distinct_norm <= r.n_docs
