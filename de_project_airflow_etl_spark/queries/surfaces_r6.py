@@ -72,9 +72,9 @@ JSONL_KEY_MOD = 97  # slice filter: keeps the written file tiny at any sf
 )
 def jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_project_airflow_etl_spark.sources.launch_library import (
-        LaunchLibraryDataSource,
+        register_launch_source,
     )
-    spark.dataSource.register(LaunchLibraryDataSource)
+    register_launch_source(spark)
     out = _tmp_dir("jsonl", sf_dir)
     src = (load(spark, sf_dir, "orders")
            .filter(F.col("o_orderkey") % JSONL_KEY_MOD == 0)

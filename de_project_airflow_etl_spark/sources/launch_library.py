@@ -10,7 +10,7 @@ incremental run degenerates to the reference's behavior exactly.
 
 Usage::
 
-    spark.dataSource.register(LaunchLibraryDataSource)
+    register_launch_source(spark)   # registers + enables pushdown
     df = (spark.read.format("launch_library")
                .option("start", "2024-12-01").option("end", "2024-12-04")
                .load())
@@ -76,6 +76,51 @@ class LaunchLibraryReader(DataSourceReader):
         self.end = options.get("end")  # half-open; default: start + 1 day
         self.fetcher = options.get("fetcher", "fixture")
         self.fixture_n = int(options.get("fixture_n", "5"))
+        # day bounds tightened by pushFilters (inclusive ISO days)
+        self.lo_day: str | None = None
+        self.hi_day: str | None = None
+
+    def pushFilters(self, filters):
+        """Partition pruning at the SOURCE (Spark 4.1 Python Data
+        Source filter pushdown): ``net`` is an ISO-8601 string, so its
+        first 10 chars are the partition day and string comparison IS
+        chronological — a bound on ``net`` bounds the day range, and
+        ``partitions()`` skips whole days (whole API calls) outside
+        it. ALL filters are returned as residuals: Spark still
+        evaluates them post-scan, so pruning is a pure optimization
+        and exactness never depends on this method — the contract
+        that makes pushdown safe to extend."""
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+            LessThanOrEqual,
+        )
+
+        def day_of(value) -> str | None:
+            v = str(value)
+            return v[:10] if len(v) >= 10 else None
+
+        for f in filters:
+            try:
+                if f.attribute != ("net",):
+                    continue
+            except AttributeError:
+                continue
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                d = day_of(f.value)
+                if d and (self.lo_day is None or d > self.lo_day):
+                    self.lo_day = d
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                d = day_of(f.value)
+                if d and (self.hi_day is None or d < self.hi_day):
+                    self.hi_day = d
+            elif isinstance(f, EqualTo):
+                d = day_of(f.value)
+                if d:
+                    if self.lo_day is None or d > self.lo_day:
+                        self.lo_day = d
+                    if self.hi_day is None or d < self.hi_day:
+                        self.hi_day = d
+        return filters
 
     def partitions(self):
         d0 = date.fromisoformat(self.start)
@@ -83,7 +128,10 @@ class LaunchLibraryReader(DataSourceReader):
               else d0 + timedelta(days=1))
         days = []
         while d0 < d1:
-            days.append(DayPartition(d0.isoformat()))
+            day = d0.isoformat()
+            if ((self.lo_day is None or day >= self.lo_day)
+                    and (self.hi_day is None or day <= self.hi_day)):
+                days.append(DayPartition(day))
             d0 += timedelta(days=1)
         return days
 
@@ -337,3 +385,14 @@ class LaunchLibraryDataSource(DataSource):
     def streamWriter(self, schema,
                      overwrite: bool) -> JsonlStreamSinkWriter:
         return JsonlStreamSinkWriter(self.options, overwrite)
+
+
+def register_launch_source(spark) -> None:
+    """Register the data source AND enable Python-source filter
+    pushdown: Spark 4.1 refuses to plan a reader that implements
+    pushFilters() while spark.sql.python.filterPushdown.enabled is
+    false (hard error, not a silent skip), and the conf is
+    runtime-settable — so registration and the conf travel together
+    and driver-supplied vanilla sessions keep working."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LaunchLibraryDataSource)

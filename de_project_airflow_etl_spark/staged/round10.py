@@ -832,12 +832,12 @@ def jsonl_stream_sink_roundtrip(spark: SparkSession,
 
     from de_project_airflow_etl_spark.queries.surfaces_r6 import _tmp_dir
     from de_project_airflow_etl_spark.sources.launch_library import (
-        LaunchLibraryDataSource,
+        register_launch_source,
     )
     from de_project_airflow_etl_spark.streaming.ingest import (
         read_event_stream,
     )
-    spark.dataSource.register(LaunchLibraryDataSource)
+    register_launch_source(spark)
     out = _tmp_dir("jsonl_stream", sf_dir)
     cp = _tmp_dir("jsonl_stream_cp", sf_dir)
     shutil.rmtree(out, ignore_errors=True)

@@ -15,7 +15,10 @@ from de_project_airflow_etl_spark.sources.launch_library import (
 
 @pytest.fixture(scope="module", autouse=True)
 def _register(spark):
-    spark.dataSource.register(LaunchLibraryDataSource)
+    from de_project_airflow_etl_spark.sources.launch_library import (
+        register_launch_source,
+    )
+    register_launch_source(spark)
 
 
 def test_single_day_read(spark):
@@ -108,7 +111,10 @@ def test_jsonl_sink_two_phase_commit(spark, sf_dir, tmp_path):
     )
     from de_project_airflow_etl_spark.tables import load
 
-    spark.dataSource.register(LaunchLibraryDataSource)
+    from de_project_airflow_etl_spark.sources.launch_library import (
+        register_launch_source,
+    )
+    register_launch_source(spark)
     out = str(tmp_path / "jsonl_sink")
     os.makedirs(out, exist_ok=True)
     src = load(spark, sf_dir, "nation")
@@ -140,3 +146,55 @@ def test_jsonl_sink_two_phase_commit(spark, sf_dir, tmp_path):
     assert spark.read.schema(src.schema).json(f"{out}/part-*.jsonl").count() == 8
     names = sorted(e["file"] for e in manifest3["files"])
     assert len(names) == len(set(names)) == 3  # 1 from overwrite + 2 appended
+
+
+# ------------------- Spark 4.1 filter pushdown: day-partition pruning
+
+
+def test_reader_pushdown_prunes_day_partitions():
+    """pushFilters on the ISO `net` string must tighten the day range
+    partitions() generates — whole API calls skipped at the source —
+    while returning every filter as a residual (Spark re-applies
+    them, so pruning can never change results)."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThanOrEqual, LessThan, StringStartsWith,
+    )
+
+    from de_project_airflow_etl_spark.sources.launch_library import (
+        LaunchLibraryReader,
+    )
+    r = LaunchLibraryReader({"start": "2024-12-01", "end": "2024-12-08"})
+    assert len(r.partitions()) == 7
+    filters = [GreaterThanOrEqual(("net",), "2024-12-03T00:00:00Z"),
+               LessThan(("net",), "2024-12-05T12:00:00Z"),
+               StringStartsWith(("name",), "Mission")]
+    residual = r.pushFilters(filters)
+    assert list(residual) == filters  # all residual, by reference
+    days = [p.day for p in r.partitions()]
+    assert days == ["2024-12-03", "2024-12-04", "2024-12-05"]
+
+    r2 = LaunchLibraryReader({"start": "2024-12-01",
+                              "end": "2024-12-08"})
+    r2.pushFilters([EqualTo(("net",), "2024-12-04T07:13:00Z")])
+    assert [p.day for p in r2.partitions()] == ["2024-12-04"]
+
+
+def test_reader_pushdown_end_to_end_equals_unpruned(spark):
+    """The pruned scan must return exactly the rows the unpruned scan
+    plus a post-filter returns (fixture fetcher, 3 days x 4 rows)."""
+    from de_project_airflow_etl_spark.sources.launch_library import (
+        register_launch_source,
+    )
+    register_launch_source(spark)
+    base = (spark.read.format("launch_library")
+                 .option("start", "2024-12-01")
+                 .option("end", "2024-12-04")
+                 .option("fixture_n", "4").load())
+    pushed = base.filter("net >= '2024-12-02T00:00:00Z'")
+    expect = sorted(
+        (r["id"], r["net"]) for r in base.collect()
+        if r["net"] >= "2024-12-02T00:00:00Z")
+    got = sorted((r["id"], r["net"]) for r in pushed.collect())
+    assert got == expect
+    # two of the three days survive the bound
+    assert {net[:10] for _, net in got} == {"2024-12-02", "2024-12-03"}
