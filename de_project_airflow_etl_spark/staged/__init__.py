@@ -30,7 +30,10 @@ validity indices over the embedding labels, Cliff's delta, Quade
 and Ansari-Bradley tests, SMOG/Fog readability, MATTR lexical
 diversity, the Python Data Source STREAMING writer round-trip, the
 Arrow-optimized scalar Python UDF path)
-banks surface for the round-10 window.
+banks surface for the round-10 window; ``round11.py`` (6:
+changepoint/randomness diagnostics — Pettitt, Cox-Stuart, Dixon's Q,
+turning points — token-frequency Gini, Nelson-Aalen cumulative
+hazard) banks surface for the round-11 window.
 """
 
 from __future__ import annotations
@@ -63,3 +66,4 @@ from de_project_airflow_etl_spark.staged import round8  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round8b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round9  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round10  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round11  # noqa: E402,F401
