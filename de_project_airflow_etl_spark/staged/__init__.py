@@ -33,7 +33,10 @@ Arrow-optimized scalar Python UDF path)
 banks surface for the round-10 window; ``round11.py`` (6:
 changepoint/randomness diagnostics — Pettitt, Cox-Stuart, Dixon's Q,
 turning points — token-frequency Gini, Nelson-Aalen cumulative
-hazard) banks surface for the round-11 window.
+hazard) banks surface for the round-11 window; ``round12.py`` (5:
+the experimentation/operations bank — SRM audit, CUPED lift,
+Little's law, Croston's method, Burrows' Delta) banks surface for
+the round-12 window.
 """
 
 from __future__ import annotations
@@ -67,3 +70,4 @@ from de_project_airflow_etl_spark.staged import round8b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round9  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round10  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round12  # noqa: E402,F401
