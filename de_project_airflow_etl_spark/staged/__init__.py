@@ -36,7 +36,9 @@ turning points — token-frequency Gini, Nelson-Aalen cumulative
 hazard) banks surface for the round-11 window; ``round12.py`` (5:
 the experimentation/operations bank — SRM audit, CUPED lift,
 Little's law, Croston's method, Burrows' Delta) banks surface for
-the round-12 window.
+the round-12 window; ``round13.py`` (3: the privacy/governance bank
+— k-anonymity, l-diversity, DP sensitivity audits) banks surface
+for the round-13 window.
 """
 
 from __future__ import annotations
@@ -71,3 +73,4 @@ from de_project_airflow_etl_spark.staged import round9  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round10  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round13  # noqa: E402,F401
