@@ -36,15 +36,16 @@ turning points — token-frequency Gini, Nelson-Aalen cumulative
 hazard) banks surface for the round-11 window; ``round12.py`` (5:
 the experimentation/operations bank — SRM audit, CUPED lift,
 Little's law, Croston's method, Burrows' Delta) banks surface for
-the round-12 window; ``round13.py`` (1: the
-differential-privacy sensitivity audit; its k-anonymity/l-diversity
+the round-12 window; ``round13.py`` (2: the
+differential-privacy sensitivity audit — its k-anonymity/l-diversity
 siblings were dropped as near-duplicates of the registered
-k_anonymity_audit) banks surface for the round-13 window.
+k_anonymity_audit — and the SQL-language UDF surface) banks surface
+for the round-13 window.
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so round 7 promotes round7+round7b (36),
 round 8 promotes round8+round8b (28), and rounds 9-13's banks sum
-to 32 — a promoting session may fold them into one window when the
+to 33 — a promoting session may fold them into one window when the
 retry count leaves room. Every bank is already sweep-verified at
 sf0.001/0.01/0.1 (the recorded promotion precondition).
 """

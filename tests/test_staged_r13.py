@@ -22,3 +22,17 @@ def test_r13_dp_sensitivity_consistent(spark, sf_dir):
     assert 0.0 < row.max_user_share <= 1.0
     # max >= mean always
     assert row.linf_sum_sensitivity_c / 100 >= row.mean_user_total - 1e-9
+
+
+def test_r13_sql_udfs_inline_no_python(spark, sf_dir):
+    """SQL UDFs must inline into ordinary expressions — no Python
+    eval node anywhere in the plan (that is their whole point)."""
+    df = STAGED["sql_udf_band_rollup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") <= 1
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.band_label == f"band_{r.band}"
+        assert r.revenue >= 0.0
