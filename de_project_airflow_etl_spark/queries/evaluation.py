@@ -1,6 +1,7 @@
-"""Round-7 staged queries, second bank: classifier/retrieval
-evaluation and hypothesis-test statistics (see staged/__init__.py for
-the window-arithmetic rationale).
+"""Round-7 surface bank, second half: classifier/retrieval evaluation
+and hypothesis-test statistics. Staged during round 6 as
+``staged/round7b.py``; promoted into the registry in round 7 after the
+recorded sf0.01 + sf0.1 staged sweeps ran green.
 
 Same contract as registered queries: ``(spark, sf_dir) -> DataFrame``
 plus an exact DuckDB oracle, identical column aliases on both sides,
@@ -32,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 # wide exact integer (DECIMAL(38,0)) -> double through the decimal
@@ -66,7 +67,7 @@ _AUC = (f"{_wide('num2')} / "
         f"{_wide('CAST(2 * n_pos AS DECIMAL(38,0)) * n_neg')}")
 
 
-@staged_query(
+@query(
     "roc_auc_purchase_value",
     oracle=f"""
         WITH g AS (
@@ -107,7 +108,7 @@ _AUC = (f"{_wide('num2')} / "
         "division rides the decimal-string->double route. Plan: one "
         "map-side-combinable aggregate on the fact table, one window "
         "+ final aggregate over the bounded score table.",
-    tags=("staged", "evaluation", "statistics"),
+    tags=("evaluation", "statistics"),
 )
 def roc_auc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").selectExpr(
@@ -150,7 +151,7 @@ _WELCH_DF = (f"({_SE2} * {_SE2}) / "
              f" + (var_d / n_d) * (var_d / n_d) / (n_d - 1))")
 
 
-@staged_query(
+@query(
     "welch_t_test_weekend_value",
     oracle=f"""
         WITH b AS (
@@ -201,7 +202,7 @@ _WELCH_DF = (f"({_SE2} * {_SE2}) / "
         "dayofweek is 1=Sunday, shifted by -1. Plan: a single "
         "partial+final aggregate producing one row — nothing "
         "data-sized past the scan at 100 TB.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def welch_t_test_weekend_value(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -257,7 +258,7 @@ def _anova_final(dialect_fold_done: str) -> str:
         Q=_wide("q_tot")) + dialect_fold_done
 
 
-@staged_query(
+@query(
     "anova_event_type_value",
     oracle=f"""
         WITH g AS (
@@ -294,7 +295,7 @@ def _anova_final(dialect_fold_done: str) -> str:
         "event-type groups, never raw rows. Plan: one "
         "map-side-combinable aggregate on the fact table, then a "
         "5-row regroup; a single row out.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def anova_event_type_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load(spark, sf_dir, "events").groupBy("event_type").agg(
@@ -327,7 +328,7 @@ _V_FINAL = ("SQRT(chi2 / (CAST(n_total AS DOUBLE)"
             " * (CAST(LEAST(n_rows, n_cols) AS DOUBLE) - 1)))")
 
 
-@staged_query(
+@query(
     "cramers_v_event_dow",
     oracle=f"""
         WITH cells AS (
@@ -371,7 +372,7 @@ _V_FINAL = ("SQRT(chi2 / (CAST(n_total AS DOUBLE)"
         "DuckDB 0=Sunday, Spark shifted by -1. Plan: one aggregate "
         "over the fact table, windows over the 35-row cell table, "
         "one row out.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def cramers_v_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (load(spark, sf_dir, "events")
@@ -427,7 +428,7 @@ def _theta_est(cnt: str, theta: str) -> str:
             f" / CAST({theta} AS DOUBLE)")
 
 
-@staged_query(
+@query(
     "theta_sketch_user_overlap",
     oracle=f"""
         WITH ua AS (
@@ -511,7 +512,7 @@ def _theta_est(cnt: str, theta: str) -> str:
         "heads; every downstream relation is <= 2k rows. At 100 TB "
         "the sketches merge associatively across partitions — the "
         "point of the structure.",
-    tags=("staged", "sketch",),
+    tags=("sketch",),
 )
 def theta_sketch_user_overlap(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -586,7 +587,7 @@ _AP_LCM = 2520          # lcm(1..10): keeps per-rank precisions integral
 MAP_ANCHOR_STEP = 25    # fixed 20-query panel: vec_id in {0,25,...,475}
 
 
-@staged_query(
+@query(
     "map_retrieval_eval",
     oracle=f"""
         WITH anchors AS (
@@ -660,7 +661,7 @@ MAP_ANCHOR_STEP = 25    # fixed 20-query panel: vec_id in {0,25,...,475}
         "anchor and no window partition holds a corpus-sized slice "
         "at 100 TB (the bounded-key-window hazard, solved engine-"
         "natively); AP folds over <=10-row groups.",
-    tags=("staged", "evaluation", "similarity"),
+    tags=("evaluation", "similarity"),
 )
 def map_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_project_airflow_etl_spark.operators.similarity import cosine
@@ -680,7 +681,7 @@ def map_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WindowGroupLimit(Final): Spark's rank-limit pushdown keeps only
     # k rows per (map partition, qid) BEFORE the shuffle, so no window
     # partition ever holds a corpus-sized slice — the engine-native
-    # two-phase top-k (gated in tests/test_staged_r7b.py).
+    # two-phase top-k (gated in tests/test_plans_r7b.py).
     w2 = Window.partitionBy("qid").orderBy(F.desc("cosv"), "vec_id")
     top = (scored.withColumn("rn", F.row_number().over(w2).cast("long"))
                  .filter(F.col("rn") <= MAP_K))
@@ -714,7 +715,7 @@ _BOLL_SD = (f"SQRT(({_wide('q')} - {_wide('s')} * {_wide('s')} / n)"
             f" / (n - 1)) / 100")
 
 
-@staged_query(
+@query(
     "bollinger_daily_revenue",
     oracle=f"""
         WITH d AS (
@@ -757,7 +758,7 @@ _BOLL_SD = (f"SQRT(({_wide('q')} - {_wide('s')} * {_wide('s')} / n)"
         "Plan: one map-side-combinable daily rollup, then frame "
         "windows over the calendar-bounded daily table — nothing "
         "data-sized past the scan at 100 TB.",
-    tags=("staged", "timeseries",),
+    tags=("timeseries",),
 )
 def bollinger_daily_revenue(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -788,7 +789,7 @@ def bollinger_daily_revenue(spark: SparkSession,
 # ------------------------------- seasonal-naive MASE of daily revenue
 
 
-@staged_query(
+@query(
     "seasonal_naive_mase",
     oracle=f"""
         WITH d AS (
@@ -831,7 +832,7 @@ def bollinger_daily_revenue(spark: SparkSession,
         "wide-int-routed doubles. Plan: one daily rollup, two "
         "broadcast-sized self-joins on the calendar-bounded daily "
         "table, single row out.",
-    tags=("staged", "timeseries",),
+    tags=("timeseries",),
 )
 def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the daily rollup feeds three join branches; checkpoint the
@@ -865,7 +866,7 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INV_SCALE = 1_000_000_000_000  # 1e12 fixed-point for 1/(c_w + 1)
 
 
-@staged_query(
+@query(
     "unigram_inverse_prob_by_source",
     oracle=f"""
         WITH tok AS (
@@ -909,7 +910,7 @@ _INV_SCALE = 1_000_000_000_000  # 1e12 fixed-point for 1/(c_w + 1)
         "vocab aggregate, a token-keyed vocab-lookup join (AQE "
         "handles stopword skew), per-source regroup, broadcast of "
         "the 1-row corpus totals.",
-    tags=("staged", "text", "corpus"),
+    tags=("text", "corpus"),
 )
 def unigram_inverse_prob_by_source(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
@@ -952,7 +953,7 @@ _TV = (f"({_wide('tv_num')} / ({_wide(_TV_DEN)})"
        f" / n_corpus) / 2")
 
 
-@staged_query(
+@query(
     "source_unigram_tv_distance",
     oracle=f"""
         WITH tok AS (
@@ -1006,7 +1007,7 @@ _TV = (f"({_wide('tv_num')} / ({_wide(_TV_DEN)})"
         "word-keyed regroup for corpus counts joined back on the "
         "word key, per-source reduction; the only data-sized "
         "shuffles are token-keyed; source totals broadcast.",
-    tags=("staged", "text", "corpus", "quality"),
+    tags=("text", "corpus", "quality"),
 )
 def source_unigram_tv_distance(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -1048,7 +1049,7 @@ def source_unigram_tv_distance(spark: SparkSession,
 # ------------------------------ GROUP BY ALL / ORDER BY ALL surface
 
 
-@staged_query(
+@query(
     "group_by_all_weekday_mix",
     oracle=f"""
         SELECT event_type,
@@ -1072,7 +1073,7 @@ def source_unigram_tv_distance(spark: SparkSession,
         "cents sum, one division. Plan: a single map-side-"
         "combinable hash aggregate over the scan, identical to the "
         "explicitly-keyed form — ALL is purely a binding feature.",
-    tags=("staged", "sql-surface",),
+    tags=("sql-surface",),
 )
 def group_by_all_weekday_mix(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -1108,7 +1109,7 @@ def _attr_credit(div_op: str) -> str:
             f" {div_op} (n - 2) END")
 
 
-@staged_query(
+@query(
     "position_attribution_revenue",
     oracle=f"""
         WITH p AS (
@@ -1149,7 +1150,7 @@ def _attr_credit(div_op: str) -> str:
         "merge co-partitioned by user, never a nested loop); rank and "
         "count windows partition by purchase id — a grows-with-data "
         "key with per-window fan-in bounded by the 7-day lookback.",
-    tags=("staged", "analytics", "attribution"),
+    tags=("analytics", "attribution"),
 )
 def position_attribution_revenue(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -1226,7 +1227,7 @@ _OLS_MOMENTS = f"""
 """
 
 
-@staged_query(
+@query(
     "ols_two_feature_price",
     oracle=f"""
         WITH b AS (
@@ -1250,7 +1251,7 @@ _OLS_MOMENTS = f"""
         "aggregate pass over the scan projecting three columns, a "
         "single row out — the textbook 'learn on 100 TB with one "
         "shuffle-free reduction' shape.",
-    tags=("staged", "statistics", "ml"),
+    tags=("statistics", "ml"),
 )
 def ols_two_feature_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = load(spark, sf_dir, "lineitem").selectExpr(
@@ -1288,7 +1289,7 @@ _KAPPA_FINAL = f"""
 """
 
 
-@staged_query(
+@query(
     "cohens_kappa_quality_rules",
     oracle=f"""
         WITH r AS (
@@ -1318,7 +1319,7 @@ _KAPPA_FINAL = f"""
         "and the two final divisions ride the decimal-string->double "
         "route. Plan: one map-side-combinable aggregate over the "
         "scan, one row out.",
-    tags=("staged", "statistics", "quality"),
+    tags=("statistics", "quality"),
 )
 def cohens_kappa_quality_rules(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -1341,7 +1342,7 @@ PARAM_MIN_ORDER_TOTAL = 150_000.0
 PARAM_TOP_N = 7
 
 
-@staged_query(
+@query(
     "param_bound_revenue_floor",
     oracle=f"""
         SELECT n.n_name,
@@ -1367,7 +1368,7 @@ PARAM_TOP_N = 7
         "inlined — what the binding must be equivalent to. Plan "
         "bonus: the bound :min_total folds to a literal predicate "
         "that pushes into the orders scan.",
-    tags=("staged", "sql-surface",),
+    tags=("sql-surface",),
 )
 def param_bound_revenue_floor(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -1396,7 +1397,7 @@ def param_bound_revenue_floor(spark: SparkSession,
 # --------------------------- lateral column alias chain surface
 
 
-@staged_query(
+@query(
     "lateral_alias_charge_chain",
     oracle="""
         SELECT l_returnflag,
@@ -1425,7 +1426,7 @@ def param_bound_revenue_floor(spark: SparkSession,
         "projection (the aliases collapse into a single Project — no "
         "CollapseProject re-evaluation, these are scalar ints) and "
         "one hash aggregate.",
-    tags=("staged", "sql-surface",),
+    tags=("sql-surface",),
 )
 def lateral_alias_charge_chain(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -1453,7 +1454,7 @@ def lateral_alias_charge_chain(spark: SparkSession,
 _PIVOT_STATUSES = ("F", "O", "P")
 
 
-@staged_query(
+@query(
     "pivot_multi_agg_segment_status",
     oracle="""
         SELECT c.c_mktsegment,
@@ -1476,7 +1477,7 @@ _PIVOT_STATUSES = ("F", "O", "P")
         "list keeps the plan a single hash aggregate (no distinct-"
         "values pre-query); dims broadcast. Exact integer counts and "
         "cents, divisions at the end.",
-    tags=("staged", "sql-surface", "grouping"),
+    tags=("sql-surface", "grouping"),
 )
 def pivot_multi_agg_segment_status(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
@@ -1502,7 +1503,7 @@ def pivot_multi_agg_segment_status(spark: SparkSession,
 _TRY_THRESH = 9_223_372_036_854_775_807 - 10_000  # overflows past key 10k
 
 
-@staged_query(
+@query(
     "try_arithmetic_null_guards",
     oracle=f"""
         SELECT o_orderstatus,
@@ -1529,7 +1530,7 @@ _TRY_THRESH = 9_223_372_036_854_775_807 - 10_000  # overflows past key 10k
         "casts, explicit predicates for the synthetic zero/overflow "
         "probes), so the test pins the exact null-surface. All "
         "counts exact integers; one hash aggregate.",
-    tags=("staged", "sql-surface",),
+    tags=("sql-surface",),
 )
 def try_arithmetic_null_guards(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -1561,7 +1562,7 @@ _W_HALF = (f"({_WILSON_Z} * SQRT({_PHAT} * (1.0 - {_PHAT}) / n"
            f" + {_ZZ} / (4.0 * n * n)) / {_W_DEN})")
 
 
-@staged_query(
+@query(
     "wilson_ci_weekend_share",
     oracle=f"""
         WITH c AS (
@@ -1585,7 +1586,7 @@ _W_HALF = (f"({_WILSON_Z} * SQRT({_PHAT} * (1.0 - {_PHAT}) / n"
         "shared fragments — identical operands and order on both "
         "engines (the z=1.96 literal parses to the same double). "
         "Plan: one map-side-combinable aggregate, five rows out.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def wilson_ci_weekend_share(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -1605,7 +1606,7 @@ def wilson_ci_weekend_share(spark: SparkSession,
 # ---------------------------------- SQL UNPIVOT clause surface
 
 
-@staged_query(
+@query(
     "unpivot_sql_order_metrics",
     oracle="""
         WITH a AS (
@@ -1634,7 +1635,7 @@ def wilson_ci_weekend_share(spark: SparkSession,
         "unpivoted value column has a single exact type). Plan: one "
         "hash aggregate over the scan, then a 3-way Expand over the "
         "|statuses|-row result — constant-size at any scale.",
-    tags=("staged", "sql-surface",),
+    tags=("sql-surface",),
 )
 def unpivot_sql_order_metrics(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -1657,7 +1658,7 @@ def unpivot_sql_order_metrics(spark: SparkSession,
 # ----------------------- McNemar's test between the two quality rules
 
 
-@staged_query(
+@query(
     "mcnemar_test_rules",
     oracle="""
         WITH r AS (
@@ -1688,7 +1689,7 @@ def unpivot_sql_order_metrics(spark: SparkSession,
         "exact integers (squared discordant difference over "
         "discordant total) — one division. Plan: one map-side-"
         "combinable aggregate, one row out.",
-    tags=("staged", "statistics", "quality"),
+    tags=("statistics", "quality"),
 )
 def mcnemar_test_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "documents").selectExpr(
@@ -1709,7 +1710,7 @@ def mcnemar_test_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------ maximum drawdown of daily revenue
 
 
-@staged_query(
+@query(
     "max_drawdown_daily_revenue",
     oracle=f"""
         WITH d AS (
@@ -1748,7 +1749,7 @@ def mcnemar_test_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "takes a MAX (order-insensitive exact comparison), so no "
         "double is ever summed. Plan: one daily rollup, two "
         "cumulative windows over the bounded daily table, one row.",
-    tags=("staged", "timeseries",),
+    tags=("timeseries",),
 )
 def max_drawdown_daily_revenue(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -1776,7 +1777,7 @@ _RX_COUNT = "ta"            # non-overlapping occurrence count
 _RX_FIRST = "st[a-z]+"      # first-match extraction
 
 
-@staged_query(
+@query(
     "regexp_function_family_stats",
     oracle=f"""
         SELECT source,
@@ -1801,7 +1802,7 @@ _RX_FIRST = "st[a-z]+"      # first-match extraction
         "divergent syntax (Java regex vs RE2): literal + character-"
         "class only. Exact integer counts. Plan: one aggregate over "
         "the scan, regex evaluation stays in whole-stage codegen.",
-    tags=("staged", "text", "sql-surface"),
+    tags=("text", "sql-surface"),
 )
 def regexp_function_family_stats(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -1851,7 +1852,7 @@ def _chunk_payloads(batches):
             "chunk_md5"])
 
 
-@staged_query(
+@query(
     "multimodal_audio_chunk_windows",
     oracle=f"""
         SELECT doc_id,
@@ -1881,7 +1882,7 @@ def _chunk_payloads(batches):
         "is the tested surface. Plan: embarrassingly parallel "
         "mapInPandas, no shuffle at any scale; chunk fan-out is "
         "len/hop per document.",
-    tags=("staged", "multimodal",),
+    tags=("multimodal",),
 )
 def multimodal_audio_chunk_windows(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:

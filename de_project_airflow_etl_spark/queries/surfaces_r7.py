@@ -1,11 +1,13 @@
-"""Round-7 staged queries (see package docstring: the round-6 driver
-window is full at 47 rows, so new surface banks here, fully
-implemented + oracle-verified, and is promoted next round).
+"""Round-7 surface bank, first half: cohort/drift analytics, SQL
+surfaces (listagg, SQL scripting, recursive CTE, collation), embedding
+rank normalization, and dedup-method agreement. Staged during round 6
+as ``staged/round7.py``; promoted into the registry in round 7 after
+the recorded sf0.01 + sf0.1 staged sweeps ran green.
 
-Same contract as registered queries: ``(spark, sf_dir) -> DataFrame``
-plus an exact DuckDB oracle, identical column aliases on both sides,
-exact-integer / fixed-point arithmetic for anything accumulated, a
-100 TB plan story per doc string, no ``rand()``, no ``.collect()``.
+Contract: ``(spark, sf_dir) -> DataFrame`` plus an exact DuckDB
+oracle, identical column aliases on both sides, exact-integer /
+fixed-point arithmetic for anything accumulated, a 100 TB plan story
+per docstring, no ``rand()``, no ``.collect()``.
 """
 
 from __future__ import annotations
@@ -13,13 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 
 # ------------------------------------------ weekly cohort triangle
 
-@staged_query(
+@query(
     "weekly_cohort_triangle",
     oracle="""
         WITH e AS (
@@ -63,7 +65,7 @@ from de_project_airflow_etl_spark.tables import load
         "and a broadcast of the |weeks|-row cohort sizes — shuffle is "
         "user-keyed then cell-keyed, both map-side combinable, linear "
         "at 100 TB.",
-    tags=("staged", "analytics", "cohort"),
+    tags=("analytics", "cohort"),
 )
 def weekly_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
@@ -94,7 +96,7 @@ _Z_SQL = ("(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)"
           " * (1.0 / n1 + 1.0 / n2))")
 
 
-@staged_query(
+@query(
     "two_proportion_drift_test",
     oracle=f"""
         WITH d AS (
@@ -136,7 +138,7 @@ _Z_SQL = ("(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)"
         "aggregate broadcast as a one-row relation, then ONE "
         "conditional-sum pass — two scans, zero shuffle beyond two "
         "scalar aggregates, linear at 100 TB.",
-    tags=("staged", "statistics", "evaluation"),
+    tags=("statistics", "evaluation"),
 )
 def two_proportion_drift_test(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -169,7 +171,7 @@ def two_proportion_drift_test(spark: SparkSession,
 SESSION_GAP_US = 30 * 60 * 1000000  # 30-minute inactivity gap
 
 
-@staged_query(
+@query(
     "session_duration_log2_histogram",
     oracle=f"""
         WITH e AS (
@@ -227,7 +229,7 @@ SESSION_GAP_US = 30 * 60 * 1000000  # 30-minute inactivity gap
         "cardinality grows with data), the histogram aggregate is "
         "~60 buckets — zero unbounded windows, one user-keyed "
         "exchange at 100 TB.",
-    tags=("staged", "analytics", "sessionization"),
+    tags=("analytics", "sessionization"),
 )
 def session_duration_log2_histogram(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
@@ -274,7 +276,7 @@ QV_DISTINCT_MIN = 0.55   # distinct-token ratio floor (repetition)
 QV_MAXTOK_MAX = 0.12     # max single-token frequency ceiling
 
 
-@staged_query(
+@query(
     "quality_ensemble_vote",
     oracle=f"""
         WITH per_doc AS (
@@ -318,7 +320,7 @@ QV_MAXTOK_MAX = 0.12     # max single-token frequency ceiling
         "so no threshold comparison ever touches a float. Plan: one "
         "scan, per-doc array lambdas inside codegen, one |sources|- "
         "cell aggregate — zero data-sized shuffle at 100 TB.",
-    tags=("staged", "quality", "curation"),
+    tags=("quality", "curation"),
 )
 def quality_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -350,7 +352,7 @@ def quality_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------- listagg ordered rollup
 
-@staged_query(
+@query(
     "listagg_status_timeline",
     oracle="""
         SELECT o_orderpriority,
@@ -377,7 +379,7 @@ def quality_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "|priorities| x |statuses| bounded before any string "
         "concatenation happens. One scan, two bounded-cell "
         "exchanges at any scale.",
-    tags=("staged", "relational", "listagg"),
+    tags=("relational", "listagg"),
 )
 def listagg_status_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderpriority",
@@ -500,7 +502,7 @@ def _macd_oracle() -> str:
     """
 
 
-@staged_query(
+@query(
     "macd_daily_revenue",
     oracle=_macd_oracle(),
     doc="MACD(12, 26, 9) of daily event revenue in pure integer "
@@ -518,7 +520,7 @@ def _macd_oracle() -> str:
         "Corpus-scale work is the one daily rollup; the fold length "
         "is |days|, calendar-bounded. Fixed-point magnitudes: "
         "daily cents x 1e6 fits BIGINT to ~$92B/day.",
-    tags=("staged", "timeseries",),
+    tags=("timeseries",),
 )
 def macd_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (load(spark, sf_dir, "events")
@@ -544,7 +546,7 @@ _L2_PAIR_SQL = (
     " (acc, v) -> acc + v)")
 
 
-@staged_query(
+@query(
     "contrastive_triplet_mining",
     oracle=f"""
         WITH pairs AS (
@@ -590,7 +592,7 @@ _L2_PAIR_SQL = (
         "the anchor slice broadcasts onto the corpus (the 'broadcast "
         "the query set, never shuffle the corpus' shape); the "
         "aggregate is map-side combinable per anchor.",
-    tags=("staged", "similarity", "training"),
+    tags=("similarity", "training"),
 )
 def contrastive_triplet_mining(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -651,7 +653,7 @@ _BAG_KEY_SQL = (
     "' '), x -> x <> ''))), ' '))")
 
 
-@staged_query(
+@query(
     "dedup_method_agreement",
     oracle=f"""
         WITH keyed AS (
@@ -691,7 +693,7 @@ _BAG_KEY_SQL = (
         "(never a window over data, never text in the shuffle); the "
         "definitional oracle uses count windows. 8-cell output at "
         "any scale.",
-    tags=("staged", "dedup", "evaluation"),
+    tags=("dedup", "evaluation"),
 )
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
@@ -717,7 +719,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------- SQL scripting control flow
 
-@staged_query(
+@query(
     "sql_scripting_rollup",
     oracle="""
         WITH thr AS (
@@ -745,7 +747,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the equivalent scalar-subquery SQL. The variable holds one "
         "scalar (broadcast by the engine); data-sized work is two "
         "scans with map-side-combinable aggregates.",
-    tags=("staged", "scripting", "relational"),
+    tags=("scripting", "relational"),
 )
 def sql_scripting_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderpriority",
@@ -775,7 +777,7 @@ def sql_scripting_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 REACH_DEPTH_CAP = 50  # guards the engine recursion limit at scale
 
 
-@staged_query(
+@query(
     "recursive_dup_reachability",
     oracle=f"""
         WITH RECURSIVE keyed AS (
@@ -823,7 +825,7 @@ REACH_DEPTH_CAP = 50  # guards the engine recursion limit at scale
         "iteration is one hash equi-join on doc ids — the same "
         "per-round shape as dedup_clusters' large-star/small-star "
         "rounds.",
-    tags=("staged", "recursive-cte", "dedup"),
+    tags=("recursive-cte", "dedup"),
 )
 def recursive_dup_reachability(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -867,7 +869,7 @@ def recursive_dup_reachability(spark: SparkSession,
 RANKB_K = 1024  # value-range buckets per dimension
 
 
-@staged_query(
+@query(
     "embedding_rank_normalize_bucketed",
     oracle="""
         WITH comp AS (
@@ -908,7 +910,7 @@ RANKB_K = 1024  # value-range buckets per dimension
         "group minimum (tied values share the first position). The "
         "oracle is the definitional window form — both plans, one "
         "answer.",
-    tags=("staged", "similarity", "normalize", "scale"),
+    tags=("similarity", "normalize", "scale"),
 )
 def embedding_rank_normalize_bucketed(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
@@ -955,7 +957,7 @@ def embedding_rank_normalize_bucketed(spark: SparkSession,
 
 # ----------------------------- collation-aware casefold grouping
 
-@staged_query(
+@query(
     "collation_casefold_group",
     oracle="""
         WITH mixed AS (
@@ -985,7 +987,7 @@ def embedding_rank_normalize_bucketed(spark: SparkSession,
         "nondeterminism the output contract bans); the oracle is the "
         "classic lower() GROUP BY. Counts/sums exact; one scan, one "
         "|langs|-cell map-side-combinable exchange at any scale.",
-    tags=("staged", "relational", "collation"),
+    tags=("relational", "collation"),
 )
 def collation_casefold_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "lang",

@@ -59,42 +59,41 @@ def query(name: str, oracle: str | None, doc: str = "",
 # filtered out automatically, so it records the CURRENT round's plan
 # (historical rounds' plans live in git history + CORRECTNESS_r*.json).
 #
-# Round-6 window (1 + 39 + new-surface entries, <= ~50): the round-5
-# canonicalizer-crash retry (centroid now serialized as pre-division
-# fixed-point sums, VERDICT r5 #2), the 39 promoted round-5 staged
-# queries (now queries/mining.py + queries/features.py, VERDICT r5 #4;
-# recorded promotion precondition: sf0.01 AND sf0.1 staged sweeps both
-# 39/39 green, 2026-08-14), and the new round-6 surface (VERDICT r5
-# #5) which self-promotes into the window by registration order.
+# Round-7 window (36 promoted + new-surface entries, <= ~50): all 294
+# round-6 registry entries are driver-verified (CORRECTNESS_r06 landed
+# 50/50 green, cumulative 294/294), so the window is free for the 36
+# promoted round-6 staged queries (now queries/surfaces_r7.py +
+# queries/evaluation.py, VERDICT r6 #1; recorded promotion
+# precondition: the full 97-query staged pen swept green at sf0.01 AND
+# sf0.1, 2026-08-15) plus any new round-7 surface, which self-promotes
+# into the window by registration order.
 #
 # Truncation is never the only correctness signal: the full registry is
 # exercised locally by ``tests/test_correctness.py`` (exact values, all
 # queries) and ``scripts/profile_correctness.py`` (hash replica of the
 # driver's check) — see those for the complete picture.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-5 driver-canonicalizer crash, output now scalar-serialized
-    "embedding_label_centroids",
-    # the 22 promoted round-5 staged queries from queries/mining.py,
-    # in their staged registration order
-    "market_basket_rules", "weekday_hour_heatmap", "customer_cohort_nrr",
-    "part_demand_xyz_classes", "survival_retention_curve",
-    "label_separation_scores", "knn_classifier_accuracy",
-    "bpe_merge_apply", "text_keyphrase_rake", "orders_backlog_monthend",
-    "daily_value_cusum_drift", "lof_bucket_outliers",
-    "mann_whitney_daily_value", "ks_statistic_daily_value",
-    "spearman_daily_price_volume", "benford_first_digit",
-    "autocorr_daily_revenue", "rsi_daily_revenue", "vocab_growth_curve",
-    "vocab_coverage_topk", "dup_cluster_canonical_pick",
-    "event_type_user_jaccard",
-    # the 17 promoted round-5 staged queries from queries/features.py
-    "cms_user_event_counts", "bloom_buyer_membership",
-    "kmv_distinct_users", "daily_ohlc_bars", "balanced_resample_plan",
-    "gini_feature_split_rank", "target_encoding_smoothed",
-    "feature_hashing_bow", "rrf_fusion_search",
-    "markov_stationary_event_mix", "kcore_dup_graph",
-    "holt_linear_daily_revenue", "theil_sen_daily_trend",
-    "negative_sampling_pairs", "lsh_dedup_recall_audit",
-    "kendall_tau_rankings", "markov_next_event_accuracy",
+    # the 12 promoted queries from queries/surfaces_r7.py, in their
+    # staged registration order
+    "weekly_cohort_triangle", "two_proportion_drift_test",
+    "session_duration_log2_histogram", "quality_ensemble_vote",
+    "listagg_status_timeline", "macd_daily_revenue",
+    "contrastive_triplet_mining", "dedup_method_agreement",
+    "sql_scripting_rollup", "recursive_dup_reachability",
+    "embedding_rank_normalize_bucketed", "collation_casefold_group",
+    # the 24 promoted queries from queries/evaluation.py
+    "roc_auc_purchase_value", "welch_t_test_weekend_value",
+    "anova_event_type_value", "cramers_v_event_dow",
+    "theta_sketch_user_overlap", "map_retrieval_eval",
+    "bollinger_daily_revenue", "seasonal_naive_mase",
+    "unigram_inverse_prob_by_source", "source_unigram_tv_distance",
+    "group_by_all_weekday_mix", "position_attribution_revenue",
+    "ols_two_feature_price", "cohens_kappa_quality_rules",
+    "param_bound_revenue_floor", "lateral_alias_charge_chain",
+    "pivot_multi_agg_segment_status", "try_arithmetic_null_guards",
+    "wilson_ci_weekend_share", "unpivot_sql_order_metrics",
+    "mcnemar_test_rules", "max_drawdown_daily_revenue",
+    "regexp_function_family_stats", "multimodal_audio_chunk_windows",
 )
 
 
@@ -119,7 +118,8 @@ def all_queries() -> dict[str, Query]:
     from de_project_airflow_etl_spark.queries import (  # noqa: F401
         timeseries, scalar, subqueries, grouping,
         flagship, etl, aggregates_ext, relational, joins, windows, setops,
-        tpch, analytics, mining, features, surfaces_r6,
+        tpch, analytics, mining, features, surfaces_r6, surfaces_r7,
+        evaluation,
     )
     ordered: dict[str, Query] = {}
     verified = _driver_verified()
@@ -152,13 +152,14 @@ _CORRECTNESS_ROUNDS: tuple[str, ...] = (
     "CORRECTNESS_r03.json",
     "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
-    # r06/r07 are listed ahead of adjudication: the files do not exist
+    "CORRECTNESS_r06.json",
+    # r07/r08 are listed ahead of adjudication: the files do not exist
     # yet (missing files degrade gracefully), but the moment the driver
     # writes one the rotation self-maintains — latest-round rows win,
     # so any recorded failure demotes its query back into the priority
     # window even if the next session forgets to touch this list.
-    "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
+    "CORRECTNESS_r08.json",
 )
 
 _DRIVER_VERIFIED_CACHE: set[str] | None = None

@@ -14,10 +14,10 @@ Promotion history: round 5 promoted the 30 round-4 staged queries
 (``round5.py`` -> ``queries/analytics.py``); round 6 promoted the 39
 round-5 staged queries (``round6.py`` -> ``queries/mining.py``,
 ``round6b.py`` -> ``queries/features.py``) after the recorded sf0.01
-AND sf0.1 staged sweeps ran 39/39 green. ``round7.py`` (12 queries)
-and ``round7b.py`` (24: evaluation statistics, sketch set algebra,
-SQL surfaces, multimodal framing) stage the round-6 overflow,
-pending the round-6 window; ``round8.py`` (15: time-series
+AND sf0.1 staged sweeps ran 39/39 green; round 7 promoted the 36
+round-6 staged queries (``round7.py`` -> ``queries/surfaces_r7.py``,
+``round7b.py`` -> ``queries/evaluation.py``) after the full staged
+pen swept 97/97 green at sf0.01 and sf0.1. ``round8.py`` (15: time-series
 diagnostics, distribution statistics, text richness, graded
 retrieval) and ``round8b.py`` (13: six more daily-bar technical
 indicators, seven nonparametric / evaluation statistics) bank
@@ -43,11 +43,11 @@ k_anonymity_audit — and the SQL-language UDF surface) banks surface
 for the round-13 window.
 
 The round labels are the DEFAULT schedule, not a constraint: the
-window takes ~50 rows, so round 7 promotes round7+round7b (36),
-round 8 promotes round8+round8b (28), and rounds 9-13's banks sum
-to 33 — a promoting session may fold them into one window when the
-retry count leaves room. Every bank is already sweep-verified at
-sf0.001/0.01/0.1 (the recorded promotion precondition).
+window takes ~50 rows, so round 8 promotes round8+round8b (28), and
+rounds 9-13's banks sum to 33 — a promoting session may fold them
+into one window when the retry count leaves room. Every bank is
+already sweep-verified at sf0.001/0.01/0.1 (the recorded promotion
+precondition).
 """
 
 from __future__ import annotations
@@ -74,8 +74,6 @@ def staged_query(name: str, oracle: str | None, doc: str = "",
 
 
 # registration imports at the bottom: the modules need staged_query above
-from de_project_airflow_etl_spark.staged import round7  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round7b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round8  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round8b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round9  # noqa: E402,F401

@@ -1,10 +1,11 @@
-"""Invariant / property tests for the round-7b staged bank — the
+"""Invariant / property tests for the promoted round-7 evaluation
+bank (queries/evaluation.py) — the
 mathematical guarantees each statistic must satisfy regardless of
 data, plus a direct cross-engine validation of the deterministic
 double-reduction idiom the bank's promotion depends on.
 
 Runs at sf0.001 (the invariants are scale-free; the oracle equality
-itself is covered at all three SFs by tests/test_staged_r7.py)."""
+itself is covered by the registry-wide tests/test_correctness.py)."""
 
 from __future__ import annotations
 
@@ -13,13 +14,17 @@ import struct
 
 import pandas as pd
 
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+R7B_BANK = {n: q for n, q in all_queries().items()
+            if q.fn.__module__
+            == "de_project_airflow_etl_spark.queries.evaluation"}
 
 SF_SMALL = "/root/testdata/sf0.001"
 
 
 def _one_row(spark, name, sf=SF_SMALL):
-    rows = STAGED[name].fn(spark, sf).collect()
+    rows = R7B_BANK[name].fn(spark, sf).collect()
     assert len(rows) == 1, f"{name}: expected one row"
     return rows[0]
 
@@ -125,14 +130,14 @@ def test_map_is_bounded_by_precision_sanity(spark):
 
 
 def test_wilson_interval_contains_the_point_estimate(spark):
-    for row in STAGED["wilson_ci_weekend_share"].fn(
+    for row in R7B_BANK["wilson_ci_weekend_share"].fn(
             spark, SF_SMALL).collect():
         assert 0.0 <= row["ci_low"] <= row["p_hat"] <= row["ci_high"] \
             <= 1.0
 
 
 def test_bollinger_bands_bracket_the_sma(spark):
-    rows = STAGED["bollinger_daily_revenue"].fn(spark, SF_SMALL).collect()
+    rows = R7B_BANK["bollinger_daily_revenue"].fn(spark, SF_SMALL).collect()
     assert rows, "no complete windows"
     for row in rows:
         assert row["lower_band"] <= row["sma"] <= row["upper_band"]
@@ -161,7 +166,7 @@ def test_kappa_and_mcnemar_are_bounded(spark):
 
 
 def test_tv_distance_is_a_bounded_metric(spark):
-    for row in STAGED["source_unigram_tv_distance"].fn(
+    for row in R7B_BANK["source_unigram_tv_distance"].fn(
             spark, SF_SMALL).collect():
         assert 0.0 <= row["tv_distance"] <= 1.0
         assert 0.0 < row["corpus_coverage"] <= 1.0
@@ -174,7 +179,7 @@ def test_attribution_conserves_purchase_value(spark):
     from pyspark.sql import functions as F
 
     from de_project_airflow_etl_spark.tables import load
-    rows = STAGED["position_attribution_revenue"].fn(
+    rows = R7B_BANK["position_attribution_revenue"].fn(
         spark, SF_SMALL).collect()
     attributed = sum(r["attributed_revenue"] for r in rows)
     n_touches = sum(r["n_touches"] for r in rows)
@@ -207,9 +212,9 @@ def test_audio_chunks_tile_the_payload(spark):
     """Chunk grids must cover every payload byte exactly: per doc,
     chunk 0 starts at 0, starts advance by the hop, the last chunk
     reaches the end, and full chunks carry the window size."""
-    from de_project_airflow_etl_spark.staged.round7b import (
+    from de_project_airflow_etl_spark.queries.evaluation import (
         CHUNK_BYTES, CHUNK_HOP)
-    rows = STAGED["multimodal_audio_chunk_windows"].fn(
+    rows = R7B_BANK["multimodal_audio_chunk_windows"].fn(
         spark, SF_SMALL).collect()
     by_doc: dict = {}
     for r in rows:

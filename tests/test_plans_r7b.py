@@ -1,16 +1,19 @@
-"""Targeted physical-plan gates for the round-7b staged bank
-(evaluation statistics, sketches, attribution) — the 100 TB shape
-evidence each query's docstring claims, asserted before promotion.
-
-The blanket oracle-match / non-empty / BNLJ gates in
-tests/test_staged_r7.py already parametrize over ALL staged queries;
-this module pins the query-specific plan shapes.
+"""Targeted physical-plan gates for the promoted round-7 evaluation
+bank (queries/evaluation.py: evaluation statistics, sketches,
+attribution) — the 100 TB shape evidence each query's docstring
+claims. Promoted from tests/test_staged_r7b.py in round 7; the
+blanket BNLJ gate for the bank lives in tests/test_plans_r7.py and
+oracle equality rides the registry-wide tests/test_correctness.py.
 """
 
 from __future__ import annotations
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+R7B_BANK = {n: q for n, q in all_queries().items()
+            if q.fn.__module__
+            == "de_project_airflow_etl_spark.queries.evaluation"}
 
 
 def _node_names(df):
@@ -39,7 +42,7 @@ def test_auc_cumulation_sits_above_score_aggregate(spark, sf_dir):
     distribution: every WindowExec subtree must contain an
     Aggregate (the global_row_number lesson applied to ranks)."""
     _windows_sit_above_aggregates(
-        STAGED["roc_auc_purchase_value"].fn(spark, sf_dir))
+        R7B_BANK["roc_auc_purchase_value"].fn(spark, sf_dir))
 
 
 def test_fold_statistics_use_no_windows(spark, sf_dir):
@@ -47,17 +50,17 @@ def test_fold_statistics_use_no_windows(spark, sf_dir):
     the sorted-fold idiom, NOT an ordered running-sum window — the
     plan must contain no WindowExec fed by raw rows; Cramér's V's
     margin windows must sit above the contingency aggregate."""
-    df = STAGED["anova_event_type_value"].fn(spark, sf_dir)
+    df = R7B_BANK["anova_event_type_value"].fn(spark, sf_dir)
     assert not _window_nodes(df), _node_names(df)
     _windows_sit_above_aggregates(
-        STAGED["cramers_v_event_dow"].fn(spark, sf_dir))
+        R7B_BANK["cramers_v_event_dow"].fn(spark, sf_dir))
 
 
 def test_single_pass_statistics_have_no_joins_or_windows(spark, sf_dir):
     """Welch t and the two-feature OLS are one map-side-combinable
     aggregate over the scan: no joins, no windows anywhere."""
     for name in ("welch_t_test_weekend_value", "ols_two_feature_price"):
-        names = _node_names(STAGED[name].fn(spark, sf_dir))
+        names = _node_names(R7B_BANK[name].fn(spark, sf_dir))
         assert not any("Join" in n for n in names), (name, names)
         assert not any(n.startswith("WindowExec") for n in names), (
             name, names)
@@ -69,7 +72,7 @@ def test_map_retrieval_rank_gets_partial_group_limit(spark, sf_dir):
     most k rows per (map partition, anchor), so the rank window never
     receives a corpus-sized partition — the engine-native two-phase
     top-k."""
-    df = STAGED["map_retrieval_eval"].fn(spark, sf_dir)
+    df = R7B_BANK["map_retrieval_eval"].fn(spark, sf_dir)
     jplan = df._jdf.queryExecution().sparkPlan()
     limits = [n.toString().split("\n")[0] for n in _walk_jplan(jplan)
               if n.getClass().getSimpleName()
@@ -86,7 +89,7 @@ def test_theta_sketch_heads_are_take_ordered(spark, sf_dir):
     the way the query does."""
     from pyspark.sql import functions as F
 
-    from de_project_airflow_etl_spark.staged.round7b import (
+    from de_project_airflow_etl_spark.queries.evaluation import (
         THETA_K, _uh_spark)
     from de_project_airflow_etl_spark.tables import load
     head = (load(spark, sf_dir, "events")
@@ -103,7 +106,7 @@ def test_attribution_join_is_equi_not_nested_loop(spark, sf_dir):
     """The purchase-touch fan-out must ride the user_id equi-join
     (sort-merge / shuffled-hash with the time range as residual),
     never a nested loop or cartesian over the fact table."""
-    names = _node_names(STAGED["position_attribution_revenue"]
+    names = _node_names(R7B_BANK["position_attribution_revenue"]
                         .fn(spark, sf_dir))
     assert not any("BroadcastNestedLoopJoin" in n
                    or "CartesianProduct" in n for n in names), names
@@ -117,7 +120,7 @@ def test_daily_rollup_windows_sit_above_aggregates(spark, sf_dir):
     """Bollinger's frame windows consume the calendar-bounded daily
     aggregate, never raw events."""
     _windows_sit_above_aggregates(
-        STAGED["bollinger_daily_revenue"].fn(spark, sf_dir))
+        R7B_BANK["bollinger_daily_revenue"].fn(spark, sf_dir))
 
 
 def test_multi_consumer_intermediates_are_materialized(spark, sf_dir):
@@ -131,7 +134,7 @@ def test_multi_consumer_intermediates_are_materialized(spark, sf_dir):
                "theta_sketch_user_overlap": 1,
                "seasonal_naive_mase": 0}
     for name, max_scans in budgets.items():
-        df = STAGED[name].fn(spark, sf_dir)
+        df = R7B_BANK[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_scans = plan.count("Scan parquet")
         assert n_scans <= max_scans, (
@@ -145,7 +148,7 @@ def test_param_binding_folds_into_pushed_filter(spark, sf_dir):
     pushdown."""
     from de_project_airflow_etl_spark.plans.inspect import (
         formatted_plan, has_pushed_filter)
-    df = STAGED["param_bound_revenue_floor"].fn(spark, sf_dir)
+    df = R7B_BANK["param_bound_revenue_floor"].fn(spark, sf_dir)
     assert has_pushed_filter(df, "o_totalprice"), (
         formatted_plan(df)[:1500])
 
@@ -153,7 +156,7 @@ def test_param_binding_folds_into_pushed_filter(spark, sf_dir):
 def test_group_by_all_plans_as_plain_aggregate(spark, sf_dir):
     """GROUP BY ALL must bind to the same single hash aggregate as
     the explicitly-keyed form — no windows, no joins."""
-    names = _node_names(STAGED["group_by_all_weekday_mix"]
+    names = _node_names(R7B_BANK["group_by_all_weekday_mix"]
                         .fn(spark, sf_dir))
     assert not any("Join" in n for n in names), names
     assert not any(n.startswith("WindowExec") for n in names), names

@@ -1,0 +1,72 @@
+"""Blanket gates for the ENTIRE staged pen (rounds 8-13 banks):
+exact-value verification vs DuckDB through the same harness the
+registry uses, plus the no-unbounded-nested-loop plan gate — every
+staged query must already carry its 100 TB plan shape BEFORE
+promotion (see de_project_airflow_etl_spark/staged/__init__.py for
+the window-arithmetic rationale).
+
+Query-specific plan gates for staged banks live in the per-bank
+tests/test_staged_r*.py modules and move under tests/test_plans_r*.py
+when the bank is promoted (round-7 precedent: test_plans_r7.py /
+test_plans_r7b.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from de_project_airflow_etl_spark.plans.inspect import (
+    bnlj_builds_are_scalar, formatted_plan,
+)
+from de_project_airflow_etl_spark.staged import STAGED
+from tests.harness import compare
+
+
+@pytest.fixture(autouse=True)
+def _release_staged_caches(spark):
+    yield
+    spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle(name, spark, sf_dir, duck):
+    q = STAGED[name]
+    assert q.oracle is not None, f"{name}: staged queries must ship oracles"
+    problems = compare(q.fn(spark, sf_dir),
+                       duck.execute(q.oracle).fetchdf(), name)
+    assert not problems, "\n".join(problems)
+
+
+def test_staged_results_nonempty(spark, sf_dir):
+    for name, q in sorted(STAGED.items()):
+        df = q.fn(spark, sf_dir)
+        assert df.columns, f"{name}: empty schema"
+        assert df.limit(1).count() == 1, f"{name}: empty result at {sf_dir}"
+
+
+# ------------------------------------------------- blanket join gate
+
+# BNLJ builds the scalar/limit detector cannot classify but whose
+# boundedness is a documented design property:
+_JUSTIFIED_BNLJ_BUILDS = {
+    # the round-8 graded-retrieval pair broadcasts the FIXED 20-vector
+    # evaluation panel onto one corpus scan with a self-exclusion
+    # inequality (offset panel, vec_id < 510) — the documented
+    # 'broadcast the query set, never shuffle the corpus' shape (same
+    # as map_retrieval_eval in the promoted round-7 bank)
+    "ndcg_retrieval_eval",
+    "mrr_retrieval_eval",
+    # round-9 intra-list diversity reuses the identical fixed
+    # 20-vector panel broadcast (same _spark_topk_rel helper)
+    "ild_retrieval_diversity",
+}
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_plans_have_no_unbounded_nested_loops(spark, sf_dir, name):
+    df = STAGED[name].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, name
+    if name in _JUSTIFIED_BNLJ_BUILDS:
+        return
+    offenders = bnlj_builds_are_scalar(df)
+    assert not offenders, f"{name}: non-scalar BNLJ builds: {offenders}"
