@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from de_project_airflow_etl_spark.operators import similarity as _similarity
 from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import fan_out, load
+from de_project_airflow_etl_spark.queries.util import tracked_persist
 
 N_HASHES = 8          # minhash signature length
 N_BANDS = 4           # LSH bands (2 rows per band)
@@ -271,7 +272,8 @@ def _lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _PAIRS_CACHE:
         _PAIRS_CACHE[key] = _PAIRS_CACHE.pop(key)  # LRU touch
         return _PAIRS_CACHE[key]
-    digests = _shingled(spark, sf_dir).select("doc_id", "hs").persist()
+    digests = tracked_persist(
+        _shingled(spark, sf_dir).select("doc_id", "hs"))
     try:
         verified = (_lsh_pairs_plan(digests)
                     .localCheckpoint(eager=True))  # materialize, THEN unpersist
@@ -699,8 +701,8 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
                   .union(pairs.select(F.col("doc_b").alias("src"),
-                                      F.col("doc_a").alias("dst")))
-                  .persist())
+                                      F.col("doc_a").alias("dst"))))
+    edges = tracked_persist(edges)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     n = nodes.count()  # one driver scalar, mirrored by the oracle's n_cnt

@@ -175,8 +175,12 @@ def udtf_props_dynamic_schema(spark: SparkSession,
             out = []
             for k in keys.split(","):
                 v = d.get(k.strip())
-                out.append(int(v) if isinstance(v, (int, float))
-                           else None)
+                # exact integers only: floats would TRUNCATE here while
+                # the oracle's CAST(... AS BIGINT) rounds, and JSON
+                # booleans are ints in Python — both map to NULL, same
+                # as the oracle's cast-failure path
+                out.append(v if isinstance(v, int)
+                           and not isinstance(v, bool) else None)
             yield tuple(out)
 
     spark.udtf.register("parse_props", ParseProps)

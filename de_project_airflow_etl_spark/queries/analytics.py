@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
+from de_project_airflow_etl_spark.queries.util import tracked_persist
 from de_project_airflow_etl_spark.operators.curation import (
     NGRAM_N, _ngram_hashes, _SQL_NGRAMS,
 )
@@ -946,10 +947,13 @@ def bm25_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # inspectable (InMemoryRelation prints it, so pushdown/
                 # broadcast gates still see the scan) and the blocks
                 # are released by spark.catalog.clearCache(), which
-                # checkpoint blocks are not. df CANNOT fold into the
-                # ranking window: count-per-term must see every row,
-                # which would defeat the WindowGroupLimit pre-filter.
-                .persist())
+                # checkpoint blocks are not (long-lived sessions
+                # release via util.release_tracked_caches). df CANNOT
+                # fold into the ranking window: count-per-term must see
+                # every row, which would defeat the WindowGroupLimit
+                # pre-filter.
+                )
+    scored = tracked_persist(scored)
     dfc = scored.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     ranked = (scored.join(F.broadcast(dfc), "term")
               .withColumn("score",
@@ -2042,8 +2046,8 @@ def class_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count from tf instead of a third documents scan.
     tf = (docs.select("source", F.explode(F.split("text", " ")).alias("word"))
               .groupBy("source", "word")
-              .agg(F.count("*").cast("long").alias("tf"))
-              .persist())
+              .agg(F.count("*").cast("long").alias("tf")))
+    tf = tracked_persist(tf)
     dfs = tf.groupBy("word").agg(
         F.count("*").cast("long").alias("df_sources"))
     tot = tf.agg(F.countDistinct("source").cast("long").alias("n_sources"))
@@ -2202,12 +2206,12 @@ def word_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pc feeds both the total and the final join, uc both join sides —
     # persist() so the explode-heavy subtrees run once (bm25 precedent;
     # released by spark.catalog.clearCache()).
-    pc = pairs.groupBy("w1", "w2").agg(
-        F.count("*").cast("long").alias("pair_count")).persist()
+    pc = tracked_persist(pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("pair_count")))
     uc = (load(spark, sf_dir, "documents")
           .select(F.explode(F.split("text", " ")).alias("w"))
-          .groupBy("w").agg(F.count("*").cast("long").alias("c"))
-          .persist())
+          .groupBy("w").agg(F.count("*").cast("long").alias("c")))
+    uc = tracked_persist(uc)
     tot = pc.agg(F.sum("pair_count").cast("long").alias("n_pairs"))
     u1 = uc.selectExpr("w AS w1", "c AS c1")
     u2 = uc.selectExpr("w AS w2", "c AS c2")

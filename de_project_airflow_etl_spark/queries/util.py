@@ -201,3 +201,36 @@ def _rank_over_buckets(keyed, value_col: str, tiebreak: str, out: str,
                                F.row_number().over(local) + F.col("__off"))
                    .drop("__off"))
     return ranked if _keep_key else ranked.drop("__bk")
+
+
+# ----------------------------------------------- tracked persist()
+
+# Multi-consumer bounded intermediates are persist()ed (not
+# localCheckpoint()ed) when the plan must stay inspectable — the
+# InMemoryRelation prints its child, so pushdown/broadcast plan gates
+# still see the scan. The cost is lifecycle: cached blocks outlive the
+# query's materialization. Harness runs (bench.py, the test fixtures,
+# profile_correctness) release them via spark.catalog.clearCache();
+# a long-lived session composing many queries should call
+# release_tracked_caches() instead, which releases EXACTLY the blocks
+# query implementations pinned without nuking caches the application
+# itself manages.
+_TRACKED_CACHES: list = []
+
+
+def tracked_persist(df):
+    """``df.persist()`` with an explicit release path (see above)."""
+    _TRACKED_CACHES.append(df.persist())
+    return df
+
+
+def release_tracked_caches() -> int:
+    """Unpersist every query-pinned cache; returns how many."""
+    n = 0
+    while _TRACKED_CACHES:
+        try:
+            _TRACKED_CACHES.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+        n += 1
+    return n

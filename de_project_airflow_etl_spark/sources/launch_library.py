@@ -298,8 +298,15 @@ class JsonlStreamSinkWriter(DataSourceStreamWriter):
     def __init__(self, options, overwrite: bool) -> None:
         if "path" not in options:
             raise ValueError("jsonl stream sink requires option 'path'")
+        if overwrite:
+            # truncate/complete output modes would have to clear prior
+            # batch files + manifest per trigger; this sink's contract
+            # is append-only (manifest entries accumulate per batch) —
+            # fail loudly rather than silently appending.
+            raise ValueError(
+                "jsonl stream sink is append-only: use outputMode "
+                "'append' (got a truncate/overwrite mode)")
         self.path = options["path"]
-        self.overwrite = overwrite
 
     def write(self, iterator) -> JsonlCommit:
         import json
@@ -336,6 +343,16 @@ class JsonlStreamSinkWriter(DataSourceStreamWriter):
                 if m is not None and os.path.exists(m.tmp_path):
                     os.remove(m.tmp_path)
             return
+        # Crash-window hygiene: a prior attempt of this batch may have
+        # renamed some files into place and died BEFORE writing the
+        # manifest entry. Those orphans are uncommitted (the manifest is
+        # the commit point) — delete them first, or a retry producing
+        # fewer task messages would leave stale batch-{id}-{i} files
+        # that a batch-*.jsonl read-back glob double-counts.
+        import glob
+        for stale in glob.glob(os.path.join(
+                self.path, f"batch-{batchId:05d}-*.jsonl")):
+            os.remove(stale)
         entry = []
         for i, m in enumerate(messages):
             if m is None:
