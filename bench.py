@@ -127,6 +127,26 @@ HEADLINE = (
     "xml_order_roundtrip",         # to_xml/from_xml/xpath round trip
     "embedding_dim_variance_rank",  # fixed-point dim variance + rank
     "token_budget_shard_plan",     # hierarchical prefix-sum sharding
+    # round-7 additions: promoted surfaces_r7/evaluation representatives,
+    # weighted toward the scale-critical paths (joins, windows, explode,
+    # recursive iteration, binary mapInPandas); the pure SQL-surface
+    # entries (pivot/unpivot/try_*/params) are deliberately absent —
+    # sub-100ms literal-bound plans whose wall time is session overhead
+    "weekly_cohort_triangle",      # user-keyed cohort rollup + broadcast
+    "session_duration_log2_histogram",  # user-partitioned sessionize
+    "contrastive_triplet_mining",  # broadcast anchor slice over corpus
+    "dedup_method_agreement",      # three hash-keyed canonical-flag joins
+    "recursive_dup_reachability",  # recursive CTE over dup chains
+    "embedding_rank_normalize_bucketed",  # bucketed distributed rank
+    "roc_auc_purchase_value",      # rank AUC over bounded score cells
+    "map_retrieval_eval",          # WindowGroupLimit top-k retrieval
+    "position_attribution_revenue",  # user-equi-join touch fan-out
+    "source_unigram_tv_distance",  # explode-heavy unigram drift
+    "theta_sketch_user_overlap",   # bottom-k theta sketch set algebra
+    "multimodal_audio_chunk_windows",  # 1-to-N binary mapInPandas
+    "markov_removal_effect_attribution",  # 12-iter fixed-point chains
+    "siegel_repeated_medians_trend",  # day-pair repeated medians
+    "pr_auc_purchase_value",       # descending-threshold AP cells
 )
 
 

@@ -119,7 +119,7 @@ def all_queries() -> dict[str, Query]:
         timeseries, scalar, subqueries, grouping,
         flagship, etl, aggregates_ext, relational, joins, windows, setops,
         tpch, analytics, mining, features, surfaces_r6, surfaces_r7,
-        evaluation,
+        evaluation, robust,
     )
     ordered: dict[str, Query] = {}
     verified = _driver_verified()

@@ -248,3 +248,47 @@ def streaming_observed_ingest_metrics(spark: SparkSession,
     return spark.createDataFrame(
         [(totals["n_rows"], totals["n_negative_values"],
           totals["sum_value_cents"] / 100, totals["max_ts_us"])], schema)
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+        SELECT DISTINCT event_type,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+        FROM events
+    """,
+    doc="Streaming deduplication via dropDuplicatesWithinWatermark: "
+        "keep the first event per (event_type, day) key, with state "
+        "for a key evictable once the watermark passes its event time "
+        "— the engine-native streaming dedup operator (bounded state, "
+        "unlike dropDuplicates whose state grows forever) that "
+        "completes the dedup family's streaming story: the batch side "
+        "dedups a corpus, this dedups the ingest stream before it "
+        "lands. Drained with Trigger.AvailableNow into a memory sink "
+        "and checked against the batch DISTINCT oracle "
+        "(stream/batch agreement; the whole table arrives within one "
+        "batch here, so the within-watermark guarantee is exact). "
+        "State scales with live keys inside the watermark horizon — "
+        "here |event_types| x |days in flight|, at 100 TB whatever "
+        "key the dedup contract names — and the RocksDB provider "
+        "(exercised by streaming_windowed_counts_rocksdb) moves that "
+        "state off-heap when it outgrows memory.",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_within_watermark(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, sf_dir, with_watermark="1 day")
+    deduped = (stream
+               .withColumn("day", F.to_date("ts").cast("string"))
+               .dropDuplicatesWithinWatermark(["event_type", "day"])
+               .select("event_type", "day"))
+    with stream_shuffle_sizing(spark):
+        q = (deduped.writeStream
+             .format("memory")
+             .queryName(sink)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    return spark.table(sink)
