@@ -23,7 +23,7 @@ aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from de_project_airflow_etl_spark.registry import query
@@ -379,26 +379,63 @@ MAD_K = 3
     tags=("quality", "outlier", "robust-stats"),
 )
 def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-7 re-plan: ONE corpus-scale pass (count per (event_type,
+    # exact-cents cell)); medians, MAD, and outlier counts all derive
+    # from the value-range-bounded cell table (roc_auc pattern). The
+    # previous shape ran percentile() twice over raw rows — an
+    # aggregate that BUFFERS every group value in memory, the real
+    # 100 TB hazard — and re-scanned events per consumer. Results are
+    # bit-identical: the midpoint interpolation runs in 2x/4x integer
+    # units (med2 = v_lo + v_hi, mad4 = a2_lo + a2_hi), and
+    # double(med2)/200 == percentile(cv,.5)/100 exactly because the
+    # halving is dyadic and only the final /100 rounds. The outlier
+    # cut 'adev > 3*mad' compares dyadic rationals, so the integer
+    # form 2*a2 > 3*mad4 is exact (tests/test_properties.py pins this
+    # against pure-python statistics.median for arbitrary values).
     e = (load(spark, sf_dir, "events")
          .select("event_type",
                  F.round(F.col("value") * 100).cast("long").alias("cv")))
-    # the two 5-row percentile tables are each consumed by TWO
-    # downstream references; un-materialized, every reference re-ran
-    # the full-data percentile pass (the median computed ~3x, events
-    # scanned 4x). Checkpoint the bounded stats, never the dev rows.
-    med = e.groupBy("event_type").agg(
-        F.expr("percentile(cv, 0.5)").alias("med")).localCheckpoint()
-    dev = (e.join(F.broadcast(med), "event_type")
-            .withColumn("adev", F.abs(F.col("cv") - F.col("med"))))
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")).localCheckpoint()
-    return (dev.join(F.broadcast(mad), "event_type")
-               .groupBy("event_type")
-               .agg(F.count(F.lit(1)).alias("n_events"),
-                    (F.first("med") / 100).alias("median_value"),
-                    (F.first("mad") / 100).alias("mad_value"),
-                    F.sum(F.when(F.col("adev") > MAD_K * F.col("mad"), 1)
-                           .otherwise(0)).alias("n_outliers")))
+    cells = (e.groupBy("event_type", "cv")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+              .localCheckpoint())  # bounded; feeds median + dev passes
+    wt = Window.partitionBy("event_type")
+    wc = wt.orderBy("cv").rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)
+    c1 = (cells.withColumn("cum", F.sum("cnt").over(wc))
+               .withColumn("n", F.sum("cnt").over(wt)))
+    med2 = c1.groupBy("event_type").agg(
+        F.expr("MIN(CASE WHEN cum >= (n + 1) div 2 THEN cv END)"
+               " + MIN(CASE WHEN cum >= n div 2 + 1 THEN cv END)")
+         .alias("med2"),
+        F.sum("cnt").cast("long").alias("n_events"))
+    acells = (cells.join(F.broadcast(med2), "event_type")
+                   .select("event_type", "n_events",
+                           F.expr("abs(2 * cv - med2)").alias("a2"),
+                           "med2", "cnt")
+                   .groupBy("event_type", "n_events", "med2", "a2")
+                   .agg(F.sum("cnt").cast("long").alias("cnt")))
+    # acells feeds MAD + the cut, but recomputing it only re-reads the
+    # CHECKPOINTED cells (no corpus scan) — a second eager checkpoint
+    # measured slower than the recompute (A/B, round 7)
+    a1 = (acells.withColumn(
+              "cum", F.sum("cnt").over(wt.orderBy("a2").rowsBetween(
+                  Window.unboundedPreceding, Window.currentRow)))
+                .withColumn("n", F.sum("cnt").over(wt)))
+    mad4 = a1.groupBy("event_type").agg(
+        F.expr("MIN(CASE WHEN cum >= (n + 1) div 2 THEN a2 END)"
+               " + MIN(CASE WHEN cum >= n div 2 + 1 THEN a2 END)")
+         .alias("mad4"))
+    return (acells.join(F.broadcast(mad4), "event_type")
+                  .groupBy("event_type")
+                  .agg(F.first("n_events").alias("n_events"),
+                       F.expr("CAST(FIRST(med2) AS DOUBLE) / 200")
+                        .alias("median_value"),
+                       F.expr("CAST(FIRST(mad4) AS DOUBLE) / 400")
+                        .alias("mad_value"),
+                       F.sum(F.when(
+                           2 * F.col("a2") > MAD_K * F.col("mad4"),
+                           F.col("cnt")).otherwise(0))
+                        .alias("n_outliers")))
 
 
 # -------------------------------------- referential integrity audit

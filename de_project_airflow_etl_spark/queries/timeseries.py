@@ -220,22 +220,47 @@ _QUANTILE_BODY = """
         p50=_quantile_sql("0.50", "p50"),
         p75=_quantile_sql("0.75", "p75"),
     ),
-    doc="Exact p25/p50/p75 of event value per type via sort + "
-        "row_number + linear interpolation (identical SQL on both "
-        "engines -> bit-identical doubles). The 100 TB path swaps the "
-        "global per-group sort for approx_percentile's mergeable "
-        "sketch; this exact form is the oracle for that sketch's "
-        "error bound.",
+    doc="Exact p25/p50/p75 of event value per type — round-7 re-plan: "
+        "count per (event_type, exact value) cell in ONE map-side-"
+        "combinable aggregate, then rank-select the interpolation "
+        "endpoints from the cumulated VALUE-RANGE-BOUNDED cell table "
+        "(value at global rank r == smallest cell value whose "
+        "cumulative count reaches r; value ties collapse, so the "
+        "row_number tiebreak the oracle uses is immaterial). The "
+        "previous shape ranked raw rows in windows partitioned only "
+        "by the fixed-cardinality event_type — |types| data-sized "
+        "sort tasks at 100 TB, the documented window hazard. The "
+        "interpolation expression is textually identical to the "
+        "oracle's, so the doubles stay bit-identical; "
+        "approx_percentile (event_value_quantiles_approx) remains "
+        "the sketch variant, with THIS exact form as its error-bound "
+        "oracle.",
     tags=("timeseries", "quantile", "window"),
 )
 def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from de_project_airflow_etl_spark.tables import register_views
-    register_views(spark, sf_dir, ("events",))
-    return spark.sql(_QUANTILE_BODY.format(
-        p25=_quantile_sql("0.25", "p25"),
-        p50=_quantile_sql("0.50", "p50"),
-        p75=_quantile_sql("0.75", "p75"),
-    ))
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    cells = (e.groupBy("event_type", "value")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    wt = Window.partitionBy("event_type")
+    c1 = (cells.withColumn(
+              "cum", F.sum("cnt").over(
+                  wt.orderBy("value").rowsBetween(
+                      Window.unboundedPreceding, Window.currentRow)))
+               .withColumn("n", F.sum("cnt").over(wt)))
+    # value at global rank k (1-based) = MIN value with cum >= k; the
+    # frac/position arithmetic is the oracle's expression verbatim
+    # (exact-operand IEEE, so any engine evaluates it identically)
+    def _cell_q(q: str, alias: str) -> str:
+        pos = f"(CAST({q} AS DOUBLE) * (MAX(n) - 1))"
+        at = ("MIN(CASE WHEN cum >= CAST(FLOOR(CAST({q} AS DOUBLE)"
+              " * (n - 1)) AS BIGINT) + {k} THEN value END)")
+        lo, hi = at.format(q=q, k=1), at.format(q=q, k=2)
+        return (f"{lo} + ({pos} - FLOOR({pos}))"
+                f" * (COALESCE({hi}, {lo}) - {lo}) AS {alias}")
+    return c1.groupBy("event_type").agg(
+        F.expr(_cell_q("0.25", "p25")),
+        F.expr(_cell_q("0.50", "p50")),
+        F.expr(_cell_q("0.75", "p75")))
 
 
 @query(
@@ -617,9 +642,13 @@ def recursive_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "operations on both engines regardless of their interpolation "
         "formula — which is precisely why this query uses quartiles "
         "and not p95 (0.95 is inexact and the engines' formulae may "
-        "round the last ulp differently). One sort-based aggregate "
-        "per group; groups (day x type) are small and numerous, so "
-        "the per-group sort parallelizes.",
+        "round the last ulp differently). Round-7 re-plan: count per "
+        "(day, type, exact-cents) cell in one map-side-combinable "
+        "aggregate and rank-select the interpolation endpoints from "
+        "the cumulated cell table — percentile() buffered every "
+        "group's raw values in a single task (a group is "
+        "corpus/(days*types) rows at 100 TB); the cell table is "
+        "bounded by calendar x types x value range.",
     tags=("timeseries", "quantile", "aggregate"),
 )
 def daily_value_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,11 +659,27 @@ def daily_value_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("ts").cast("date").cast("timestamp").alias("day"),
                  "event_type",
                  F.round(F.col("value") * 100).cast("long").alias("cv")))
-    return (e.groupBy("day", "event_type")
-             .agg(F.count(F.lit(1)).alias("n_events"),
-                  (F.expr("percentile(cv, 0.25)") / 100).alias("p25"),
-                  (F.expr("percentile(cv, 0.50)") / 100).alias("p50"),
-                  (F.expr("percentile(cv, 0.75)") / 100).alias("p75")))
+    cells = (e.groupBy("day", "event_type", "cv")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    wg = Window.partitionBy("day", "event_type")
+    c1 = (cells.withColumn(
+              "cum", F.sum("cnt").over(
+                  wg.orderBy("cv").rowsBetween(
+                      Window.unboundedPreceding, Window.currentRow)))
+               .withColumn("n", F.sum("cnt").over(wg)))
+
+    def _cell_q(q: str, alias: str) -> str:
+        pos = f"(CAST({q} AS DOUBLE) * (MAX(n) - 1))"
+        at = ("MIN(CASE WHEN cum >= CAST(FLOOR(CAST({q} AS DOUBLE)"
+              " * (n - 1)) AS BIGINT) + {k} THEN cv END)")
+        lo, hi = at.format(q=q, k=1), at.format(q=q, k=2)
+        return (f"({lo} + ({pos} - FLOOR({pos}))"
+                f" * (COALESCE({hi}, {lo}) - {lo})) / 100 AS {alias}")
+    return c1.groupBy("day", "event_type").agg(
+        F.max("n").alias("n_events"),
+        F.expr(_cell_q("0.25", "p25")),
+        F.expr(_cell_q("0.50", "p50")),
+        F.expr(_cell_q("0.75", "p75")))
 
 
 @query(

@@ -801,14 +801,29 @@ def brown_forsythe_weekend_value(spark: SparkSession,
         "CASE WHEN (dayofweek(ts) - 1) IN (0, 6) THEN 1 ELSE 0 END"
         " AS wknd",
         f"{_CENTS} AS c")
-    med = b.groupBy("wknd").agg(
-        F.expr("percentile(c, 0.5)").alias("med")).localCheckpoint()
+    # group medians from the cumulated (wknd, cents)-cell table in 2x
+    # integer units (med2 = v_lo + v_hi == 2*percentile(c, 0.5)
+    # exactly) — percentile() over raw rows would sort the whole
+    # corpus in |groups|=2 tasks at 100 TB (round-7 re-plan; the
+    # registered mad_outlier_events documents the idiom)
+    cells = (b.groupBy("wknd", "c")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    ww = Window.partitionBy("wknd")
+    c1 = (cells.withColumn(
+              "cum", F.sum("cnt").over(
+                  ww.orderBy("c").rowsBetween(
+                      Window.unboundedPreceding, Window.currentRow)))
+               .withColumn("n", F.sum("cnt").over(ww)))
+    med = c1.groupBy("wknd").agg(
+        F.expr("MIN(CASE WHEN cum >= (n + 1) div 2 THEN c END)"
+               " + MIN(CASE WHEN cum >= n div 2 + 1 THEN c END)")
+         .alias("med2")).localCheckpoint()
     # ^ the 2-row median table feeds the deviation join AND the
     # reporting projection; un-materialized, each reference re-runs
-    # the full-data percentile pass
+    # the full cell pass
     z = (b.join(F.broadcast(med), "wknd")
           .selectExpr("wknd",
-                      "CAST(ABS(2 * c - 2 * med) AS BIGINT) AS z2"))
+                      "CAST(ABS(2 * c - med2) AS BIGINT) AS z2"))
     g = z.groupBy("wknd").agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),
         F.expr("SUM(CAST(z2 AS DECIMAL(38,0)))").alias("s_g"),
@@ -827,10 +842,10 @@ def brown_forsythe_weekend_value(spark: SparkSession,
         F.expr("MAX(CASE WHEN wknd = 1 THEN n_g END)").alias("n_we"),
         F.expr("MAX(CASE WHEN wknd = 0 THEN n_g END)").alias("n_wd"))
     m2 = med.agg(
-        F.expr("MAX(CASE WHEN wknd = 1 THEN med END) / 100")
-         .alias("med_we"),
-        F.expr("MAX(CASE WHEN wknd = 0 THEN med END) / 100")
-         .alias("med_wd"))
+        F.expr("MAX(CASE WHEN wknd = 1 THEN CAST(med2 AS DOUBLE) END)"
+               " / 200").alias("med_we"),
+        F.expr("MAX(CASE WHEN wknd = 0 THEN CAST(med2 AS DOUBLE) END)"
+               " / 200").alias("med_wd"))
     return (f.crossJoin(F.broadcast(m2))
              .selectExpr("n_we AS n_weekend", "n_wd AS n_weekday",
                          "med_we AS median_weekend",

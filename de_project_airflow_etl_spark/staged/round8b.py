@@ -702,13 +702,26 @@ def mood_median_test_event_type(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     b = load(spark, sf_dir, "events").selectExpr(
         "event_type AS g", f"{_CENTS} AS c")
-    med = b.agg(F.expr("percentile(c, 0.5)").alias("med"))\
-           .localCheckpoint()
+    # grand median from the cumulated distinct-cents cell table in 2x
+    # integer units (med2 == 2*percentile(c, 0.5) exactly) — the raw-
+    # row percentile would sort the whole corpus in ONE task at 100 TB
+    # (round-7 re-plan; mad_outlier_events documents the idiom)
+    cells = b.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    c1 = (cells.withColumn(
+              "cum", F.sum("cnt").over(
+                  Window.orderBy("c").rowsBetween(
+                      Window.unboundedPreceding, Window.currentRow)))
+               .withColumn("n", F.sum("cnt").over(Window.partitionBy())))
+    med = c1.agg(
+        F.expr("MIN(CASE WHEN cum >= (n + 1) div 2 THEN c END)"
+               " + MIN(CASE WHEN cum >= n div 2 + 1 THEN c END)")
+         .alias("med2")).localCheckpoint()
     # ^ 1-row median feeds the flag aggregate AND the report column
     gcnt = (b.crossJoin(F.broadcast(med))
              .groupBy("g")
              .agg(F.count(F.lit(1)).cast("long").alias("n_g"),
-                  F.sum(F.when(F.col("c") > F.col("med"), 1)
+                  F.sum(F.when(2 * F.col("c") > F.col("med2"), 1)
                          .otherwise(0)).cast("long").alias("above"))
              .localCheckpoint())
     # ^ k-row table feeds the totals AND the fold
@@ -727,7 +740,8 @@ def mood_median_test_event_type(spark: SparkSession,
                       F.max("n_groups").alias("n_groups")))
     return (terms.crossJoin(F.broadcast(med))
                  .selectExpr("n AS n_events", "n_groups", "total_above",
-                             "med / 100 AS grand_median",
+                             "CAST(med2 AS DOUBLE) / 200"
+                             " AS grand_median",
                              "n_groups - 1 AS df",
                              "chi2 AS chi2_stat"))
 

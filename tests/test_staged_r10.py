@@ -3,7 +3,7 @@ indices, Cliff's delta, Quade test, SMOG/Fog, MATTR) — scan budgets,
 window shape evidence, and range invariants.
 
 The blanket oracle-match / non-empty / BNLJ gates in
-tests/test_staged_r7.py already parametrize over ALL staged queries.
+tests/test_staged_pen.py already parametrize over ALL staged queries.
 """
 
 from __future__ import annotations

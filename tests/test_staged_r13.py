@@ -1,6 +1,6 @@
 """Targeted gate for the round-13 staged bank (DP sensitivity
 audit). The blanket oracle-match / non-empty / BNLJ gates in
-tests/test_staged_r7.py already parametrize over ALL staged queries.
+tests/test_staged_pen.py already parametrize over ALL staged queries.
 """
 
 from __future__ import annotations
