@@ -19,9 +19,13 @@ round-6 staged queries (``round7.py`` -> ``queries/surfaces_r7.py``,
 ``round7b.py`` -> ``queries/evaluation.py``) after the full staged
 pen swept 97/97 green at sf0.01 and sf0.1. ``round8.py`` (15: time-series
 diagnostics, distribution statistics, text richness, graded
-retrieval) and ``round8b.py`` (13: six more daily-bar technical
-indicators, seven nonparametric / evaluation statistics) bank
-surface for the round-8 window; ``round9.py`` (11: readability
+retrieval), ``round8b.py`` (13: six more daily-bar technical
+indicators, seven nonparametric / evaluation statistics) and
+``round8c.py`` (7, staged in round 7: Zipf rank-frequency table,
+Bowley quartile skewness, stack() and origin-offset-window SQL
+bridges, the deterministic hash-bootstrap mean CI, arc price
+elasticity, the dimension-truncation recall audit) bank surface for
+the round-8 window; ``round9.py`` (11: readability
 indices, dup-graph link prediction, forecast/calibration summaries,
 runs test, Page's trend, retrieval diversity, rescaled-range table,
 FILTER and named-WINDOW clauses, full-outer stream-stream join)
@@ -43,9 +47,9 @@ k_anonymity_audit — and the SQL-language UDF surface) banks surface
 for the round-13 window.
 
 The round labels are the DEFAULT schedule, not a constraint: the
-window takes ~50 rows, so round 8 promotes round8+round8b (28), and
-rounds 9-13's banks sum to 33 — a promoting session may fold them
-into one window when the retry count leaves room. Every bank is
+window takes ~50 rows, so round 8 promotes round8+round8b+round8c
+(35), and rounds 9-13's banks sum to 33 — a promoting session may
+fold them into one window when the retry count leaves room. Every bank is
 already sweep-verified at sf0.001/0.01/0.1 (the recorded promotion
 precondition).
 """
@@ -76,6 +80,7 @@ def staged_query(name: str, oracle: str | None, doc: str = "",
 # registration imports at the bottom: the modules need staged_query above
 from de_project_airflow_etl_spark.staged import round8  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round8b  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round8c  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round9  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round10  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11  # noqa: E402,F401
