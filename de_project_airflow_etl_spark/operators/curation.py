@@ -128,6 +128,9 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET = 128  # context-window token budget
 
 
+PACK_ID_SPAN = 4096  # doc_ids per prefix-sum bucket
+
+
 @query(
     "pack_sequences",
     oracle=f"""
@@ -150,20 +153,43 @@ PACK_BUDGET = 128  # context-window token budget
     doc="Context-window packing: concatenate each source shard's "
         "documents in doc_id order and cut at fixed token budgets "
         "(the standard pretraining packing layout). Every document "
-        "gets its global token offset and the bin range it spans — a "
-        "per-source window cumulative sum, so the only shuffle is on "
-        "the shard key the data would already be partitioned by at "
-        "100 TB; integer arithmetic end-to-end.",
+        "gets its global token offset and the bin range it spans. "
+        "Round-7 re-plan: the offsets come from a two-phase bucketed "
+        "prefix sum — per-(source, doc_id-range) partial sums "
+        "aggregate map-side, a bounded window prefix-sums the bucket "
+        "totals, and the data-sized window partitions by (source, "
+        "bucket) so no partition outgrows the id span (the previous "
+        "single per-source running window was a corpus-sized "
+        "partition at 100 TB); integer arithmetic end-to-end.",
     tags=("curation", "packing", "window"),
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-7 re-plan: the per-source running token offset was ONE
+    # window partitioned by the fixed-cardinality source key — a
+    # corpus-sized partition at 100 TB. Two-phase bucketed prefix sum
+    # instead (the global_row_number economics): per-(source, doc_id-
+    # range bucket) partial sums aggregate map-side, a tiny window
+    # prefix-sums them (bounded cells), and the data-sized window
+    # partitions by (source, bucket) — bucket count grows with data,
+    # each partition holds <= PACK_ID_SPAN docs.
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "source",
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
-    w = (Window.partitionBy("source").orderBy("doc_id")
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    offs = toks.withColumn("cum", F.sum("n_tokens").over(w))
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.expr(f"doc_id DIV {PACK_ID_SPAN}").alias("bkt"))
+    partials = (toks.groupBy("source", "bkt")
+                    .agg(F.sum("n_tokens").alias("bkt_tokens")))
+    wp = (Window.partitionBy("source").orderBy("bkt")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = partials.select(
+        "source", "bkt",
+        F.coalesce(F.sum("bkt_tokens").over(wp), F.lit(0))
+         .alias("bkt_offset"))
+    wb = (Window.partitionBy("source", "bkt").orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offs = (toks.join(prefix, ["source", "bkt"])
+                .withColumn("cum", F.col("bkt_offset")
+                            + F.sum("n_tokens").over(wb)))
     return offs.select(
         "doc_id", "source", "n_tokens",
         (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
@@ -817,23 +843,59 @@ N_BINS = 10
         FROM binned
         GROUP BY event_type, decile
     """,
-    doc="Equal-frequency feature binning: per-type value deciles via "
-        "NTILE over a total order (value, event_id tiebreak -> "
-        "deterministic bin assignment on both engines), reported as "
-        "per-bin boundaries — the discretization table a feature "
-        "pipeline persists. Partitioned by event_type, so each type's "
-        "sort runs in parallel; at 100 TB swap NTILE for "
-        "approx_percentile cut points and a broadcast range join.",
+    doc="Equal-frequency feature binning: per-type value deciles, "
+        "reported as per-bin boundaries — the discretization table a "
+        "feature pipeline persists. Round-7 re-plan: NTILE over "
+        "(event_type)-partitioned raw rows was the documented "
+        "fixed-cardinality-window hazard (each type's sort is "
+        "corpus/|types| rows in one task at 100 TB); the bin COUNTS "
+        "and VALUE boundaries are tie-order-free (every row in a "
+        "(type, value) cell shares the value), so they derive exactly "
+        "from the cumulated cell table: each cell's global-rank span "
+        "[cum-cnt+1, cum] is exploded onto the <= N_BINS deciles it "
+        "overlaps with NTILE's exact integer tile arithmetic (first "
+        "n mod k tiles take ceil(n/k) rows). One map-side-combinable "
+        "cell aggregate over the scan; windows and the <= k-way "
+        "fan-out run over the value-range-bounded cell table.",
     tags=("curation", "binning", "window"),
 )
 def value_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return (ev.withColumn("decile", F.ntile(N_BINS).over(w))
-              .groupBy("event_type", "decile")
-              .agg(F.count(F.lit(1)).alias("n_events"),
-                   F.min("value").alias("lo"),
-                   F.max("value").alias("hi")))
+    cells = (ev.groupBy("event_type", "value")
+               .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    wt = Window.partitionBy("event_type")
+    c1 = (cells.withColumn(
+              "cum", F.sum("cnt").over(
+                  wt.orderBy("value").rowsBetween(
+                      Window.unboundedPreceding, Window.currentRow)))
+               .withColumn("n", F.sum("cnt").over(wt)))
+    # NTILE(k) over n rows: the first n % k tiles hold n DIV k + 1
+    # rows, the rest n DIV k — tile-of-rank and rank-bounds below are
+    # its exact integer inverse (all operands non-negative).
+    k = N_BINS
+    tile = ("CASE WHEN {r} <= (n % {k}) * (n DIV {k} + 1)"
+            " THEN ({r} + n DIV {k}) DIV (n DIV {k} + 1)"
+            " ELSE (n % {k}) + ({r} - (n % {k}) * (n DIV {k} + 1)"
+            " + n DIV {k} - 1) DIV (n DIV {k}) END")
+    spans = c1.selectExpr(
+        "event_type", "value", "cnt", "n",
+        "cum - cnt + 1 AS r0", "cum AS r1",
+        tile.format(r="(cum - cnt + 1)", k=k) + " AS d0",
+        tile.format(r="cum", k=k) + " AS d1")
+    exploded = spans.selectExpr(
+        "event_type", "value", "n", "r0", "r1",
+        "explode(sequence(d0, d1)) AS decile")
+    bounds = exploded.selectExpr(
+        "event_type", "value", "r0", "r1",
+        "CAST(decile AS INT) AS decile",
+        f"(decile - 1) * (n DIV {k}) + LEAST(decile - 1, n % {k}) + 1"
+        " AS lb",
+        f"decile * (n DIV {k}) + LEAST(decile, n % {k}) AS ub")
+    return (bounds.groupBy("event_type", "decile")
+                  .agg(F.sum(F.expr("LEAST(r1, ub) - GREATEST(r0, lb)"
+                                    " + 1")).alias("n_events"),
+                       F.min("value").alias("lo"),
+                       F.max("value").alias("hi")))
 
 
 @query(

@@ -161,3 +161,19 @@ def test_group_by_all_plans_as_plain_aggregate(spark, sf_dir):
     assert not any("Join" in n for n in names), names
     assert not any(n.startswith("WindowExec") for n in names), names
     assert any("Aggregate" in n for n in names), names
+
+
+def test_audio_chunk_windows_plan_is_one_vectorized_pass(spark, sf_dir):
+    """The 1-to-N chunker must plan as ONE MapInPandas over a scan
+    pruned to (doc_id, text) — no shuffle, no row-at-a-time Python
+    eval (the widened small-query bench band leans on this gate)."""
+    from de_project_airflow_etl_spark.plans.inspect import (
+        formatted_plan, scan_read_schema)
+    df = R7B_BANK["multimodal_audio_chunk_windows"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python crept in"
+    assert "Exchange" not in plan, plan[:1200]
+    schemas = scan_read_schema(df)
+    assert schemas and all("lang" not in s and "n_chars" not in s
+                           for s in schemas), schemas

@@ -1,0 +1,72 @@
+"""Registry-wide window-hazard audit (VERDICT r6 #7, generalized):
+windows and running aggregates partitioned ONLY by fixed-cardinality
+keys over raw rows are a 100 TB hazard — the partition is data-sized
+(CLAUDE.md). This walks EVERY registered query's physical plan and
+flags any WindowExec that is unpartitioned, or partitioned solely by
+known fixed-cardinality columns, unless its child subtree proves the
+input bounded:
+
+* an Aggregate (the input is a rollup/cell table), or
+* an ExistingRDD scan (a localCheckpoint of a bounded relation — the
+  round-6-late gate-visibility rule), or
+* a WindowGroupLimit (rank<=k rides Spark's partial pushdown, so no
+  partition ever holds a corpus-sized slice — the round-6b lesson).
+
+Windows partitioned by grows-with-data keys (user_id, doc_id buckets,
+day keys, ...) pass unconditionally — per-key groups shrink relative
+to the corpus. Streaming/io queries are excluded: building their
+DataFrame executes the stream, and their state sizing is covered by
+the streaming test files.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
+from de_project_airflow_etl_spark.registry import all_queries
+
+# Columns whose cardinality does NOT grow with data in this schema:
+# the per-key partition would be a constant fraction of the corpus.
+FIXED_CARDINALITY = {"event_type", "lang", "source", "label", "wknd",
+                     "brand", "p_brand", "metric", "g", "kind"}
+
+_AUDITED = {
+    n: q for n, q in all_queries().items()
+    if "streaming" not in q.tags and not n.startswith("streaming_")
+    and "io" not in q.tags
+}
+
+
+def _bounded_subtree(wnode) -> bool:
+    for c in _walk_jplan(wnode.children().apply(0)):
+        cls = c.getClass().getSimpleName()
+        if ("Aggregate" in cls or "ExistingRDD" in cls
+                or "RDDScanExec" in cls
+                or cls.startswith("WindowGroupLimit")):
+            return True
+    return False
+
+
+@pytest.mark.parametrize("name", sorted(_AUDITED))
+def test_no_fixed_key_window_over_raw_rows(spark, sf_dir, name):
+    df = _AUDITED[name].fn(spark, sf_dir)
+    jplan = df._jdf.queryExecution().sparkPlan()
+    for n in _walk_jplan(jplan):
+        if not n.getClass().getSimpleName().startswith("WindowExec"):
+            continue
+        pspec = n.partitionSpec()
+        pcols: set[str] = set()
+        for i in range(pspec.size()):
+            pcols |= set(re.findall(r"([a-zA-Z_][a-zA-Z0-9_]*)#\d+",
+                                    pspec.apply(i).toString()))
+        hazardous_key = (pspec.size() == 0) or (
+            bool(pcols) and pcols <= FIXED_CARDINALITY)
+        if hazardous_key:
+            assert _bounded_subtree(n), (
+                f"{name}: WindowExec partitioned by "
+                f"{sorted(pcols) or 'NOTHING'} consumes a subtree with "
+                "no Aggregate/checkpoint/WindowGroupLimit — a "
+                "data-sized partition at 100 TB")
