@@ -70,3 +70,50 @@ def test_no_fixed_key_window_over_raw_rows(spark, sf_dir, name):
                 f"{sorted(pcols) or 'NOTHING'} consumes a subtree with "
                 "no Aggregate/checkpoint/WindowGroupLimit — a "
                 "data-sized partition at 100 TB")
+
+
+# ------------------------- data-sized collect_list/set audit
+
+# collect_list/collect_set buffer an entire group in ONE aggregation
+# state object — over an unbounded group that is an executor OOM at
+# scale. Flag any collect over empty or fixed-cardinality grouping
+# keys unless the input subtree is provably bounded (an Aggregate, a
+# checkpoint scan, a rank/TakeOrdered limit) or the query carries a
+# documented constant bound:
+_JUSTIFIED_COLLECTS = {
+    # collects the vec_id < PQ_K codebook-seed slice — bounded by the
+    # PQ_K constant in the filter, invisible to the subtree walk
+    "ann_pq_adc_search",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_AUDITED))
+def test_no_unbounded_collect_aggregates(spark, sf_dir, name):
+    if name in _JUSTIFIED_COLLECTS:
+        return
+    df = _AUDITED[name].fn(spark, sf_dir)
+    jplan = df._jdf.queryExecution().sparkPlan()
+    for n in _walk_jplan(jplan):
+        cls = n.getClass().getSimpleName()
+        if "Aggregate" not in cls:
+            continue
+        head = n.toString().split("\n")[0]
+        if "collect_list" not in head and "collect_set" not in head:
+            continue
+        m = re.match(r".*?keys=\[([^\]]*)\]", head)
+        kcols = set(re.findall(r"([a-zA-Z_][a-zA-Z0-9_]*)#\d+",
+                               m.group(1) if m else ""))
+        if kcols and not kcols <= FIXED_CARDINALITY:
+            continue  # grows-with-data grouping: groups stay bounded
+        bounded = any(
+            "Aggregate" in c.getClass().getSimpleName()
+            or "ExistingRDD" in c.getClass().getSimpleName()
+            or "RDDScanExec" in c.getClass().getSimpleName()
+            or c.getClass().getSimpleName().startswith("WindowGroupLimit")
+            or "TakeOrdered" in c.getClass().getSimpleName()
+            or "Limit" in c.getClass().getSimpleName()
+            for c in _walk_jplan(n.children().apply(0)))
+        assert bounded, (
+            f"{name}: collect over keys={sorted(kcols) or 'NONE'} "
+            "consumes a subtree with no Aggregate/checkpoint/limit — "
+            "one aggregation state buffers a data-sized group")
