@@ -29,7 +29,12 @@ the round-8 window; ``round9.py`` (11: readability
 indices, dup-graph link prediction, forecast/calibration summaries,
 runs test, Page's trend, retrieval diversity, rescaled-range table,
 FILTER and named-WINDOW clauses, full-outer stream-stream join)
-banks surface for the round-9 window; ``round10.py`` (9: cluster-
+banks surface for the round-9 window, joined by ``round9b.py``
+(6, staged in round 7: the log-rank test on the md5 A/B arms'
+time-to-first-purchase, Cucconi's joint location-scale test, the
+seasonal Mann-Kendall trend test, Kendall's W weekday concordance,
+the dynamic-gap session_window surface, and the applyInArrow group-map
+execution path); ``round10.py`` (9: cluster-
 validity indices over the embedding labels, Cliff's delta, Quade
 and Ansari-Bradley tests, SMOG/Fog readability, MATTR lexical
 diversity, the Python Data Source STREAMING writer round-trip, the
@@ -48,7 +53,7 @@ for the round-13 window.
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so round 8 promotes round8+round8b+round8c
-(35), and rounds 9-13's banks sum to 33 — a promoting session may
+(35), and rounds 9-13's banks sum to 39 — a promoting session may
 fold them into one window when the retry count leaves room. Every bank is
 already sweep-verified at sf0.001/0.01/0.1 (the recorded promotion
 precondition).
@@ -82,6 +87,7 @@ from de_project_airflow_etl_spark.staged import round8  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round8b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round8c  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round9  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round9b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round10  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12  # noqa: E402,F401
