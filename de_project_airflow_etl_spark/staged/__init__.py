@@ -39,7 +39,11 @@ validity indices over the embedding labels, Cliff's delta, Quade
 and Ansari-Bradley tests, SMOG/Fog readability, MATTR lexical
 diversity, the Python Data Source STREAMING writer round-trip, the
 Arrow-optimized scalar Python UDF path)
-banks surface for the round-10 window; ``round11.py`` (6:
+banks surface for the round-10 window, joined by ``round10b.py``
+(5, staged in round 7: exact weekly distinct via bitmap_or_agg
+partial merging, percentile_disc quartiles on the cell plan,
+Page-Hinkley drift, the map higher-order-function family, and
+additive Holt-Winters with weekly seasonality); ``round11.py`` (6:
 changepoint/randomness diagnostics — Pettitt, Cox-Stuart, Dixon's Q,
 turning points — token-frequency Gini, Nelson-Aalen cumulative
 hazard) banks surface for the round-11 window; ``round12.py`` (5:
@@ -53,7 +57,7 @@ for the round-13 window.
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so round 8 promotes round8+round8b+round8c
-(35), and rounds 9-13's banks sum to 39 — a promoting session may
+(35), and rounds 9-13's banks sum to 44 — a promoting session may
 fold them into one window when the retry count leaves room. Every bank is
 already sweep-verified at sf0.001/0.01/0.1 (the recorded promotion
 precondition).
@@ -89,6 +93,7 @@ from de_project_airflow_etl_spark.staged import round8c  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round9  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round9b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round10  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round10b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round13  # noqa: E402,F401
