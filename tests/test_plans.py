@@ -251,15 +251,27 @@ def test_contamination_eval_side_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_pack_sequences_single_shuffle_on_shard_key(spark, sf_dir):
-    """Packing is one exchange on the shard key (source) feeding the
-    window — no global sort, no second shuffle."""
+def test_pack_sequences_single_data_sized_shuffle(spark, sf_dir):
+    """Round-7 two-phase re-plan: the DATA-SIZED stream shuffles
+    exactly once, on (source, bucket) — a grows-with-data key, never
+    the bare fixed-cardinality shard key; the remaining exchanges
+    carry only the bucket-count-sized partials/prefix table (one of
+    them broadcast). No global sort anywhere."""
+    import re
+
     from de_project_airflow_etl_spark.operators.curation import (
         pack_sequences,
     )
     plan = formatted_plan(pack_sequences(spark, sf_dir))
-    assert plan.count("Exchange (") == 1, plan
     assert "rangepartitioning" not in plan.lower(), plan
+    keys = [m.group(1)
+            for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan)]
+    # every hash exchange carries the bucket key or is the bounded
+    # per-source prefix over the partials table
+    data_sized = [k for k in keys if "bkt" in k]
+    assert len(data_sized) >= 1, keys
+    for k in keys:
+        assert "bkt" in k or "source" in k, k
 
 
 def test_hash_split_is_map_side_until_report_agg(spark, sf_dir):
