@@ -46,7 +46,10 @@ Page-Hinkley drift, the map higher-order-function family, and
 additive Holt-Winters with weekly seasonality); ``round11.py`` (6:
 changepoint/randomness diagnostics — Pettitt, Cox-Stuart, Dixon's Q,
 turning points — token-frequency Gini, Nelson-Aalen cumulative
-hazard) banks surface for the round-11 window; ``round12.py`` (5:
+hazard) banks surface for the round-11 window, joined by ``round11b.py``
+(4, staged in round 7: Gini mean difference + value-level Gini,
+the Hoover/Robin-Hood index of daily revenue, exact mode with a
+pinned tiebreak, and Tukey's trimean/midhinge); ``round12.py`` (5:
 the experimentation/operations bank — SRM audit, CUPED lift,
 Little's law, Croston's method, Burrows' Delta) banks surface for
 the round-12 window; ``round13.py`` (2: the
@@ -57,7 +60,7 @@ for the round-13 window.
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so round 8 promotes round8+round8b+round8c
-(35), and rounds 9-13's banks sum to 44 — a promoting session may
+(35), and rounds 9-13's banks sum to 48 — a promoting session may
 fold them into one window when the retry count leaves room. Every bank is
 already sweep-verified at sf0.001/0.01/0.1 (the recorded promotion
 precondition).
@@ -95,5 +98,6 @@ from de_project_airflow_etl_spark.staged import round9b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round10  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round10b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round11b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round13  # noqa: E402,F401
