@@ -51,8 +51,11 @@ hazard) banks surface for the round-11 window, joined by ``round11b.py``
 the Hoover/Robin-Hood index of daily revenue, exact mode with a
 pinned tiebreak, and Tukey's trimean/midhinge); ``round12.py`` (5:
 the experimentation/operations bank — SRM audit, CUPED lift,
-Little's law, Croston's method, Burrows' Delta) banks surface for
-the round-12 window; ``round13.py`` (2: the
+Little's law, Croston's method, Burrows' Delta) banks surface for the round-12 window, joined by ``round12b.py``
+(4, staged in round 7: difference-in-differences on the hash arms,
+the power/MDE planning panel, Fleiss' kappa for three quality raters,
+leave-one-day-out jackknife variance of the revenue-per-event
+ratio); ``round13.py`` (2: the
 differential-privacy sensitivity audit — its k-anonymity/l-diversity
 siblings were dropped as near-duplicates of the registered
 k_anonymity_audit — and the SQL-language UDF surface) banks surface
@@ -60,7 +63,7 @@ for the round-13 window.
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so round 8 promotes round8+round8b+round8c
-(35), and rounds 9-13's banks sum to 48 — a promoting session may
+(35), and rounds 9-13's banks sum to 52 — a promoting session may
 fold them into one window when the retry count leaves room. Every bank is
 already sweep-verified at sf0.001/0.01/0.1 (the recorded promotion
 precondition).
@@ -100,4 +103,5 @@ from de_project_airflow_etl_spark.staged import round10b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round12b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round13  # noqa: E402,F401
