@@ -1,7 +1,8 @@
-"""Round-8 staged queries: time-series diagnostics over the daily
+"""Round-8 promoted bank (staged round 7 as staged/round8.py):
+time-series diagnostics over the daily
 revenue rollup, distribution statistics, text-richness metrics and
-graded retrieval evaluation (see staged/__init__.py for the
-window-arithmetic rationale).
+graded retrieval evaluation (promotion history in
+staged/__init__.py).
 
 Same contract as registered queries: ``(spark, sf_dir) -> DataFrame``
 plus an exact DuckDB oracle, identical column aliases on both sides,
@@ -31,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
@@ -97,7 +98,7 @@ _TR = ("GREATEST(high_c - low_c, ABS(high_c - prev_close),"
        " ABS(low_c - prev_close))")
 
 
-@staged_query(
+@query(
     "atr_daily_value_range",
     oracle=f"""
         WITH {_SQL_DAILY_OHLC},
@@ -133,7 +134,7 @@ _TR = ("GREATEST(high_c - low_c, ABS(high_c - prev_close),"
         "aggregate (no window touches raw rows, unlike the oracle's "
         "row_number form); the lag and trailing-sum windows run over "
         "the calendar-bounded daily table.",
-    tags=("staged", "timeseries",),
+    tags=("timeseries",),
 )
 def atr_daily_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ohlc = _spark_daily_ohlc(spark, sf_dir)
@@ -167,7 +168,7 @@ _PCT_K = (f"CASE WHEN hi{STOCH_W} = lo{STOCH_W} THEN CAST(NULL AS DOUBLE)"
           f" / (hi{STOCH_W} - lo{STOCH_W}) END")
 
 
-@staged_query(
+@query(
     "stochastic_oscillator_daily",
     oracle=f"""
         WITH {_SQL_DAILY_OHLC},
@@ -204,7 +205,7 @@ _PCT_K = (f"CASE WHEN hi{STOCH_W} = lo{STOCH_W} THEN CAST(NULL AS DOUBLE)"
         "sequentially — the round-7b running-sum caveat). Plan: one "
         "min_by/max_by daily aggregate, then lag/extrema frame "
         "windows over the calendar-bounded daily table.",
-    tags=("staged", "timeseries",),
+    tags=("timeseries",),
 )
 def stochastic_oscillator_daily(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -230,7 +231,7 @@ def stochastic_oscillator_daily(spark: SparkSession,
 # ------------------------------- on-balance volume over daily closes
 
 
-@staged_query(
+@query(
     "obv_daily_value_flow",
     oracle=f"""
         WITH {_SQL_DAILY_OHLC},
@@ -259,7 +260,7 @@ def stochastic_oscillator_daily(spark: SparkSession,
         "caveat only bites double accumulators). Plan: one "
         "map-side-combinable daily aggregate, then lag + running-sum "
         "windows over the calendar-bounded daily table.",
-    tags=("staged", "timeseries",),
+    tags=("timeseries",),
 )
 def obv_daily_value_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ohlc = _spark_daily_ohlc(spark, sf_dir)
@@ -294,7 +295,7 @@ _MK_Z = ("CASE WHEN s_stat > 0 THEN (s_stat - 1.0) / SQRT(var_s) "
          "ELSE 0.0 END")
 
 
-@staged_query(
+@query(
     "mann_kendall_daily_trend",
     oracle=f"""
         WITH d AS (
@@ -341,7 +342,7 @@ _MK_Z = ("CASE WHEN s_stat > 0 THEN (s_stat - 1.0) / SQRT(var_s) "
         "order-free — never as a self-join. Z's sqrt is IEEE-exact "
         "cross-engine. Plan: one map-side-combinable daily rollup; "
         "everything after is a 1-row fold.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def mann_kendall_daily_trend(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -384,7 +385,7 @@ def mann_kendall_daily_trend(spark: SparkSession,
 # -------------------- Durbin-Watson on linear-trend residuals
 
 
-@staged_query(
+@query(
     "durbin_watson_trend_residuals",
     oracle=f"""
         WITH d AS (
@@ -455,7 +456,7 @@ def mann_kendall_daily_trend(spark: SparkSession,
         "bit-identical doubles with no transcendentals. Plan: one "
         "map-side-combinable daily rollup; everything after is 1-row "
         "array math over the calendar-bounded series.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def durbin_watson_trend_residuals(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -503,7 +504,7 @@ def durbin_watson_trend_residuals(spark: SparkSession,
 # ---------------------- Jarque-Bera normality test on daily revenue
 
 
-@staged_query(
+@query(
     "jarque_bera_daily_revenue",
     oracle=f"""
         WITH d AS (
@@ -561,7 +562,7 @@ def durbin_watson_trend_residuals(spark: SparkSession,
         "pow is not guaranteed. Plan: one map-side-combinable daily "
         "rollup; the moment math is 1-row array folds over the "
         "calendar-bounded series.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def jarque_bera_daily_revenue(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -626,7 +627,7 @@ _KW_TERM = ("CAST(CAST(r2 AS STRING) AS DOUBLE)"
             " / CAST(n_g AS DOUBLE)")
 
 
-@staged_query(
+@query(
     "kruskal_wallis_value_by_type",
     oracle=f"""
         WITH gv AS (
@@ -689,7 +690,7 @@ _KW_TERM = ("CAST(CAST(r2 AS STRING) AS DOUBLE)"
         "Plan: one map-side-combinable (type, cents) aggregate; the "
         "cumulation window sits above the value aggregate (bounded "
         "input, the roc_auc shape); everything after is 5-row math.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def kruskal_wallis_value_by_type(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -735,7 +736,7 @@ def kruskal_wallis_value_by_type(spark: SparkSession,
 # ------------- Brown-Forsythe (median-based Levene) weekend variance
 
 
-@staged_query(
+@query(
     "brown_forsythe_weekend_value",
     oracle=f"""
         WITH b AS (
@@ -793,7 +794,7 @@ def kruskal_wallis_value_by_type(spark: SparkSession,
         "<-> quantile_cont is the established exact pair. Plan: one "
         "median aggregate (5-row output broadcast back), one "
         "moment aggregate — no window touches raw rows.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def brown_forsythe_weekend_value(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -868,7 +869,7 @@ _HBIN_SQL = (f"LEAST(CAST({HELL_BINS - 1} AS BIGINT), "
              f"CAST({_CENTS} // {HELL_BIN_C} AS BIGINT))")
 
 
-@staged_query(
+@query(
     "hellinger_weekend_value_drift",
     oracle=f"""
         WITH b AS (
@@ -911,7 +912,7 @@ _HBIN_SQL = (f"LEAST(CAST({HELL_BINS - 1} AS BIGINT), "
         "are single divisions of exact integers; the <=10 "
         "sqrt(p*q) terms reduce via the sorted fold. Plan: one "
         "map-side-combinable bin aggregate; 10-row math after.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def hellinger_weekend_value_drift(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -944,7 +945,7 @@ def hellinger_weekend_value_drift(spark: SparkSession,
 BRIER_SCALE = 50000  # score = cents / 50000 in [0, 1) (max value 490.02)
 
 
-@staged_query(
+@query(
     "brier_calibration_purchase",
     oracle=f"""
         WITH e AS (
@@ -976,7 +977,7 @@ BRIER_SCALE = 50000  # score = cents / 50000 in [0, 1) (max value 490.02)
         "(the global Brier is the n-weighted mean of bin_brier). "
         "Plan: one map-side-combinable aggregate over the fact "
         "table, 10 output rows.",
-    tags=("staged", "evaluation", "statistics"),
+    tags=("evaluation", "statistics"),
 )
 def brier_calibration_purchase(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -1003,7 +1004,7 @@ def brier_calibration_purchase(spark: SparkSession,
 # ------------------- Cochran's Q over three document quality rules
 
 
-@staged_query(
+@query(
     "cochrans_q_quality_rules",
     oracle="""
         WITH r AS (
@@ -1042,7 +1043,7 @@ def brier_calibration_purchase(spark: SparkSession,
         "totals ride DECIMAL(38,0) through the wide string cast. "
         "Plan: ONE map-side-combinable aggregate over documents, one "
         "output row, no shuffle beyond the 1-row final merge.",
-    tags=("staged", "statistics", "quality"),
+    tags=("statistics", "quality"),
 )
 def cochrans_q_quality_rules(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -1075,7 +1076,7 @@ def cochrans_q_quality_rules(spark: SparkSession,
 # ----------------------------- Yule's K vocabulary richness by source
 
 
-@staged_query(
+@query(
     "yules_k_by_source",
     oracle="""
         WITH tok AS (
@@ -1108,7 +1109,7 @@ def cochrans_q_quality_rules(spark: SparkSession,
         "map-side-combinable (source, term) count, then a per-source "
         "rollup — the same two-exchange shape as the promoted "
         "vocab/tf queries; nothing data-sized past the term counts.",
-    tags=("staged", "text", "quality"),
+    tags=("text", "quality"),
 )
 def yules_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (load(spark, sf_dir, "documents")
@@ -1132,7 +1133,7 @@ def yules_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 BURST_TOP = 20
 
 
-@staged_query(
+@query(
     "term_burstiness_vmr",
     oracle=f"""
         WITH tok AS (
@@ -1174,7 +1175,7 @@ BURST_TOP = 20
         "term rollup, a TakeOrdered top-20 broadcast back onto the "
         "per-doc counts, and the 1-row corpus size broadcast — the "
         "scalar-build nested loop the blanket gate recognizes.",
-    tags=("staged", "text", "statistics"),
+    tags=("text", "statistics"),
 )
 def term_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -1290,7 +1291,7 @@ def _spark_topk_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .filter(F.col("rn") <= NDCG_K))
 
 
-@staged_query(
+@query(
     "ndcg_retrieval_eval",
     oracle=f"""
         WITH {_SQL_TOPK_REL},
@@ -1328,7 +1329,7 @@ def _spark_topk_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Plan: panel broadcasts onto one corpus scan; rank<=k rides "
         "the WindowGroupLimit pushdown (no corpus-sized window "
         "partition); per-query folds touch <= 10 rows each.",
-    tags=("staged", "evaluation", "similarity"),
+    tags=("evaluation", "similarity"),
 )
 def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = _spark_topk_rel(spark, sf_dir)
@@ -1352,7 +1353,7 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                              f"dcg / {idcg} AS ndcg"))
 
 
-@staged_query(
+@query(
     "mrr_retrieval_eval",
     oracle=f"""
         WITH {_SQL_TOPK_REL},
@@ -1381,7 +1382,7 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and divide by the panel size once. Plan: identical to the "
         "NDCG scan (panel broadcast + WindowGroupLimit top-k); the "
         "final fold is one 20-row aggregate.",
-    tags=("staged", "evaluation", "similarity"),
+    tags=("evaluation", "similarity"),
 )
 def mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = _spark_topk_rel(spark, sf_dir)

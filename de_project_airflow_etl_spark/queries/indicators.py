@@ -1,10 +1,11 @@
-"""Round-8 staged queries, second bank: six more technical
+"""Round-8 promoted bank, second group (staged round 7 as
+staged/round8b.py): six more technical
 indicators over the shared daily value bars (completing the
-oscillator/flow family started in round8.py) and seven nonparametric
+oscillator/flow family started in diagnostics.py) and seven nonparametric
 / evaluation statistics (the paired, ordered-alternative, k-sample
 and goodness-of-fit gaps left by round 7b/8's test batteries).
 
-Same contract and determinism rules as staged/round8.py — exact
+Same contract and determinism rules as queries/diagnostics.py — exact
 integer / DECIMAL(38,0) arithmetic for everything accumulated, +-*/
 and sqrt only (ln/log2/exp are NOT correctly rounded cross-engine),
 sorted folds for bounded sums of double terms, day-ordered windows
@@ -25,8 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
-from de_project_airflow_etl_spark.staged.round8 import (
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.queries.diagnostics import (
     _CENTS, _SQL_DAILY_OHLC, _fold_spark, _fold_sql, _spark_daily_ohlc,
     _wide,
 )
@@ -45,7 +46,7 @@ _WR = (f"CASE WHEN hi{WR_W} = lo{WR_W} THEN CAST(NULL AS DOUBLE)"
        f" / (hi{WR_W} - lo{WR_W}) END")
 
 
-@staged_query(
+@query(
     "williams_r_daily",
     oracle=f"""
         WITH {_SQL_DAILY_OHLC},
@@ -72,7 +73,7 @@ _WR = (f"CASE WHEN hi{WR_W} = lo{WR_W} THEN CAST(NULL AS DOUBLE)"
         "Plan: daily bars from ONE map-side-combinable min_by/max_by "
         "aggregate; the trailing envelope window runs over the "
         "calendar-bounded daily table only.",
-    tags=("staged", "timeseries",),
+    tags=("timeseries",),
 )
 def williams_r_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ohlc = _spark_daily_ohlc(spark, sf_dir)
@@ -94,7 +95,7 @@ AROON_W = 25
 _PACK = 1 << 24  # idx < 2^24; cents * 2^24 stays far under 2^63
 
 
-@staged_query(
+@query(
     "aroon_daily_value",
     oracle=f"""
         WITH {_SQL_DAILY_OHLC},
@@ -138,7 +139,7 @@ _PACK = 1 << 24  # idx < 2^24; cents * 2^24 stays far under 2^63
         "lines are exact multiples of 4.0. Plan: one daily "
         "aggregate; row_number and the trailing-extreme windows run "
         "over the calendar-bounded daily table only.",
-    tags=("staged", "timeseries",),
+    tags=("timeseries",),
 )
 def aroon_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ohlc = _spark_daily_ohlc(spark, sf_dir)
@@ -178,7 +179,7 @@ _MFI = ("CASE WHEN pos_f + neg_f = 0 THEN CAST(NULL AS DOUBLE)"
         f" / ({_wide('pos_f')} + {_wide('neg_f')}) END")
 
 
-@staged_query(
+@query(
     "money_flow_index_daily",
     oracle=f"""
         WITH {_SQL_DAILY_OHLC},
@@ -222,7 +223,7 @@ _MFI = ("CASE WHEN pos_f + neg_f = 0 THEN CAST(NULL AS DOUBLE)"
         "happens at emit via the correctly-rounded string route. "
         "Plan: one daily aggregate; lag + trailing-sum windows over "
         "the calendar-bounded daily table only.",
-    tags=("staged", "timeseries",),
+    tags=("timeseries",),
 )
 def money_flow_index_daily(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
@@ -260,7 +261,7 @@ def money_flow_index_daily(spark: SparkSession,
 DON_W = 20
 
 
-@staged_query(
+@query(
     "donchian_channel_daily",
     oracle=f"""
         WITH {_SQL_DAILY_OHLC},
@@ -298,7 +299,7 @@ DON_W = 20
         "Complete windows only on both the channel and its lag. "
         "Plan: one daily aggregate; envelope + lag windows over the "
         "calendar-bounded daily table only.",
-    tags=("staged", "timeseries",),
+    tags=("timeseries",),
 )
 def donchian_channel_daily(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
@@ -336,7 +337,7 @@ _CMO = ("CASE WHEN su + sd = 0 THEN CAST(NULL AS DOUBLE)"
         f" / ({_wide('su')} + {_wide('sd')}) END")
 
 
-@staged_query(
+@query(
     "chande_momentum_daily",
     oracle=f"""
         WITH {_SQL_DAILY_OHLC},
@@ -373,7 +374,7 @@ _CMO = ("CASE WHEN su + sd = 0 THEN CAST(NULL AS DOUBLE)"
         "ratio at emit via the string route; NULL over a flat "
         "window. Plan: one daily aggregate; lag + trailing-sum "
         "windows over the calendar-bounded daily table only.",
-    tags=("staged", "timeseries",),
+    tags=("timeseries",),
 )
 def chande_momentum_daily(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
@@ -412,7 +413,7 @@ _AD_POS = ("CASE WHEN high_c > low_c THEN"
            " ELSE volume * 1000000 END")
 
 
-@staged_query(
+@query(
     "accum_dist_daily_flow",
     oracle=f"""
         WITH {_SQL_DAILY_OHLC},
@@ -444,7 +445,7 @@ _AD_POS = ("CASE WHEN high_c > low_c THEN"
         "(H = L) contribute zero flow. Plan: one daily aggregate; "
         "the running-sum window runs over the calendar-bounded daily "
         "table only.",
-    tags=("staged", "timeseries",),
+    tags=("timeseries",),
 )
 def accum_dist_daily_flow(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
@@ -490,7 +491,7 @@ def _wsr_cols(div: str) -> list[str]:
     return [c.replace("{div}", div) for c in _WSR_TAIL]
 
 
-@staged_query(
+@query(
     "wilcoxon_signed_rank_ampm",
     oracle=f"""
         WITH e AS (
@@ -542,7 +543,7 @@ def _wsr_cols(div: str) -> list[str]:
         "split rides a signed term, not two scans), the cumulation "
         "window over the bounded distinct-|d| aggregate, then 1-row "
         "math.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def wilcoxon_signed_rank_ampm(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -575,7 +576,7 @@ def wilcoxon_signed_rank_ampm(spark: SparkSession,
 # ------------------------------ sign test on daily up/down revenue
 
 
-@staged_query(
+@query(
     "sign_test_daily_updown",
     oracle=f"""
         WITH d AS (
@@ -612,7 +613,7 @@ def wilcoxon_signed_rank_ampm(spark: SparkSession,
         "IEEE-exact. Plan: one map-side-combinable daily rollup, a "
         "lag over the calendar-bounded daily table, then one-row "
         "math.",
-    tags=("staged", "statistics", "timeseries"),
+    tags=("statistics", "timeseries"),
 )
 def sign_test_daily_updown(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
@@ -651,7 +652,7 @@ _MOOD_TERM = (
     " / (CAST(n_g AS DOUBLE) * (nn - ta) / nn)")
 
 
-@staged_query(
+@query(
     "mood_median_test_event_type",
     oracle=f"""
         WITH b AS (
@@ -696,7 +697,7 @@ _MOOD_TERM = (
         "quantile_cont is the established exact pair. Plan: one "
         "median aggregate (1-row, broadcast back), one conditional "
         "group aggregate — no window touches raw rows.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def mood_median_test_event_type(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -751,7 +752,7 @@ def mood_median_test_event_type(spark: SparkSession,
 FR_K = 7  # treatments: the seven weekdays
 
 
-@staged_query(
+@query(
     "friedman_dow_value_ranks",
     oracle=f"""
         WITH d AS (
@@ -804,7 +805,7 @@ FR_K = 7  # treatments: the seven weekdays
         "(week, dow) rollup; the rank windows partition by BLOCK "
         "over the calendar-bounded daily table (7-row partitions); "
         "then 7-row math.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def friedman_dow_value_ranks(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -845,7 +846,7 @@ def friedman_dow_value_ranks(spark: SparkSession,
 # ------------- Jonckheere-Terpstra ordered-alternative test by type
 
 
-@staged_query(
+@query(
     "jonckheere_terpstra_value_by_type",
     oracle=f"""
         WITH gv AS (
@@ -912,7 +913,7 @@ def friedman_dow_value_ranks(spark: SparkSession,
         "window partitions by the 5 types over the value-domain-"
         "bounded grid (the kruskal_wallis shape); the pair join is "
         "grid x 5 types, never data x data.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def jonckheere_terpstra_value_by_type(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
@@ -966,7 +967,7 @@ def jonckheere_terpstra_value_by_type(spark: SparkSession,
 # ----------------- per-class F1 of the two document-length labelers
 
 
-@staged_query(
+@query(
     "per_class_f1_length_rules",
     oracle="""
         WITH lab AS (
@@ -1033,7 +1034,7 @@ def jonckheere_terpstra_value_by_type(spark: SparkSession,
         "division. Plan: one map-side-combinable (pred, truth) "
         "aggregate over documents, then 9-row math against a "
         "3-row literal class spine.",
-    tags=("staged", "statistics", "quality"),
+    tags=("statistics", "quality"),
 )
 def per_class_f1_length_rules(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -1079,7 +1080,7 @@ def per_class_f1_length_rules(spark: SparkSession,
 # ------------- two-sample Cramer-von Mises: weekend vs weekday values
 
 
-@staged_query(
+@query(
     "cramer_von_mises_weekend",
     oracle=f"""
         WITH b AS (
@@ -1138,7 +1139,7 @@ def per_class_f1_length_rules(spark: SparkSession,
         "combinable per-cents aggregate; the cumulation window runs "
         "over the bounded distinct-value table (the roc_auc shape); "
         "then 1-row math.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def cramer_von_mises_weekend(spark: SparkSession,
                              sf_dir: str) -> DataFrame:

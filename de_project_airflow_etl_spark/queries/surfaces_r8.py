@@ -1,8 +1,9 @@
-"""Round-8 staged bank, third group (round-7 overflow): distribution
+"""Round-8 promoted bank, third group (staged round 7 as
+staged/round8c.py): distribution
 shape and economics statistics, an uncertainty-quantification
 operator, an ANN design audit, and two SQL-surface bridges.
 
-Same contract as every staged query: ``(spark, sf_dir) ->
+Same contract as every registered query: ``(spark, sf_dir) ->
 DataFrame`` plus an exact DuckDB oracle, identical column aliases on
 both sides, exact-integer / fixed-point arithmetic for anything
 accumulated, a 100 TB plan story per docstring, no ``rand()``, no
@@ -21,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
@@ -36,7 +37,7 @@ def _wide(col: str) -> str:
 ZIPF_TOP_K = 20
 
 
-@staged_query(
+@query(
     "zipf_rank_frequency_table",
     oracle=f"""
         WITH tok AS (
@@ -69,7 +70,7 @@ ZIPF_TOP_K = 20
         "scale work), TakeOrdered top-k (per-partition heaps, no "
         "global sort), a rank window over the k-row result, and a "
         "one-row total broadcast.",
-    tags=("staged", "text", "statistics"),
+    tags=("text", "statistics"),
 )
 def zipf_rank_frequency_table(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -98,7 +99,7 @@ def zipf_rank_frequency_table(spark: SparkSession,
 # dispersion (q3 - q1)/(q3 + q1) are single exact-operand divisions.
 
 
-@staged_query(
+@query(
     "bowley_skewness_by_type",
     oracle=f"""
         WITH e AS (
@@ -132,7 +133,7 @@ def zipf_rank_frequency_table(spark: SparkSession,
         "quantile_cont directly. Plan: one cell aggregate over the "
         "scan, one bounded cumulation window above it, one row per "
         "type.",
-    tags=("staged", "statistics"),
+    tags=("statistics"),
 )
 def bowley_skewness_by_type(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -168,7 +169,7 @@ def bowley_skewness_by_type(spark: SparkSession,
 
 # ------------------------------------------ stack() generator surface
 
-@staged_query(
+@query(
     "stack_generator_charge_mix",
     oracle="""
         WITH u AS (
@@ -199,7 +200,7 @@ def bowley_skewness_by_type(spark: SparkSession,
         "generator. Plan: generator runs inside the scan's project "
         "(no shuffle of the un-stacked rows), 3x row fan-out is "
         "compute-only.",
-    tags=("staged", "sql-surface",),
+    tags=("sql-surface",),
 )
 def stack_generator_charge_mix(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -218,7 +219,7 @@ def stack_generator_charge_mix(spark: SparkSession,
 
 # ----------------------- origin-offset tumbling window bridge surface
 
-@staged_query(
+@query(
     "offset_window_90m_revenue",
     oracle="""
         SELECT time_bucket(INTERVAL 90 MINUTES, ts,
@@ -240,7 +241,7 @@ def stack_generator_charge_mix(spark: SparkSession,
         "24h) additionally exercises day-boundary wraparound on both "
         "engines. Exact integer cents; one map-side-combinable "
         "aggregate over the scan, bin keys computed in codegen.",
-    tags=("staged", "sql-surface", "timeseries"),
+    tags=("sql-surface", "timeseries"),
 )
 def offset_window_90m_revenue(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -278,7 +279,7 @@ _BOOT_W = ("CASE WHEN u < {t0} THEN 0 WHEN u < {t1} THEN 1"
     t0=_BOOT_T0, t1=_BOOT_T1, t2=_BOOT_T2)
 
 
-@staged_query(
+@query(
     "hash_bootstrap_mean_ci",
     oracle=f"""
         WITH f AS (
@@ -329,7 +330,7 @@ _BOOT_W = ("CASE WHEN u < {t0} THEN 0 WHEN u < {t1} THEN 1"
         "stays inside codegen (no shuffle of raw rows), map-side-"
         "combinable (b)-keyed sums — B*|rows| multiplies compute, "
         "not network; the reduce side carries B partial rows.",
-    tags=("staged", "statistics", "sampling"),
+    tags=("statistics", "sampling"),
 )
 def hash_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").selectExpr("event_id",
@@ -366,7 +367,7 @@ def hash_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 ELAST_BAND_C = 10_000  # $100-wide unit-price bands, in cents
 
 
-@staged_query(
+@query(
     "arc_price_elasticity_brand",
     oracle=f"""
         WITH li AS (
@@ -415,7 +416,7 @@ ELAST_BAND_C = 10_000  # $100-wide unit-price bands, in cents
         "scan (the only corpus-scale work); the lag window runs over "
         "the price-range-bounded demand-curve cells above the "
         "aggregate.",
-    tags=("staged", "analytics", "statistics"),
+    tags=("analytics", "statistics"),
 )
 def arc_price_elasticity_brand(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -492,7 +493,7 @@ def _trunc_oracle() -> str:
     """
 
 
-@staged_query(
+@query(
     "dim_truncation_recall_audit",
     oracle=_trunc_oracle(),
     doc=f"Matryoshka-style dimension-truncation audit: for the fixed "
@@ -510,7 +511,7 @@ def _trunc_oracle() -> str:
         "shuffle the corpus' shape as knn/MAP, justified-BNLJ); "
         "rank<=k rides WindowGroupLimit partial pushdown, so no "
         "window partition ever holds a corpus-sized slice.",
-    tags=("staged", "similarity", "evaluation"),
+    tags=("similarity", "evaluation"),
 )
 def dim_truncation_recall_audit(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:

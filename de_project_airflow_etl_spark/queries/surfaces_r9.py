@@ -1,10 +1,11 @@
-"""Round-9 staged queries: corpus readability, near-dup-graph link
+"""Round-9 bank, promoted in round 8 (staged as staged/round9.py):
+corpus readability, near-dup-graph link
 prediction, forecast-quality and calibration summaries, sequence
 randomness, an ordered repeated-measures trend test, retrieval-list
 diversity, and the SQL aggregate FILTER clause.
 
-Same contract and determinism rules as staged/round8.py (module
-head there): exact integer / DECIMAL(38,0) accumulation, +-*/ and
+Same contract and determinism rules as queries/diagnostics.py
+(module head there): exact integer / DECIMAL(38,0) accumulation, +-*/ and
 sqrt only, constants inlined identically into both engines through
 correctly-rounded string casts, sorted folds for bounded sums of
 double terms, windows only over calendar- or value-domain-bounded
@@ -21,13 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
-from de_project_airflow_etl_spark.staged.round8 import (
+from de_project_airflow_etl_spark.registry import query
+from de_project_airflow_etl_spark.queries.diagnostics import (
     _CENTS, _fold_spark, _fold_sql, _wide,
 )
 from de_project_airflow_etl_spark.tables import load
 from de_project_airflow_etl_spark.operators.dedup import _sql_lsh_pairs
-from de_project_airflow_etl_spark.staged.round8 import _SQL_TOPK_REL
+from de_project_airflow_etl_spark.queries.diagnostics import _SQL_TOPK_REL
 
 
 def _spark_pair_cos(x: str, y: str) -> str:
@@ -82,7 +83,7 @@ _READ_EXPRS = (
 )
 
 
-@staged_query(
+@query(
     "readability_indices_by_source",
     oracle=f"""
         WITH m AS (
@@ -115,7 +116,7 @@ _READ_EXPRS = (
         "unit, stated in the column name. Plan: one map-side-"
         "combinable per-source aggregate over one scan; regex work "
         "streams in the map phase, nothing data-sized shuffles.",
-    tags=("staged", "text", "quality"),
+    tags=("text", "quality"),
 )
 def readability_indices_by_source(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -140,7 +141,7 @@ def readability_indices_by_source(spark: SparkSession,
 # Resource-allocation link prediction over the near-dup graph.
 
 
-@staged_query(
+@query(
     "resource_allocation_link_pred",
     oracle="""
         WITH {LSH_PAIRS},
@@ -188,7 +189,7 @@ def readability_indices_by_source(spark: SparkSession,
         "two-hop join is edge x edge on the middle node — bounded "
         "by sum deg^2 of a df-capped sparse graph, never doc x doc; "
         "degree table broadcasts.",
-    tags=("staged", "dedup", "graph"),
+    tags=("dedup", "graph"),
 )
 def resource_allocation_link_pred(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -224,7 +225,7 @@ def resource_allocation_link_pred(spark: SparkSession,
 # Theil's U2: seasonal-naive forecast quality on daily revenue.
 
 
-@staged_query(
+@query(
     "theil_u_daily_forecasts",
     oracle=f"""
         WITH d AS (
@@ -264,7 +265,7 @@ def resource_allocation_link_pred(spark: SparkSession,
         "route, one division + one IEEE-exact sqrt. Plan: one "
         "map-side-combinable daily rollup; lags over the calendar-"
         "bounded daily table; 1-row math.",
-    tags=("staged", "timeseries", "evaluation"),
+    tags=("timeseries", "evaluation"),
 )
 def theil_u_daily_forecasts(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -297,7 +298,7 @@ def theil_u_daily_forecasts(spark: SparkSession,
 PG_K = 7
 
 
-@staged_query(
+@query(
     "pages_trend_test_dow",
     oracle=f"""
         WITH d AS (
@@ -351,7 +352,7 @@ PG_K = 7
         "bucketing, no engine week functions. Plan: identical to "
         "friedman_dow_value_ranks — one (week, dow) rollup, 7-row "
         "block rank partitions, then 7-row math.",
-    tags=("staged", "statistics", "timeseries"),
+    tags=("statistics", "timeseries"),
 )
 def pages_trend_test_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (load(spark, sf_dir, "events")
@@ -397,7 +398,7 @@ ECE_SCALE = 50000   # same scorer as brier_calibration_purchase
 ECE_BIN_C = 5000
 
 
-@staged_query(
+@query(
     "ece_calibration_purchase",
     oracle=f"""
         WITH e AS (
@@ -443,7 +444,7 @@ ECE_BIN_C = 5000
         "gap doubles reduce via the sorted fold, the max by plain "
         "MAX (order-free). Plan: ONE map-side-combinable aggregate "
         "over the fact table into 10 bins, then 10-row math.",
-    tags=("staged", "evaluation", "statistics"),
+    tags=("evaluation", "statistics"),
 )
 def ece_calibration_purchase(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -476,7 +477,7 @@ def ece_calibration_purchase(spark: SparkSession,
 # Wald-Wolfowitz runs test on the daily up/down sequence.
 
 
-@staged_query(
+@query(
     "runs_test_daily_updown",
     oracle=f"""
         WITH d AS (
@@ -534,7 +535,7 @@ def ece_calibration_purchase(spark: SparkSession,
         "mean/variance and one sqrt. Plan: one map-side-combinable "
         "daily rollup; lag windows over the bounded daily table; "
         "1-row math.",
-    tags=("staged", "statistics", "timeseries"),
+    tags=("statistics", "timeseries"),
 )
 def runs_test_daily_updown(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
@@ -576,7 +577,7 @@ def runs_test_daily_updown(spark: SparkSession,
 # SQL aggregate FILTER clause surface.
 
 
-@staged_query(
+@query(
     "filter_clause_weekday_mix",
     oracle=f"""
         SELECT event_type,
@@ -606,7 +607,7 @@ def runs_test_daily_updown(spark: SparkSession,
         "aggregate rides the standard two-phase expand, identical "
         "to the CASE-expression spelling — FILTER is purely a "
         "binding surface.",
-    tags=("staged", "sql-surface",),
+    tags=("sql-surface",),
 )
 def filter_clause_weekday_mix(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -634,7 +635,7 @@ def filter_clause_weekday_mix(spark: SparkSession,
 # Intra-list diversity of the cosine top-10 retrieval lists.
 
 
-@staged_query(
+@query(
     "ild_retrieval_diversity",
     oracle="""
         WITH {TOPK},
@@ -679,11 +680,11 @@ def filter_clause_weekday_mix(spark: SparkSession,
         "vec_id (10 rows per query), lists collect per query, all "
         "pair work happens inside one row's array lambdas — "
         "never a result x result join.",
-    tags=("staged", "similarity", "evaluation"),
+    tags=("similarity", "evaluation"),
 )
 def ild_retrieval_diversity(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
-    from de_project_airflow_etl_spark.staged.round8 import _spark_topk_rel
+    from de_project_airflow_etl_spark.queries.diagnostics import _spark_topk_rel
     top = _spark_topk_rel(spark, sf_dir).select("qid", "rn", "vec_id")
     e2 = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("emb"))
@@ -715,7 +716,7 @@ def ild_retrieval_diversity(spark: SparkSession,
 RS_SCALES = (8, 16)
 
 
-@staged_query(
+@query(
     "rescaled_range_daily",
     oracle=f"""
         WITH d AS (
@@ -787,7 +788,7 @@ RS_SCALES = (8, 16)
         "CALENDAR-BOUNDED daily array). Plan: one map-side-"
         "combinable daily rollup; a 1-row array collect; explode by "
         "scale and block index.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def rescaled_range_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (load(spark, sf_dir, "events")
@@ -835,7 +836,7 @@ def rescaled_range_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Named WINDOW clause surface.
 
 
-@staged_query(
+@query(
     "named_window_daily_stats",
     oracle=f"""
         WITH d AS (
@@ -864,7 +865,7 @@ def rescaled_range_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "integer cents; no division at all. Plan: one map-side-"
         "combinable daily rollup; every window runs over the "
         "calendar-bounded daily table under a single sort.",
-    tags=("staged", "sql-surface", "timeseries"),
+    tags=("sql-surface", "timeseries"),
 )
 def named_window_daily_stats(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -893,7 +894,7 @@ def named_window_daily_stats(spark: SparkSession,
 # streaming/stateful.py with both-side watermark-gated null emission.
 
 
-@staged_query(
+@query(
     "streaming_stream_stream_full_join",
     oracle="""
         WITH clicks AS (
@@ -963,7 +964,7 @@ def named_window_daily_stats(spark: SparkSession,
         "purchase may arrive up to the range bound later; that "
         "derived-constraint wait is what keeps full-outer join state "
         "bounded at 100 TB. Drained with availableNow.",
-    tags=("staged", "streaming", "join", "outer"),
+    tags=("streaming", "join", "outer"),
 )
 def streaming_stream_stream_full_join(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:

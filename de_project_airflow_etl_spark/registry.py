@@ -59,41 +59,49 @@ def query(name: str, oracle: str | None, doc: str = "",
 # filtered out automatically, so it records the CURRENT round's plan
 # (historical rounds' plans live in git history + CORRECTNESS_r*.json).
 #
-# Round-7 window (36 promoted + new-surface entries, <= ~50): all 294
-# round-6 registry entries are driver-verified (CORRECTNESS_r06 landed
-# 50/50 green, cumulative 294/294), so the window is free for the 36
-# promoted round-6 staged queries (now queries/surfaces_r7.py +
-# queries/evaluation.py, VERDICT r6 #1; recorded promotion
-# precondition: the full 97-query staged pen swept green at sf0.01 AND
-# sf0.1, 2026-08-15) plus any new round-7 surface, which self-promotes
-# into the window by registration order.
+# Round-8 window (46 promoted, <= ~50): all 338 round-7 registry
+# entries are driver-verified (CORRECTNESS_r07 landed 50/50 green,
+# cumulative 338/338), so the whole window is free for the 46
+# promoted staged queries (VERDICT r7 #1: round8 -> queries/
+# diagnostics.py, round8b -> queries/indicators.py, round8c ->
+# queries/surfaces_r8.py, round9 -> queries/surfaces_r9.py; recorded
+# promotion precondition: the full 87-query staged pen swept green at
+# sf0.01 AND sf0.1, 2026-08-15), leaving ~4 slots for rotation
+# re-verifies.
 #
 # Truncation is never the only correctness signal: the full registry is
 # exercised locally by ``tests/test_correctness.py`` (exact values, all
 # queries) and ``scripts/profile_correctness.py`` (hash replica of the
 # driver's check) — see those for the complete picture.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # the 12 promoted queries from queries/surfaces_r7.py, in their
+    # the 15 promoted queries from queries/diagnostics.py, in their
     # staged registration order
-    "weekly_cohort_triangle", "two_proportion_drift_test",
-    "session_duration_log2_histogram", "quality_ensemble_vote",
-    "listagg_status_timeline", "macd_daily_revenue",
-    "contrastive_triplet_mining", "dedup_method_agreement",
-    "sql_scripting_rollup", "recursive_dup_reachability",
-    "embedding_rank_normalize_bucketed", "collation_casefold_group",
-    # the 24 promoted queries from queries/evaluation.py
-    "roc_auc_purchase_value", "welch_t_test_weekend_value",
-    "anova_event_type_value", "cramers_v_event_dow",
-    "theta_sketch_user_overlap", "map_retrieval_eval",
-    "bollinger_daily_revenue", "seasonal_naive_mase",
-    "unigram_inverse_prob_by_source", "source_unigram_tv_distance",
-    "group_by_all_weekday_mix", "position_attribution_revenue",
-    "ols_two_feature_price", "cohens_kappa_quality_rules",
-    "param_bound_revenue_floor", "lateral_alias_charge_chain",
-    "pivot_multi_agg_segment_status", "try_arithmetic_null_guards",
-    "wilson_ci_weekend_share", "unpivot_sql_order_metrics",
-    "mcnemar_test_rules", "max_drawdown_daily_revenue",
-    "regexp_function_family_stats", "multimodal_audio_chunk_windows",
+    "atr_daily_value_range", "stochastic_oscillator_daily",
+    "obv_daily_value_flow", "mann_kendall_daily_trend",
+    "durbin_watson_trend_residuals", "jarque_bera_daily_revenue",
+    "kruskal_wallis_value_by_type", "brown_forsythe_weekend_value",
+    "hellinger_weekend_value_drift", "brier_calibration_purchase",
+    "cochrans_q_quality_rules", "yules_k_by_source",
+    "term_burstiness_vmr", "ndcg_retrieval_eval", "mrr_retrieval_eval",
+    # the 13 promoted queries from queries/indicators.py
+    "williams_r_daily", "aroon_daily_value", "money_flow_index_daily",
+    "donchian_channel_daily", "chande_momentum_daily",
+    "accum_dist_daily_flow", "wilcoxon_signed_rank_ampm",
+    "sign_test_daily_updown", "mood_median_test_event_type",
+    "friedman_dow_value_ranks", "jonckheere_terpstra_value_by_type",
+    "per_class_f1_length_rules", "cramer_von_mises_weekend",
+    # the 7 promoted queries from queries/surfaces_r8.py
+    "zipf_rank_frequency_table", "bowley_skewness_by_type",
+    "stack_generator_charge_mix", "offset_window_90m_revenue",
+    "hash_bootstrap_mean_ci", "arc_price_elasticity_brand",
+    "dim_truncation_recall_audit",
+    # the 11 promoted queries from queries/surfaces_r9.py
+    "readability_indices_by_source", "resource_allocation_link_pred",
+    "theil_u_daily_forecasts", "pages_trend_test_dow",
+    "ece_calibration_purchase", "runs_test_daily_updown",
+    "filter_clause_weekday_mix", "ild_retrieval_diversity",
+    "rescaled_range_daily", "named_window_daily_stats",
+    "streaming_stream_stream_full_join",
 )
 
 
@@ -119,7 +127,8 @@ def all_queries() -> dict[str, Query]:
         timeseries, scalar, subqueries, grouping,
         flagship, etl, aggregates_ext, relational, joins, windows, setops,
         tpch, analytics, mining, features, surfaces_r6, surfaces_r7,
-        evaluation, robust,
+        evaluation, robust, diagnostics, indicators, surfaces_r8,
+        surfaces_r9,
     )
     ordered: dict[str, Query] = {}
     verified = _driver_verified()
@@ -153,13 +162,14 @@ _CORRECTNESS_ROUNDS: tuple[str, ...] = (
     "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
-    # r07/r08 are listed ahead of adjudication: the files do not exist
+    "CORRECTNESS_r07.json",
+    # r08/r09 are listed ahead of adjudication: the files do not exist
     # yet (missing files degrade gracefully), but the moment the driver
     # writes one the rotation self-maintains — latest-round rows win,
     # so any recorded failure demotes its query back into the priority
     # window even if the next session forgets to touch this list.
-    "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
+    "CORRECTNESS_r09.json",
 )
 
 _DRIVER_VERIFIED_CACHE: set[str] | None = None

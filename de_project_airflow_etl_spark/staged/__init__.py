@@ -17,54 +17,45 @@ round-5 staged queries (``round6.py`` -> ``queries/mining.py``,
 AND sf0.1 staged sweeps ran 39/39 green; round 7 promoted the 36
 round-6 staged queries (``round7.py`` -> ``queries/surfaces_r7.py``,
 ``round7b.py`` -> ``queries/evaluation.py``) after the full staged
-pen swept 97/97 green at sf0.01 and sf0.1. ``round8.py`` (15: time-series
-diagnostics, distribution statistics, text richness, graded
-retrieval), ``round8b.py`` (13: six more daily-bar technical
-indicators, seven nonparametric / evaluation statistics) and
-``round8c.py`` (7, staged in round 7: Zipf rank-frequency table,
-Bowley quartile skewness, stack() and origin-offset-window SQL
-bridges, the deterministic hash-bootstrap mean CI, arc price
-elasticity, the dimension-truncation recall audit) bank surface for
-the round-8 window; ``round9.py`` (11: readability
-indices, dup-graph link prediction, forecast/calibration summaries,
-runs test, Page's trend, retrieval diversity, rescaled-range table,
-FILTER and named-WINDOW clauses, full-outer stream-stream join)
-banks surface for the round-9 window, joined by ``round9b.py``
-(6, staged in round 7: the log-rank test on the md5 A/B arms'
-time-to-first-purchase, Cucconi's joint location-scale test, the
-seasonal Mann-Kendall trend test, Kendall's W weekday concordance,
-the dynamic-gap session_window surface, and the applyInArrow group-map
-execution path); ``round10.py`` (9: cluster-
-validity indices over the embedding labels, Cliff's delta, Quade
-and Ansari-Bradley tests, SMOG/Fog readability, MATTR lexical
-diversity, the Python Data Source STREAMING writer round-trip, the
-Arrow-optimized scalar Python UDF path)
-banks surface for the round-10 window, joined by ``round10b.py``
-(5, staged in round 7: exact weekly distinct via bitmap_or_agg
-partial merging, percentile_disc quartiles on the cell plan,
-Page-Hinkley drift, the map higher-order-function family, and
-additive Holt-Winters with weekly seasonality); ``round11.py`` (6:
-changepoint/randomness diagnostics — Pettitt, Cox-Stuart, Dixon's Q,
-turning points — token-frequency Gini, Nelson-Aalen cumulative
-hazard) banks surface for the round-11 window, joined by ``round11b.py``
-(4, staged in round 7: Gini mean difference + value-level Gini,
-the Hoover/Robin-Hood index of daily revenue, exact mode with a
-pinned tiebreak, and Tukey's trimean/midhinge); ``round12.py`` (5:
-the experimentation/operations bank — SRM audit, CUPED lift,
-Little's law, Croston's method, Burrows' Delta) banks surface for the round-12 window, joined by ``round12b.py``
-(4, staged in round 7: difference-in-differences on the hash arms,
-the power/MDE planning panel, Fleiss' kappa for three quality raters,
+pen swept 97/97 green at sf0.01 and sf0.1; round 8 promoted the 46
+round-8/9 bank queries (``round8.py`` -> ``queries/diagnostics.py``,
+``round8b.py`` -> ``queries/indicators.py``, ``round8c.py`` ->
+``queries/surfaces_r8.py``, ``round9.py`` -> ``queries/
+surfaces_r9.py``) after the full 87-query pen swept green at sf0.01
+AND sf0.1 (VERDICT r7 #1: the whole window was free, so round9
+folded in alongside the round-8 banks).
+
+The remaining pen: ``round9b.py`` (6, staged in round 7: the
+log-rank test on the md5 A/B arms' time-to-first-purchase, Cucconi's
+joint location-scale test, the seasonal Mann-Kendall trend test,
+Kendall's W weekday concordance, the dynamic-gap session_window
+surface, and the applyInArrow group-map execution path);
+``round10.py`` (9: cluster-validity indices over the embedding
+labels, Cliff's delta, Quade and Ansari-Bradley tests, SMOG/Fog
+readability, MATTR lexical diversity, the Python Data Source
+STREAMING writer round-trip, the Arrow-optimized scalar Python UDF
+path); ``round10b.py`` (5, staged in round 7: exact weekly distinct
+via bitmap_or_agg partial merging, percentile_disc quartiles on the
+cell plan, Page-Hinkley drift, the map higher-order-function family,
+and additive Holt-Winters with weekly seasonality); ``round11.py``
+(6: changepoint/randomness diagnostics — Pettitt, Cox-Stuart,
+Dixon's Q, turning points — token-frequency Gini, Nelson-Aalen
+cumulative hazard); ``round11b.py`` (4: Gini mean difference +
+value-level Gini, the Hoover/Robin-Hood index of daily revenue,
+exact mode with a pinned tiebreak, and Tukey's trimean/midhinge);
+``round12.py`` (5: the experimentation/operations bank — SRM audit,
+CUPED lift, Little's law, Croston's method, Burrows' Delta);
+``round12b.py`` (4: difference-in-differences on the hash arms, the
+power/MDE planning panel, Fleiss' kappa for three quality raters,
 leave-one-day-out jackknife variance of the revenue-per-event
-ratio); ``round13.py`` (2: the
-differential-privacy sensitivity audit — its k-anonymity/l-diversity
-siblings were dropped as near-duplicates of the registered
-k_anonymity_audit — and the SQL-language UDF surface) banks surface
-for the round-13 window.
+ratio); ``round13.py`` (2: the differential-privacy sensitivity
+audit — its k-anonymity/l-diversity siblings were dropped as
+near-duplicates of the registered k_anonymity_audit — and the
+SQL-language UDF surface).
 
 The round labels are the DEFAULT schedule, not a constraint: the
-window takes ~50 rows, so round 8 promotes round8+round8b+round8c
-(35), and rounds 9-13's banks sum to 52 — a promoting session may
-fold them into one window when the retry count leaves room. Every bank is
+window takes ~50 rows, so a promoting session folds banks together
+when the retry count leaves room (round-8 precedent). Every bank is
 already sweep-verified at sf0.001/0.01/0.1 (the recorded promotion
 precondition).
 """
@@ -93,10 +84,6 @@ def staged_query(name: str, oracle: str | None, doc: str = "",
 
 
 # registration imports at the bottom: the modules need staged_query above
-from de_project_airflow_etl_spark.staged import round8  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round8b  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round8c  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round9  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round9b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round10  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round10b  # noqa: E402,F401

@@ -26,10 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from de_project_airflow_etl_spark.staged import staged_query
-from de_project_airflow_etl_spark.staged.round8 import (
+from de_project_airflow_etl_spark.queries.diagnostics import (
     _CENTS, _fold_spark, _fold_sql, _wide,
 )
-from de_project_airflow_etl_spark.staged.round9 import _dlit
+from de_project_airflow_etl_spark.queries.surfaces_r9 import _dlit
 from de_project_airflow_etl_spark.tables import load
 
 SIL_SCALE = 1_000_000_000_000  # 1e12 per-point quantization grid

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from de_project_airflow_etl_spark.staged import staged_query
-from de_project_airflow_etl_spark.staged.round8 import (
+from de_project_airflow_etl_spark.queries.diagnostics import (
     _CENTS, _fold_spark, _fold_sql, _wide,
 )
 from de_project_airflow_etl_spark.queries.mining import KM_CENSOR_DAYS

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from de_project_airflow_etl_spark.staged import staged_query
-from de_project_airflow_etl_spark.staged.round8 import _CENTS, _wide
+from de_project_airflow_etl_spark.queries.diagnostics import _CENTS, _wide
 from de_project_airflow_etl_spark.tables import load
 
 @staged_query(

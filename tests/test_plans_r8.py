@@ -1,10 +1,10 @@
-"""Targeted gates for the round-8 staged bank (time-series
+"""Targeted gates for the round-8 promoted bank (time-series
 diagnostics, distribution statistics, text richness, graded
 retrieval) — the 100 TB shape evidence each docstring claims plus
 range invariants on the statistics themselves.
 
-The blanket oracle-match / non-empty / BNLJ gates in
-tests/test_staged_pen.py already parametrize over ALL staged queries.
+Oracle equality rides the registry-wide tests/test_correctness.py
+sweep (promoted in round 8; gates carried over from the staged era).
 """
 
 from __future__ import annotations
@@ -14,7 +14,9 @@ import math
 import pytest
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 # query -> max "Scan parquet" nodes allowed in the FINAL plan: the
 # multi-consumer bounded intermediates (daily tables, bin/median/
@@ -41,7 +43,7 @@ SCAN_BUDGETS_R8 = {
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R8))
 def test_r8_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R8[name], (
@@ -65,7 +67,7 @@ def test_r8_windows_consume_aggregated_rows_only(spark, sf_dir, name):
     AGGREGATE (daily bars / distinct-value counts), never raw rows:
     each WindowExec subtree must contain an Aggregate or a
     checkpointed (already-reduced) RDD scan."""
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     windows = _window_nodes(df)
     assert windows, f"{name}: expected a WindowExec"
     for wnode in windows:
@@ -85,14 +87,14 @@ def test_r8_windows_consume_aggregated_rows_only(spark, sf_dir, name):
 def test_r8_fold_statistics_use_no_windows(spark, sf_dir, name):
     """The fold-based statistics reduce via array folds / plain
     aggregates — no WindowExec anywhere in the plan."""
-    assert not _window_nodes(STAGED[name].fn(spark, sf_dir)), name
+    assert not _window_nodes(REG[name].fn(spark, sf_dir)), name
 
 
 def test_r8_topk_rank_rides_window_group_limit(spark, sf_dir):
     """The retrieval top-10 must plan as WindowGroupLimit
     Partial/Final (engine-native bounded top-k per anchor), so no
     window partition ever holds a corpus-sized slice."""
-    df = STAGED["ndcg_retrieval_eval"].fn(spark, sf_dir)
+    df = REG["ndcg_retrieval_eval"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:2000]
 
@@ -101,7 +103,7 @@ def test_r8_topk_rank_rides_window_group_limit(spark, sf_dir):
 
 
 def test_r8_hellinger_in_unit_interval(spark, sf_dir):
-    row = STAGED["hellinger_weekend_value_drift"].fn(
+    row = REG["hellinger_weekend_value_drift"].fn(
         spark, sf_dir).collect()[0]
     assert 0.0 <= row.bc_coef <= 1.0
     assert 0.0 <= row.hellinger <= 1.0
@@ -110,30 +112,30 @@ def test_r8_hellinger_in_unit_interval(spark, sf_dir):
 
 
 def test_r8_ndcg_and_mrr_bounded(spark, sf_dir):
-    for r in STAGED["ndcg_retrieval_eval"].fn(spark, sf_dir).collect():
+    for r in REG["ndcg_retrieval_eval"].fn(spark, sf_dir).collect():
         assert 0.0 <= r.ndcg <= 1.0 + 1e-12, r
         assert r.idcg > 0
         assert 0 <= r.hits <= 10
-    row = STAGED["mrr_retrieval_eval"].fn(spark, sf_dir).collect()[0]
+    row = REG["mrr_retrieval_eval"].fn(spark, sf_dir).collect()[0]
     assert 0.0 <= row.mrr <= 1.0
     assert 0 <= row.n_with_hit <= row.n_queries
 
 
 def test_r8_durbin_watson_range(spark, sf_dir):
-    row = STAGED["durbin_watson_trend_residuals"].fn(
+    row = REG["durbin_watson_trend_residuals"].fn(
         spark, sf_dir).collect()[0]
     assert 0.0 <= row.dw_stat <= 4.0
 
 
 def test_r8_jarque_bera_nonnegative(spark, sf_dir):
-    row = STAGED["jarque_bera_daily_revenue"].fn(
+    row = REG["jarque_bera_daily_revenue"].fn(
         spark, sf_dir).collect()[0]
     assert row.jb_stat >= 0.0
     assert row.mean_revenue > 0.0
 
 
 def test_r8_kruskal_wallis_tie_correction(spark, sf_dir):
-    row = STAGED["kruskal_wallis_value_by_type"].fn(
+    row = REG["kruskal_wallis_value_by_type"].fn(
         spark, sf_dir).collect()[0]
     assert 0.0 < row.tie_correction <= 1.0
     assert row.h_stat >= -1e-9
@@ -141,7 +143,7 @@ def test_r8_kruskal_wallis_tie_correction(spark, sf_dir):
 
 
 def test_r8_cochrans_q_nonnegative(spark, sf_dir):
-    row = STAGED["cochrans_q_quality_rules"].fn(
+    row = REG["cochrans_q_quality_rules"].fn(
         spark, sf_dir).collect()[0]
     assert row.q_stat >= 0.0
     assert row.df == 2
@@ -150,7 +152,7 @@ def test_r8_cochrans_q_nonnegative(spark, sf_dir):
 def test_r8_atr_dominates_daily_range(spark, sf_dir):
     """TR >= high - low >= 0 per definition, so ATR > 0 and every
     tr_cents is at least the day's raw range."""
-    rows = STAGED["atr_daily_value_range"].fn(spark, sf_dir).collect()
+    rows = REG["atr_daily_value_range"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.tr_cents >= 0
@@ -158,7 +160,7 @@ def test_r8_atr_dominates_daily_range(spark, sf_dir):
 
 
 def test_r8_obv_is_running_sum(spark, sf_dir):
-    rows = sorted(STAGED["obv_daily_value_flow"].fn(
+    rows = sorted(REG["obv_daily_value_flow"].fn(
         spark, sf_dir).collect(), key=lambda r: r.day)
     acc = 0
     for r in rows:
@@ -168,7 +170,7 @@ def test_r8_obv_is_running_sum(spark, sf_dir):
 
 
 def test_r8_stochastic_bounded(spark, sf_dir):
-    for r in STAGED["stochastic_oscillator_daily"].fn(
+    for r in REG["stochastic_oscillator_daily"].fn(
             spark, sf_dir).collect():
         if r.pct_k is not None:
             assert -1e-9 <= r.pct_k <= 100.0 + 1e-9
@@ -177,7 +179,7 @@ def test_r8_stochastic_bounded(spark, sf_dir):
 
 
 def test_r8_brier_bins_consistent(spark, sf_dir):
-    rows = STAGED["brier_calibration_purchase"].fn(
+    rows = REG["brier_calibration_purchase"].fn(
         spark, sf_dir).collect()
     assert 1 <= len(rows) <= 10
     for r in rows:
@@ -193,7 +195,7 @@ def test_r8_brier_bins_consistent(spark, sf_dir):
 
 
 def test_r8_yules_k_positive_and_exact_small_case(spark, sf_dir):
-    rows = STAGED["yules_k_by_source"].fn(spark, sf_dir).collect()
+    rows = REG["yules_k_by_source"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.n_types <= r.n_tokens
@@ -203,7 +205,7 @@ def test_r8_yules_k_positive_and_exact_small_case(spark, sf_dir):
 def test_r8_burstiness_vmr_formula(spark, sf_dir):
     """VMR recomputed driver-side from the emitted exact moments must
     match the query's double (same operands, same ops)."""
-    rows = STAGED["term_burstiness_vmr"].fn(spark, sf_dir).collect()
+    rows = REG["term_burstiness_vmr"].fn(spark, sf_dir).collect()
     assert len(rows) == 20
 
 
@@ -211,7 +213,7 @@ def test_r8_ndcg_discount_literals_are_roundtrip_exact():
     """The inlined discount literals must round-trip: repr of the
     Python double re-parsed equals the double (the reason literal
     inlining is bit-exact cross-engine)."""
-    from de_project_airflow_etl_spark.staged.round8 import (
+    from de_project_airflow_etl_spark.queries.diagnostics import (
         _DISCOUNTS, _IDCG_PREFIX,
     )
     for x in list(_DISCOUNTS) + list(_IDCG_PREFIX):

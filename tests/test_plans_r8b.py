@@ -1,10 +1,10 @@
-"""Targeted gates for the round-8b staged bank (second indicator
+"""Targeted gates for the round-8b promoted bank (second indicator
 batch over the daily value bars + nonparametric/evaluation
 statistics) — scan budgets for the checkpointed bounded
 intermediates, window-input shape evidence, and range invariants.
 
-The blanket oracle-match / non-empty / BNLJ gates in
-tests/test_staged_pen.py already parametrize over ALL staged queries.
+Oracle equality rides the registry-wide tests/test_correctness.py
+sweep (promoted in round 8; gates carried over from the staged era).
 """
 
 from __future__ import annotations
@@ -12,7 +12,9 @@ from __future__ import annotations
 import pytest
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 SCAN_BUDGETS_R8B = {
     "williams_r_daily": 1,
@@ -33,7 +35,7 @@ SCAN_BUDGETS_R8B = {
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R8B))
 def test_r8b_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R8B[name], (
@@ -53,7 +55,7 @@ def test_r8b_windows_consume_aggregated_rows_only(spark, sf_dir, name):
     """Every window in the bank runs over a bounded AGGREGATE (daily
     bars / distinct-value counts / checkpointed reduced tables),
     never raw file rows."""
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     for wnode in _window_nodes(df):
         sub = list(_walk_jplan(wnode.children().apply(0)))
         names = [ch.getClass().getSimpleName() for ch in sub]
@@ -66,7 +68,7 @@ def test_r8b_windows_consume_aggregated_rows_only(spark, sf_dir, name):
 
 
 def test_r8b_williams_r_bounded(spark, sf_dir):
-    rows = STAGED["williams_r_daily"].fn(spark, sf_dir).collect()
+    rows = REG["williams_r_daily"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.hi_c >= r.lo_c
@@ -75,7 +77,7 @@ def test_r8b_williams_r_bounded(spark, sf_dir):
 
 
 def test_r8b_aroon_bounded(spark, sf_dir):
-    rows = STAGED["aroon_daily_value"].fn(spark, sf_dir).collect()
+    rows = REG["aroon_daily_value"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0 <= r.days_since_high <= 24
@@ -88,7 +90,7 @@ def test_r8b_aroon_bounded(spark, sf_dir):
 
 
 def test_r8b_mfi_bounded(spark, sf_dir):
-    rows = STAGED["money_flow_index_daily"].fn(spark, sf_dir).collect()
+    rows = REG["money_flow_index_daily"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.pos_flow3 >= 0 and r.neg_flow3 >= 0
@@ -97,7 +99,7 @@ def test_r8b_mfi_bounded(spark, sf_dir):
 
 
 def test_r8b_donchian_consistent(spark, sf_dir):
-    rows = STAGED["donchian_channel_daily"].fn(spark, sf_dir).collect()
+    rows = REG["donchian_channel_daily"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.up_c >= r.dn_c
@@ -109,7 +111,7 @@ def test_r8b_donchian_consistent(spark, sf_dir):
 
 
 def test_r8b_cmo_bounded(spark, sf_dir):
-    rows = STAGED["chande_momentum_daily"].fn(spark, sf_dir).collect()
+    rows = REG["chande_momentum_daily"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.up_sum_c >= 0 and r.down_sum_c >= 0
@@ -118,7 +120,7 @@ def test_r8b_cmo_bounded(spark, sf_dir):
 
 
 def test_r8b_ad_line_is_running_sum(spark, sf_dir):
-    rows = sorted(STAGED["accum_dist_daily_flow"].fn(
+    rows = sorted(REG["accum_dist_daily_flow"].fn(
         spark, sf_dir).collect(), key=lambda r: r.day)
     assert rows
     acc = 0
@@ -129,7 +131,7 @@ def test_r8b_ad_line_is_running_sum(spark, sf_dir):
 
 
 def test_r8b_wilcoxon_consistent(spark, sf_dir):
-    row = STAGED["wilcoxon_signed_rank_ampm"].fn(
+    row = REG["wilcoxon_signed_rank_ampm"].fn(
         spark, sf_dir).collect()[0]
     n = row.n_days
     assert 0 <= row.w2_plus <= n * (n + 1)
@@ -139,7 +141,7 @@ def test_r8b_wilcoxon_consistent(spark, sf_dir):
 
 
 def test_r8b_sign_test_consistent(spark, sf_dir):
-    row = STAGED["sign_test_daily_updown"].fn(
+    row = REG["sign_test_daily_updown"].fn(
         spark, sf_dir).collect()[0]
     assert row.up_days >= 0 and row.down_days >= 0
     assert row.flat_days >= 0
@@ -148,7 +150,7 @@ def test_r8b_sign_test_consistent(spark, sf_dir):
 
 
 def test_r8b_mood_median_consistent(spark, sf_dir):
-    row = STAGED["mood_median_test_event_type"].fn(
+    row = REG["mood_median_test_event_type"].fn(
         spark, sf_dir).collect()[0]
     assert row.chi2_stat >= 0.0
     assert row.df == row.n_groups - 1
@@ -158,7 +160,7 @@ def test_r8b_mood_median_consistent(spark, sf_dir):
 
 
 def test_r8b_friedman_consistent(spark, sf_dir):
-    row = STAGED["friedman_dow_value_ranks"].fn(
+    row = REG["friedman_dow_value_ranks"].fn(
         spark, sf_dir).collect()[0]
     assert row.n_blocks >= 1
     assert row.k_treatments == 7
@@ -169,7 +171,7 @@ def test_r8b_friedman_consistent(spark, sf_dir):
 
 
 def test_r8b_jonckheere_consistent(spark, sf_dir):
-    row = STAGED["jonckheere_terpstra_value_by_type"].fn(
+    row = REG["jonckheere_terpstra_value_by_type"].fn(
         spark, sf_dir).collect()[0]
     # J2 = 2J in [0, 2 * sum_{g<h} n_g n_h] = [0, 2*e2]
     assert 0 <= row.j2 <= 2 * row.e2
@@ -178,7 +180,7 @@ def test_r8b_jonckheere_consistent(spark, sf_dir):
 
 
 def test_r8b_f1_consistent(spark, sf_dir):
-    rows = STAGED["per_class_f1_length_rules"].fn(
+    rows = REG["per_class_f1_length_rules"].fn(
         spark, sf_dir).collect()
     assert len(rows) == 3
     assert {r.cls for r in rows} == {"short", "medium", "long"}
@@ -196,7 +198,7 @@ def test_r8b_f1_consistent(spark, sf_dir):
 
 
 def test_r8b_cvm_nonnegative(spark, sf_dir):
-    row = STAGED["cramer_von_mises_weekend"].fn(
+    row = REG["cramer_von_mises_weekend"].fn(
         spark, sf_dir).collect()[0]
     assert row.cvm_t >= 0.0
     assert row.n_weekend > 0 and row.n_weekday > 0

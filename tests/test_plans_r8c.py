@@ -1,12 +1,14 @@
-"""Targeted gates for the round-8c staged bank (the blanket
-oracle-match / non-empty / BNLJ gates in tests/test_staged_pen.py
-already parametrize over ALL staged queries; this module pins the
+"""Targeted gates for the round-8c promoted bank (the blanket
+oracle-match now rides the registry-wide tests/test_correctness.py
+sweep — promoted in round 8; this module pins the
 query-specific plan shapes and invariants)."""
 
 from __future__ import annotations
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 
 def _node_names(df):
@@ -17,7 +19,7 @@ def _node_names(df):
 def test_zipf_head_is_take_ordered(spark, sf_dir):
     """The top-k head must plan as TakeOrderedAndProject (per-
     partition heaps), never a global sort of the vocabulary."""
-    names = _node_names(STAGED["zipf_rank_frequency_table"]
+    names = _node_names(REG["zipf_rank_frequency_table"]
                         .fn(spark, sf_dir))
     assert any("TakeOrderedAndProject" in n for n in names), names
 
@@ -26,7 +28,7 @@ def test_bowley_windows_sit_above_cell_aggregate(spark, sf_dir):
     """The cumulation windows rank the bounded (type, cents) cell
     table, never raw rows: every WindowExec subtree must contain an
     Aggregate."""
-    df = STAGED["bowley_skewness_by_type"].fn(spark, sf_dir)
+    df = REG["bowley_skewness_by_type"].fn(spark, sf_dir)
     jplan = df._jdf.queryExecution().sparkPlan()
     windows = [n for n in _walk_jplan(jplan)
                if n.getClass().getSimpleName().startswith("WindowExec")]
@@ -42,7 +44,7 @@ def test_stack_generator_runs_before_any_exchange(spark, sf_dir):
     exchange (the metric aggregate) in the plan."""
     from de_project_airflow_etl_spark.plans.inspect import formatted_plan
     plan = formatted_plan(
-        STAGED["stack_generator_charge_mix"].fn(spark, sf_dir))
+        REG["stack_generator_charge_mix"].fn(spark, sf_dir))
     assert plan.count("Exchange") <= 2, plan[:1500]
 
 
@@ -50,7 +52,7 @@ def test_bootstrap_weights_have_poisson_like_mass(spark, sf_dir):
     """The pinned md5 thresholds must produce weight masses near the
     Poisson(1) pmf (0.368/0.368/0.184/0.080) — a seeded-constant typo
     would skew every resample."""
-    from de_project_airflow_etl_spark.staged.round8c import (
+    from de_project_airflow_etl_spark.queries.surfaces_r8 import (
         BOOT_B, _BOOT_U_SPARK, _BOOT_W)
     from de_project_airflow_etl_spark.tables import load
     from pyspark.sql import functions as F
@@ -69,14 +71,14 @@ def test_bootstrap_weights_have_poisson_like_mass(spark, sf_dir):
 
 
 def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
-    row = STAGED["hash_bootstrap_mean_ci"].fn(spark, sf_dir).collect()[0]
+    row = REG["hash_bootstrap_mean_ci"].fn(spark, sf_dir).collect()[0]
     assert row["ci_lo"] <= row["mean_value"] <= row["ci_hi"]
     assert row["n_resamples"] == 32
 
 
 def test_elasticity_lag_window_sits_above_demand_aggregate(spark,
                                                            sf_dir):
-    df = STAGED["arc_price_elasticity_brand"].fn(spark, sf_dir)
+    df = REG["arc_price_elasticity_brand"].fn(spark, sf_dir)
     jplan = df._jdf.queryExecution().sparkPlan()
     windows = [n for n in _walk_jplan(jplan)
                if n.getClass().getSimpleName().startswith("WindowExec")]
@@ -91,7 +93,7 @@ def test_truncation_ranks_get_partial_group_limit(spark, sf_dir):
     """Both top-k rankings must ride Spark's rank-limit pushdown
     (WindowGroupLimit Partial before the exchange) so no window
     partition holds a corpus-sized slice."""
-    df = STAGED["dim_truncation_recall_audit"].fn(spark, sf_dir)
+    df = REG["dim_truncation_recall_audit"].fn(spark, sf_dir)
     jplan = df._jdf.queryExecution().sparkPlan()
     limits = [n.toString().split("\n")[0] for n in _walk_jplan(jplan)
               if n.getClass().getSimpleName()
@@ -100,7 +102,7 @@ def test_truncation_ranks_get_partial_group_limit(spark, sf_dir):
 
 
 def test_truncation_overlap_bounded_and_self_consistent(spark, sf_dir):
-    rows = (STAGED["dim_truncation_recall_audit"]
+    rows = (REG["dim_truncation_recall_audit"]
             .fn(spark, sf_dir).collect())
     assert rows
     for r in rows:

@@ -1,10 +1,10 @@
-"""Targeted gates for the round-9 staged bank (readability, link
+"""Targeted gates for the round-9 promoted bank (readability, link
 prediction, forecast/calibration summaries, runs test, Page's trend,
 retrieval diversity, FILTER clause) — scan budgets, window shape
 evidence, and range invariants.
 
-The blanket oracle-match / non-empty / BNLJ gates in
-tests/test_staged_pen.py already parametrize over ALL staged queries.
+Oracle equality rides the registry-wide tests/test_correctness.py
+sweep (promoted in round 8; gates carried over from the staged era).
 """
 
 from __future__ import annotations
@@ -12,7 +12,9 @@ from __future__ import annotations
 import pytest
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 SCAN_BUDGETS_R9 = {
     "readability_indices_by_source": 1,
@@ -30,7 +32,7 @@ SCAN_BUDGETS_R9 = {
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R9))
 def test_r9_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R9[name], (
@@ -50,7 +52,7 @@ def _window_nodes(df):
     "pages_trend_test_dow", "named_window_daily_stats",
 ])
 def test_r9_windows_consume_aggregated_rows_only(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     windows = _window_nodes(df)
     assert windows, f"{name}: expected a WindowExec"
     for wnode in windows:
@@ -64,7 +66,7 @@ def test_r9_windows_consume_aggregated_rows_only(spark, sf_dir, name):
 def test_r9_ild_topk_rides_window_group_limit(spark, sf_dir):
     """The top-10 list construction must keep the WindowGroupLimit
     pushdown (rank<=k bounded per map task), same as the NDCG gate."""
-    df = STAGED["ild_retrieval_diversity"].fn(spark, sf_dir)
+    df = REG["ild_retrieval_diversity"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:2000]
 
@@ -73,7 +75,7 @@ def test_r9_ild_topk_rides_window_group_limit(spark, sf_dir):
 
 
 def test_r9_readability_counts_consistent(spark, sf_dir):
-    rows = STAGED["readability_indices_by_source"].fn(
+    rows = REG["readability_indices_by_source"].fn(
         spark, sf_dir).collect()
     assert rows
     for r in rows:
@@ -87,7 +89,7 @@ def test_r9_readability_counts_consistent(spark, sf_dir):
 
 
 def test_r9_ra_scores_bounded(spark, sf_dir):
-    rows = STAGED["resource_allocation_link_pred"].fn(
+    rows = REG["resource_allocation_link_pred"].fn(
         spark, sf_dir).collect()
     assert rows, "expected at least one two-hop pair in the dup graph"
     for r in rows:
@@ -99,7 +101,7 @@ def test_r9_ra_scores_bounded(spark, sf_dir):
 
 
 def test_r9_theil_u_positive(spark, sf_dir):
-    row = STAGED["theil_u_daily_forecasts"].fn(
+    row = REG["theil_u_daily_forecasts"].fn(
         spark, sf_dir).collect()[0]
     assert row.sse_seasonal7 >= 0.0 and row.sse_naive1 >= 0.0
     if row.theil_u2 is not None:
@@ -107,7 +109,7 @@ def test_r9_theil_u_positive(spark, sf_dir):
 
 
 def test_r9_pages_trend_consistent(spark, sf_dir):
-    row = STAGED["pages_trend_test_dow"].fn(spark, sf_dir).collect()[0]
+    row = REG["pages_trend_test_dow"].fn(spark, sf_dir).collect()[0]
     assert row.n_blocks >= 1
     assert row.e_l2 == row.n_blocks * 7 * 64
     # L2 ranges over [b*2*(1*7+2*6+..), b*2*(1*2+2*4..)]: loose bounds
@@ -117,7 +119,7 @@ def test_r9_pages_trend_consistent(spark, sf_dir):
 
 
 def test_r9_ece_bounded(spark, sf_dir):
-    row = STAGED["ece_calibration_purchase"].fn(
+    row = REG["ece_calibration_purchase"].fn(
         spark, sf_dir).collect()[0]
     assert 0.0 <= row.ece <= row.mce + 1e-12
     assert row.mce <= 1.0
@@ -125,7 +127,7 @@ def test_r9_ece_bounded(spark, sf_dir):
 
 
 def test_r9_runs_test_consistent(spark, sf_dir):
-    row = STAGED["runs_test_daily_updown"].fn(spark, sf_dir).collect()[0]
+    row = REG["runs_test_daily_updown"].fn(spark, sf_dir).collect()[0]
     n = row.n_up + row.n_down
     assert 1 <= row.n_runs <= n
     assert row.e_runs <= n + 1
@@ -134,7 +136,7 @@ def test_r9_runs_test_consistent(spark, sf_dir):
 
 
 def test_r9_filter_clause_consistent(spark, sf_dir):
-    rows = STAGED["filter_clause_weekday_mix"].fn(
+    rows = REG["filter_clause_weekday_mix"].fn(
         spark, sf_dir).collect()
     assert rows
     for r in rows:
@@ -144,7 +146,7 @@ def test_r9_filter_clause_consistent(spark, sf_dir):
 
 
 def test_r9_ild_bounded(spark, sf_dir):
-    rows = STAGED["ild_retrieval_diversity"].fn(spark, sf_dir).collect()
+    rows = REG["ild_retrieval_diversity"].fn(spark, sf_dir).collect()
     assert len(rows) == 20  # the fixed NDCG panel
     for r in rows:
         assert r.n_items == 10
@@ -153,7 +155,7 @@ def test_r9_ild_bounded(spark, sf_dir):
 
 
 def test_r9_rescaled_range_consistent(spark, sf_dir):
-    rows = STAGED["rescaled_range_daily"].fn(spark, sf_dir).collect()
+    rows = REG["rescaled_range_daily"].fn(spark, sf_dir).collect()
     assert rows
     scales = {r.scale for r in rows}
     assert scales == {8, 16}
@@ -166,7 +168,7 @@ def test_r9_rescaled_range_consistent(spark, sf_dir):
 
 
 def test_r9_named_window_consistent(spark, sf_dir):
-    rows = sorted(STAGED["named_window_daily_stats"].fn(
+    rows = sorted(REG["named_window_daily_stats"].fn(
         spark, sf_dir).collect(), key=lambda r: r.day)
     assert rows
     for i, r in enumerate(rows):
@@ -176,7 +178,7 @@ def test_r9_named_window_consistent(spark, sf_dir):
 
 
 def test_r9_full_join_sides_consistent(spark, sf_dir):
-    rows = STAGED["streaming_stream_stream_full_join"].fn(
+    rows = REG["streaming_stream_stream_full_join"].fn(
         spark, sf_dir).collect()
     assert rows
     sides = {r.side for r in rows}
