@@ -123,13 +123,24 @@ def udtf_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udtf_props_dynamic_schema",
     oracle="""
+        WITH typed AS (
+          SELECT event_type,
+                 CASE WHEN json_type(json_extract(props, '$.k'))
+                        IN ('BIGINT', 'UBIGINT')
+                      THEN TRY_CAST(json_extract(props, '$.k')
+                                    AS BIGINT) END AS v_k,
+                 CASE WHEN json_type(json_extract(props, '$.missing'))
+                        IN ('BIGINT', 'UBIGINT')
+                      THEN TRY_CAST(json_extract(props, '$.missing')
+                                    AS BIGINT) END AS v_missing
+          FROM events
+        )
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
-                 AS BIGINT) AS sum_k,
-               CAST(SUM(CASE WHEN json_extract(props, '$.missing')
-                 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
-        FROM events
+               CAST(SUM(v_k) AS BIGINT) AS sum_k,
+               CAST(SUM(CASE WHEN v_missing IS NULL THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_missing
+        FROM typed
         GROUP BY event_type
     """,
     doc="Polymorphic Python UDTF with a static analyze() (Spark 4): "
@@ -175,10 +186,10 @@ def udtf_props_dynamic_schema(spark: SparkSession,
             out = []
             for k in keys.split(","):
                 v = d.get(k.strip())
-                # exact integers only: floats would TRUNCATE here while
-                # the oracle's CAST(... AS BIGINT) rounds, and JSON
-                # booleans are ints in Python — both map to NULL, same
-                # as the oracle's cast-failure path
+                # exact integers only: JSON floats/booleans/strings map
+                # to NULL, matching the oracle's json_type gate
+                # (BIGINT/UBIGINT only) — a plain CAST would crash
+                # DuckDB on 'true' and round '1.5' (ADVICE r7)
                 out.append(v if isinstance(v, int)
                            and not isinstance(v, bool) else None)
             yield tuple(out)

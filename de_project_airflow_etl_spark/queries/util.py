@@ -219,18 +219,35 @@ _TRACKED_CACHES: list = []
 
 
 def tracked_persist(df):
-    """``df.persist()`` with an explicit release path (see above)."""
+    """``df.persist()`` with an explicit release path (see above).
+
+    Entries callers already unpersisted themselves (e.g. dedup's
+    ``finally`` blocks) are pruned here, so the list — and the py4j
+    handles it retains — cannot grow without bound in a long-lived
+    session (ADVICE r7)."""
+    _TRACKED_CACHES[:] = [d for d in _TRACKED_CACHES if _still_cached(d)]
     _TRACKED_CACHES.append(df.persist())
     return df
 
 
+def _still_cached(df) -> bool:
+    try:
+        return df.is_cached
+    except Exception:  # session already stopped — nothing retained
+        return False
+
+
 def release_tracked_caches() -> int:
-    """Unpersist every query-pinned cache; returns how many."""
+    """Unpersist every query-pinned cache; returns how many blocks
+    were actually freed (entries already released by their caller —
+    or listed twice — don't inflate the count)."""
     n = 0
     while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
         try:
-            _TRACKED_CACHES.pop().unpersist()
+            if df.is_cached:
+                df.unpersist()
+                n += 1
         except Exception:  # session already stopped — nothing to free
             pass
-        n += 1
     return n

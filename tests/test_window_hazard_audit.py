@@ -33,6 +33,31 @@ from de_project_airflow_etl_spark.registry import all_queries
 FIXED_CARDINALITY = {"event_type", "lang", "source", "label", "wknd",
                      "brand", "p_brand", "metric", "g", "kind"}
 
+# Grouping keys whose cardinality grows linearly with the data: an
+# Aggregate grouped by one of these is itself DATA-SIZED, so it is
+# NOT proof that a downstream fixed-key window's input is bounded
+# (ADVICE r7: a per-user rollup under a fixed-cardinality window
+# would otherwise pass the audit undetected). Calendar keys (day,
+# week, dow), value-range buckets and vocabulary keys stay OFF this
+# list deliberately — those rollups are calendar-/range-/vocab-
+# bounded, the shapes this repo's re-plans produce on purpose.
+GROWS_WITH_DATA = {
+    "user_id", "event_id", "doc_id", "content_hash", "vec_id",
+    "session_id", "o_orderkey", "l_orderkey", "o_custkey", "c_custkey",
+    "l_partkey", "p_partkey", "l_suppkey", "s_suppkey",
+}
+
+
+def _is_bounding_aggregate(node) -> bool:
+    """True unless the Aggregate's grouping keys include a known
+    grows-with-data column (per-user/per-doc rollups are data-sized,
+    not bounded)."""
+    head = node.toString().split("\n")[0]
+    m = re.match(r".*?keys=\[([^\]]*)\]", head)
+    kcols = set(re.findall(r"([a-zA-Z_][a-zA-Z0-9_]*)#\d+",
+                           m.group(1) if m else ""))
+    return not (kcols & GROWS_WITH_DATA)
+
 _AUDITED = {
     n: q for n, q in all_queries().items()
     if "streaming" not in q.tags and not n.startswith("streaming_")
@@ -43,8 +68,9 @@ _AUDITED = {
 def _bounded_subtree(wnode) -> bool:
     for c in _walk_jplan(wnode.children().apply(0)):
         cls = c.getClass().getSimpleName()
-        if ("Aggregate" in cls or "ExistingRDD" in cls
-                or "RDDScanExec" in cls
+        if "Aggregate" in cls and _is_bounding_aggregate(c):
+            return True
+        if ("ExistingRDD" in cls or "RDDScanExec" in cls
                 or cls.startswith("WindowGroupLimit")):
             return True
     return False
@@ -106,7 +132,8 @@ def test_no_unbounded_collect_aggregates(spark, sf_dir, name):
         if kcols and not kcols <= FIXED_CARDINALITY:
             continue  # grows-with-data grouping: groups stay bounded
         bounded = any(
-            "Aggregate" in c.getClass().getSimpleName()
+            ("Aggregate" in c.getClass().getSimpleName()
+             and _is_bounding_aggregate(c))
             or "ExistingRDD" in c.getClass().getSimpleName()
             or "RDDScanExec" in c.getClass().getSimpleName()
             or c.getClass().getSimpleName().startswith("WindowGroupLimit")
