@@ -147,6 +147,29 @@ HEADLINE = (
     "markov_removal_effect_attribution",  # 12-iter fixed-point chains
     "siegel_repeated_medians_trend",  # day-pair repeated medians
     "pr_auc_purchase_value",       # descending-threshold AP cells
+    # round-8 additions: promoted diagnostics/indicators/surfaces_r8/r9
+    # representatives, weighted toward the scale-critical paths (global
+    # value-cell ranks, explode-heavy text, retrieval windows, graph
+    # joins, hash resampling); the daily-bar indicator family shares
+    # one physical shape (window over the checkpointed OHLC rollup), so
+    # one representative carries it, and the literal-bound SQL-surface
+    # bridges (stack, named windows, FILTER clause) are absent —
+    # sub-100ms plans whose wall time is session overhead
+    "kruskal_wallis_value_by_type",   # global rank over value cells
+    "hellinger_weekend_value_drift",  # bin-table drift distance
+    "ndcg_retrieval_eval",            # graded WindowGroupLimit retrieval
+    "term_burstiness_vmr",            # explode-heavy per-term moments
+    "yules_k_by_source",              # frequency-of-frequencies rollup
+    "money_flow_index_daily",         # daily-bar indicator family rep
+    "wilcoxon_signed_rank_ampm",      # paired-diff global rank
+    "jonckheere_terpstra_value_by_type",  # ordered k-sample pair cells
+    "cramer_von_mises_weekend",       # pooled-EDF rank statistic
+    "zipf_rank_frequency_table",      # vocab rank-frequency ladder
+    "hash_bootstrap_mean_ci",         # 200-replicate hash resample
+    "dim_truncation_recall_audit",    # embedding prefix-dim recall
+    "readability_indices_by_source",  # syllable-regex text explode
+    "resource_allocation_link_pred",  # dup-graph common-neighbor join
+    "ild_retrieval_diversity",        # top-k pairwise list diversity
 )
 
 
