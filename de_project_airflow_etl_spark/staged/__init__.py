@@ -25,7 +25,12 @@ surfaces_r9.py``) after the full 87-query pen swept green at sf0.01
 AND sf0.1 (VERDICT r7 #1: the whole window was free, so round9
 folded in alongside the round-8 banks).
 
-The remaining pen: ``round9b.py`` (6, staged in round 7: the
+The remaining pen: ``round9c.py`` (12, staged in round 8: ACF/
+Ljung-Box, lagged cross-correlation, Cochran-Armitage trend, Bowker
+symmetry, the gamma/Somers'-D/tau-b ordinal panel, Mantel-Haenszel,
+ERR@10, the sMAPE/MAPE/RMSE and pinball-loss forecast panels,
+Benford first digits, the lexical-dominance panel, and the strict
+ordered funnel); ``round9b.py`` (6, staged in round 7: the
 log-rank test on the md5 A/B arms' time-to-first-purchase, Cucconi's
 joint location-scale test, the seasonal Mann-Kendall trend test,
 Kendall's W weekday concordance, the dynamic-gap session_window
@@ -37,7 +42,11 @@ STREAMING writer round-trip, the Arrow-optimized scalar Python UDF
 path); ``round10b.py`` (5, staged in round 7: exact weekly distinct
 via bitmap_or_agg partial merging, percentile_disc quartiles on the
 cell plan, Page-Hinkley drift, the map higher-order-function family,
-and additive Holt-Winters with weekly seasonality); ``round11.py``
+and additive Holt-Winters with weekly seasonality); ``round10c.py``
+(5, staged in round 8: the pooled-EDF two-sample panel — Anderson-
+Darling, KS D+/D-, Kuiper's V — weekly decomposition strength,
+Grubbs' max studentized deviation, the 5% winsorized mean, and
+pooled within-group partial correlation); ``round11.py``
 (6: changepoint/randomness diagnostics — Pettitt, Cox-Stuart,
 Dixon's Q, turning points — token-frequency Gini, Nelson-Aalen
 cumulative hazard); ``round11b.py`` (4: Gini mean difference +
@@ -85,8 +94,10 @@ def staged_query(name: str, oracle: str | None, doc: str = "",
 
 # registration imports at the bottom: the modules need staged_query above
 from de_project_airflow_etl_spark.staged import round9b  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round9c  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round10  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round10b  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round10c  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12  # noqa: E402,F401
