@@ -1110,9 +1110,12 @@ def _funnel_key_spark() -> str:
                CAST(SUM(s2) AS BIGINT) AS n_view_after,
                CAST(SUM(s3) AS BIGINT) AS n_click_after,
                CAST(SUM(s4) AS BIGINT) AS n_purchase_after,
-               CAST(SUM(s2) AS DOUBLE) / SUM(s1) AS conv_view,
-               CAST(SUM(s3) AS DOUBLE) / SUM(s2) AS conv_click,
-               CAST(SUM(s4) AS DOUBLE) / SUM(s3) AS conv_purchase
+               CAST(SUM(s2) AS DOUBLE) / NULLIF(SUM(s1), 0)
+                 AS conv_view,
+               CAST(SUM(s3) AS DOUBLE) / NULLIF(SUM(s2), 0)
+                 AS conv_click,
+               CAST(SUM(s4) AS DOUBLE) / NULLIF(SUM(s3), 0)
+                 AS conv_purchase
         FROM flags
     """,
     doc="Strict ordered first-touch funnel signup -> view -> click "
@@ -1149,7 +1152,9 @@ def funnel_conversion_steps(spark: SparkSession,
         F.expr("CAST(SUM(s2) AS BIGINT)").alias("n_view_after"),
         F.expr("CAST(SUM(s3) AS BIGINT)").alias("n_click_after"),
         F.expr("CAST(SUM(s4) AS BIGINT)").alias("n_purchase_after"),
-        F.expr("CAST(SUM(s2) AS DOUBLE) / SUM(s1)").alias("conv_view"),
-        F.expr("CAST(SUM(s3) AS DOUBLE) / SUM(s2)").alias("conv_click"),
-        F.expr("CAST(SUM(s4) AS DOUBLE) / SUM(s3)")
+        F.expr("CAST(SUM(s2) AS DOUBLE) / NULLIF(SUM(s1), 0)")
+         .alias("conv_view"),
+        F.expr("CAST(SUM(s3) AS DOUBLE) / NULLIF(SUM(s2), 0)")
+         .alias("conv_click"),
+        F.expr("CAST(SUM(s4) AS DOUBLE) / NULLIF(SUM(s3), 0)")
          .alias("conv_purchase"))
