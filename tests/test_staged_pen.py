@@ -58,6 +58,9 @@ _JUSTIFIED_BNLJ_BUILDS = {
     # round-9 intra-list diversity reuses the identical fixed
     # 20-vector panel broadcast (same _spark_topk_rel helper)
     "ild_retrieval_diversity",
+    # round-9c ERR reuses the identical fixed 20-vector panel
+    # broadcast (same _spark_topk_rel helper as ndcg/mrr/ild)
+    "err_retrieval_eval",
     # round-8c truncation audit broadcasts the same fixed 20-vector
     # panel onto two corpus scans (full-dim and prefix-dim cosines)
     "dim_truncation_recall_audit",
