@@ -49,7 +49,11 @@ Grubbs' max studentized deviation, the 5% winsorized mean, and
 pooled within-group partial correlation); ``round11.py``
 (6: changepoint/randomness diagnostics — Pettitt, Cox-Stuart,
 Dixon's Q, turning points — token-frequency Gini, Nelson-Aalen
-cumulative hazard); ``round11b.py`` (4: Gini mean difference +
+cumulative hazard); ``round11c.py`` (2, staged in round 8: CHAINED
+stateful streaming window aggregations — hourly re-aggregated to
+daily via window_time in one query, append-mode watermark-cutoff
+oracle — and the stream-stream LEFT SEMI join completing the
+inner/left/full family); ``round11b.py`` (4: Gini mean difference +
 value-level Gini, the Hoover/Robin-Hood index of daily revenue,
 exact mode with a pinned tiebreak, and Tukey's trimean/midhinge);
 ``round12.py`` (5: the experimentation/operations bank — SRM audit,
@@ -99,6 +103,7 @@ from de_project_airflow_etl_spark.staged import round10  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round10b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round10c  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round11c  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12b  # noqa: E402,F401
