@@ -58,6 +58,10 @@ value-level Gini, the Hoover/Robin-Hood index of daily revenue,
 exact mode with a pinned tiebreak, and Tukey's trimean/midhinge);
 ``round12.py`` (5: the experimentation/operations bank — SRM audit,
 CUPED lift, Little's law, Croston's method, Burrows' Delta);
+``round12c.py`` (1, staged in round 8: MMR diversity re-ranking —
+greedy maximal-marginal-relevance selection over the 20-anchor
+panel's top-12 candidates as a bounded dual-engine struct fold,
+reporting relevance/diversity for plain vs re-ranked lists);
 ``round12b.py`` (4: difference-in-differences on the hash arms, the
 power/MDE planning panel, Fleiss' kappa for three quality raters,
 leave-one-day-out jackknife variance of the revenue-per-event
@@ -106,5 +110,6 @@ from de_project_airflow_etl_spark.staged import round11  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11c  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round12c  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round13  # noqa: E402,F401

@@ -61,6 +61,9 @@ _JUSTIFIED_BNLJ_BUILDS = {
     # round-9c ERR reuses the identical fixed 20-vector panel
     # broadcast (same _spark_topk_rel helper as ndcg/mrr/ild)
     "err_retrieval_eval",
+    # round-12c MMR broadcasts the same fixed 20-anchor panel onto
+    # one corpus scan (self-exclusion inequality)
+    "mmr_rerank_retrieval",
     # round-8c truncation audit broadcasts the same fixed 20-vector
     # panel onto two corpus scans (full-dim and prefix-dim cosines)
     "dim_truncation_recall_audit",
