@@ -68,7 +68,9 @@ leave-one-day-out jackknife variance of the revenue-per-event
 ratio); ``round13.py`` (2: the differential-privacy sensitivity
 audit — its k-anonymity/l-diversity siblings were dropped as
 near-duplicates of the registered k_anonymity_audit — and the
-SQL-language UDF surface).
+SQL-language UDF surface); ``round13b.py`` (2, staged in round 8:
+schema-aligned UNION BY NAME and the sequence()-generated
+calendar-spine gap fill).
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so a promoting session folds banks together
@@ -113,3 +115,4 @@ from de_project_airflow_etl_spark.staged import round12  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12c  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round13  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round13b  # noqa: E402,F401
