@@ -70,7 +70,12 @@ audit — its k-anonymity/l-diversity siblings were dropped as
 near-duplicates of the registered k_anonymity_audit — and the
 SQL-language UDF surface); ``round13b.py`` (2, staged in round 8:
 schema-aligned UNION BY NAME and the sequence()-generated
-calendar-spine gap fill).
+calendar-spine gap fill); ``round14.py`` (8, staged in round 8:
+Youden's-J optimal threshold, the exact decile lift/gains table,
+the actuarial life table, Haberman adjusted residuals, Cronbach's
+alpha over the shared quality raters, the tokenizer vocab coverage
+curve, the cross-source 5-gram overlap matrix, and the exact
+quantized embedding-isotropy panel).
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so a promoting session folds banks together
@@ -116,3 +121,4 @@ from de_project_airflow_etl_spark.staged import round12c  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round13  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round13b  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round14  # noqa: E402,F401
