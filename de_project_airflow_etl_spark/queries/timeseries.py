@@ -97,7 +97,7 @@ def asof_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT user_id, ts,
                  CASE WHEN LAG(ts) OVER w IS NULL
                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
-                           >= {SESSION_GAP_US}
+                           > {SESSION_GAP_US}
                       THEN 1 ELSE 0 END AS is_new
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -193,7 +193,7 @@ _GAP_SECONDS_SQL = ("CASE WHEN event_type = 'purchase'"
         ),
         flagged AS (
           SELECT user_id, ts, event_id, w_end, c,
-                 CASE WHEN ts >= MAX(w_end) OVER (
+                 CASE WHEN ts > MAX(w_end) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING
                         AND 1 PRECEDING)

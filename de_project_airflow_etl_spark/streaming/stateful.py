@@ -57,7 +57,7 @@ _SESSION_ORACLE = f"""
       SELECT user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
-                       >= {SESSION_GAP_US}
+                       > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -158,7 +158,7 @@ def _sessionize_group(
     start = prev = ts_us[0]
     n = 1
     for t in ts_us[1:]:
-        if t - prev >= SESSION_GAP_US:
+        if t - prev > SESSION_GAP_US:
             sessions.append((start, prev, n))
             start, n = t, 0
         prev = t

@@ -64,6 +64,10 @@ _JUSTIFIED_BNLJ_BUILDS = {
     # round-12c MMR broadcasts the same fixed 20-anchor panel onto
     # one corpus scan (self-exclusion inequality)
     "mmr_rerank_retrieval",
+    # round-14 lift table broadcasts the LITERAL 10-row decile spine
+    # and a 1-row totals panel onto the value-cell spans — both builds
+    # constant-bounded by construction
+    "decile_lift_table",
     # round-8c truncation audit broadcasts the same fixed 20-vector
     # panel onto two corpus scans (full-dim and prefix-dim cosines)
     "dim_truncation_recall_audit",
