@@ -1,0 +1,86 @@
+"""Scale stress for the round-14 corpus panels: a 30k-doc synthetic
+corpus with PLANTED cross-source overlaps and a known vocabulary
+shape — verifies the gram-index join and the vocab-bounded rank hold
+their answers (and their plan shapes) at 300x the sf0.01 document
+count, the tests/test_dedup_scale.py pattern."""
+
+from __future__ import annotations
+
+import pytest
+
+from de_project_airflow_etl_spark.staged import STAGED
+
+N_DOCS = 30_000
+
+
+@pytest.fixture(scope="module")
+def big_corpus_dir(spark, tmp_path_factory):
+    """30k docs across 3 sources. Construction:
+
+    * every doc has a UNIQUE 5-word tail (no accidental overlaps);
+    * docs 0..99 of source s0 and s1 share a planted 5-gram sentence
+      -> exactly ONE shared gram between (s0, s1);
+    * s2 shares nothing;
+    * the token 'filler' appears in every doc (the dominant vocab
+      head), unique tokens u<i>_<k> form the tail.
+    """
+    tmp = tmp_path_factory.mktemp("corpus30k")
+    planted = "shared alpha beta gamma delta"
+    rows = []
+    for i in range(N_DOCS):
+        src = f"s{i % 3}"
+        tail = " ".join(f"u{i}_{k}" for k in range(5))
+        body = f"filler {tail}"
+        if i % 3 in (0, 1) and i < 300:
+            body = f"{planted} {body}"
+        rows.append((i, body, "en", src, len(body)))
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+     .write.mode("overwrite").parquet(f"{tmp}/documents.parquet"))
+    return str(tmp)
+
+
+def test_cross_source_overlap_at_30k_docs(spark, big_corpus_dir):
+    rows = STAGED["cross_source_ngram_overlap"].fn(
+        spark, big_corpus_dir).collect()
+    # only the planted (s0, s1) pair shares any gram — exactly TWO:
+    # the planted 5-gram itself plus the sliding window of the four
+    # trailing planted words + 'filler' (identical in every planted
+    # doc); every other gram contains a doc-unique token
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"]) == ("s0", "s1")
+    assert r["n_shared"] == 2
+    assert r["containment"] == pytest.approx(
+        2.0 / min(r["n_grams_a"], r["n_grams_b"]))
+
+
+def test_vocab_coverage_at_30k_docs(spark, big_corpus_dir):
+    r = STAGED["vocab_coverage_curve"].fn(
+        spark, big_corpus_dir).collect()[0]
+    # 'filler' (30k) + planted words (200 each x 5) + 150k uniques
+    assert r["vocab_size"] == 1 + 5 + 5 * N_DOCS
+    # the head token alone is under 50% here, so k50 spans into the
+    # unique tail: the exact threshold is still an integer comparison
+    assert 1 <= r["k50"] <= r["k90"] <= r["k99"] <= r["vocab_size"]
+    assert r["n_tokens"] == 6 * N_DOCS + 200 * 5
+
+
+def test_isotropy_at_50k_vectors(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("iso50k"))
+    # 25k pairs of opposite directions: sum vector exactly zero
+    rows = []
+    for i in range(25_000):
+        rows.append((2 * i, [1.0, 0.0, 0.0, 0.0], 0))
+        rows.append((2 * i + 1, [-1.0, 0.0, 0.0, 0.0], 1))
+    (spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+     .write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet"))
+    r = STAGED["embedding_isotropy_panel"].fn(spark, tmp).collect()[0]
+    n = 50_000
+    assert r["n_vectors"] == n
+    # balanced opposite pairs: mean pairwise cosine = -n/(n(n-1)) ...
+    # sum over ordered pairs of cos = 0 - n  ->  mean = -1/(n-1)
+    assert r["mean_pairwise_cosine"] == pytest.approx(
+        -1.0 / (n - 1), abs=1e-12)
