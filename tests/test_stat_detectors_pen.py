@@ -1,0 +1,126 @@
+"""Planted-ground-truth invariants for the OLDER pen banks
+(round9b/11b/12b, staged in round 7): constructions that force exact
+zero/unit statistics — mirrored A/B arms null the log-rank test,
+identical raters max out Fleiss' kappa, constant distributions zero
+the inequality indices, and a planted uplift is recovered by DiD to
+the cent. The md5-nibble arm assignment is honored by CHOOSING user
+ids whose computed arm is known (arm = md5(str(uid))[0] < '8')."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from de_project_airflow_etl_spark.staged import STAGED
+
+_BASE = datetime(2024, 1, 1)
+# verified against hashlib.md5: first hex nibble < '8' (treated arm)
+_TREATED = [6, 9, 11, 17, 18, 19, 21, 23, 24, 26]
+_CONTROL = [1, 2, 3, 4, 5, 7, 8, 10, 12, 13]
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, day_offset, sec_offset, user_id, type, cents)"""
+    data = [(eid, _BASE + timedelta(days=d, seconds=s), uid, et,
+             c / 100.0, "{}")
+            for eid, d, s, uid, et, c in rows]
+    (spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+     .write.mode("overwrite").parquet(f"{path}/events.parquet"))
+
+
+def _write_docs(spark, path, rows):
+    data = [(i, t, "en", "web", len(t)) for i, t in rows]
+    (spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+     .write.mode("overwrite").parquet(f"{path}/documents.parquet"))
+
+
+def test_log_rank_zero_on_mirrored_arms(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("lr0"))
+    rows, eid = [], 0
+    # identical lifetime multisets per arm: for each pattern, ONE
+    # treated and ONE control user — so at every event time the
+    # at-risk and death counts split exactly in half and o1 == e1
+    patterns = [
+        (0, 3),    # first event day 0, first purchase day 3
+        (0, 7),
+        (1, 10),
+        (2, None),  # never purchases: censored at last day
+        (0, None),
+    ]
+    for arm_users in (_TREATED, _CONTROL):
+        for k, (d0, conv) in enumerate(patterns):
+            uid = arm_users[k]
+            eid += 1
+            rows.append((eid, d0, 0, uid, "click", 1000))
+            if conv is not None:
+                eid += 1
+                rows.append((eid, conv, 0, uid, "purchase", 1000))
+            else:
+                eid += 1
+                rows.append((eid, 15, 0, uid, "click", 1000))
+    _write_events(spark, tmp, rows)
+    r = STAGED["log_rank_test_ab_arms"].fn(spark, tmp).collect()[0]
+    assert r["n_arm_a"] == 5 and r["n_arm_b"] == 5
+    assert r["o1"] == pytest.approx(r["e1"], abs=1e-12)
+    assert r["z_stat"] == pytest.approx(0.0, abs=1e-12)
+    assert r["chi2_stat"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_did_recovers_planted_uplift_to_the_cent(
+        spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("did"))
+    rows, eid = [], 0
+    # pre (day 5, before the 2024-01-16 cutoff): $10.00 everywhere;
+    # post (day 20): control stays $10.00, treated averages $12.50
+    # (alternating 12.40/12.60 so within-cell variance > 0 and the
+    # standard error stays finite)
+    for uid in _TREATED + _CONTROL:
+        eid += 1
+        rows.append((eid, 5, uid, uid, "purchase", 1000))
+    for i, uid in enumerate(_TREATED):
+        eid += 1
+        rows.append((eid, 20, uid, uid, "purchase",
+                     1240 if i % 2 else 1260))
+    for uid in _CONTROL:
+        eid += 1
+        rows.append((eid, 20, uid, uid, "purchase", 1000))
+    _write_events(spark, tmp, rows)
+    r = STAGED["difference_in_differences_arms"].fn(
+        spark, tmp).collect()[0]
+    assert r["did_cents"] == pytest.approx(250.0, abs=1e-9)
+    assert r["did_dollars"] == pytest.approx(2.5, abs=1e-11)
+    assert r["se_cents"] > 0.0
+
+
+def test_fleiss_kappa_one_for_unanimous_raters(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("fk1"))
+    good = "data " * 50 + "."   # satisfies all three rules
+    bad = "x y z"                # satisfies none
+    _write_docs(spark, tmp,
+                [(i, good if i % 2 else bad) for i in range(30)])
+    r = STAGED["fleiss_kappa_quality_rules"].fn(spark, tmp).collect()[0]
+    assert r["fleiss_kappa"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_hoover_zero_on_equal_daily_revenue(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("hoover0"))
+    rows = [(d + 1, d, 0, 1, "purchase", 10000) for d in range(20)]
+    _write_events(spark, tmp, rows)
+    r = STAGED["hoover_index_daily_revenue"].fn(spark, tmp).collect()[0]
+    assert r["hoover_index"] == 0.0
+
+
+def test_gini_mean_difference_zero_on_constant_values(
+        spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("gmd0"))
+    rows = [(k + 1, 0, k, k + 1, "click", 2500) for k in range(50)]
+    _write_events(spark, tmp, rows)
+    r = STAGED["gini_mean_difference_value"].fn(spark, tmp).collect()[0]
+    assert r["gmd"] == 0.0
+    assert r["gini"] == 0.0
+    assert r["mean_value"] == pytest.approx(25.0)
