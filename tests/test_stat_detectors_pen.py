@@ -124,3 +124,42 @@ def test_gini_mean_difference_zero_on_constant_values(
     assert r["gmd"] == 0.0
     assert r["gini"] == 0.0
     assert r["mean_value"] == pytest.approx(25.0)
+
+
+def test_srm_zero_on_balanced_and_exact_on_planted_imbalance(
+        spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("srm"))
+    rows = [(k + 1, 0, k, uid, "click", 1000)
+            for k, uid in enumerate(_TREATED + _CONTROL)]
+    _write_events(spark, tmp, rows)
+    r = STAGED["sample_ratio_mismatch_check"].fn(spark, tmp).collect()[0]
+    assert {r["n_a"], r["n_b"]} == {10}
+    assert r["chi2_stat"] == 0.0
+
+    tmp2 = str(tmp_path_factory.mktemp("srm_skew"))
+    skewed = _TREATED + _CONTROL[:5]     # 10 vs 5
+    rows = [(k + 1, 0, k, uid, "click", 1000)
+            for k, uid in enumerate(skewed)]
+    _write_events(spark, tmp2, rows)
+    r = STAGED["sample_ratio_mismatch_check"].fn(
+        spark, tmp2).collect()[0]
+    assert sorted([r["n_a"], r["n_b"]]) == [5, 10]
+    assert r["chi2_stat"] == pytest.approx(25.0 / 15.0, abs=1e-12)
+
+
+def test_littles_law_on_planted_fixed_duration_sessions(
+        spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("ll"))
+    rows, eid = [], 0
+    # ten users, one session each of EXACTLY 600 s (well under the
+    # 30-minute gap), staggered an hour apart
+    for k in range(10):
+        eid += 1
+        rows.append((eid, 0, k * 3600, k + 1, "click", 1000))
+        eid += 1
+        rows.append((eid, 0, k * 3600 + 600, k + 1, "click", 1000))
+    _write_events(spark, tmp, rows)
+    r = STAGED["littles_law_sessions"].fn(spark, tmp).collect()[0]
+    assert r["n_sessions"] == 10
+    assert r["w_mean_s"] == pytest.approx(600.0, abs=1e-9)
+    assert r["total_dur_us"] == 10 * 600 * 1_000_000
