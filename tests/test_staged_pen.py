@@ -71,6 +71,15 @@ _JUSTIFIED_BNLJ_BUILDS = {
     # round-8c truncation audit broadcasts the same fixed 20-vector
     # panel onto two corpus scans (full-dim and prefix-dim cosines)
     "dim_truncation_recall_audit",
+    # round-15 Shapley runs bitwise-containment joins over the
+    # CONSTANT 16-subset lattice x the <=16-row checkpointed mask
+    # histogram (and the 4-row channel panel) — every side bounded by
+    # construction, never data-sized
+    "shapley_channel_attribution",
+    # round-15 isotonic builds the (j,d,k) triple panel by range
+    # joins over the <=31-row checkpointed daily/prefix panel — the
+    # theil_sen day-pair machinery, calendar-bounded
+    "isotonic_daily_revenue_fit",
 }
 
 
