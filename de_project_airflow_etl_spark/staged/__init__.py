@@ -75,7 +75,14 @@ Youden's-J optimal threshold, the exact decile lift/gains table,
 the actuarial life table, Haberman adjusted residuals, Cronbach's
 alpha over the shared quality raters, the tokenizer vocab coverage
 curve, the cross-source 5-gram overlap matrix, and the exact
-quantized embedding-isotropy panel).
+quantized embedding-isotropy panel); ``round15.py`` (7, staged in
+round 8: exact Shapley-value channel attribution over the 16-subset
+touch lattice, isotonic regression via the exact minimax identity,
+Mondrian split-conformal value intervals with an integer coverage
+audit, Benjamini-Hochberg step-up FDR over the exact-rational drift
+panel, Bradley-Terry strengths via the MM fixed point, radius-4
+harmonic centrality on the near-dup graph, and the DTW distance —
+the engine's first dynamic-programming operator).
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so a promoting session folds banks together
