@@ -80,6 +80,11 @@ _JUSTIFIED_BNLJ_BUILDS = {
     # joins over the <=31-row checkpointed daily/prefix panel — the
     # theil_sen day-pair machinery, calendar-bounded
     "isotonic_daily_revenue_fit",
+    # round-17 quantile normalization crosses the 20-row source panel
+    # with the value-domain-bounded pooled-cell cumulation (~520
+    # rows) — the closed-form rank mapping's panel product, both
+    # sides checkpointed aggregates
+    "quantile_normalize_source_chars",
 }
 
 
