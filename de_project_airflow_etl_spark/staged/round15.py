@@ -703,6 +703,41 @@ def _hc_lsh_pairs() -> str:
     return _sql_lsh_pairs()
 
 
+def _harmonic_bfs(pairs: DataFrame, radius: int = _HC_RADIUS) -> DataFrame:
+    """Truncated harmonic centrality over undirected (doc_a, doc_b)
+    pairs: ``radius`` unrolled BFS frontier rounds (frontier x edges
+    equi-join + anti-join against visited, each localCheckpointed so
+    edges materialize once), scores in units of 1/lcm(1..4)=1/12.
+    Factored out of the registry query so planted-graph tests
+    (tests/test_staged_scale_r15.py) can drive it on synthetic
+    graphs with known distances."""
+    sym = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+                .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+                .distinct()
+                .localCheckpoint())  # edges scanned once per round
+    levels = [sym.withColumn("d", F.lit(1))]
+    frontier = sym
+    visited = sym
+    for depth in range(2, radius + 1):
+        hop = (frontier.join(sym.selectExpr("src AS mid", "dst AS nxt"),
+                             frontier.dst == F.col("mid"))
+                       .selectExpr("src", "nxt AS dst")
+                       .filter("src <> dst")
+                       .distinct())
+        frontier = (hop.join(visited, ["src", "dst"], "left_anti")
+                       .localCheckpoint())
+        visited = visited.union(frontier).localCheckpoint()
+        levels.append(frontier.withColumn("d", F.lit(depth)))
+    alldist = levels[0]
+    for lv in levels[1:]:
+        alldist = alldist.unionAll(lv)
+    return (alldist.groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("reachable_4"),
+                 F.expr("CAST(SUM(12 div d) AS BIGINT)")
+                  .alias("harmonic_x12")))
+
+
+
 @staged_query(
     "harmonic_centrality_dup_graph",
     oracle=f"""
@@ -785,30 +820,7 @@ def harmonic_centrality_dup_graph(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     from de_project_airflow_etl_spark.operators.dedup import _lsh_verified
     pairs = _lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
-                .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
-                .distinct()
-                .localCheckpoint())  # edges scanned once per round
-    levels = [sym.withColumn("d", F.lit(1))]
-    frontier = sym
-    visited = sym
-    for depth in range(2, _HC_RADIUS + 1):
-        hop = (frontier.join(sym.selectExpr("src AS mid", "dst AS nxt"),
-                             frontier.dst == F.col("mid"))
-                       .selectExpr("src", "nxt AS dst")
-                       .filter("src <> dst")
-                       .distinct())
-        frontier = (hop.join(visited, ["src", "dst"], "left_anti")
-                       .localCheckpoint())
-        visited = visited.union(frontier).localCheckpoint()
-        levels.append(frontier.withColumn("d", F.lit(depth)))
-    alldist = levels[0]
-    for lv in levels[1:]:
-        alldist = alldist.unionAll(lv)
-    hc = (alldist.groupBy("src")
-                 .agg(F.count(F.lit(1)).cast("long").alias("reachable_4"),
-                      F.expr("CAST(SUM(12 div d) AS BIGINT)")
-                       .alias("harmonic_x12")))
+    hc = _harmonic_bfs(pairs)
     return (hc.selectExpr("src AS doc_id", "reachable_4", "harmonic_x12",
                           "CAST(harmonic_x12 AS DOUBLE) / 12 AS harmonic")
               .orderBy(F.desc("harmonic_x12"), "doc_id")
