@@ -133,3 +133,4 @@ from de_project_airflow_etl_spark.staged import round15  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round16  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round17  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round18  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round19  # noqa: E402,F401
