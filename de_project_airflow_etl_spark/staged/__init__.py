@@ -82,7 +82,20 @@ Mondrian split-conformal value intervals with an integer coverage
 audit, Benjamini-Hochberg step-up FDR over the exact-rational drift
 panel, Bradley-Terry strengths via the MM fixed point, radius-4
 harmonic centrality on the near-dup graph, and the DTW distance —
-the engine's first dynamic-programming operator).
+the engine's first dynamic-programming operator); ``round16.py``
+(5, staged in round 8: the exact 1-D Wasserstein distance, Huber
+location via quantized IRLS, the Bandt-Pompe ordinal-pattern
+census, the five-look group-sequential A/B readout with pinned
+O'Brien-Fleming boundaries, and positive-part James-Stein
+shrinkage); ``round17.py`` (3, staged in round 8: closed-form full
+quantile normalization, DBSCAN-style grid density clustering via
+dense-cell connected components, and HITS hub/authority fixed
+point); ``round18.py`` (3, staged in round 8: the Good-Turing/
+Chao1 corpus-exhaustion panel, IPF raking of the purchase mix to
+all-events margins, and Lincoln-Petersen/Chapman capture-recapture);
+``round19.py`` (3, staged in round 8: percentile_cont WITHIN GROUP
+at exact quartiles, the JSON scalar-function family, and
+approx_top_k in its exact regime).
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so a promoting session folds banks together
