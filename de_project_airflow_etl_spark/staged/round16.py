@@ -552,7 +552,10 @@ def james_stein_type_means(spark: SparkSession,
     g = mom.agg(F.expr("CAST(SUM(n) AS BIGINT)").alias("nn"),
                 F.expr("CAST(SUM(s) AS DECIMAL(38,0))").alias("ss"))
     mg = mom.crossJoin(F.broadcast(g))
-    terms = mg.groupBy("nn").agg(
+    # ONE global (no-key) aggregate so the broadcast build below has a
+    # scalar-aggregate root the BNLJ gate can prove bounded (nn rides
+    # along as MIN over the constant column)
+    terms = mg.agg(
         F.expr(_fold_spark(
             f"collect_list(({_wide('s')} / n - {_wide('ss')} / nn)"
             f" * ({_wide('s')} / n - {_wide('ss')} / nn))"))
@@ -561,13 +564,12 @@ def james_stein_type_means(spark: SparkSession,
             f"collect_list({_wide('q')}"
             f" - {_wide('s')} * {_wide('s')} / n)")).alias("ssw"),
         F.expr(_fold_spark("collect_list(CAST(1.0 AS DOUBLE) / n)"))
-         .alias("inv_n"))
-    bf = (terms.crossJoin(F.broadcast(g.select("nn").withColumnRenamed(
-                "nn", "nn2")))
-          .selectExpr(
-              f"GREATEST(CAST(0 AS DOUBLE), 1 - ({_JS_K} - 3)"
-              f" * (ssw / (nn - {_JS_K})) * (inv_n / {_JS_K})"
-              " / NULLIF(d_between, CAST(0 AS DOUBLE))) AS b"))
+         .alias("inv_n"),
+        F.expr("MIN(nn)").alias("nn"))
+    bf = terms.selectExpr(
+        f"GREATEST(CAST(0 AS DOUBLE), 1 - ({_JS_K} - 3)"
+        f" * (ssw / (nn - {_JS_K})) * (inv_n / {_JS_K})"
+        " / NULLIF(d_between, CAST(0 AS DOUBLE))) AS b")
     return (mg.crossJoin(F.broadcast(bf))
               .selectExpr("event_type", "n AS n_events",
                           f"{_wide('s')} / n / 100 AS raw_mean",

@@ -297,8 +297,10 @@ def ipf_raking_purchase_mix(spark: SparkSession,
 def capture_recapture_user_weeks(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    d0 = (ev.agg(F.expr("MIN(CAST(ts AS DATE))").alias("dmin"))
-            .localCheckpoint())  # 1-row panel: keep the main pass single-scan
+    # d0 stays UN-checkpointed: a checkpoint would hide the scalar-
+    # aggregate root from the BNLJ gate (round-6-late rule); the
+    # min-date pass is its own cheap scan (budget 2)
+    d0 = ev.agg(F.expr("MIN(CAST(ts AS DATE))").alias("dmin"))
     marked = (ev.crossJoin(F.broadcast(d0))
               .selectExpr("user_id",
                           "datediff(CAST(ts AS DATE), dmin) AS dd")

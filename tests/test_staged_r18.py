@@ -19,7 +19,7 @@ SCAN_BUDGETS_R18 = {
     # tf aggregate feeds one panel aggregate — a single corpus scan
     "good_turing_chao1_by_source": 1,
     "ipf_raking_purchase_mix": 0,       # 35-cell panel checkpointed
-    "capture_recapture_user_weeks": 1,  # one pass to capture flags
+    "capture_recapture_user_weeks": 2,  # capture pass + min-date panel
 }
 
 
