@@ -147,3 +147,4 @@ from de_project_airflow_etl_spark.staged import round16  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round17  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round18  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round19  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round20  # noqa: E402,F401
