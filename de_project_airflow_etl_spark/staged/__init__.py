@@ -95,7 +95,10 @@ Chao1 corpus-exhaustion panel, IPF raking of the purchase mix to
 all-events margins, and Lincoln-Petersen/Chapman capture-recapture);
 ``round19.py`` (3, staged in round 8: percentile_cont WITHIN GROUP
 at exact quartiles, the JSON scalar-function family, and
-approx_top_k in its exact regime).
+approx_top_k in its exact regime); ``round20.py`` (2, staged in
+round 8: the negative-binomial method-of-moments fit of per-user
+counts, and Needleman-Wunsch global alignment between the two
+weeks' dominant-type strings — the gap-penalty DP beside DTW).
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so a promoting session folds banks together
