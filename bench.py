@@ -253,21 +253,45 @@ def main() -> None:
                   f"{baseline['value']:.3f}s", file=sys.stderr)
 
 
+#: Baseline entries at or above this many seconds form the
+#: machine-factor weight class (55 of the 113 current entries).
+HEAVY_BASE_SEC = 0.5
+#: Minimum heavy-class size before falling back to the full set.
+MIN_HEAVY_N = 9
+
+
 def machine_factor(timings: dict[str, float],
                    base_queries: dict[str, float]) -> float:
     """How much slower (or faster) THIS box is running than the box
     that recorded the baseline: the MEDIAN per-query ratio over the
-    common set. The median is robust to real regressions — one or a
-    few genuinely slow queries cannot move it on a ~50-query set —
-    while CPU throttling / shared tenancy shifts every ratio together
-    and is exactly what this measures (observed in round 4: the same
-    commit benched 32.5s in the morning and 38.4s in the evening, with
-    untouched pure-scan queries at 1.5x their baseline). Clamped to
-    [1.0, 3.0]: a faster box never loosens the gate, and a factor
-    above 3 means the measurement is meaningless, not that a 4.5x
-    regression should pass."""
-    ratios = sorted(t / base_queries[n] for n, t in timings.items()
-                    if base_queries.get(n))
+    common entries whose BASELINE is >= ``HEAVY_BASE_SEC``. The median
+    is robust to real regressions — one or a few genuinely slow
+    queries cannot move it on a ~50-query heavy class — while CPU
+    throttling / shared tenancy shifts every ratio together and is
+    exactly what this measures (observed in round 4: the same commit
+    benched 32.5s in the morning and 38.4s in the evening, with
+    untouched pure-scan queries at 1.5x their baseline).
+
+    The weight-class restriction (round-9, VERDICT r8): host
+    degradation is NOT uniform — shuffle/iteration-heavy queries
+    inflate ~2x while sub-second scan-only queries inflate ~1.1x
+    (measured round 8: kcore_dup_graph 2.44x and text_tfidf_top_terms
+    2.0x vs pricing_summary 1.11x, warm best-of-3 in one session).
+    A median over ALL entries is dominated by the many light scans and
+    under-corrects exactly the heavy queries the 1.5x per-query bar
+    then flags, producing disjoint false-failure sets across runs.
+    Computing the median within the heavy class compares like with
+    like. Falls back to the full common set when fewer than
+    ``MIN_HEAVY_N`` heavy entries overlap (tiny ad-hoc runs).
+
+    Clamped to [1.0, 3.0]: a faster box never loosens the gate, and a
+    factor above 3 means the measurement is meaningless, not that a
+    4.5x regression should pass."""
+    common = [(n, t) for n, t in timings.items() if base_queries.get(n)]
+    heavy = [(n, t) for n, t in common
+             if base_queries[n] >= HEAVY_BASE_SEC]
+    pool = heavy if len(heavy) >= MIN_HEAVY_N else common
+    ratios = sorted(t / base_queries[n] for n, t in pool)
     if not ratios:
         return 1.0
     mid = len(ratios) // 2

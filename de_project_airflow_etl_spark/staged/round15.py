@@ -434,7 +434,9 @@ _BH_ALPHA_NUM, _BH_ALPHA_DEN = 1, 4   # alpha = 0.25 on the pseudo-p
           SELECT event_type, num, den,
                  CAST(ROW_NUMBER() OVER (
                    ORDER BY CASE WHEN den = 0 THEN 0 ELSE
-                     num * 1000000000000 // (den + num) END DESC,
+                     (num * 1000000 // (den + num)) * 1000000
+                     + ((num * 1000000 % (den + num)) * 1000000)
+                       // (den + num) END DESC,
                             event_type) AS BIGINT) AS r
           FROM z
         ),
@@ -473,9 +475,14 @@ _BH_ALPHA_NUM, _BH_ALPHA_DEN = 1, 4   # alpha = 0.25 on the pseudo-p
         "decision path; z2/pseudo_p are display-only wide-cast "
         "divisions. The step-up max-k is a bounded 5-row panel fold. "
         "Plan: one scan, one 5-row aggregate, panel-only windows. "
-        "Scale note: the den product needs the reduced rational once "
-        "per-cell counts pass ~1e9 (DECIMAL38 headroom), recorded "
-        "here for the 100TB path.",
+        "Scale note (corrected per ADVICE r8): num = "
+        "(n1+n2)*(x1*n2-x2*n1)^2 grows as N^5/16, so DECIMAL(38,0) "
+        "exactness binds at ~4e6 events per type for the chunked "
+        "ordering key (widest intermediate (den+num)*1e6) and ~4e7 "
+        "for num itself / the BH threshold products — NOT the ~1e9 "
+        "previously claimed. Beyond that, the 100TB path is a "
+        "gcd-reduced rational or a _wide()-double ordering key with "
+        "exact-rational thresholds kept as-is.",
     tags=("staged", "statistics", "experimentation"),
 )
 def bh_step_up_drift_panel(spark: SparkSession,
@@ -496,14 +503,22 @@ def bh_step_up_drift_panel(spark: SparkSession,
         "event_type",
         "(n1 + n2) * (x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1) AS num",
         "n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2) AS den")
+    # Significance ordering key: floor(num * 1e12 / (den + num)) — the
+    # exact scaled quotient of num/(den+num) (monotone in z^2) —
+    # computed by TWO-CHUNK long division (1e6 then 1e6) so the widest
+    # intermediate is (den + num) * 1e6, not num * 1e12 (ADVICE r8:
+    # the one-shot 1e12 scale lowered the DECIMAL(38,0) overflow
+    # threshold to ~3e5 events per type; the chunked form is exact and
+    # identical, and the binding constraint becomes num itself).
+    _ORDER_KEY = ("CASE WHEN den = 0 THEN 0 ELSE "
+                  "(num * 1000000 div (den + num)) * 1000000 "
+                  "+ ((num * 1000000 % (den + num)) * 1000000) "
+                  "div (den + num) END")
     ranked = z.select(
         "*",
         F.row_number().over(
-            Window.orderBy(
-                F.expr("CASE WHEN den = 0 THEN 0 ELSE "
-                       "num * 1000000000000 div (den + num) END")
-                 .desc(),
-                "event_type")).cast("long").alias("r"))
+            Window.orderBy(F.expr(_ORDER_KEY).desc(),
+                           "event_type")).cast("long").alias("r"))
     m = ranked.agg(F.count(F.lit(1)).cast("long").alias("m"))
     flags = (ranked.crossJoin(F.broadcast(m))
              .selectExpr("*",

@@ -166,7 +166,7 @@ _NW_MATCH, _NW_MISS, _NW_GAP = 2, -1, -2
                                ELSE {_NW_MISS} END,
                            CAST({_NW_GAP} AS BIGINT) + {_NW_GAP},
                            CAST({_NW_GAP} AS BIGINT) + {_NW_GAP})]
-          FROM seqs
+          FROM seqs WHERE n >= 1 AND m >= 1
           UNION ALL
           SELECT CASE WHEN j < m THEN i ELSE i + 1 END,
                  CASE WHEN j < m THEN j + 1 ELSE 1 END,
@@ -200,7 +200,7 @@ _NW_MATCH, _NW_MISS, _NW_GAP = 2, -1, -2
                      FROM unnest(generate_series(1,
                           LEAST(seqs.n, seqs.m))) u(x)) AS BIGINT)
                  AS lockstep_score
-        FROM dp, seqs WHERE dp.i = seqs.n AND dp.j = seqs.m
+        FROM seqs LEFT JOIN dp ON dp.i = seqs.n AND dp.j = seqs.m
     """,
     doc="Needleman-Wunsch global alignment (+2 match / -1 mismatch / "
         "-2 gap) between the daily dominant-event-type strings of "
@@ -244,10 +244,15 @@ def nw_alignment_week_type_seqs(spark: SparkSession,
         F.expr("CAST(SUM(CASE WHEN dd >= 7 THEN 1 ELSE 0 END) AS INT)"
                " AS m"))
         .localCheckpoint())  # 1 row: the DP below is a pure projection
+    # Round-8 gotcha (5): Spark sequence(1, 0) yields a DESCENDING
+    # sequence, so with a corpus spanning < 8 days (n or m = 0) the
+    # unguarded fold would run with i/j = 0 and diverge from the
+    # oracle; both engines now yield NULL for the degenerate case
+    # (oracle: anchor-filtered recursion + LEFT JOIN).
     return seqs.selectExpr(
         "a_str AS seq_week1",
         "b_str AS seq_week2",
-        f"""element_at(
+        f"""CASE WHEN n >= 1 AND m >= 1 THEN element_at(
               aggregate(
                 sequence(1, n),
                 transform(sequence(0, m),
@@ -263,8 +268,8 @@ def nw_alignment_week_type_seqs(spark: SparkSession,
                           THEN {mt} ELSE {ms} END,
                       element_at(prev, CAST(j + 1 AS INT)) + {g},
                       element_at(row, -1) + {g}))))),
-              m + 1) AS nw_score""",
-        f"""aggregate(
+              m + 1) ELSE CAST(NULL AS BIGINT) END AS nw_score""",
+        f"""CASE WHEN n >= 1 AND m >= 1 THEN aggregate(
               zip_with(split(a_str, ''), split(b_str, ''),
                        (x, y) -> CASE WHEN x IS NULL OR y IS NULL
                                  OR x = '' OR y = '' THEN
@@ -272,4 +277,4 @@ def nw_alignment_week_type_seqs(spark: SparkSession,
                                  WHEN x = y THEN CAST({mt} AS BIGINT)
                                  ELSE CAST({ms} AS BIGINT) END),
               CAST(0 AS BIGINT), (acc, v) -> acc + v)
-            AS lockstep_score""")
+            ELSE CAST(NULL AS BIGINT) END AS lockstep_score""")

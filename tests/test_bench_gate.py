@@ -92,6 +92,53 @@ def test_gate_widens_band_for_subsecond_baselines():
     assert any(name in f for f in fails)
 
 
+def test_gate_normalizes_nonuniform_host_degradation():
+    """Round-8 measured signature of a degraded host window: heavy
+    shuffle/iteration queries inflate ~2x while sub-second scans
+    inflate only ~1.1x. A median over ALL entries (dominated by light
+    scans) under-corrects the heavy class and flags disjoint sets of
+    heavy queries run-to-run; the weight-class median (baseline >=
+    HEAVY_BASE_SEC only) compares like with like and passes."""
+    from bench import HEAVY_BASE_SEC
+    timings = {n: t * (2.0 if t >= HEAVY_BASE_SEC else 1.1)
+               for n, t in BASELINE["queries"].items()}
+    fails = gate_failures(sum(timings.values()), timings,
+                          BASELINE["value"], BASELINE["queries"])
+    assert fails == []
+
+
+def test_gate_still_trips_heavy_regression_inside_degraded_window():
+    """The weight-class factor must stay robust: ONE heavy query at 4x
+    while the rest of the heavy class sits at 2x still trips
+    (4 > 1.5 * 2.0)."""
+    from bench import HEAVY_BASE_SEC
+    timings = {n: t * (2.0 if t >= HEAVY_BASE_SEC else 1.1)
+               for n, t in BASELINE["queries"].items()}
+    heavy = [n for n, t in BASELINE["queries"].items()
+             if t >= HEAVY_BASE_SEC]
+    timings[heavy[0]] = BASELINE["queries"][heavy[0]] * 4.0
+    fails = gate_failures(sum(timings.values()), timings,
+                          BASELINE["value"], BASELINE["queries"])
+    assert any(heavy[0] in f for f in fails)
+
+
+def test_machine_factor_falls_back_when_heavy_class_too_small():
+    """Tiny ad-hoc runs with < MIN_HEAVY_N heavy entries fall back to
+    the full common set rather than trusting a 2-entry median."""
+    from bench import HEAVY_BASE_SEC, MIN_HEAVY_N, machine_factor
+    heavy = [n for n, t in BASELINE["queries"].items()
+             if t >= HEAVY_BASE_SEC]
+    light = [n for n, t in BASELINE["queries"].items()
+             if t < HEAVY_BASE_SEC]
+    assert len(heavy) >= MIN_HEAVY_N and len(light) >= MIN_HEAVY_N
+    # 2 heavy entries at 3x + many light at 1.2x: the 2-entry heavy
+    # class must NOT set the factor to 3.0
+    names = heavy[:2] + light[: MIN_HEAVY_N + 2]
+    timings = {n: BASELINE["queries"][n] * (3.0 if n in heavy[:2] else 1.2)
+               for n in names}
+    assert machine_factor(timings, BASELINE["queries"]) < 1.5
+
+
 def test_machine_factor_never_loosens_below_one_or_above_three():
     from bench import machine_factor
     fast = {n: t * 0.5 for n, t in BASELINE["queries"].items()}

@@ -65,13 +65,27 @@ _AUDITED = {
 }
 
 
-def _bounded_subtree(wnode) -> bool:
+#: Node-class substrings the COLLECT audits additionally accept as
+#: boundedness proof: a TakeOrdered / Limit upstream caps the group at
+#: the limit constant. Shared with tests/test_window_hazard_pen.py so
+#: the registry and pen audits cannot drift (ADVICE r8: the pen copy
+#: re-implemented the predicate without TakeOrdered and would have
+#: spuriously failed a staged query that passes after promotion).
+COLLECT_BOUNDED_EXTRAS = ("TakeOrdered", "Limit")
+
+
+def _bounded_subtree(wnode, extras: tuple[str, ...] = ()) -> bool:
+    """True if the node's input subtree is provably bounded: an
+    Aggregate not keyed by grows-with-data columns, a checkpoint scan
+    (ExistingRDD), a WindowGroupLimit, or any of ``extras``."""
     for c in _walk_jplan(wnode.children().apply(0)):
         cls = c.getClass().getSimpleName()
         if "Aggregate" in cls and _is_bounding_aggregate(c):
             return True
         if ("ExistingRDD" in cls or "RDDScanExec" in cls
                 or cls.startswith("WindowGroupLimit")):
+            return True
+        if any(t in cls for t in extras):
             return True
     return False
 
@@ -131,15 +145,7 @@ def test_no_unbounded_collect_aggregates(spark, sf_dir, name):
                                m.group(1) if m else ""))
         if kcols and not kcols <= FIXED_CARDINALITY:
             continue  # grows-with-data grouping: groups stay bounded
-        bounded = any(
-            ("Aggregate" in c.getClass().getSimpleName()
-             and _is_bounding_aggregate(c))
-            or "ExistingRDD" in c.getClass().getSimpleName()
-            or "RDDScanExec" in c.getClass().getSimpleName()
-            or c.getClass().getSimpleName().startswith("WindowGroupLimit")
-            or "TakeOrdered" in c.getClass().getSimpleName()
-            or "Limit" in c.getClass().getSimpleName()
-            for c in _walk_jplan(n.children().apply(0)))
+        bounded = _bounded_subtree(n, COLLECT_BOUNDED_EXTRAS)
         assert bounded, (
             f"{name}: collect over keys={sorted(kcols) or 'NONE'} "
             "consumes a subtree with no Aggregate/checkpoint/limit — "

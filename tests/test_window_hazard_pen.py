@@ -14,7 +14,8 @@ import pytest
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
 from de_project_airflow_etl_spark.staged import STAGED
 from tests.test_window_hazard_audit import (
-    FIXED_CARDINALITY, GROWS_WITH_DATA, _bounded_subtree)
+    COLLECT_BOUNDED_EXTRAS, FIXED_CARDINALITY, GROWS_WITH_DATA,
+    _bounded_subtree)
 
 _AUDITED_PEN = {
     n: q for n, q in STAGED.items()
@@ -67,7 +68,9 @@ def test_pen_no_unbounded_collect_aggregates(spark, sf_dir, name):
                                m.group(1) if m else ""))
         if kcols and not (kcols <= FIXED_CARDINALITY):
             continue  # grows-with-data key: groups shrink vs corpus
-        assert _bounded_subtree(n), (
+        # same predicate + extras as the registry audit — shared so
+        # the two audits cannot diverge (ADVICE r8)
+        assert _bounded_subtree(n, COLLECT_BOUNDED_EXTRAS), (
             f"{name}: collect_list/set over "
             f"{sorted(kcols) or 'NO'} keys consumes an unbounded "
             "subtree — one aggregation state object holds a "
