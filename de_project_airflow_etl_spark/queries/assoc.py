@@ -1,4 +1,4 @@
-"""Round-9 staged bank, third group: serial-correlation diagnostics
+"""Round-9 promoted bank (staged round 8 as staged/round9c.py): serial-correlation diagnostics
 (ACF/Ljung-Box, lagged cross-correlation), categorical-trend and
 symmetry inference (Cochran-Armitage, Bowker, Mantel-Haenszel),
 ordinal association (gamma / Somers' D / tau-b), forecast-error and
@@ -6,7 +6,8 @@ quantile-loss panels (sMAPE, pinball), cascade retrieval evaluation
 (ERR), first-digit conformance (Benford), a lexical-dominance panel,
 and the strict ordered-funnel operator.
 
-Same contract as every staged query: ``(spark, sf_dir) ->
+Same contract as every registered query (promotion history in
+staged/__init__.py): ``(spark, sf_dir) ->
 DataFrame`` plus an exact DuckDB oracle, identical column aliases on
 both sides, exact-integer / fixed-point arithmetic for anything
 accumulated, a 100 TB plan story per docstring, no ``rand()``, no
@@ -29,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
@@ -117,7 +118,7 @@ _LB_Q = (" + ".join(
     for k in range(1, _LB_LAGS + 1)))
 
 
-@staged_query(
+@query(
     "ljung_box_daily_revenue",
     oracle=f"""
         WITH {_SQL_DAILY},
@@ -154,7 +155,7 @@ _LB_Q = (" + ".join(
         "daily rollup; the O(n*lags) pair sweep runs inside ONE "
         "row's array lambda over the calendar-bounded series — never "
         "a self-join, no window over raw rows.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = _daily_cents(spark, sf_dir).agg(
@@ -224,7 +225,7 @@ def _cc_col(k: int) -> str:
     return f"ccf_m{-k}" if k < 0 else f"ccf_{k}"
 
 
-@staged_query(
+@query(
     "cross_correlation_revenue_count",
     oracle=f"""
         WITH base AS (
@@ -261,7 +262,7 @@ def _cc_col(k: int) -> str:
         "daily rollup computes both series in the same aggregate (no "
         "second fact scan); all lag arithmetic is in-array on the "
         "calendar-bounded row.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def cross_correlation_revenue_count(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
@@ -297,7 +298,7 @@ def cross_correlation_revenue_count(spark: SparkSession,
 # wide casts and one sqrt.
 
 
-@staged_query(
+@query(
     "cochran_armitage_dow_trend",
     oracle=f"""
         WITH cell AS (
@@ -342,7 +343,7 @@ def cross_correlation_revenue_count(spark: SparkSession,
         "— past 2^63 at corpus scale), wide-cast once, one sqrt. "
         "Plan: one scan, one 7-group aggregate, a 1-row panel — "
         "zero joins, zero windows.",
-    tags=("staged", "statistics"),
+    tags=("statistics"),
 )
 def cochran_armitage_dow_trend(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -376,7 +377,7 @@ def cochran_armitage_dow_trend(spark: SparkSession,
 # Bowker symmetry test on per-user event-type transitions.
 
 
-@staged_query(
+@query(
     "bowker_symmetry_event_transitions",
     oracle=f"""
         WITH trans AS (
@@ -415,7 +416,7 @@ def cochran_armitage_dow_trend(spark: SparkSession,
         "map-side-combinable aggregate — no self-join of the cell "
         "table. The <= 10 double terms fold sorted from a 0.0 seed "
         "(bit-identical both engines).",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def bowker_symmetry_event_transitions(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
@@ -500,7 +501,7 @@ def _oa_cond_spark(c: str) -> str:
              .replace("yj", "element_at(cells, j).y"))
 
 
-@staged_query(
+@query(
     "ordinal_association_dow_band",
     oracle=f"""
         WITH cell AS (
@@ -557,7 +558,7 @@ def _oa_cond_spark(c: str) -> str:
         "multiply in HUGEINT/DECIMAL(38,0) (cnt^2 passes 2^63 at "
         "corpus scale), wide-cast once. Plan: one scan, one 28-group "
         "map-side-combinable aggregate, a 1-row panel.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def ordinal_association_dow_band(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -590,7 +591,7 @@ def ordinal_association_dow_band(spark: SparkSession,
 # Cochran-Mantel-Haenszel: weekend x purchase across week strata.
 
 
-@staged_query(
+@query(
     "cmh_weekend_purchase_weeks",
     oracle=f"""
         WITH strat AS (
@@ -642,7 +643,7 @@ def ordinal_association_dow_band(spark: SparkSession,
         "operand order both engines); the <= 5 double terms per fold "
         "accumulate SORTED from a 0.0 seed. Plan: one scan, one "
         "5-group map-side-combinable aggregate, a 1-row panel.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def cmh_weekend_purchase_weeks(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -693,7 +694,7 @@ from de_project_airflow_etl_spark.queries.diagnostics import (  # noqa: E402
 _ERR_K = 10
 
 
-@staged_query(
+@query(
     "err_retrieval_eval",
     oracle=f"""
         WITH {{topk}},
@@ -733,7 +734,7 @@ _ERR_K = 10
         "to the verified ndcg plan (broadcast 20-anchor panel over "
         "the corpus, WindowGroupLimit top-k per anchor); the final "
         "panel is 1 row.",
-    tags=("staged", "evaluation", "similarity"),
+    tags=("evaluation", "similarity"),
 )
 def err_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_project_airflow_etl_spark.queries.diagnostics import (
@@ -759,7 +760,7 @@ def err_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Seasonal-naive forecast error panel: sMAPE / MAPE / RMSE.
 
 
-@staged_query(
+@query(
     "smape_daily_forecasts",
     oracle=f"""
         WITH {_SQL_DAILY},
@@ -802,7 +803,7 @@ def err_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double terms fold sorted from 0.0. Plan: one map-side-"
         "combinable daily rollup, all lag arithmetic in-array on the "
         "calendar-bounded row — no self-join, no window.",
-    tags=("staged", "timeseries", "evaluation"),
+    tags=("timeseries", "evaluation"),
 )
 def smape_daily_forecasts(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = _daily_cents(spark, sf_dir).agg(
@@ -840,7 +841,7 @@ def smape_daily_forecasts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer number of half-/tenth-cents until ONE final division.
 
 
-@staged_query(
+@query(
     "pinball_loss_quantile_forecast",
     oracle=f"""
         WITH {_SQL_DAILY},
@@ -884,7 +885,7 @@ def smape_daily_forecasts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "daily rollup; the trailing windows are in-array slices of "
         "the calendar-bounded series — no self-join, no running "
         "window over raw rows.",
-    tags=("staged", "timeseries", "evaluation"),
+    tags=("timeseries", "evaluation"),
 )
 def pinball_loss_quantile_forecast(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
@@ -937,7 +938,7 @@ def _benford_mad(n: str) -> str:
         for d in range(1, 10)) + ") / 9")
 
 
-@staged_query(
+@query(
     "benford_first_digit_value",
     oracle=f"""
         WITH pos AS (
@@ -970,7 +971,7 @@ def _benford_mad(n: str) -> str:
         "literal sums of exact-count doubles. Plan: one scan, one "
         "1-row aggregate — zero joins, zero shuffles beyond the "
         "scalar combine.",
-    tags=("staged", "statistics", "quality"),
+    tags=("statistics", "quality"),
 )
 def benford_first_digit_value(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -993,7 +994,7 @@ def benford_first_digit_value(spark: SparkSession,
 # Lexical-dominance panel per source.
 
 
-@staged_query(
+@query(
     "lexical_dominance_panel",
     oracle="""
         WITH tok AS (
@@ -1035,7 +1036,7 @@ def benford_first_digit_value(spark: SparkSession,
         "every figure is an exact integer ratio. Plan: one (source, "
         "term) count (shuffle on the reduced token key, never raw "
         "text), one 5-group rollup, ordered 5-row output.",
-    tags=("staged", "text", "statistics"),
+    tags=("text", "statistics"),
 )
 def lexical_dominance_panel(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -1084,7 +1085,7 @@ def _funnel_key_spark() -> str:
             " + event_id")
 
 
-@staged_query(
+@query(
     "funnel_conversion_steps",
     oracle=f"""
         WITH u AS (
@@ -1130,7 +1131,7 @@ def _funnel_key_spark() -> str:
         "Plan: ONE user-keyed map-side-combinable aggregate (four "
         "conditional MINs — grows-with-data key, partial agg per map "
         "task), then a 1-row flag rollup; no windows, no joins.",
-    tags=("staged", "analytics",),
+    tags=("analytics",),
 )
 def funnel_conversion_steps(spark: SparkSession,
                             sf_dir: str) -> DataFrame:

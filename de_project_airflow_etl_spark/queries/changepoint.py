@@ -1,4 +1,4 @@
-"""Round-11 staged queries: changepoint and randomness diagnostics
+"""Round-9 promoted bank (staged as staged/round11.py): changepoint and randomness diagnostics
 over the daily revenue series (Pettitt, Cox-Stuart, Dixon's Q,
 turning points), a vocabulary-inequality scorecard (token-frequency
 Gini via the run-sum spectrum), and the Nelson-Aalen cumulative
@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.queries.diagnostics import (
     _CENTS, _fold_spark, _fold_sql, _wide,
 )
@@ -41,7 +41,7 @@ def _spark_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------- Pettitt changepoint test on daily revenue
 
 
-@staged_query(
+@query(
     "pettitt_changepoint_daily",
     oracle=f"""
         WITH {_SQL_DAILY},
@@ -111,7 +111,7 @@ def _spark_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asymptotic p needs exp() (not correctly rounded cross-"
         "engine) and is deliberately left to the reader. Plan: one "
         "map-side-combinable daily rollup, then 1-row folds.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def pettitt_changepoint_daily(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -155,7 +155,7 @@ def pettitt_changepoint_daily(spark: SparkSession,
 # ------------------------------ Cox-Stuart trend test on daily revenue
 
 
-@staged_query(
+@query(
     "cox_stuart_trend_daily",
     oracle=f"""
         WITH {_SQL_DAILY},
@@ -199,7 +199,7 @@ def pettitt_changepoint_daily(spark: SparkSession,
         "lambda; continuity-corrected binomial z; ties excluded per "
         "the standard procedure. Plan: one map-side-combinable "
         "daily rollup, then a 1-row array fold.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def cox_stuart_trend_daily(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
@@ -231,7 +231,7 @@ def cox_stuart_trend_daily(spark: SparkSession,
 # ----------------------------- Dixon's Q on the daily extreme values
 
 
-@staged_query(
+@query(
     "dixon_q_daily_extremes",
     oracle=f"""
         WITH {_SQL_DAILY},
@@ -263,7 +263,7 @@ def cox_stuart_trend_daily(spark: SparkSession,
         "another with a single double division; degenerate ranges "
         "emit NULL. Plan: one map-side-combinable daily rollup, one "
         "1-row sorted array.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def dixon_q_daily_extremes(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
@@ -291,7 +291,7 @@ def dixon_q_daily_extremes(spark: SparkSession,
 # -------------------------- turning-points randomness test (daily)
 
 
-@staged_query(
+@query(
     "turning_points_daily",
     oracle=f"""
         WITH {_SQL_DAILY},
@@ -328,7 +328,7 @@ def dixon_q_daily_extremes(spark: SparkSession,
         "closed-form mean/variance use identical IEEE ops and one "
         "sqrt. Plan: one map-side-combinable daily rollup, then a "
         "1-row fold.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def turning_points_daily(spark: SparkSession,
                          sf_dir: str) -> DataFrame:
@@ -357,7 +357,7 @@ def turning_points_daily(spark: SparkSession,
 # ---------------- Gini of token frequencies per source (inequality)
 
 
-@staged_query(
+@query(
     "token_gini_by_source",
     oracle="""
         WITH tok AS (
@@ -408,7 +408,7 @@ def turning_points_daily(spark: SparkSession,
         "identical IEEE ops at emit. Plan: tokenize-explode feeds "
         "one (source, term) count, one (source, f) spectrum, then "
         "tiny math.",
-    tags=("staged", "text", "statistics"),
+    tags=("text", "statistics"),
 )
 def token_gini_by_source(spark: SparkSession,
                          sf_dir: str) -> DataFrame:
@@ -444,7 +444,7 @@ def token_gini_by_source(spark: SparkSession,
 # --------------- Nelson-Aalen cumulative hazard of user lifetimes
 
 
-@staged_query(
+@query(
     "nelson_aalen_user_lifetimes",
     oracle=f"""
         WITH u AS (
@@ -498,7 +498,7 @@ def token_gini_by_source(spark: SparkSession,
         "rule). Plan: one per-user aggregate, one bounded lifetime "
         "rollup; the at-risk cumulation and the fold run over the "
         "tenure-bounded risk table.",
-    tags=("staged", "statistics", "timeseries"),
+    tags=("statistics", "timeseries"),
 )
 def nelson_aalen_user_lifetimes(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:

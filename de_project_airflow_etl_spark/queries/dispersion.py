@@ -1,9 +1,10 @@
-"""Round-11 staged bank, second group: dispersion/inequality and
+"""Round-9 promoted bank (staged as staged/round11b.py): dispersion/inequality and
 robust-location statistics, all on the distinct-cents cell-cumulation
 plan (map-side-combinable counts, bounded windows, exact integers
 until one final division).
 
-Same contract as every staged query: ``(spark, sf_dir) ->
+Same contract as every registered query (promotion history in
+staged/__init__.py): ``(spark, sf_dir) ->
 DataFrame`` plus an exact DuckDB oracle, identical column aliases on
 both sides, exact-integer / fixed-point arithmetic for anything
 accumulated, a 100 TB plan story per docstring, no ``rand()``, no
@@ -15,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
@@ -27,7 +28,7 @@ def _wide(col: str) -> str:
 
 # --------------------- Gini mean difference of event values
 
-@staged_query(
+@query(
     "gini_mean_difference_value",
     oracle=f"""
         WITH cells AS (
@@ -73,7 +74,7 @@ def _wide(col: str) -> str:
         "revenue shares; this measures the event-value "
         "distribution itself.) Plan: one map-side-combinable cell "
         "aggregate, one bounded cumulation window, one row out.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def gini_mean_difference_value(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -104,7 +105,7 @@ def gini_mean_difference_value(spark: SparkSession,
 
 # ----------------------- Hoover (Robin Hood) index of daily revenue
 
-@staged_query(
+@query(
     "hoover_index_daily_revenue",
     oracle="""
         WITH daily AS (
@@ -134,7 +135,7 @@ def gini_mean_difference_value(spark: SparkSession,
         "HUGEINT/DECIMAL), summed order-free, one division. Plan: one "
         "daily rollup (the only corpus-scale work), a one-row totals "
         "broadcast, one aggregate over the calendar-bounded days.",
-    tags=("staged", "statistics", "timeseries"),
+    tags=("statistics", "timeseries"),
 )
 def hoover_index_daily_revenue(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -155,7 +156,7 @@ def hoover_index_daily_revenue(spark: SparkSession,
 
 # ------------------------- exact mode per event type (from cells)
 
-@staged_query(
+@query(
     "mode_value_by_type",
     oracle=f"""
         WITH cells AS (
@@ -184,7 +185,7 @@ def hoover_index_daily_revenue(spark: SparkSession,
         "on raw doubles it would be noise. Plan: one map-side-"
         "combinable cell aggregate; the max/argmin run over the "
         "value-range-bounded cells.",
-    tags=("staged", "statistics", "aggregate"),
+    tags=("statistics", "aggregate"),
 )
 def mode_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (load(spark, sf_dir, "events")
@@ -203,7 +204,7 @@ def mode_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------ trimean and midhinge per event type
 
-@staged_query(
+@query(
     "trimean_midhinge_by_type",
     oracle=f"""
         WITH e AS (
@@ -231,7 +232,7 @@ def mode_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sort), so both combinations are exact IEEE arithmetic and "
         "the oracle can use quantile_cont directly. Plan: one cell "
         "aggregate, one bounded cumulation window, one row per type.",
-    tags=("staged", "statistics", "robust"),
+    tags=("statistics", "robust"),
 )
 def trimean_midhinge_by_type(spark: SparkSession,
                              sf_dir: str) -> DataFrame:

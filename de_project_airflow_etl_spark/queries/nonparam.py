@@ -1,10 +1,11 @@
-"""Round-9 staged bank, second group: survival/segment comparison
+"""Round-9 promoted bank (staged round 7 as staged/round9b.py): survival/segment comparison
 (log-rank), joint location-scale testing (Cucconi), seasonal trend
 (seasonal Mann-Kendall), rank concordance (Kendall's W), the
 dynamic-gap session_window surface, and the Arrow group-map
 (applyInArrow) execution path.
 
-Same contract as every staged query: ``(spark, sf_dir) ->
+Same contract as every registered query (promotion history in
+staged/__init__.py): ``(spark, sf_dir) ->
 DataFrame`` plus an exact DuckDB oracle, identical column aliases on
 both sides, exact-integer / fixed-point arithmetic for anything
 accumulated, a 100 TB plan story per docstring, no ``rand()``, no
@@ -16,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
@@ -47,7 +48,7 @@ _LR_V_TERM = ("CASE WHEN n_at > 1 THEN"
               " ELSE CAST(0.0 AS DOUBLE) END")
 
 
-@staged_query(
+@query(
     "log_rank_test_ab_arms",
     oracle=f"""
         WITH u AS (
@@ -123,7 +124,7 @@ _LR_V_TERM = ("CASE WHEN n_at > 1 THEN"
         "integer; one sqrt. Plan: one per-user rollup (the only "
         "corpus-scale shuffle), suffix-sum windows above the "
         "aggregate, one row out.",
-    tags=("staged", "statistics", "survival"),
+    tags=("statistics", "survival"),
 )
 def log_rank_test_ab_arms(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -182,7 +183,7 @@ _GAP_SECONDS_SQL = ("CASE WHEN event_type = 'purchase'"
                     " THEN 2700 ELSE 900 END")
 
 
-@staged_query(
+@query(
     "session_window_dynamic_gap",
     oracle=f"""
         WITH e AS (
@@ -226,7 +227,7 @@ _GAP_SECONDS_SQL = ("CASE WHEN event_type = 'purchase'"
         "arithmetic, exact cents. Plan: ONE merging-session aggregate "
         "shuffled on the grows-with-data user key (the oracle's "
         "running-max window is likewise user-keyed).",
-    tags=("staged", "timeseries", "sql-surface"),
+    tags=("timeseries", "sql-surface"),
 )
 def session_window_dynamic_gap(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -258,7 +259,7 @@ _CUC_RHO = ("(CAST(2 AS DOUBLE) * (CAST(n AS DOUBLE) * n - 4)"
             " / ((2 * n + 1) * (8 * n + 11)) - 1)")
 
 
-@staged_query(
+@query(
     "cucconi_location_scale_weekend",
     oracle=f"""
         WITH e AS (
@@ -316,7 +317,7 @@ _CUC_RHO = ("(CAST(2 AS DOUBLE) * (CAST(n AS DOUBLE) * n - 4)"
         "(n_we, n_wd, N) evaluated in identical double expressions. "
         "Plan: one map-side-combinable cell aggregate over the scan, "
         "one bounded cumulation window, one row out.",
-    tags=("staged", "statistics"),
+    tags=("statistics"),
 )
 def cucconi_location_scale_weekend(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
@@ -357,7 +358,7 @@ def cucconi_location_scale_weekend(spark: SparkSession,
 
 # ----------------- seasonal (per-weekday) Mann-Kendall trend test
 
-@staged_query(
+@query(
     "seasonal_mann_kendall_dow",
     oracle="""
         WITH daily AS (
@@ -417,7 +418,7 @@ def cucconi_location_scale_weekend(spark: SparkSession,
         "until one final division; continuity-corrected Z, one sqrt. "
         "Plan: one daily rollup (the only corpus-scale work), bounded "
         "pair join, one row out.",
-    tags=("staged", "statistics", "timeseries"),
+    tags=("statistics", "timeseries"),
 )
 def seasonal_mann_kendall_dow(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -461,7 +462,7 @@ def seasonal_mann_kendall_dow(spark: SparkSession,
 KW_K = 7  # treatments: the seven weekdays
 
 
-@staged_query(
+@query(
     "kendalls_w_dow_concordance",
     oracle=f"""
         WITH daily AS (
@@ -523,7 +524,7 @@ KW_K = 7  # treatments: the seven weekdays
         "integers, and W = 3*S4 / (m^2(k^3-k) - m*T) is one exact-"
         "operand division. Plan: one daily rollup, bounded block "
         "joins above it, one row out.",
-    tags=("staged", "statistics"),
+    tags=("statistics"),
 )
 def kendalls_w_dow_concordance(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -585,7 +586,7 @@ def _arrow_label_stats(table):
                      "sum_d0_e6": pa.array([s], pa.int64())})
 
 
-@staged_query(
+@query(
     "group_apply_arrow_label_stats",
     oracle="""
         SELECT label,
@@ -611,7 +612,7 @@ def _arrow_label_stats(table):
         "the id span (never label-sized — the collect-audit hazard "
         "applied to group-map UDFs); the re-aggregate is map-side "
         "combinable.",
-    tags=("staged", "udf", "similarity"),
+    tags=("udf", "similarity"),
 )
 def group_apply_arrow_label_stats(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:

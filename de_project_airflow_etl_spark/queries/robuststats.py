@@ -1,10 +1,11 @@
-"""Round-10 staged bank, third group: the pooled-EDF two-sample
+"""Round-9 promoted bank (staged round 8 as staged/round10c.py): the pooled-EDF two-sample
 panel (Anderson-Darling + KS D+/D- + Kuiper's V over value cells),
 classical additive decomposition strength, Grubbs' max studentized
 deviation, the winsorized-mean robust location panel, and pooled
 within-group (partial) correlation.
 
-Same contract as every staged query: ``(spark, sf_dir) ->
+Same contract as every registered query (promotion history in
+staged/__init__.py): ``(spark, sf_dir) ->
 DataFrame`` plus an exact DuckDB oracle, identical column aliases on
 both sides, exact-integer / fixed-point arithmetic for anything
 accumulated, a 100 TB plan story per docstring, no ``rand()``, no
@@ -19,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
@@ -70,7 +71,7 @@ _SQL_DAILY = f"""
 # sum collapses to a single pass with the (1/n1 + 1/n2) factor.
 
 
-@staged_query(
+@query(
     "edf_two_sample_panel_weekend",
     oracle=f"""
         WITH v AS (
@@ -139,7 +140,7 @@ _SQL_DAILY = f"""
         "map-side-combinable cell aggregate, ONE unpartitioned "
         "window over the value-domain-bounded cell table (post-"
         "aggregate — the audited-safe shape), 1-row panel.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def edf_two_sample_panel_weekend(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -197,7 +198,7 @@ def edf_two_sample_panel_weekend(spark: SparkSession,
 # Classical additive decomposition strength (Hyndman F-statistics).
 
 
-@staged_query(
+@query(
     "seasonal_strength_weekly",
     oracle=f"""
         WITH {_SQL_DAILY},
@@ -261,7 +262,7 @@ def edf_two_sample_panel_weekend(spark: SparkSession,
         "is positional, not order-dependent). Plan: one daily "
         "rollup; ALL decomposition arithmetic is in-array on the "
         "calendar-bounded row — no self-join, no window.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def seasonal_strength_weekly(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -308,7 +309,7 @@ def seasonal_strength_weekly(spark: SparkSession,
 # Grubbs' max studentized deviation on daily revenue.
 
 
-@staged_query(
+@query(
     "grubbs_max_deviation_daily",
     oracle=f"""
         WITH {_SQL_DAILY},
@@ -346,7 +347,7 @@ def seasonal_strength_weekly(spark: SparkSession,
         "string-route cast and one sqrt. Plan: one daily rollup, a "
         "1-row moment panel broadcast back, a 1-row TakeOrdered "
         "argmax — no windows.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def grubbs_max_deviation_daily(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -372,7 +373,7 @@ def grubbs_max_deviation_daily(spark: SparkSession,
 # Winsorized mean of event values (5% / 95%).
 
 
-@staged_query(
+@query(
     "winsorized_mean_value",
     oracle=f"""
         WITH cell AS (
@@ -421,7 +422,7 @@ def grubbs_max_deviation_daily(spark: SparkSession,
         "scan, one cents-cell aggregate, one post-aggregate "
         "cumulative window over the value-domain-bounded cells, "
         "broadcast 1-row bounds join back onto the cells.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = (load(spark, sf_dir, "events")
@@ -461,7 +462,7 @@ def winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pooled within-group correlation (partial correlation given dow).
 
 
-@staged_query(
+@query(
     "partial_corr_revenue_count_dow",
     oracle=f"""
         WITH day_t AS (
@@ -510,7 +511,7 @@ def winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "one division each; the <= 7 per-group double terms fold "
         "SORTED from 0.0. Plan: one daily rollup, one 7-group "
         "aggregate, a 1-row panel — no windows, no joins.",
-    tags=("staged", "statistics", "timeseries"),
+    tags=("statistics", "timeseries"),
 )
 def partial_corr_revenue_count_dow(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:

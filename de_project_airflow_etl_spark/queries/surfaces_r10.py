@@ -1,4 +1,4 @@
-"""Round-10 staged queries: embedding cluster-validity indices
+"""Round-9 promoted bank (staged as staged/round10.py): embedding cluster-validity indices
 (simplified silhouette, Davies-Bouldin), two more nonparametric
 statistics (Cliff's delta effect size, Quade weighted block test),
 and two corpus-text metrics (SMOG/Fog complex-word readability,
@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.queries.diagnostics import (
     _CENTS, _fold_spark, _fold_sql, _wide,
 )
@@ -111,7 +111,7 @@ def _spark_cent_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------- simplified silhouette per embedding label
 
 
-@staged_query(
+@query(
     "simplified_silhouette_labels",
     oracle=f"""
         WITH {_SQL_CENT_PANEL},
@@ -155,7 +155,7 @@ def _spark_cent_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid aggregate collected into a ONE-ROW panel broadcast "
         "onto a single corpus pass; all per-centroid work rides "
         "array lambdas — never an aggregate x data join.",
-    tags=("staged", "similarity", "evaluation"),
+    tags=("similarity", "evaluation"),
 )
 def simplified_silhouette_labels(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -188,7 +188,7 @@ def simplified_silhouette_labels(spark: SparkSession,
 # ----------------------------- Davies-Bouldin index per label pair
 
 
-@staged_query(
+@query(
     "davies_bouldin_labels",
     oracle=f"""
         WITH {_SQL_CENT_PANEL},
@@ -246,7 +246,7 @@ def simplified_silhouette_labels(spark: SparkSession,
         "operands. Plan: one posexplode centroid aggregate, one "
         "corpus pass against the broadcast one-row panel, then "
         "k x k math.",
-    tags=("staged", "similarity", "evaluation"),
+    tags=("similarity", "evaluation"),
 )
 def davies_bouldin_labels(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
@@ -285,7 +285,7 @@ def davies_bouldin_labels(spark: SparkSession,
 # ------------------------- Cliff's delta: weekend vs weekday values
 
 
-@staged_query(
+@query(
     "cliffs_delta_weekend",
     oracle=f"""
         WITH b AS (
@@ -337,7 +337,7 @@ def davies_bouldin_labels(spark: SparkSession,
         "map-side-combinable per-cents aggregate; the cumulation "
         "window runs over the value-domain-bounded distinct table "
         "(the roc_auc shape); 1-row math.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def cliffs_delta_weekend(spark: SparkSession,
                          sf_dir: str) -> DataFrame:
@@ -375,7 +375,7 @@ def cliffs_delta_weekend(spark: SparkSession,
 QD_K = 7
 
 
-@staged_query(
+@query(
     "quade_test_dow",
     oracle=f"""
         WITH d AS (
@@ -453,7 +453,7 @@ QD_K = 7
         "runs over the CALENDAR-BOUNDED block table. Plan: one "
         "(week, dow) rollup feeds ranks, ranges and totals; "
         "everything after is 7-row math.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def quade_test_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (load(spark, sf_dir, "events")
@@ -514,7 +514,7 @@ def quade_test_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------- SMOG and Gunning Fog readability (complex words)
 
 
-@staged_query(
+@query(
     "smog_fog_readability_by_source",
     oracle=f"""
         WITH m AS (
@@ -544,7 +544,7 @@ def quade_test_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Documents are the sentence unit (unpunctuated corpus, "
         "round-9 note). Plan: one map-side-combinable per-source "
         "aggregate over one scan.",
-    tags=("staged", "text", "quality"),
+    tags=("text", "quality"),
 )
 def smog_fog_readability_by_source(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
@@ -570,7 +570,7 @@ def smog_fog_readability_by_source(spark: SparkSession,
 MATTR_W = 25
 
 
-@staged_query(
+@query(
     "mattr_lexical_diversity_by_source",
     oracle=f"""
         WITH t AS (
@@ -617,7 +617,7 @@ MATTR_W = 25
         "Docs shorter than the window are excluded (stated in "
         "n_docs_scored). Plan: one map-side-combinable per-source "
         "aggregate; tokens never shuffle.",
-    tags=("staged", "text", "quality"),
+    tags=("text", "quality"),
 )
 def mattr_lexical_diversity_by_source(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
@@ -674,7 +674,7 @@ _AB_SS = ("(CAST(CAST(rt2 AS STRING) AS DOUBLE)"
           " * CAST(CAST(rt2 AS STRING) AS DOUBLE)) / cnt_v")
 
 
-@staged_query(
+@query(
     "ansari_bradley_weekend_value",
     oracle=f"""
         WITH b AS (
@@ -747,7 +747,7 @@ _AB_SS = ("(CAST(CAST(rt2 AS STRING) AS DOUBLE)"
         "combinable per-cents aggregate; the position cumulation "
         "window runs over the value-domain-bounded distinct table "
         "(the roc_auc shape); 1-row math.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def ansari_bradley_weekend_value(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -798,7 +798,7 @@ def ansari_bradley_weekend_value(spark: SparkSession,
 # ---------------- Python Data Source STREAMING writer: JSONL sink
 
 
-@staged_query(
+@query(
     "jsonl_stream_sink_roundtrip",
     oracle=f"""
         SELECT event_type,
@@ -823,7 +823,7 @@ def ansari_bradley_weekend_value(spark: SparkSession,
         "discards its staging files. Scale: commits are O(tasks) "
         "driver renames per batch; row data never moves through the "
         "driver.",
-    tags=("staged", "streaming", "sink", "datasource"),
+    tags=("streaming", "sink", "datasource"),
 )
 def jsonl_stream_sink_roundtrip(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -863,7 +863,7 @@ def jsonl_stream_sink_roundtrip(spark: SparkSession,
 # ---------------- Arrow-optimized scalar Python UDF (useArrow=True)
 
 
-@staged_query(
+@query(
     "arrow_udf_text_normalize",
     oracle="""
         WITH n AS (
@@ -895,7 +895,7 @@ def jsonl_stream_sink_roundtrip(spark: SparkSession,
         "— production swaps in a real normalizer (unicode NFC, "
         "confusables) that SQL cannot express; the plumbing is "
         "what's being attested.",
-    tags=("staged", "udf", "text"),
+    tags=("udf", "text"),
 )
 def arrow_udf_text_normalize(spark: SparkSession,
                              sf_dir: str) -> DataFrame:

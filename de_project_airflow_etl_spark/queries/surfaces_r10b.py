@@ -1,9 +1,10 @@
-"""Round-10 staged bank, second group: exact mergeable-distinct
+"""Round-9 promoted bank (staged round 7 as staged/round10b.py): exact mergeable-distinct
 rollup (bitmap OR), discrete quantiles on the cell plan, Page-Hinkley
 drift, the map higher-order-function family, and additive
 Holt-Winters with weekly seasonality.
 
-Same contract as every staged query: ``(spark, sf_dir) ->
+Same contract as every registered query (promotion history in
+staged/__init__.py): ``(spark, sf_dir) ->
 DataFrame`` plus an exact DuckDB oracle, identical column aliases on
 both sides, exact-integer / fixed-point arithmetic for anything
 accumulated, a 100 TB plan story per docstring, no ``rand()``, no
@@ -15,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
@@ -41,7 +42,7 @@ def _tdiv_sql(num: str, den: str) -> str:
 
 # -------------------- weekly exact distinct via bitmap OR rollup
 
-@staged_query(
+@query(
     "weekly_users_bitmap_rollup",
     oracle="""
         SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
@@ -59,7 +60,7 @@ def _tdiv_sql(num: str, den: str) -> str:
         "100 TB the daily (day, bucket) bitmap table IS the stored "
         "summary every coarser distinct rollup reads. Oracle: plain "
         "COUNT(DISTINCT) per ISO week.",
-    tags=("staged", "aggregate", "bitmap"),
+    tags=("aggregate", "bitmap"),
 )
 def weekly_users_bitmap_rollup(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -80,7 +81,7 @@ def weekly_users_bitmap_rollup(spark: SparkSession,
 
 # ------------------ discrete quantiles (percentile_disc) by type
 
-@staged_query(
+@query(
     "percentile_disc_bands_by_type",
     oracle=f"""
         WITH e AS (
@@ -104,7 +105,7 @@ def weekly_users_bitmap_rollup(spark: SparkSession,
         "in one task — the hazard the cell plan removes). Completes "
         "the quantile family: cont (interpolated), disc (this), "
         "approx (sketch).",
-    tags=("staged", "quantile", "aggregate"),
+    tags=("quantile", "aggregate"),
 )
 def percentile_disc_bands_by_type(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -202,7 +203,7 @@ def _ph_oracle() -> str:
     """
 
 
-@staged_query(
+@query(
     "page_hinkley_drift_daily",
     oracle=_ph_oracle(),
     doc="Page-Hinkley drift detector over daily revenue — the "
@@ -219,7 +220,7 @@ def _ph_oracle() -> str:
         "projection (CollapseProject lesson); the oracle is a "
         "recursive CTE with identical arithmetic. The corpus-scale "
         "work is the one daily rollup.",
-    tags=("staged", "timeseries", "quality"),
+    tags=("timeseries", "quality"),
 )
 def page_hinkley_drift_daily(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -243,7 +244,7 @@ def page_hinkley_drift_daily(spark: SparkSession,
 MAPF_BUSY = 5  # per-day per-type count threshold for the filter demo
 
 
-@staged_query(
+@query(
     "map_function_family_daily",
     oracle=f"""
         WITH c AS (
@@ -272,7 +273,7 @@ MAPF_BUSY = 5  # per-day per-type count threshold for the filter demo
         "never raw rows — the collect-audit rule); everything after "
         "is expression-level codegen. Plan: one map-side-combinable "
         "aggregate, one bounded per-day regroup.",
-    tags=("staged", "sql-surface",),
+    tags=("sql-surface",),
 )
 def map_function_family_daily(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -397,7 +398,7 @@ def _hw_spark_expr() -> str:
             f" (acc, e) -> {merge}, acc -> acc.rows))")
 
 
-@staged_query(
+@query(
     "holt_winters_additive_weekly",
     oracle=_hw_oracle(),
     doc="Additive Holt-Winters with weekly seasonality (alpha = beta "
@@ -418,7 +419,7 @@ def _hw_spark_expr() -> str:
         "recursive CTE carrying s0..s6 columns with textually "
         "identical arithmetic. The corpus-scale work is the one "
         "daily rollup.",
-    tags=("staged", "timeseries"),
+    tags=("timeseries"),
 )
 def holt_winters_additive_weekly(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:

@@ -59,49 +59,56 @@ def query(name: str, oracle: str | None, doc: str = "",
 # filtered out automatically, so it records the CURRENT round's plan
 # (historical rounds' plans live in git history + CORRECTNESS_r*.json).
 #
-# Round-8 window (46 promoted, <= ~50): all 338 round-7 registry
-# entries are driver-verified (CORRECTNESS_r07 landed 50/50 green,
-# cumulative 338/338), so the whole window is free for the 46
-# promoted staged queries (VERDICT r7 #1: round8 -> queries/
-# diagnostics.py, round8b -> queries/indicators.py, round8c ->
-# queries/surfaces_r8.py, round9 -> queries/surfaces_r9.py; recorded
-# promotion precondition: the full 87-query staged pen swept green at
-# sf0.01 AND sf0.1, 2026-08-15), leaving ~4 slots for rotation
-# re-verifies.
+# Round-9 window (47 promoted, <= ~50): all 384 round-8 registry
+# entries are driver-verified (CORRECTNESS_r08 landed 50/50 green,
+# cumulative 384/384), so the whole window is free for the 47
+# promoted staged queries (VERDICT r8 #2: round9b -> queries/
+# nonparam.py, round9c -> queries/assoc.py, round10 ->
+# queries/surfaces_r10.py, round10b -> queries/surfaces_r10b.py,
+# round10c -> queries/robuststats.py, round11 ->
+# queries/changepoint.py, round11b -> queries/dispersion.py;
+# recorded promotion precondition: the full 94-query staged pen
+# swept green at sf0.01 AND sf0.1, 2026-08-16), leaving ~3 slots
+# for rotation re-verifies.
 #
 # Truncation is never the only correctness signal: the full registry is
 # exercised locally by ``tests/test_correctness.py`` (exact values, all
 # queries) and ``scripts/profile_correctness.py`` (hash replica of the
 # driver's check) — see those for the complete picture.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # the 15 promoted queries from queries/diagnostics.py, in their
+    # the 6 promoted queries from queries/nonparam.py, in their
     # staged registration order
-    "atr_daily_value_range", "stochastic_oscillator_daily",
-    "obv_daily_value_flow", "mann_kendall_daily_trend",
-    "durbin_watson_trend_residuals", "jarque_bera_daily_revenue",
-    "kruskal_wallis_value_by_type", "brown_forsythe_weekend_value",
-    "hellinger_weekend_value_drift", "brier_calibration_purchase",
-    "cochrans_q_quality_rules", "yules_k_by_source",
-    "term_burstiness_vmr", "ndcg_retrieval_eval", "mrr_retrieval_eval",
-    # the 13 promoted queries from queries/indicators.py
-    "williams_r_daily", "aroon_daily_value", "money_flow_index_daily",
-    "donchian_channel_daily", "chande_momentum_daily",
-    "accum_dist_daily_flow", "wilcoxon_signed_rank_ampm",
-    "sign_test_daily_updown", "mood_median_test_event_type",
-    "friedman_dow_value_ranks", "jonckheere_terpstra_value_by_type",
-    "per_class_f1_length_rules", "cramer_von_mises_weekend",
-    # the 7 promoted queries from queries/surfaces_r8.py
-    "zipf_rank_frequency_table", "bowley_skewness_by_type",
-    "stack_generator_charge_mix", "offset_window_90m_revenue",
-    "hash_bootstrap_mean_ci", "arc_price_elasticity_brand",
-    "dim_truncation_recall_audit",
-    # the 11 promoted queries from queries/surfaces_r9.py
-    "readability_indices_by_source", "resource_allocation_link_pred",
-    "theil_u_daily_forecasts", "pages_trend_test_dow",
-    "ece_calibration_purchase", "runs_test_daily_updown",
-    "filter_clause_weekday_mix", "ild_retrieval_diversity",
-    "rescaled_range_daily", "named_window_daily_stats",
-    "streaming_stream_stream_full_join",
+    "log_rank_test_ab_arms", "session_window_dynamic_gap",
+    "cucconi_location_scale_weekend", "seasonal_mann_kendall_dow",
+    "kendalls_w_dow_concordance", "group_apply_arrow_label_stats",
+    # the 12 promoted queries from queries/assoc.py
+    "ljung_box_daily_revenue", "cross_correlation_revenue_count",
+    "cochran_armitage_dow_trend", "bowker_symmetry_event_transitions",
+    "ordinal_association_dow_band", "cmh_weekend_purchase_weeks",
+    "err_retrieval_eval", "smape_daily_forecasts",
+    "pinball_loss_quantile_forecast", "benford_first_digit_value",
+    "lexical_dominance_panel", "funnel_conversion_steps",
+    # the 9 promoted queries from queries/surfaces_r10.py
+    "simplified_silhouette_labels", "davies_bouldin_labels",
+    "cliffs_delta_weekend", "quade_test_dow",
+    "smog_fog_readability_by_source", "mattr_lexical_diversity_by_source",
+    "ansari_bradley_weekend_value", "jsonl_stream_sink_roundtrip",
+    "arrow_udf_text_normalize",
+    # the 5 promoted queries from queries/surfaces_r10b.py
+    "weekly_users_bitmap_rollup", "percentile_disc_bands_by_type",
+    "page_hinkley_drift_daily", "map_function_family_daily",
+    "holt_winters_additive_weekly",
+    # the 5 promoted queries from queries/robuststats.py
+    "edf_two_sample_panel_weekend", "seasonal_strength_weekly",
+    "grubbs_max_deviation_daily", "winsorized_mean_value",
+    "partial_corr_revenue_count_dow",
+    # the 6 promoted queries from queries/changepoint.py
+    "pettitt_changepoint_daily", "cox_stuart_trend_daily",
+    "dixon_q_daily_extremes", "turning_points_daily",
+    "token_gini_by_source", "nelson_aalen_user_lifetimes",
+    # the 4 promoted queries from queries/dispersion.py
+    "gini_mean_difference_value", "hoover_index_daily_revenue",
+    "mode_value_by_type", "trimean_midhinge_by_type",
 )
 
 
@@ -128,7 +135,8 @@ def all_queries() -> dict[str, Query]:
         flagship, etl, aggregates_ext, relational, joins, windows, setops,
         tpch, analytics, mining, features, surfaces_r6, surfaces_r7,
         evaluation, robust, diagnostics, indicators, surfaces_r8,
-        surfaces_r9,
+        surfaces_r9, nonparam, assoc, surfaces_r10, surfaces_r10b,
+        robuststats, changepoint, dispersion,
     )
     ordered: dict[str, Query] = {}
     verified = _driver_verified()
@@ -163,13 +171,14 @@ _CORRECTNESS_ROUNDS: tuple[str, ...] = (
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
-    # r08/r09 are listed ahead of adjudication: the files do not exist
+    "CORRECTNESS_r08.json",
+    # r09/r10 are listed ahead of adjudication: the files do not exist
     # yet (missing files degrade gracefully), but the moment the driver
     # writes one the rotation self-maintains — latest-round rows win,
     # so any recorded failure demotes its query back into the priority
     # window even if the next session forgets to touch this list.
-    "CORRECTNESS_r08.json",
     "CORRECTNESS_r09.json",
+    "CORRECTNESS_r10.json",
 )
 
 _DRIVER_VERIFIED_CACHE: set[str] | None = None

@@ -23,39 +23,21 @@ round-8/9 bank queries (``round8.py`` -> ``queries/diagnostics.py``,
 ``queries/surfaces_r8.py``, ``round9.py`` -> ``queries/
 surfaces_r9.py``) after the full 87-query pen swept green at sf0.01
 AND sf0.1 (VERDICT r7 #1: the whole window was free, so round9
-folded in alongside the round-8 banks).
+folded in alongside the round-8 banks); round 9 promoted the 47
+round-9b..11b bank queries (``round9b.py`` -> ``queries/
+nonparam.py``, ``round9c.py`` -> ``queries/assoc.py``,
+``round10.py`` -> ``queries/surfaces_r10.py``, ``round10b.py`` ->
+``queries/surfaces_r10b.py``, ``round10c.py`` ->
+``queries/robuststats.py``, ``round11.py`` ->
+``queries/changepoint.py``, ``round11b.py`` ->
+``queries/dispersion.py``) after the full 94-query pen swept green
+at sf0.01 AND sf0.1 on 2026-08-16 (VERDICT r8 #2).
 
-The remaining pen: ``round9c.py`` (12, staged in round 8: ACF/
-Ljung-Box, lagged cross-correlation, Cochran-Armitage trend, Bowker
-symmetry, the gamma/Somers'-D/tau-b ordinal panel, Mantel-Haenszel,
-ERR@10, the sMAPE/MAPE/RMSE and pinball-loss forecast panels,
-Benford first digits, the lexical-dominance panel, and the strict
-ordered funnel); ``round9b.py`` (6, staged in round 7: the
-log-rank test on the md5 A/B arms' time-to-first-purchase, Cucconi's
-joint location-scale test, the seasonal Mann-Kendall trend test,
-Kendall's W weekday concordance, the dynamic-gap session_window
-surface, and the applyInArrow group-map execution path);
-``round10.py`` (9: cluster-validity indices over the embedding
-labels, Cliff's delta, Quade and Ansari-Bradley tests, SMOG/Fog
-readability, MATTR lexical diversity, the Python Data Source
-STREAMING writer round-trip, the Arrow-optimized scalar Python UDF
-path); ``round10b.py`` (5, staged in round 7: exact weekly distinct
-via bitmap_or_agg partial merging, percentile_disc quartiles on the
-cell plan, Page-Hinkley drift, the map higher-order-function family,
-and additive Holt-Winters with weekly seasonality); ``round10c.py``
-(5, staged in round 8: the pooled-EDF two-sample panel — Anderson-
-Darling, KS D+/D-, Kuiper's V — weekly decomposition strength,
-Grubbs' max studentized deviation, the 5% winsorized mean, and
-pooled within-group partial correlation); ``round11.py``
-(6: changepoint/randomness diagnostics — Pettitt, Cox-Stuart,
-Dixon's Q, turning points — token-frequency Gini, Nelson-Aalen
-cumulative hazard); ``round11c.py`` (2, staged in round 8: CHAINED
+The remaining pen: ``round11c.py`` (2, staged in round 8: CHAINED
 stateful streaming window aggregations — hourly re-aggregated to
 daily via window_time in one query, append-mode watermark-cutoff
 oracle — and the stream-stream LEFT SEMI join completing the
-inner/left/full family); ``round11b.py`` (4: Gini mean difference +
-value-level Gini, the Hoover/Robin-Hood index of daily revenue,
-exact mode with a pinned tiebreak, and Tukey's trimean/midhinge);
+inner/left/full family);
 ``round12.py`` (5: the experimentation/operations bank — SRM audit,
 CUPED lift, Little's law, Croston's method, Burrows' Delta);
 ``round12c.py`` (1, staged in round 8: MMR diversity re-ranking —
@@ -131,14 +113,7 @@ def staged_query(name: str, oracle: str | None, doc: str = "",
 
 
 # registration imports at the bottom: the modules need staged_query above
-from de_project_airflow_etl_spark.staged import round9b  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round9c  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round10  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round10b  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round10c  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round11  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round11c  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round11b  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12c  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round12b  # noqa: E402,F401

@@ -8,7 +8,10 @@ from __future__ import annotations
 
 import pytest
 
+from de_project_airflow_etl_spark.registry import all_queries
 from de_project_airflow_etl_spark.staged import STAGED
+
+Q = {**all_queries(), **STAGED}
 
 N_DOCS = 30_000
 
@@ -42,7 +45,7 @@ def big_corpus_dir(spark, tmp_path_factory):
 
 
 def test_cross_source_overlap_at_30k_docs(spark, big_corpus_dir):
-    rows = STAGED["cross_source_ngram_overlap"].fn(
+    rows = Q["cross_source_ngram_overlap"].fn(
         spark, big_corpus_dir).collect()
     # only the planted (s0, s1) pair shares any gram — exactly TWO:
     # the planted 5-gram itself plus the sliding window of the four
@@ -57,7 +60,7 @@ def test_cross_source_overlap_at_30k_docs(spark, big_corpus_dir):
 
 
 def test_vocab_coverage_at_30k_docs(spark, big_corpus_dir):
-    r = STAGED["vocab_coverage_curve"].fn(
+    r = Q["vocab_coverage_curve"].fn(
         spark, big_corpus_dir).collect()[0]
     # 'filler' (30k) + planted words (200 each x 5) + 150k uniques
     assert r["vocab_size"] == 1 + 5 + 5 * N_DOCS
@@ -77,7 +80,7 @@ def test_isotropy_at_50k_vectors(spark, tmp_path_factory):
     (spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int")
      .write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet"))
-    r = STAGED["embedding_isotropy_panel"].fn(spark, tmp).collect()[0]
+    r = Q["embedding_isotropy_panel"].fn(spark, tmp).collect()[0]
     n = 50_000
     assert r["n_vectors"] == n
     # balanced opposite pairs: mean pairwise cosine = -n/(n(n-1)) ...

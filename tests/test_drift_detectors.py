@@ -10,6 +10,13 @@ from datetime import datetime, timedelta
 
 import pytest
 
+from de_project_airflow_etl_spark.registry import all_queries
+from de_project_airflow_etl_spark.staged import STAGED
+
+# registry + pen lookup: survives promotions moving a detector between
+# the two (the names under test are promotion candidates by design)
+Q = {**all_queries(), **STAGED}
+
 
 def _write_events(spark, path, daily_cents):
     """One event per day with the given value (cents)."""
@@ -45,8 +52,7 @@ def seasonal_trend_dir(spark, tmp_path_factory):
 
 
 def test_page_hinkley_alarms_after_the_planted_shift(spark, shift_dir):
-    from de_project_airflow_etl_spark.staged import STAGED
-    rows = sorted(STAGED["page_hinkley_drift_daily"]
+    rows = sorted(Q["page_hinkley_drift_daily"]
                   .fn(spark, shift_dir).collect(),
                   key=lambda r: r["day"])
     alarms = [i for i, r in enumerate(rows) if r["alarm"] == 1]
@@ -83,8 +89,7 @@ def test_ewma_chart_signals_on_the_planted_burst(spark, burst_dir):
 
 def test_seasonal_mk_sees_the_within_weekday_trend(spark,
                                                    seasonal_trend_dir):
-    from de_project_airflow_etl_spark.staged import STAGED
-    r = (STAGED["seasonal_mann_kendall_dow"]
+    r = (Q["seasonal_mann_kendall_dow"]
          .fn(spark, seasonal_trend_dir).collect()[0])
     # strictly increasing within every weekday: S is the maximum
     # possible = 7 * C(10, 2) (70 days = 10 per weekday)
@@ -104,8 +109,7 @@ def test_siegel_recovers_the_planted_slope(spark, seasonal_trend_dir):
 
 def test_holt_winters_learns_the_planted_weekly_pattern(
         spark, seasonal_trend_dir):
-    from de_project_airflow_etl_spark.staged import STAGED
-    rows = sorted(STAGED["holt_winters_additive_weekly"]
+    rows = sorted(Q["holt_winters_additive_weekly"]
                   .fn(spark, seasonal_trend_dir).collect(),
                   key=lambda r: r["day"])
     # after the halving recurrences converge, one-step forecasts land

@@ -11,7 +11,9 @@ from __future__ import annotations
 import pytest
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 SCAN_BUDGETS_R10 = {
     # corpus pass + the panel's scalar-aggregate build (the panel is
@@ -32,7 +34,7 @@ SCAN_BUDGETS_R10 = {
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R10))
 def test_r10_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R10[name], (
@@ -51,7 +53,7 @@ def _window_nodes(df):
                                   "quade_test_dow",
                                   "ansari_bradley_weekend_value"])
 def test_r10_windows_consume_aggregated_rows_only(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     windows = _window_nodes(df)
     assert windows, f"{name}: expected a WindowExec"
     for wnode in windows:
@@ -70,7 +72,7 @@ def test_r10_panel_queries_use_no_data_windows(spark, sf_dir, name):
     """The panel/aggregate queries reduce via array lambdas and plain
     aggregates — any WindowExec present must sit above an Aggregate
     (the centroid rebuild), never over raw file rows."""
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     for wnode in _window_nodes(df):
         sub = list(_walk_jplan(wnode.children().apply(0)))
         names = [ch.getClass().getSimpleName() for ch in sub]
@@ -82,7 +84,7 @@ def test_r10_panel_queries_use_no_data_windows(spark, sf_dir, name):
 
 
 def test_r10_silhouette_bounded(spark, sf_dir):
-    rows = STAGED["simplified_silhouette_labels"].fn(
+    rows = REG["simplified_silhouette_labels"].fn(
         spark, sf_dir).collect()
     assert rows
     for r in rows:
@@ -93,7 +95,7 @@ def test_r10_silhouette_bounded(spark, sf_dir):
 
 
 def test_r10_davies_bouldin_positive(spark, sf_dir):
-    rows = STAGED["davies_bouldin_labels"].fn(spark, sf_dir).collect()
+    rows = REG["davies_bouldin_labels"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.scatter_mean >= 0.0
@@ -101,13 +103,13 @@ def test_r10_davies_bouldin_positive(spark, sf_dir):
 
 
 def test_r10_cliffs_delta_bounded(spark, sf_dir):
-    row = STAGED["cliffs_delta_weekend"].fn(spark, sf_dir).collect()[0]
+    row = REG["cliffs_delta_weekend"].fn(spark, sf_dir).collect()[0]
     assert -1.0 - 1e-12 <= row.cliffs_delta <= 1.0 + 1e-12
     assert row.n_weekend > 0 and row.n_weekday > 0
 
 
 def test_r10_quade_consistent(spark, sf_dir):
-    row = STAGED["quade_test_dow"].fn(spark, sf_dir).collect()[0]
+    row = REG["quade_test_dow"].fn(spark, sf_dir).collect()[0]
     assert row.n_blocks >= 1
     assert row.a_term >= 0.0
     assert row.b_term >= 0.0
@@ -118,7 +120,7 @@ def test_r10_quade_consistent(spark, sf_dir):
 
 
 def test_r10_smog_fog_consistent(spark, sf_dir):
-    rows = STAGED["smog_fog_readability_by_source"].fn(
+    rows = REG["smog_fog_readability_by_source"].fn(
         spark, sf_dir).collect()
     assert rows
     for r in rows:
@@ -128,7 +130,7 @@ def test_r10_smog_fog_consistent(spark, sf_dir):
 
 
 def test_r10_mattr_bounded(spark, sf_dir):
-    rows = STAGED["mattr_lexical_diversity_by_source"].fn(
+    rows = REG["mattr_lexical_diversity_by_source"].fn(
         spark, sf_dir).collect()
     assert rows
     for r in rows:
@@ -138,7 +140,7 @@ def test_r10_mattr_bounded(spark, sf_dir):
 
 
 def test_r10_ansari_bradley_consistent(spark, sf_dir):
-    row = STAGED["ansari_bradley_weekend_value"].fn(
+    row = REG["ansari_bradley_weekend_value"].fn(
         spark, sf_dir).collect()[0]
     n = row.n_weekend + row.n_weekday
     # total 2x-scores = g2(N); weekend share bounded by the whole
@@ -189,7 +191,7 @@ def test_r10_stream_sink_replayed_batch_commits_once(tmp_path):
 
 
 def test_r10_stream_sink_roundtrip_nonempty(spark, sf_dir):
-    rows = STAGED["jsonl_stream_sink_roundtrip"].fn(
+    rows = REG["jsonl_stream_sink_roundtrip"].fn(
         spark, sf_dir).collect()
     assert rows
     for r in rows:
@@ -199,7 +201,7 @@ def test_r10_stream_sink_roundtrip_nonempty(spark, sf_dir):
 def test_r10_arrow_udf_plans_arrow_not_pickle(spark, sf_dir):
     """useArrow=True must plan as ArrowEvalPython — BatchEvalPython
     would be the 10-100x-slower pickled-row path."""
-    df = STAGED["arrow_udf_text_normalize"].fn(spark, sf_dir)
+    df = REG["arrow_udf_text_normalize"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan

@@ -4,14 +4,16 @@ gates ride tests/test_staged_pen.py)."""
 from __future__ import annotations
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 
 def test_bitmap_rollup_merges_partials_not_raw_rows(spark, sf_dir):
     """The weekly count must re-aggregate bitmap partials: exactly
     one scan, and the plan carries bitmap_or_agg above
     bitmap_construct_agg (never a second COUNT DISTINCT pass)."""
-    df = STAGED["weekly_users_bitmap_rollup"].fn(spark, sf_dir)
+    df = REG["weekly_users_bitmap_rollup"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan[:1500]
     assert "bitmap_or_agg" in plan and "bitmap_construct_agg" in plan
@@ -22,7 +24,7 @@ def test_bitmap_rollup_matches_daily_sum_upper_bound(spark, sf_dir):
     users collapse) — ties the rollup to the registered daily query."""
     from de_project_airflow_etl_spark.registry import all_queries
     weekly = {r["week_start"]: r["user_count"]
-              for r in STAGED["weekly_users_bitmap_rollup"]
+              for r in REG["weekly_users_bitmap_rollup"]
               .fn(spark, sf_dir).collect()}
     daily = all_queries()["daily_users_bitmap_exact"].fn(
         spark, sf_dir).collect()
@@ -40,7 +42,7 @@ def test_bitmap_rollup_matches_daily_sum_upper_bound(spark, sf_dir):
 def test_disc_bands_are_members_and_ordered(spark, sf_dir):
     """Discrete quantiles must be actual data values with p25 <= p50
     <= p75 (membership is the defining property vs _cont)."""
-    rows = (STAGED["percentile_disc_bands_by_type"]
+    rows = (REG["percentile_disc_bands_by_type"]
             .fn(spark, sf_dir).collect())
     assert rows
     for r in rows:
@@ -48,7 +50,7 @@ def test_disc_bands_are_members_and_ordered(spark, sf_dir):
 
 
 def test_disc_bands_windows_sit_above_cell_aggregate(spark, sf_dir):
-    df = STAGED["percentile_disc_bands_by_type"].fn(spark, sf_dir)
+    df = REG["percentile_disc_bands_by_type"].fn(spark, sf_dir)
     jplan = df._jdf.queryExecution().sparkPlan()
     windows = [n for n in _walk_jplan(jplan)
                if n.getClass().getSimpleName().startswith("WindowExec")]
@@ -60,7 +62,7 @@ def test_disc_bands_windows_sit_above_cell_aggregate(spark, sf_dir):
 
 
 def test_page_hinkley_gap_is_nonnegative_and_anchored(spark, sf_dir):
-    rows = sorted(STAGED["page_hinkley_drift_daily"]
+    rows = sorted(REG["page_hinkley_drift_daily"]
                   .fn(spark, sf_dir).collect(), key=lambda r: r["day"])
     assert rows[0]["ph_e6"] == 0 and rows[0]["gap_e6"] == 0
     for r in rows:
@@ -74,7 +76,7 @@ def test_holt_winters_fold_is_single_generator_projection(spark,
     (CollapseProject lesson): exactly one inline( in the executed
     plan, and wall time at sf0.1 stays linear (verified in the sweep
     — this pins the plan shape)."""
-    df = STAGED["holt_winters_additive_weekly"].fn(spark, sf_dir)
+    df = REG["holt_winters_additive_weekly"].fn(spark, sf_dir)
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert executed.count("inline(") == 1, executed[:2000]
 
@@ -85,7 +87,7 @@ def test_holt_winters_forecast_identity(spark, sf_dir):
     initialization (level = first-week mean DIV 7, trend 0,
     seasonal = last-write deviation)."""
     daily = sorted(
-        STAGED["holt_winters_additive_weekly"].fn(spark, sf_dir)
+        REG["holt_winters_additive_weekly"].fn(spark, sf_dir)
         .collect(), key=lambda r: r["day"])
     assert daily, "needs >= 8 observed days"
     # identity check across consecutive emitted rows: the NEXT row's

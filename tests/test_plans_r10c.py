@@ -11,7 +11,9 @@ from __future__ import annotations
 import pytest
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 SCAN_BUDGETS_R10C = {
     "edf_two_sample_panel_weekend": 0,  # cents cells checkpointed
@@ -30,7 +32,7 @@ def _release_caches(spark):
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R10C))
 def test_r10c_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R10C[name], (
@@ -53,7 +55,7 @@ def _window_nodes(df):
     "partial_corr_revenue_count_dow",
 ])
 def test_r10c_no_window_nodes(spark, sf_dir, name):
-    assert not _window_nodes(STAGED[name].fn(spark, sf_dir)), name
+    assert not _window_nodes(REG[name].fn(spark, sf_dir)), name
 
 
 @pytest.mark.parametrize("name, max_wins", [
@@ -61,7 +63,7 @@ def test_r10c_no_window_nodes(spark, sf_dir, name):
     ("winsorized_mean_value", 2),
 ])
 def test_r10c_cell_windows_bounded(spark, sf_dir, name, max_wins):
-    wins = _window_nodes(STAGED[name].fn(spark, sf_dir))
+    wins = _window_nodes(REG[name].fn(spark, sf_dir))
     assert len(wins) <= max_wins, name
 
 
@@ -69,7 +71,7 @@ def test_r10c_cell_windows_bounded(spark, sf_dir, name, max_wins):
 
 
 def test_edf_panel_bounds(spark, sf_dir):
-    row = STAGED["edf_two_sample_panel_weekend"].fn(
+    row = REG["edf_two_sample_panel_weekend"].fn(
         spark, sf_dir).collect()[0]
     assert 0.0 <= row["d_plus"] <= 1.0
     assert 0.0 <= row["d_minus"] <= 1.0
@@ -79,7 +81,7 @@ def test_edf_panel_bounds(spark, sf_dir):
 
 
 def test_seasonal_strength_bounds(spark, sf_dir):
-    row = STAGED["seasonal_strength_weekly"].fn(
+    row = REG["seasonal_strength_weekly"].fn(
         spark, sf_dir).collect()[0]
     assert 0.0 <= row["seasonal_strength"] <= 1.0
     assert row["var_detrended"] >= row["var_remainder"] >= 0.0 or (
@@ -87,7 +89,7 @@ def test_seasonal_strength_bounds(spark, sf_dir):
 
 
 def test_grubbs_positive(spark, sf_dir):
-    row = STAGED["grubbs_max_deviation_daily"].fn(
+    row = REG["grubbs_max_deviation_daily"].fn(
         spark, sf_dir).collect()[0]
     assert row["g_stat"] > 0.0
     # G is bounded by (n-1)/sqrt(n)
@@ -95,7 +97,7 @@ def test_grubbs_positive(spark, sf_dir):
 
 
 def test_winsorized_mean_between_bounds(spark, sf_dir):
-    row = STAGED["winsorized_mean_value"].fn(spark, sf_dir).collect()[0]
+    row = REG["winsorized_mean_value"].fn(spark, sf_dir).collect()[0]
     assert row["p05_cents"] <= row["p95_cents"]
     assert (row["p05_cents"] / 100.0 <= row["winsorized_mean"]
             <= row["p95_cents"] / 100.0)
@@ -103,7 +105,7 @@ def test_winsorized_mean_between_bounds(spark, sf_dir):
 
 
 def test_partial_corr_bounds(spark, sf_dir):
-    row = STAGED["partial_corr_revenue_count_dow"].fn(
+    row = REG["partial_corr_revenue_count_dow"].fn(
         spark, sf_dir).collect()[0]
     assert -1.0 <= row["partial_corr"] <= 1.0
     assert row["sxx_w"] > 0.0 and row["syy_w"] > 0.0

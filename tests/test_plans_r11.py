@@ -11,7 +11,9 @@ from __future__ import annotations
 import pytest
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 SCAN_BUDGETS_R11 = {
     "pettitt_changepoint_daily": 1,
@@ -25,7 +27,7 @@ SCAN_BUDGETS_R11 = {
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R11))
 def test_r11_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R11[name], (
@@ -42,7 +44,7 @@ def _window_nodes(df):
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R11))
 def test_r11_windows_consume_aggregated_rows_only(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     for wnode in _window_nodes(df):
         sub = list(_walk_jplan(wnode.children().apply(0)))
         names = [ch.getClass().getSimpleName() for ch in sub]
@@ -55,7 +57,7 @@ def test_r11_windows_consume_aggregated_rows_only(spark, sf_dir, name):
 
 
 def test_r11_pettitt_consistent(spark, sf_dir):
-    row = STAGED["pettitt_changepoint_daily"].fn(
+    row = REG["pettitt_changepoint_daily"].fn(
         spark, sf_dir).collect()[0]
     n = row.n_days
     assert 1 <= row.t_change_idx <= n - 1
@@ -65,14 +67,14 @@ def test_r11_pettitt_consistent(spark, sf_dir):
 
 
 def test_r11_cox_stuart_consistent(spark, sf_dir):
-    row = STAGED["cox_stuart_trend_daily"].fn(spark, sf_dir).collect()[0]
+    row = REG["cox_stuart_trend_daily"].fn(spark, sf_dir).collect()[0]
     assert row.n_up + row.n_down <= row.n_days // 2
     if row.z_stat is not None:
         assert row.z_stat == row.z_stat
 
 
 def test_r11_dixon_q_bounded(spark, sf_dir):
-    row = STAGED["dixon_q_daily_extremes"].fn(spark, sf_dir).collect()[0]
+    row = REG["dixon_q_daily_extremes"].fn(spark, sf_dir).collect()[0]
     assert row.min_revenue <= row.max_revenue
     for q in (row.q_min, row.q_max):
         if q is not None:
@@ -80,13 +82,13 @@ def test_r11_dixon_q_bounded(spark, sf_dir):
 
 
 def test_r11_turning_points_bounded(spark, sf_dir):
-    row = STAGED["turning_points_daily"].fn(spark, sf_dir).collect()[0]
+    row = REG["turning_points_daily"].fn(spark, sf_dir).collect()[0]
     assert 0 <= row.n_turns <= row.n_days - 2
     assert row.var_turns > 0
 
 
 def test_r11_token_gini_bounded(spark, sf_dir):
-    rows = STAGED["token_gini_by_source"].fn(spark, sf_dir).collect()
+    rows = REG["token_gini_by_source"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.n_types <= r.n_tokens
@@ -95,7 +97,7 @@ def test_r11_token_gini_bounded(spark, sf_dir):
 
 
 def test_r11_nelson_aalen_monotone(spark, sf_dir):
-    rows = sorted(STAGED["nelson_aalen_user_lifetimes"].fn(
+    rows = sorted(REG["nelson_aalen_user_lifetimes"].fn(
         spark, sf_dir).collect(), key=lambda r: r.t_days)
     assert rows
     prev = 0.0
@@ -108,7 +110,7 @@ def test_r11_nelson_aalen_monotone(spark, sf_dir):
 def test_r11_pettitt_matches_brute_force(spark, sf_dir):
     """The O(n^2) recurrence must equal the textbook triple-loop
     definition, recomputed driver-side from the daily series."""
-    from de_project_airflow_etl_spark.staged.round11 import _spark_daily
+    from de_project_airflow_etl_spark.queries.changepoint import _spark_daily
     daily = sorted((r.day, r.cents) for r in
                    _spark_daily(spark, sf_dir).collect())
     a = [c for _, c in daily]
@@ -123,7 +125,7 @@ def test_r11_pettitt_matches_brute_force(spark, sf_dir):
                 for i in range(t) for j in range(t, n))
         if abs(u) > best_k:
             best_k, best_t = abs(u), t
-    row = STAGED["pettitt_changepoint_daily"].fn(
+    row = REG["pettitt_changepoint_daily"].fn(
         spark, sf_dir).collect()[0]
     assert row.k_stat == best_k
     assert row.t_change_idx == best_t

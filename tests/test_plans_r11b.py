@@ -4,13 +4,15 @@ gates ride tests/test_staged_pen.py)."""
 from __future__ import annotations
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 
 def test_gini_pair_is_consistent_with_gmd(spark, sf_dir):
     """gini == gmd / (2 * mean) by definition — the two reported
     numbers must satisfy the identity exactly (same exact operands)."""
-    r = (STAGED["gini_mean_difference_value"]
+    r = (REG["gini_mean_difference_value"]
          .fn(spark, sf_dir).collect()[0])
     assert 0 <= r["gini"] <= 1
     assert r["gini"] == (
@@ -19,7 +21,7 @@ def test_gini_pair_is_consistent_with_gmd(spark, sf_dir):
 
 
 def test_hoover_index_in_unit_interval(spark, sf_dir):
-    r = (STAGED["hoover_index_daily_revenue"]
+    r = (REG["hoover_index_daily_revenue"]
          .fn(spark, sf_dir).collect()[0])
     assert 0 <= r["hoover_index"] < 1
 
@@ -39,14 +41,14 @@ def test_mode_tiebreak_is_smallest_most_frequent(spark, sf_dir):
         best = expect.get(t)
         if best is None or n > best[1] or (n == best[1] and c < best[0]):
             expect[t] = (c, n)
-    rows = STAGED["mode_value_by_type"].fn(spark, sf_dir).collect()
+    rows = REG["mode_value_by_type"].fn(spark, sf_dir).collect()
     assert {r["event_type"]: (r["mode_c"], r["mode_count"])
             for r in rows} == expect
 
 
 def test_trimean_sits_between_midhinge_and_median_hull(spark, sf_dir):
     """trimean = (midhinge + median) / 2, so it lies between them."""
-    rows = (STAGED["trimean_midhinge_by_type"]
+    rows = (REG["trimean_midhinge_by_type"]
             .fn(spark, sf_dir).collect())
     assert rows
     for r in rows:
@@ -58,7 +60,7 @@ def test_trimean_sits_between_midhinge_and_median_hull(spark, sf_dir):
 def test_quantile_windows_sit_above_cell_aggregates(spark, sf_dir):
     for name in ("trimean_midhinge_by_type", "mode_value_by_type",
                  "gini_mean_difference_value"):
-        df = STAGED[name].fn(spark, sf_dir)
+        df = REG[name].fn(spark, sf_dir)
         jplan = df._jdf.queryExecution().sparkPlan()
         for n in _walk_jplan(jplan):
             if not n.getClass().getSimpleName().startswith("WindowExec"):

@@ -4,7 +4,9 @@ gates ride tests/test_staged_pen.py)."""
 from __future__ import annotations
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 
 def _node_names(df):
@@ -16,7 +18,7 @@ def test_log_rank_windows_consume_lifetime_cells(spark, sf_dir):
     """The suffix-sum risk windows rank the calendar-bounded distinct-
     lifetime table: no window subtree may touch a raw parquet scan
     (the checkpoint hides the Aggregate — round-6-late rule)."""
-    df = STAGED["log_rank_test_ab_arms"].fn(spark, sf_dir)
+    df = REG["log_rank_test_ab_arms"].fn(spark, sf_dir)
     jplan = df._jdf.queryExecution().sparkPlan()
     windows = [n for n in _walk_jplan(jplan)
                if n.getClass().getSimpleName().startswith("WindowExec")]
@@ -26,7 +28,7 @@ def test_log_rank_windows_consume_lifetime_cells(spark, sf_dir):
 
 
 def test_log_rank_is_internally_consistent(spark, sf_dir):
-    r = STAGED["log_rank_test_ab_arms"].fn(spark, sf_dir).collect()[0]
+    r = REG["log_rank_test_ab_arms"].fn(spark, sf_dir).collect()[0]
     assert r["v"] > 0
     assert abs(r["chi2_stat"] - r["z_stat"] ** 2) < 1e-9
     assert 0 <= r["o1"] <= r["n_arm_a"]
@@ -38,14 +40,14 @@ def test_dynamic_session_plans_native_session_window(spark, sf_dir):
     gaps-and-islands window chain."""
     from de_project_airflow_etl_spark.plans.inspect import formatted_plan
     plan = formatted_plan(
-        STAGED["session_window_dynamic_gap"].fn(spark, sf_dir))
+        REG["session_window_dynamic_gap"].fn(spark, sf_dir))
     assert "session_window" in plan, plan[:1500]
 
 
 def test_cucconi_is_symmetric_in_zu_zv_roles(spark, sf_dir):
     """ZU and ZV share null moments; C must be symmetric under
     swapping them (algebraic sanity of the pinned formula)."""
-    r = (STAGED["cucconi_location_scale_weekend"]
+    r = (REG["cucconi_location_scale_weekend"]
          .fn(spark, sf_dir).collect()[0])
     zu, zv, rho = r["zu"], r["zv"], r["rho"]
     c_swapped = (zv * zv + zu * zu - 2 * rho * zv * zu) \
@@ -59,13 +61,13 @@ def test_seasonal_mk_pair_join_is_bounded_by_daily_rollup(spark,
                                                           sf_dir):
     """The per-weekday pair join must consume the checkpointed daily
     rollup on both sides — zero parquet scans in the final plan."""
-    df = STAGED["seasonal_mann_kendall_dow"].fn(spark, sf_dir)
+    df = REG["seasonal_mann_kendall_dow"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0, plan[:1500]
 
 
 def test_kendalls_w_is_in_unit_interval(spark, sf_dir):
-    r = (STAGED["kendalls_w_dow_concordance"]
+    r = (REG["kendalls_w_dow_concordance"]
          .fn(spark, sf_dir).collect()[0])
     assert 0.0 <= r["kendalls_w"] <= 1.0
     assert r["n_weeks"] >= 1
@@ -74,7 +76,7 @@ def test_kendalls_w_is_in_unit_interval(spark, sf_dir):
 def test_apply_in_arrow_plans_arrow_group_map(spark, sf_dir):
     """The group-map must run on the Arrow path (FlatMapGroupsInArrow
     / ...InBatch exec), never pickled row-at-a-time Python."""
-    df = STAGED["group_apply_arrow_label_stats"].fn(spark, sf_dir)
+    df = REG["group_apply_arrow_label_stats"].fn(spark, sf_dir)
     names = _node_names(df)
     assert any("Arrow" in n or "FlatMapGroupsInBatch" in n
                for n in names), names

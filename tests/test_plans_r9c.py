@@ -13,7 +13,9 @@ from __future__ import annotations
 import pytest
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 # query -> max "Scan parquet" nodes allowed in the FINAL plan.
 SCAN_BUDGETS_R9C = {
@@ -40,7 +42,7 @@ def _release_caches(spark):
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R9C))
 def test_r9c_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R9C[name], (
@@ -66,11 +68,11 @@ def _window_nodes(df):
     "lexical_dominance_panel", "funnel_conversion_steps",
 ])
 def test_r9c_no_window_nodes(spark, sf_dir, name):
-    assert not _window_nodes(STAGED[name].fn(spark, sf_dir)), name
+    assert not _window_nodes(REG[name].fn(spark, sf_dir)), name
 
 
 def test_err_rank_rides_window_group_limit(spark, sf_dir):
-    df = STAGED["err_retrieval_eval"].fn(spark, sf_dir)
+    df = REG["err_retrieval_eval"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "WindowGroupLimit" in plan, (
         "the per-anchor top-k rank filter must ride the partial "
@@ -79,7 +81,7 @@ def test_err_rank_rides_window_group_limit(spark, sf_dir):
 
 def test_bowker_window_partitioned_by_user(spark, sf_dir):
     wins = _window_nodes(
-        STAGED["bowker_symmetry_event_transitions"].fn(spark, sf_dir))
+        REG["bowker_symmetry_event_transitions"].fn(spark, sf_dir))
     assert wins, "the transition lag must be a window"
     for w in wins:
         assert "user_id" in w.partitionSpec().apply(0).toString()
@@ -89,7 +91,7 @@ def test_bowker_window_partitioned_by_user(spark, sf_dir):
 
 
 def test_acf_in_unit_interval(spark, sf_dir):
-    row = STAGED["ljung_box_daily_revenue"].fn(
+    row = REG["ljung_box_daily_revenue"].fn(
         spark, sf_dir).collect()[0]
     for k in range(1, 8):
         assert -1.0 <= row[f"acf_{k}"] <= 1.0
@@ -97,7 +99,7 @@ def test_acf_in_unit_interval(spark, sf_dir):
 
 
 def test_ccf_in_unit_interval_and_lag0_positive(spark, sf_dir):
-    row = STAGED["cross_correlation_revenue_count"].fn(
+    row = REG["cross_correlation_revenue_count"].fn(
         spark, sf_dir).collect()[0]
     for c in ("ccf_m3", "ccf_m2", "ccf_m1", "ccf_0",
               "ccf_1", "ccf_2", "ccf_3"):
@@ -107,7 +109,7 @@ def test_ccf_in_unit_interval_and_lag0_positive(spark, sf_dir):
 
 
 def test_cochran_armitage_consistency(spark, sf_dir):
-    row = STAGED["cochran_armitage_dow_trend"].fn(
+    row = REG["cochran_armitage_dow_trend"].fn(
         spark, sf_dir).collect()[0]
     assert row["var_scaled"] > 0.0
     assert abs(row["z_stat"]) < 50.0
@@ -115,14 +117,14 @@ def test_cochran_armitage_consistency(spark, sf_dir):
 
 
 def test_bowker_nonnegative(spark, sf_dir):
-    row = STAGED["bowker_symmetry_event_transitions"].fn(
+    row = REG["bowker_symmetry_event_transitions"].fn(
         spark, sf_dir).collect()[0]
     assert row["bowker_stat"] >= 0.0
     assert 1 <= row["df"] <= 10  # <= C(5,2) unordered type pairs
 
 
 def test_ordinal_association_bounds(spark, sf_dir):
-    row = STAGED["ordinal_association_dow_band"].fn(
+    row = REG["ordinal_association_dow_band"].fn(
         spark, sf_dir).collect()[0]
     assert -1.0 <= row["gamma"] <= 1.0
     assert -1.0 <= row["somers_d_yx"] <= 1.0
@@ -134,7 +136,7 @@ def test_ordinal_association_bounds(spark, sf_dir):
 
 
 def test_cmh_consistency(spark, sf_dir):
-    row = STAGED["cmh_weekend_purchase_weeks"].fn(
+    row = REG["cmh_weekend_purchase_weeks"].fn(
         spark, sf_dir).collect()[0]
     assert row["cmh_stat"] >= 0.0
     assert row["sum_v"] > 0.0
@@ -142,28 +144,28 @@ def test_cmh_consistency(spark, sf_dir):
 
 
 def test_err_bounds(spark, sf_dir):
-    row = STAGED["err_retrieval_eval"].fn(spark, sf_dir).collect()[0]
+    row = REG["err_retrieval_eval"].fn(spark, sf_dir).collect()[0]
     assert row["n_queries"] == 20
     # binary relevance with R = 1/2: ERR <= sum (1/2)^r / r < 0.7
     assert 0.0 <= row["mean_err"] <= 0.7
 
 
 def test_smape_bounds(spark, sf_dir):
-    row = STAGED["smape_daily_forecasts"].fn(spark, sf_dir).collect()[0]
+    row = REG["smape_daily_forecasts"].fn(spark, sf_dir).collect()[0]
     assert 0.0 <= row["smape"] <= 2.0
     assert row["mape"] >= 0.0
     assert row["rmse_cents"] >= 0.0
 
 
 def test_pinball_p50_vs_p90_asymmetry(spark, sf_dir):
-    row = STAGED["pinball_loss_quantile_forecast"].fn(
+    row = REG["pinball_loss_quantile_forecast"].fn(
         spark, sf_dir).collect()[0]
     assert row["pinball_p50"] >= 0.0
     assert row["pinball_p90"] >= 0.0
 
 
 def test_benford_panel(spark, sf_dir):
-    row = STAGED["benford_first_digit_value"].fn(
+    row = REG["benford_first_digit_value"].fn(
         spark, sf_dir).collect()[0]
     assert row["chi2_stat"] >= 0.0
     # MAD of nine proportion gaps is at most ~2/9
@@ -172,7 +174,7 @@ def test_benford_panel(spark, sf_dir):
 
 
 def test_lexical_dominance_invariants(spark, sf_dir):
-    rows = STAGED["lexical_dominance_panel"].fn(
+    rows = REG["lexical_dominance_panel"].fn(
         spark, sf_dir).collect()
     assert len(rows) >= 2
     for r in rows:
@@ -184,7 +186,7 @@ def test_lexical_dominance_invariants(spark, sf_dir):
 
 
 def test_funnel_monotone(spark, sf_dir):
-    row = STAGED["funnel_conversion_steps"].fn(
+    row = REG["funnel_conversion_steps"].fn(
         spark, sf_dir).collect()[0]
     assert (row["n_users"] >= row["n_signup"] >= row["n_view_after"]
             >= row["n_click_after"] >= row["n_purchase_after"])

@@ -12,7 +12,10 @@ from datetime import datetime, timedelta
 
 import pytest
 
+from de_project_airflow_etl_spark.registry import all_queries
 from de_project_airflow_etl_spark.staged import STAGED
+
+Q = {**all_queries(), **STAGED}
 
 _BASE = datetime(2024, 1, 1)
 # verified against hashlib.md5: first hex nibble < '8' (treated arm)
@@ -64,7 +67,7 @@ def test_log_rank_zero_on_mirrored_arms(spark, tmp_path_factory):
                 eid += 1
                 rows.append((eid, 15, 0, uid, "click", 1000))
     _write_events(spark, tmp, rows)
-    r = STAGED["log_rank_test_ab_arms"].fn(spark, tmp).collect()[0]
+    r = Q["log_rank_test_ab_arms"].fn(spark, tmp).collect()[0]
     assert r["n_arm_a"] == 5 and r["n_arm_b"] == 5
     assert r["o1"] == pytest.approx(r["e1"], abs=1e-12)
     assert r["z_stat"] == pytest.approx(0.0, abs=1e-12)
@@ -90,7 +93,7 @@ def test_did_recovers_planted_uplift_to_the_cent(
         eid += 1
         rows.append((eid, 20, uid, uid, "purchase", 1000))
     _write_events(spark, tmp, rows)
-    r = STAGED["difference_in_differences_arms"].fn(
+    r = Q["difference_in_differences_arms"].fn(
         spark, tmp).collect()[0]
     assert r["did_cents"] == pytest.approx(250.0, abs=1e-9)
     assert r["did_dollars"] == pytest.approx(2.5, abs=1e-11)
@@ -103,7 +106,7 @@ def test_fleiss_kappa_one_for_unanimous_raters(spark, tmp_path_factory):
     bad = "x y z"                # satisfies none
     _write_docs(spark, tmp,
                 [(i, good if i % 2 else bad) for i in range(30)])
-    r = STAGED["fleiss_kappa_quality_rules"].fn(spark, tmp).collect()[0]
+    r = Q["fleiss_kappa_quality_rules"].fn(spark, tmp).collect()[0]
     assert r["fleiss_kappa"] == pytest.approx(1.0, abs=1e-12)
 
 
@@ -111,7 +114,7 @@ def test_hoover_zero_on_equal_daily_revenue(spark, tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("hoover0"))
     rows = [(d + 1, d, 0, 1, "purchase", 10000) for d in range(20)]
     _write_events(spark, tmp, rows)
-    r = STAGED["hoover_index_daily_revenue"].fn(spark, tmp).collect()[0]
+    r = Q["hoover_index_daily_revenue"].fn(spark, tmp).collect()[0]
     assert r["hoover_index"] == 0.0
 
 
@@ -120,7 +123,7 @@ def test_gini_mean_difference_zero_on_constant_values(
     tmp = str(tmp_path_factory.mktemp("gmd0"))
     rows = [(k + 1, 0, k, k + 1, "click", 2500) for k in range(50)]
     _write_events(spark, tmp, rows)
-    r = STAGED["gini_mean_difference_value"].fn(spark, tmp).collect()[0]
+    r = Q["gini_mean_difference_value"].fn(spark, tmp).collect()[0]
     assert r["gmd"] == 0.0
     assert r["gini"] == 0.0
     assert r["mean_value"] == pytest.approx(25.0)
@@ -132,7 +135,7 @@ def test_srm_zero_on_balanced_and_exact_on_planted_imbalance(
     rows = [(k + 1, 0, k, uid, "click", 1000)
             for k, uid in enumerate(_TREATED + _CONTROL)]
     _write_events(spark, tmp, rows)
-    r = STAGED["sample_ratio_mismatch_check"].fn(spark, tmp).collect()[0]
+    r = Q["sample_ratio_mismatch_check"].fn(spark, tmp).collect()[0]
     assert {r["n_a"], r["n_b"]} == {10}
     assert r["chi2_stat"] == 0.0
 
@@ -141,7 +144,7 @@ def test_srm_zero_on_balanced_and_exact_on_planted_imbalance(
     rows = [(k + 1, 0, k, uid, "click", 1000)
             for k, uid in enumerate(skewed)]
     _write_events(spark, tmp2, rows)
-    r = STAGED["sample_ratio_mismatch_check"].fn(
+    r = Q["sample_ratio_mismatch_check"].fn(
         spark, tmp2).collect()[0]
     assert sorted([r["n_a"], r["n_b"]]) == [5, 10]
     assert r["chi2_stat"] == pytest.approx(25.0 / 15.0, abs=1e-12)
@@ -159,7 +162,7 @@ def test_littles_law_on_planted_fixed_duration_sessions(
         eid += 1
         rows.append((eid, 0, k * 3600 + 600, k + 1, "click", 1000))
     _write_events(spark, tmp, rows)
-    r = STAGED["littles_law_sessions"].fn(spark, tmp).collect()[0]
+    r = Q["littles_law_sessions"].fn(spark, tmp).collect()[0]
     assert r["n_sessions"] == 10
     assert r["w_mean_s"] == pytest.approx(600.0, abs=1e-9)
     assert r["total_dur_us"] == 10 * 600 * 1_000_000

@@ -11,7 +11,10 @@ from datetime import datetime, timedelta
 
 import pytest
 
+from de_project_airflow_etl_spark.registry import all_queries
 from de_project_airflow_etl_spark.staged import STAGED
+
+Q = {**all_queries(), **STAGED}
 
 _BASE = datetime(2024, 1, 1)  # a Monday
 
@@ -53,7 +56,7 @@ def test_funnel_counts_exactly_match_construction(spark,
     # u4: no signup at all
     ev(0, 4, "click"); ev(1, 4, "purchase")
     _write(spark, tmp, rows)
-    r = STAGED["funnel_conversion_steps"].fn(spark, tmp).collect()[0]
+    r = Q["funnel_conversion_steps"].fn(spark, tmp).collect()[0]
     assert r["n_users"] == 4
     assert r["n_signup"] == 3
     assert r["n_view_after"] == 1
@@ -69,7 +72,7 @@ def test_funnel_same_microsecond_breaks_tie_by_event_id(
     # back to event_id order, so view (higher id) is strictly after
     _write(spark, tmp, [(1, 0, 0, 1, "signup", 1000),
                         (2, 0, 0, 1, "view", 1000)])
-    r = STAGED["funnel_conversion_steps"].fn(spark, tmp).collect()[0]
+    r = Q["funnel_conversion_steps"].fn(spark, tmp).collect()[0]
     assert r["n_signup"] == 1 and r["n_view_after"] == 1
 
 
@@ -87,7 +90,7 @@ def test_bowker_zero_under_planted_symmetry(spark, tmp_path_factory):
             eid += 1
             rows.append((eid, 0, uid * 10 + k, uid, et, 1000))
     _write(spark, tmp, rows)
-    r = STAGED["bowker_symmetry_event_transitions"].fn(
+    r = Q["bowker_symmetry_event_transitions"].fn(
         spark, tmp).collect()[0]
     assert r["n_transitions"] == 40
     assert r["bowker_stat"] == 0.0  # exact integer symmetry
@@ -105,7 +108,7 @@ def test_bowker_equals_n_under_one_directional_flow(
             eid += 1
             rows.append((eid, 0, uid * 10 + k, uid, et, 1000))
     _write(spark, tmp, rows)
-    r = STAGED["bowker_symmetry_event_transitions"].fn(
+    r = Q["bowker_symmetry_event_transitions"].fn(
         spark, tmp).collect()[0]
     assert r["bowker_stat"] == 15.0
 
@@ -126,7 +129,7 @@ def test_cochran_armitage_zero_under_planted_flat_rate(
             rows.append((eid, d, k, 1 + eid,
                          "purchase" if k < 2 else "click", 1000))
     _write(spark, tmp, rows)
-    r = STAGED["cochran_armitage_dow_trend"].fn(spark, tmp).collect()[0]
+    r = Q["cochran_armitage_dow_trend"].fn(spark, tmp).collect()[0]
     assert r["t_num"] == 0.0
     assert r["z_stat"] == 0.0
 
@@ -144,7 +147,7 @@ def test_ordinal_association_perfect_monotone_is_one(
     rows = [(d * 10 + k, d, k, 1 + d * 10 + k, "click", band_cents[d])
             for d in range(4) for k in range(5)]
     _write(spark, tmp, rows)
-    r = STAGED["ordinal_association_dow_band"].fn(spark, tmp).collect()[0]
+    r = Q["ordinal_association_dow_band"].fn(spark, tmp).collect()[0]
     assert r["gamma"] == 1.0
     assert r["somers_d_yx"] == 1.0
     assert r["somers_d_xy"] == 1.0
@@ -174,7 +177,7 @@ def test_cmh_zero_under_planted_conditional_independence(
     block(12, 4, 1)   # Sat Jan 13
     block(9, 8, 2)    # Wed Jan 10
     _write(spark, tmp, rows)
-    r = STAGED["cmh_weekend_purchase_weeks"].fn(spark, tmp).collect()[0]
+    r = Q["cmh_weekend_purchase_weeks"].fn(spark, tmp).collect()[0]
     assert r["cmh_stat"] == 0.0   # a_k == E_k exactly per stratum
     assert r["or_mh"] == 1.0      # ad/n == bc/n exactly per stratum
 
@@ -188,7 +191,7 @@ def test_ljung_box_alternating_series_has_negative_acf1(
     rows = [(d + 1, d, 0, 1, "click", 30000 if d % 2 else 10000)
             for d in range(30)]
     _write(spark, tmp, rows)
-    r = STAGED["ljung_box_daily_revenue"].fn(spark, tmp).collect()[0]
+    r = Q["ljung_box_daily_revenue"].fn(spark, tmp).collect()[0]
     assert r["acf_1"] < -0.9
     assert r["acf_2"] > 0.8
     assert r["lb_q_stat"] > 30.0
@@ -208,7 +211,7 @@ def test_ccf_detects_planted_one_day_lead(spark, tmp_path_factory):
             eid += 1
             rows.append((eid, d, k, 1 + k, "click", cents))
     _write(spark, tmp, rows)
-    r = STAGED["cross_correlation_revenue_count"].fn(
+    r = Q["cross_correlation_revenue_count"].fn(
         spark, tmp).collect()[0]
     # x_t tracks y_{t-1}: the +1 lag dominates every other lag
     assert r["ccf_1"] > 0.9
@@ -222,7 +225,7 @@ def test_smape_exactly_zero_on_planted_weekly_period(
     week = [10000, 20000, 15000, 30000, 25000, 40000, 12000]
     rows = [(d + 1, d, 0, 1, "click", week[d % 7]) for d in range(28)]
     _write(spark, tmp, rows)
-    r = STAGED["smape_daily_forecasts"].fn(spark, tmp).collect()[0]
+    r = Q["smape_daily_forecasts"].fn(spark, tmp).collect()[0]
     assert r["smape"] == 0.0
     assert r["mape"] == 0.0
     assert r["rmse_cents"] == 0.0
@@ -235,7 +238,7 @@ def test_seasonal_strength_high_on_planted_weekly_pattern(
     rows = [(d + 1, d, 0, 1, "click", week[d % 7] + 10 * d)
             for d in range(42)]
     _write(spark, tmp, rows)
-    r = STAGED["seasonal_strength_weekly"].fn(spark, tmp).collect()[0]
+    r = Q["seasonal_strength_weekly"].fn(spark, tmp).collect()[0]
     assert r["seasonal_strength"] > 0.95
 
 
@@ -245,7 +248,7 @@ def test_grubbs_finds_the_planted_spike_day(spark, tmp_path_factory):
     cents[17] = 90000
     rows = [(d + 1, d, 0, 1, "click", cents[d]) for d in range(30)]
     _write(spark, tmp, rows)
-    r = STAGED["grubbs_max_deviation_daily"].fn(spark, tmp).collect()[0]
+    r = Q["grubbs_max_deviation_daily"].fn(spark, tmp).collect()[0]
     assert r["peak_day"] == "2024-01-18"
     assert r["g_stat"] > 5.0
 
@@ -260,7 +263,7 @@ def test_winsorized_mean_ignores_planted_tail_spikes(
     rows += [(101, 1, 0, 101, "click", 1000000),
              (102, 1, 1, 102, "click", 1000000)]
     _write(spark, tmp, rows)
-    r = STAGED["winsorized_mean_value"].fn(spark, tmp).collect()[0]
+    r = Q["winsorized_mean_value"].fn(spark, tmp).collect()[0]
     assert r["p95_cents"] == 1000   # 97th of 102 order stat
     assert r["winsorized_mean"] == 10.0   # spikes clamped to 10.00
     assert r["raw_mean"] > 200.0
@@ -271,7 +274,7 @@ def test_benford_mad_exact_under_all_ones(spark, tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("benford1"))
     rows = [(k + 1, 0, k, k + 1, "click", 1999) for k in range(50)]
     _write(spark, tmp, rows)
-    r = STAGED["benford_first_digit_value"].fn(spark, tmp).collect()[0]
+    r = Q["benford_first_digit_value"].fn(spark, tmp).collect()[0]
     p1 = math.log10(2.0)
     assert r["mad_stat"] == pytest.approx(2 * (1 - p1) / 9, abs=1e-12)
     assert r["chi2_stat"] > 10.0
@@ -289,7 +292,7 @@ def test_edf_panel_zero_on_identical_multisets_one_on_disjoint(
             eid += 1
             rows.append((eid, day, k, eid, "click", c))
     _write(spark, tmp, rows)
-    r = STAGED["edf_two_sample_panel_weekend"].fn(spark, tmp).collect()[0]
+    r = Q["edf_two_sample_panel_weekend"].fn(spark, tmp).collect()[0]
     assert r["d_plus"] == 0.0 and r["d_minus"] == 0.0
     assert r["ks_d"] == 0.0 and r["kuiper_v"] == 0.0
     assert r["ad_stat"] == 0.0
@@ -304,7 +307,7 @@ def test_edf_panel_zero_on_identical_multisets_one_on_disjoint(
         eid += 1
         rows.append((eid, 2, k, eid, "click", 90000 + k))  # weekday high
     _write(spark, tmp2, rows)
-    r = STAGED["edf_two_sample_panel_weekend"].fn(
+    r = Q["edf_two_sample_panel_weekend"].fn(
         spark, tmp2).collect()[0]
     assert r["ks_d"] == 1.0   # disjoint supports separate completely
 
@@ -327,6 +330,6 @@ def test_partial_corr_one_under_planted_within_dow_linearity(
             eid += 1
             rows.append((eid, d, k, eid, "click", cents))
     _write(spark, tmp, rows)
-    r = STAGED["partial_corr_revenue_count_dow"].fn(
+    r = Q["partial_corr_revenue_count_dow"].fn(
         spark, tmp).collect()[0]
     assert r["partial_corr"] == pytest.approx(1.0, abs=1e-12)
