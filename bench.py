@@ -170,6 +170,31 @@ HEADLINE = (
     "readability_indices_by_source",  # syllable-regex text explode
     "resource_allocation_link_pred",  # dup-graph common-neighbor join
     "ild_retrieval_diversity",        # top-k pairwise list diversity
+    # round-9 additions: promoted nonparam/assoc/surfaces_r10(b)/
+    # robuststats/changepoint/dispersion representatives, weighted
+    # toward the scale-critical paths (explode-heavy vocab panels,
+    # global value-cell ranks, user-keyed funnels/sessionization,
+    # embedding-cluster joins, the applyInArrow + Arrow-UDF python
+    # surfaces); jsonl_stream_sink_roundtrip is deliberately absent
+    # (sink/stream setup wall time, not engine cost — the recorded
+    # I/O-surface rule), davies_bouldin shares its physical shape
+    # with simplified_silhouette (one cluster-distance rep carries
+    # both), and the literal-bound SQL-surface entries stay out
+    "lexical_dominance_panel",        # explode-heavy dominance panel
+    "cucconi_location_scale_weekend",  # cell-agg + midrank cumulation
+    "funnel_conversion_steps",        # user-keyed ordered funnel
+    "session_window_dynamic_gap",     # dynamic-gap sessionization
+    "kendalls_w_dow_concordance",     # per-day global rank concordance
+    "group_apply_arrow_label_stats",  # applyInArrow grouped python
+    "err_retrieval_eval",             # graded cascade retrieval window
+    "cross_correlation_revenue_count",  # lagged daily self-join
+    "simplified_silhouette_labels",   # embedding-centroid distance join
+    "weekly_users_bitmap_rollup",     # exact bitmap distinct rollup
+    "edf_two_sample_panel_weekend",   # pooled-EDF two-sample panel
+    "nelson_aalen_user_lifetimes",    # hazard cumulation survival
+    "token_gini_by_source",           # token Lorenz/Gini cumulation
+    "holt_winters_additive_weekly",   # sequential smoothing fold
+    "arrow_udf_text_normalize",       # Arrow-optimized scalar UDF
 )
 
 
