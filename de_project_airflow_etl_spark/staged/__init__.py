@@ -80,7 +80,18 @@ at exact quartiles, the JSON scalar-function family, and
 approx_top_k in its exact regime); ``round20.py`` (2, staged in
 round 8: the negative-binomial method-of-moments fit of per-user
 counts, and Needleman-Wunsch global alignment between the two
-weeks' dominant-type strings — the gap-penalty DP beside DTW).
+weeks' dominant-type strings — the gap-penalty DP beside DTW);
+``round21.py`` (5, staged in round 9: the Wald-Wolfowitz runs test
+of daily-revenue randomness, Mood's squared-rank scale test, the
+two-sample energy distance from exact sorted-prefix pairwise
+|difference| sums, Hoeffding's D dependence statistic in 2x-integer
+bivariate ranks, and Page's L ordered-trend test across complete
+epoch-weeks); ``round22.py`` (4, staged in round 9: sample-entropy
+template-match counts on the daily series with an exact MAD
+tolerance, exact distance correlation between day index and daily
+revenue, the deterministic md5-stratified train/val/test split
+manifest, and the chi-square divergence between per-source unigram
+distributions on the capped top-500 vocabulary).
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so a promoting session folds banks together
@@ -126,3 +137,5 @@ from de_project_airflow_etl_spark.staged import round17  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round18  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round19  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round20  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round21  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round22  # noqa: E402,F401

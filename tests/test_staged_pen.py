@@ -85,6 +85,17 @@ _JUSTIFIED_BNLJ_BUILDS = {
     # rows) — the closed-form rank mapping's panel product, both
     # sides checkpointed aggregates
     "quantile_normalize_source_chars",
+    # round-21 Hoeffding D computes the bivariate rank Q_i by an
+    # x_j < x_i inequality join of the CALENDAR-bounded daily rollup
+    # with itself (<= days^2 pairs — the theil_sen day-pair
+    # machinery); the build is the checkpointed daily aggregate,
+    # hidden behind Scan ExistingRDD
+    "hoeffding_d_daily",
+    # round-22 sample entropy compares 2/3-day templates pairwise
+    # over the same CALENDAR-bounded daily rollup (x < xi
+    # inequality, <= days^2/2 pairs), build = the checkpointed
+    # 3-column template panel
+    "sample_entropy_matches_daily",
 }
 
 
