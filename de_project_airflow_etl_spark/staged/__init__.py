@@ -91,7 +91,12 @@ template-match counts on the daily series with an exact MAD
 tolerance, exact distance correlation between day index and daily
 revenue, the deterministic md5-stratified train/val/test split
 manifest, and the chi-square divergence between per-source unigram
-distributions on the capped top-500 vocabulary).
+distributions on the capped top-500 vocabulary); ``round23.py``
+(2, staged in round 9: TextRank keyphrase extraction — weighted
+PageRank over the within-document term-adjacency graph in the
+repo's exact fixed-point integer iteration — and LZ78 phrase
+complexity of per-user event sequences, an in-array dictionary fold
+on Spark vs a recursive-CTE position stepper on DuckDB).
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so a promoting session folds banks together
@@ -139,3 +144,4 @@ from de_project_airflow_etl_spark.staged import round19  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round20  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round21  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round22  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round23  # noqa: E402,F401
