@@ -96,7 +96,12 @@ distributions on the capped top-500 vocabulary); ``round23.py``
 PageRank over the within-document term-adjacency graph in the
 repo's exact fixed-point integer iteration — and LZ78 phrase
 complexity of per-user event sequences, an in-array dictionary fold
-on Spark vs a recursive-CTE position stepper on DuckDB).
+on Spark vs a recursive-CTE position stepper on DuckDB);
+``round24.py`` (3, staged in round 9: the Brunner-Munzel
+generalized Wilcoxon — valid under unequal variances, pooled and
+within-group 2x midranks from one cell cumulation — Cochran's Q
+for k related weekly purchase flags, and the Bartels rank von
+Neumann serial-randomness ratio).
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so a promoting session folds banks together
@@ -145,3 +150,4 @@ from de_project_airflow_etl_spark.staged import round20  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round21  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round22  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round23  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round24  # noqa: E402,F401

@@ -35,6 +35,9 @@ SCAN_BUDGETS_R21 = {
     "chi2_divergence_source_unigrams": 0,  # tf checkpointed
     "textrank_keyphrases": 0,            # iteration state ckpt
     "lz78_event_sequence_complexity": 1,  # one pass by construction
+    "brunner_munzel_weekend": 0,         # cells checkpointed
+    "cochrans_q_weekly_purchase": 0,     # daily + user-week ckpt
+    "bartels_rank_von_neumann_daily": 1,  # single-consumer chain
 }
 
 
@@ -424,3 +427,123 @@ def test_chi2_divergence_python_recomputation(spark,
     for v in sorted(terms):
         expected += v
     assert math.isclose(rows[0]["chi2_div"], expected, rel_tol=1e-12)
+
+
+# ------------------------------------------------- Brunner-Munzel
+
+
+def _brunner_munzel_py(xs, ys):
+    """Independent recomputation (scipy-equivalent formulation):
+    xs = group 1 (weekend), ys = group 2 (weekday)."""
+    pooled = sorted(xs + ys)
+    def midrank(v, vals):
+        return (sum(1 for u in vals if u < v)
+                + (sum(1 for u in vals if u == v) + 1) / 2)
+    n1, n2 = len(xs), len(ys)
+    p1 = [midrank(v, pooled) for v in xs]
+    p2 = [midrank(v, pooled) for v in ys]
+    w1 = [midrank(v, xs) for v in xs]
+    w2 = [midrank(v, ys) for v in ys]
+    rb1, rb2 = sum(p1) / n1, sum(p2) / n2
+    s1 = sum((p - w - rb1 + (n1 + 1) / 2) ** 2
+             for p, w in zip(p1, w1)) / (n1 - 1)
+    s2 = sum((p - w - rb2 + (n2 + 1) / 2) ** 2
+             for p, w in zip(p2, w2)) / (n2 - 1)
+    w_bm = (n1 * n2 * (rb2 - rb1)
+            / ((n1 + n2) * math.sqrt(n1 * s1 + n2 * s2)))
+    p_hat = (rb2 - (n2 + 1) / 2) / n1
+    return w_bm, p_hat
+
+
+def test_brunner_munzel_python_recomputation(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("bm"))
+    wknd = [1000, 1000, 3000, 5000, 9000]
+    wkdy = [2000, 4000, 4000, 6000, 8000, 8000, 10000]
+    rows = [(i + 1, 3 + (i % 2), i, 1, "view", c)
+            for i, c in enumerate(wknd)]
+    rows += [(100 + i, i % 3, 60 + i, 2, "view", c)
+             for i, c in enumerate(wkdy)]
+    _write_events(spark, tmp, rows)
+    r = STAGED["brunner_munzel_weekend"].fn(spark, tmp).collect()[0]
+    w_bm, p_hat = _brunner_munzel_py(wknd, wkdy)
+    assert (r["n_weekend"], r["n_weekday"]) == (5, 7)
+    assert math.isclose(r["w_bm"], w_bm, rel_tol=1e-12)
+    assert math.isclose(r["p_hat"], p_hat, rel_tol=1e-12)
+
+
+def test_brunner_munzel_symmetric_is_zero(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("bm2"))
+    vals = [1000, 2000, 3000, 4000]
+    rows = [(i + 1, 3 + (i % 2), i, 1, "view", c)
+            for i, c in enumerate(vals)]
+    rows += [(100 + i, i % 3, 60 + i, 2, "view", c)
+             for i, c in enumerate(vals)]
+    _write_events(spark, tmp, rows)
+    r = STAGED["brunner_munzel_weekend"].fn(spark, tmp).collect()[0]
+    assert r["w_bm"] == 0.0  # identical samples -> exactly centered
+    assert r["p_hat"] == 0.5
+
+
+# --------------------------------------------------- Cochran's Q
+
+
+def test_cochrans_q_hand_computed(spark, tmp_path_factory):
+    from datetime import date as _date
+    tmp = str(tmp_path_factory.mktemp("cq"))
+    base_x = (_BASE.date() - _date(1970, 1, 1)).days
+    start = base_x + ((7 - base_x % 7) % 7)  # first x, x % 7 == 0
+    # two complete epoch-weeks; flags: u1=(1,0) u2=(1,1) u3=(0,1)
+    # u4=(1,0); need daily coverage of all 14 days (filler user 9)
+    rows = []
+    def ev(uid, wk, typ):
+        rows.append((len(rows) + 1, start + 7 * wk - base_x,
+                     len(rows), uid, typ, 100))
+    for d in range(14):
+        rows.append((len(rows) + 1, start + d - base_x, 999, 9,
+                     "view", 100))
+    ev(1, 0, "purchase"); ev(1, 1, "view")
+    ev(2, 0, "purchase"); ev(2, 1, "purchase")
+    ev(3, 0, "view");     ev(3, 1, "purchase")
+    ev(4, 0, "purchase"); ev(4, 1, "view")
+    _write_events(spark, tmp, rows)
+    r = STAGED["cochrans_q_weekly_purchase"].fn(spark, tmp).collect()[0]
+    # rows (incl. user 9 all-zero): R = [1,2,1,1,0]; C = [3,2]; k=2
+    k, t = 2, 5
+    sum_cj2 = 9 + 4
+    sum_r2 = 1 + 4 + 1 + 1 + 0
+    q = (k - 1) * (k * sum_cj2 - t * t) / (k * t - sum_r2)
+    assert r["k_weeks"] == 2 and r["n_users"] == 5
+    assert math.isclose(r["q_stat"], q, rel_tol=1e-12)
+    # McNemar identity at k=2: Q = (b-c)^2/(b+c); here b=2, c=1
+    assert math.isclose(q, (2 - 1) ** 2 / (2 + 1), rel_tol=1e-12)
+
+
+# ------------------------------------- Bartels rank von Neumann
+
+
+def test_bartels_monotone_series(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("rvn"))
+    n = 9
+    cents = [1000 * (i + 1) for i in range(n)]  # strictly increasing
+    _write_events(spark, tmp, _daily_rows(cents))
+    r = STAGED["bartels_rank_von_neumann_daily"].fn(
+        spark, tmp).collect()[0]
+    # ranks 1..n: num = n-1 unit steps, den = n(n^2-1)/12
+    rvn = (n - 1) / (n * (n * n - 1) / 12)
+    assert r["n_days"] == n
+    assert math.isclose(r["rvn"], rvn, rel_tol=1e-12)
+    assert r["z_rvn"] < -3.0  # strong positive serial dependence
+
+
+def test_bartels_python_recomputation(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("rvn2"))
+    cents = [3000, 1000, 4000, 1000, 5000, 9000, 2000, 6000]
+    _write_events(spark, tmp, _daily_rows(cents))
+    r = STAGED["bartels_rank_von_neumann_daily"].fn(
+        spark, tmp).collect()[0]
+    m2 = _midranks2(cents)
+    ranks = [m2[c] / 2 for c in cents]
+    n = len(cents)
+    num = sum((ranks[i] - ranks[i + 1]) ** 2 for i in range(n - 1))
+    den = sum((x - (n + 1) / 2) ** 2 for x in ranks)
+    assert math.isclose(r["rvn"], num / den, rel_tol=1e-12)
