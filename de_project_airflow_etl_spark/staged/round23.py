@@ -28,6 +28,21 @@ TR_TOP = 20         # keyphrases reported
 
 LZ_CAP = 32         # per-user sequence cap (first 32 events by key)
 
+# One edge's contribution in a rank round. The PRODUCT is widened to
+# DECIMAL(38,0)/HUGEINT before the floor division: a rank near
+# TR_SCALE (10^12) times a co-occurrence edge weight past ~9.2e6
+# overflows int64 (the recorded sum(cents^2) overflow class —
+# invisible at sf0.1, an ANSI abort at corpus scale). Post-division
+# the value is back at rank scale, so the cast to BIGINT and the
+# downstream SUM are safe.
+TR_CONTRIB_SPARK = ("CAST((CAST(r AS DECIMAL(38,0)) * w) div wt"
+                    " AS BIGINT)")
+
+
+def _tr_contrib_sql(r: str, w: str, wt: str) -> str:
+    """DuckDB twin of ``TR_CONTRIB_SPARK`` (HUGEINT product)."""
+    return f"CAST((CAST({r} AS HUGEINT) * {w}) // {wt} AS BIGINT)"
+
 
 # ---------------------------------------------------------------------
 # TextRank keyphrases.
@@ -50,6 +65,7 @@ _SQL_TR_GRAPH = f"""
         ),
         adj AS (
           SELECT unnest(list_zip(toks[:-1], toks[2:])) AS pr FROM d
+          WHERE len(toks) >= 2
         ),
         raw_e AS (
           SELECT pr[1] AS a, pr[2] AS b FROM adj
@@ -73,7 +89,8 @@ def _sql_tr_iter(prev: str, out: str) -> str:
     """One unrolled weighted-PageRank round in BIGINT fixed point."""
     return f"""
         c_{out} AS (
-          SELECT e.dst AS term, SUM((r.r * e.w) // wo.wt) AS s
+          SELECT e.dst AS term,
+                 SUM({_tr_contrib_sql('r.r', 'e.w', 'wo.wt')}) AS s
           FROM edges e
           JOIN {prev} r ON e.src = r.term
           JOIN wout wo ON e.src = wo.src
@@ -139,10 +156,18 @@ def textrank_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
                    Window.orderBy(F.desc("tot"), "term")).alias("rnk"))
                .filter(F.col("rnk") <= TR_V)
                .select("term"))
-    adj = d.select(F.explode(F.expr(
-        "zip_with(slice(toks, 1, size(toks) - 1),"
-        " slice(toks, 2, size(toks) - 1), (a, b) -> struct(a, b))"))
-        .alias("pr")).selectExpr("pr.a AS a", "pr.b AS b")
+    # size(toks) >= 2 guard BEFORE the sequence-driven slice lambda
+    # (recorded rule: slice(toks, 1, size-1) on an empty token array
+    # hard-fails with INVALID_PARAMETER_VALUE.LENGTH); term counts in
+    # `keep` above deliberately still see 1-token documents, so the
+    # guard applies to the adjacency path only, on both engines.
+    adj = (d.filter(F.expr("size(toks) >= 2"))
+            .select(F.explode(F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> struct(a, b))"))
+                .alias("pr"))
+            .selectExpr("pr.a AS a", "pr.b AS b"))
     raw_e = (adj.filter("a <> b")
                 .join(F.broadcast(keep.selectExpr("term AS a")), "a")
                 .join(F.broadcast(keep.selectExpr("term AS b")), "b"))
@@ -161,7 +186,7 @@ def textrank_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = (edges.join(r, edges.src == r.term)
                         .join(wout, "src")
                         .select(F.col("dst").alias("term"),
-                                F.expr("(r * w) div wt").alias("c")))
+                                F.expr(TR_CONTRIB_SPARK).alias("c")))
         sums = contrib.groupBy("term").agg(F.sum("c").alias("s"))
         r = (nodes.join(sums, "term", "left")
                   .select("term",

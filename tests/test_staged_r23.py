@@ -142,6 +142,55 @@ def test_textrank_hub_ranks_first(spark, tmp_path_factory):
     assert got == expected
 
 
+def test_textrank_tolerates_empty_and_tiny_docs(spark, tmp_path_factory):
+    """ADVICE r9 (medium): an empty / whitespace-only / single-token
+    document must not abort the job — slice(toks, 1, size-1) on an
+    empty token array hard-fails with INVALID_PARAMETER_VALUE.LENGTH
+    without the size(toks) >= 2 guard. The oracle (guarded
+    identically) must still hash-match on the same data."""
+    import duckdb
+
+    from tests.harness import compare
+
+    tmp = str(tmp_path_factory.mktemp("trank3"))
+    docs = [(1, "", "s0"), (2, "   ", "s0"), (3, "solo", "s0"),
+            (4, "hub spoke hub spoke", "s0"),
+            (5, "hub other hub other", "s0")]
+    _write_docs(spark, tmp, docs)
+    q = STAGED["textrank_keyphrases"]
+    out = q.fn(spark, tmp)
+    rows = out.collect()  # would raise before the guard
+    assert {r["term"] for r in rows} == {"hub", "spoke", "other"}
+    assert sorted(rows, key=lambda r: r["rk"])[0]["term"] == "hub"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT *"
+                f" FROM '{tmp}/documents.parquet/*.parquet'")
+    assert compare(out, con.execute(q.oracle).df(), q.name) == []
+
+
+def test_textrank_contribution_survives_hub_overflow(spark):
+    """ADVICE r9 (low): rank ~10^12 x edge weight 2e7 overflows int64
+    (product 2e19 > 2^63); the shipped DECIMAL(38,0)/HUGEINT widening
+    must return the exact quotient on BOTH engines, and the unwidened
+    form must indeed abort under ANSI mode (proves the test bites)."""
+    import duckdb
+    import pytest
+
+    from de_project_airflow_etl_spark.staged.round23 import (
+        TR_CONTRIB_SPARK, TR_SCALE, _tr_contrib_sql)
+
+    r, w, wt = TR_SCALE, 2 * 10**7, 4 * 10**7
+    df = spark.createDataFrame([(r, w, wt)], "r long, w long, wt long")
+    assert df.selectExpr(f"{TR_CONTRIB_SPARK} AS c").first()["c"] \
+        == (r * w) // wt
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df.selectExpr("(r * w) div wt AS c").collect()
+    got = duckdb.connect().execute(
+        f"SELECT {_tr_contrib_sql(str(r), str(w), str(wt))} AS c"
+    ).fetchone()[0]
+    assert got == (r * w) // wt
+
+
 def test_textrank_symmetric_pair_ties(spark, tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("trank2"))
     docs = [(1, "xx yy xx yy xx", "s0"), (2, "yy xx yy xx yy", "s0")]
