@@ -181,3 +181,24 @@ def test_small_headline_queries_have_plan_gates():
     assert not missing, (
         f"small headline queries without a plan/scale gate: {missing} — "
         f"add a shape assertion before relying on the widened band")
+
+
+def test_write_detail_round_stamped(tmp_path, monkeypatch):
+    """The full per-query payload lands in BENCH_DETAIL_r{N}.json (the
+    driver's stdout artifact truncates at ~2000 chars, VERDICT r9): the
+    round comes from $BENCH_ROUND when set, else 1 + the highest
+    recorded BENCH_r*.json round."""
+    import bench
+
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda _: str(tmp_path / "bench.py"))
+    (tmp_path / "BENCH_r03.json").write_text("{}")
+    (tmp_path / "BENCH_r11.json").write_text("{}")
+    monkeypatch.delenv("BENCH_ROUND", raising=False)
+    payload = {"value": 1.5, "queries": {"q": 1.5}}
+    bench._write_detail(payload)
+    got = json.load(open(tmp_path / "BENCH_DETAIL_r12.json"))
+    assert got == payload
+    monkeypatch.setenv("BENCH_ROUND", "99")
+    bench._write_detail(payload)
+    assert (tmp_path / "BENCH_DETAIL_r99.json").exists()
