@@ -1,9 +1,9 @@
-"""Round-12 staged bank, second group: experimentation readouts
+"""Round-10 promoted bank (staged as staged/round12b.py): experimentation readouts
 (difference-in-differences, pre-experiment power/MDE), multi-rater
 agreement (Fleiss' kappa), and survey-statistics variance for ratio
 estimators (leave-one-out jackknife).
 
-Same contract as every staged query: ``(spark, sf_dir) ->
+Same contract as every registered query: ``(spark, sf_dir) ->
 DataFrame`` plus an exact DuckDB oracle, identical column aliases on
 both sides, exact-integer / fixed-point arithmetic for anything
 accumulated, a 100 TB plan story per docstring, no ``rand()``, no
@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
@@ -66,7 +66,7 @@ def _did_final() -> str:
     return ", ".join(terms)
 
 
-@staged_query(
+@query(
     "difference_in_differences_arms",
     oracle=f"""
         WITH e AS (
@@ -123,7 +123,7 @@ def _did_final() -> str:
         "cents^2) accumulate exactly in ONE map-side-combinable pass; "
         "every double op afterwards is a shared exact-operand formula "
         "with one sqrt. Plan: one aggregate over the scan, one row.",
-    tags=("staged", "statistics", "experimentation"),
+    tags=("statistics", "experimentation"),
 )
 def difference_in_differences_arms(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
@@ -165,7 +165,7 @@ MDE_Z_ALPHA = "1.959964"
 MDE_Z_BETA = "0.841621"
 
 
-@staged_query(
+@query(
     "power_mde_event_value",
     oracle=f"""
         WITH m AS (
@@ -198,7 +198,7 @@ MDE_Z_BETA = "0.841621"
         "quantiles are not exactly computable cross-engine); variance "
         "from one exact moment pass. Plan: one map-side-combinable "
         "aggregate over the scan, one row out.",
-    tags=("staged", "statistics", "experimentation"),
+    tags=("statistics", "experimentation"),
 )
 def power_mde_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = load(spark, sf_dir, "events").agg(
@@ -233,7 +233,7 @@ _RATERS_SQL = (
 )
 
 
-@staged_query(
+@query(
     "fleiss_kappa_quality_rules",
     oracle=f"""
         WITH r AS (
@@ -268,7 +268,7 @@ _RATERS_SQL = (
         "denominators into DECIMAL(38,0) integer products, one final "
         "division. Plan: one map-side-combinable aggregate over the "
         "documents scan, one row out.",
-    tags=("staged", "statistics", "quality"),
+    tags=("statistics", "quality"),
 )
 def fleiss_kappa_quality_rules(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -295,7 +295,7 @@ def fleiss_kappa_quality_rules(spark: SparkSession,
 _JK_DEV_SQL = ("(CAST(t.s - d.cents AS DOUBLE) / (t.m - d.n_ev)"
                " - CAST(t.s AS DOUBLE) / t.m)")
 
-@staged_query(
+@query(
     "jackknife_ratio_variance_daily",
     oracle=f"""
         WITH daily AS (
@@ -328,14 +328,15 @@ _JK_DEV_SQL = ("(CAST(t.s - d.cents AS DOUBLE) / (t.m - d.n_ev)"
         "uncertainty of a ratio of two correlated totals', where the "
         "naive per-event variance is wrong (numerator and denominator "
         "co-move by day) — and the delete-group counterpart of the "
-        "staged hash bootstrap. Each leave-one-out ratio divides "
+        "registered hash bootstrap (surfaces_r8). Each leave-one-out "
+        "ratio divides "
         "exact integers (identical IEEE doubles), the squared "
         "deviations fold SORTED from a 0.0 seed (bit-identical "
         "bounded sum), and the g-1/g scaling is exact-operand. Plan: "
         "one daily rollup (the only corpus-scale work), a one-row "
         "totals broadcast onto the calendar-bounded days, one row "
         "out.",
-    tags=("staged", "statistics", "sampling"),
+    tags=("statistics", "sampling"),
 )
 def jackknife_ratio_variance_daily(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:

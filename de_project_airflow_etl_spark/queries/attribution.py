@@ -1,4 +1,4 @@
-"""Round-15 staged bank: game-theoretic attribution (exact Shapley
+"""Round-10 promoted bank (staged as staged/round15.py): game-theoretic attribution (exact Shapley
 values over the bounded channel lattice), shape-constrained regression
 (isotonic fit via the exact minimax formula), distribution-free
 predictive intervals (Mondrian split-conformal with an exact coverage
@@ -8,7 +8,7 @@ exact-rational drift panel), ranking from pairwise comparisons
 harmonic centrality on the near-dup graph, and the engine's first
 dynamic-programming distance (DTW between two daily series).
 
-Same contract as every staged query: ``(spark, sf_dir) -> DataFrame``
+Same contract as every registered query: ``(spark, sf_dir) -> DataFrame``
 plus an exact DuckDB oracle, identical column aliases on both sides,
 exact-integer arithmetic for anything accumulated (DECIMAL(38,0)/
 HUGEINT for products), truncating ``div`` fixed point for iterative
@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
@@ -65,7 +65,7 @@ def _popcount(col: str) -> str:
             f"+ (({col} >> 2) & 1) + (({col} >> 3) & 1)")
 
 
-@staged_query(
+@query(
     "shapley_channel_attribution",
     oracle=f"""
         WITH fp AS (
@@ -128,7 +128,7 @@ def _popcount(col: str) -> str:
         "broadcast-sized. Sum over channels of phi_x24 = "
         "24*(v(full)-v(empty)) — the efficiency axiom, pinned in "
         "tests.",
-    tags=("staged", "attribution", "statistics"),
+    tags=("attribution", "statistics"),
 )
 def shapley_channel_attribution(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -177,7 +177,7 @@ def shapley_channel_attribution(spark: SparkSession,
 _L30 = 2329089562800  # lcm(1..30); the event data spans <= 30 days
 
 
-@staged_query(
+@query(
     "isotonic_daily_revenue_fit",
     oracle=f"""
         WITH daily AS (
@@ -226,7 +226,7 @@ _L30 = 2329089562800  # lcm(1..30); the event data spans <= 30 days
         "only double op is the final display division. Scale: ONE "
         "corpus pass to the <=30-row daily aggregate (checkpointed); "
         "the O(n^3)<=5k-row triple panel never touches raw rows.",
-    tags=("staged", "regression", "statistics"),
+    tags=("regression", "statistics"),
 )
 def isotonic_daily_revenue_fit(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -276,7 +276,7 @@ _CONF_H_SQL = ("CAST(('0x' || substring(md5('conf|' || "
                "CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT)")
 
 
-@staged_query(
+@query(
     "split_conformal_value_interval",
     oracle=f"""
         WITH tagged AS (
@@ -346,7 +346,7 @@ _CONF_H_SQL = ("CAST(('0x' || substring(md5('conf|' || "
         "(type, cents)-cell aggregates (value-domain-bounded), one "
         "cell window per type for the quantile index, broadcast "
         "joins of the 5-row model/quantile panels.",
-    tags=("staged", "evaluation", "statistics"),
+    tags=("evaluation", "statistics"),
 )
 def split_conformal_value_interval(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
@@ -404,7 +404,7 @@ _HIGH_CENTS = 25000  # value >= 250.00 counts as "high-value"
 _BH_ALPHA_NUM, _BH_ALPHA_DEN = 1, 4   # alpha = 0.25 on the pseudo-p
 
 
-@staged_query(
+@query(
     "bh_step_up_drift_panel",
     oracle=f"""
         WITH b AS (
@@ -483,7 +483,7 @@ _BH_ALPHA_NUM, _BH_ALPHA_DEN = 1, 4   # alpha = 0.25 on the pseudo-p
         "previously claimed. Beyond that, the 100TB path is a "
         "gcd-reduced rational or a _wide()-double ordering key with "
         "exact-rational thresholds kept as-is.",
-    tags=("staged", "statistics", "experimentation"),
+    tags=("statistics", "experimentation"),
 )
 def bh_step_up_drift_panel(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
@@ -582,7 +582,7 @@ def _sql_bt_iter(prev: str, out: str) -> str:
     """
 
 
-@staged_query(
+@query(
     "bradley_terry_event_strengths",
     oracle=f"""
         WITH users AS (SELECT DISTINCT user_id FROM events),
@@ -639,7 +639,7 @@ def _sql_bt_iter(prev: str, out: str) -> str:
         "25-cell bounded matrix (localCheckpoint per round). At "
         "~1e10 users the n*S^2 dividends need HUGEINT-width on the "
         "Spark side too (DECIMAL(38,0) holds to ~1e20 comparisons).",
-    tags=("staged", "ranking", "iterative", "statistics"),
+    tags=("ranking", "iterative", "statistics"),
 )
 def bradley_terry_event_strengths(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -724,7 +724,7 @@ def _harmonic_bfs(pairs: DataFrame, radius: int = _HC_RADIUS) -> DataFrame:
     equi-join + anti-join against visited, each localCheckpointed so
     edges materialize once), scores in units of 1/lcm(1..4)=1/12.
     Factored out of the registry query so planted-graph tests
-    (tests/test_staged_scale_r15.py) can drive it on synthetic
+    (tests/test_graph_scale_r15.py) can drive it on synthetic
     graphs with known distances."""
     sym = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
                 .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
@@ -753,7 +753,7 @@ def _harmonic_bfs(pairs: DataFrame, radius: int = _HC_RADIUS) -> DataFrame:
 
 
 
-@staged_query(
+@query(
     "harmonic_centrality_dup_graph",
     oracle=f"""
         WITH {_hc_lsh_pairs()},
@@ -829,7 +829,7 @@ def _harmonic_bfs(pairs: DataFrame, radius: int = _HC_RADIUS) -> DataFrame:
         "oracle is the identical 4-level expansion with GROUP BY "
         "dedup per level (no path-explosion recursion). Top-20 rows "
         "by (harmonic_x12 DESC, doc_id).",
-    tags=("staged", "dedup", "graph"),
+    tags=("dedup", "graph"),
 )
 def harmonic_centrality_dup_graph(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -860,7 +860,7 @@ def harmonic_centrality_dup_graph(spark: SparkSession,
 _DTW_INF = 10**15
 
 
-@staged_query(
+@query(
     "dtw_click_purchase_daily",
     oracle=f"""
         WITH RECURSIVE daily AS MATERIALIZED (
@@ -923,7 +923,7 @@ _DTW_INF = 10**15
         "no UDF, no collect, no shuffle after the daily aggregate. "
         "Scale: the corpus pass is the daily count aggregate; the DP "
         "is calendar-bounded (n<=30), one row total.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def dtw_click_purchase_daily(spark: SparkSession,
                              sf_dir: str) -> DataFrame:

@@ -1,11 +1,11 @@
-"""Round-17 staged bank: cross-distribution normalization (full
+"""Round-10 promoted bank (staged as staged/round17.py): cross-distribution normalization (full
 quantile normalization of per-source document lengths onto the pooled
 distribution), density-based clustering (DBSCAN-style grid clustering
 of the embedding cloud via dense-cell connected components), and
 link-analysis duality (HITS hub/authority scores on the user-to-
 event-type bipartite graph).
 
-Same contract as every staged query: ``(spark, sf_dir) -> DataFrame``
+Same contract as every registered query: ``(spark, sf_dir) -> DataFrame``
 plus an exact DuckDB oracle, identical column aliases on both sides,
 exact-integer arithmetic for anything accumulated (DECIMAL(38,0)/
 HUGEINT for products), truncating ``div`` fixed point for iterative
@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 
@@ -45,7 +45,7 @@ def _sql_wide(col: str) -> str:
 # and the per-source normalized SUM is exact.
 
 
-@staged_query(
+@query(
     "quantile_normalize_source_chars",
     oracle=f"""
         WITH cells AS (
@@ -103,7 +103,7 @@ def _sql_wide(col: str) -> str:
         "(source, chars)-cell aggregate, a pooled-cell cumulation, "
         "and a 20 x ~520 bounded panel product (both sides "
         "checkpointed aggregates).",
-    tags=("staged", "transform", "statistics"),
+    tags=("transform", "statistics"),
 )
 def quantile_normalize_source_chars(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
@@ -177,7 +177,7 @@ _DB_CELLS_SQL = f"""
 """
 
 
-@staged_query(
+@query(
     "dbscan_grid_embedding_clusters",
     oracle=f"""
         WITH RECURSIVE {_DB_CELLS_SQL},
@@ -229,7 +229,7 @@ _DB_CELLS_SQL = f"""
         "offsets), never a distance self-join; CC runs on the "
         "cell graph, whose size is bounded by the embedding-space "
         "volume / eps^2, independent of row count.",
-    tags=("staged", "clustering", "graph", "iterative"),
+    tags=("clustering", "graph", "iterative"),
 )
 def dbscan_grid_embedding_clusters(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
@@ -316,7 +316,7 @@ def _sql_hits_iter(prev_a: str, out: str) -> str:
     """
 
 
-@staged_query(
+@query(
     "hits_event_type_authority",
     oracle=f"""
         WITH ut AS MATERIALIZED (
@@ -356,7 +356,7 @@ def _sql_hits_iter(prev_a: str, out: str) -> str:
         "aggregates on that table with scalar-aggregate broadcast "
         "normalizers — no per-round corpus rescan, no data-sized "
         "window.",
-    tags=("staged", "graph", "iterative", "ranking"),
+    tags=("graph", "iterative", "ranking"),
 )
 def hits_event_type_authority(spark: SparkSession,
                               sf_dir: str) -> DataFrame:

@@ -1,4 +1,4 @@
-"""Round-16 staged bank: optimal-transport distance (exact 1-D
+"""Round-10 promoted bank (staged as staged/round16.py): optimal-transport distance (exact 1-D
 Wasserstein between weekend and weekday value distributions), robust
 M-estimation (Huber location via the IRLS fixed point in quantized
 integer weights), symbolic time-series analysis (the Bandt-Pompe
@@ -7,7 +7,7 @@ A/B readout against pinned O'Brien-Fleming-style boundaries), and
 empirical-Bayes shrinkage (positive-part James-Stein of the per-type
 means).
 
-Same contract as every staged query: ``(spark, sf_dir) -> DataFrame``
+Same contract as every registered query: ``(spark, sf_dir) -> DataFrame``
 plus an exact DuckDB oracle, identical column aliases on both sides,
 exact-integer arithmetic for anything accumulated (DECIMAL(38,0)/
 HUGEINT for products), truncating ``div`` fixed point for iterative
@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
@@ -49,7 +49,7 @@ def _sql_wide(col: str) -> str:
 # denominator n1*n2.
 
 
-@staged_query(
+@query(
     "wasserstein_weekend_value",
     oracle=f"""
         WITH b AS (
@@ -93,7 +93,7 @@ def _sql_wide(col: str) -> str:
         "is the only double op. Plan: one scan, one value-domain-"
         "bounded cell aggregate (checkpointed), one cell cumulation "
         "window, a 1-row result.",
-    tags=("staged", "statistics", "drift"),
+    tags=("statistics", "drift"),
 )
 def wasserstein_weekend_value(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -159,7 +159,7 @@ def _sql_huber_iter(prev: str, out: str) -> str:
     """
 
 
-@staged_query(
+@query(
     "huber_mean_event_value",
     oracle=f"""
         WITH cells AS MATERIALIZED (
@@ -197,7 +197,7 @@ def _sql_huber_iter(prev: str, out: str) -> str:
         "cells (checkpointed); every IRLS round is a broadcast of "
         "the 1-row mu panel onto the cells, no corpus re-scan, no "
         "per-round shuffle growth.",
-    tags=("staged", "statistics", "iterative", "robust"),
+    tags=("statistics", "iterative", "robust"),
 )
 def huber_mean_event_value(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
@@ -254,7 +254,7 @@ _OP_PATTERN = """
 # earlier index): y3 < y1 <= y2 reads "position 2, then 0, then 1".
 
 
-@staged_query(
+@query(
     "ordinal_pattern_census_daily",
     oracle=f"""
         WITH daily AS (
@@ -293,7 +293,7 @@ _OP_PATTERN = """
         "correctly rounded cross-engine — the token_gini precedent). "
         "Plan: one scan to the <=30-row daily aggregate "
         "(checkpointed); triples via two LEADs on the bounded panel.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def ordinal_pattern_census_daily(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -338,7 +338,7 @@ _GS_BOUNDS = ("CAST(CASE look WHEN 1 THEN 20.808 WHEN 2 THEN 10.404 "
               " AS DOUBLE)")
 
 
-@staged_query(
+@query(
     "group_sequential_ab_readout",
     oracle=f"""
         WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS dmin FROM events),
@@ -405,7 +405,7 @@ _GS_BOUNDS = ("CAST(CASE look WHEN 1 THEN 20.808 WHEN 2 THEN 10.404 "
         "literals (the power_mde idiom). Plan: one scan, one 5-row "
         "(look, arm) cell aggregate, a bounded cumulation window, "
         "panel-only math.",
-    tags=("staged", "experimentation", "statistics"),
+    tags=("experimentation", "statistics"),
 )
 def group_sequential_ab_readout(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -484,7 +484,7 @@ _JS_SSW_SQL = _fold_sql(
 _JS_INVN_SQL = _fold_sql("list(CAST(1.0 AS DOUBLE) / mom.n)")
 
 
-@staged_query(
+@query(
     "james_stein_type_means",
     oracle=f"""
         WITH mom AS (
@@ -537,7 +537,7 @@ _JS_INVN_SQL = _fold_sql("list(CAST(1.0 AS DOUBLE) / mom.n)")
         "divisions are shared exact-operand formulas. Plan: one "
         "scan, one 5-row moment aggregate, panel-only math, "
         "broadcast everywhere.",
-    tags=("staged", "statistics", "estimation"),
+    tags=("statistics", "estimation"),
 )
 def james_stein_type_means(spark: SparkSession,
                            sf_dir: str) -> DataFrame:

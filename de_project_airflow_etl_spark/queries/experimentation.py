@@ -1,9 +1,9 @@
-"""Round-12 staged queries: experimentation and operations analytics
+"""Round-10 promoted bank (staged as staged/round12.py): experimentation and operations analytics
 — sample-ratio-mismatch audit and CUPED variance-reduced lift for
 A/B tests, Little's-law session throughput, Croston's method for
 intermittent demand, and Burrows' Delta stylometry across sources.
 
-Same contract and determinism rules as staged/round8.py. Arm
+Same contract and determinism rules as every registered query. Arm
 assignment uses the repo's salted-hash determinism (first md5 hex
 nibble of the user id — reproducible across engines and retries, the
 corpus_hash_split discipline); the Croston recurrences reuse the
@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.queries.diagnostics import (
     _CENTS, _fold_spark, _fold_sql, _wide,
 )
@@ -32,7 +32,7 @@ _ARM_SQL = ("CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)"
 # ------------------------ sample-ratio-mismatch audit (A/B hygiene)
 
 
-@staged_query(
+@query(
     "sample_ratio_mismatch_check",
     oracle=f"""
         WITH u AS (
@@ -63,7 +63,7 @@ _ARM_SQL = ("CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)"
         "50/50 reduces to (n_a - n_b)^2/(n_a + n_b) in exact "
         "integers with one division, plus the continuity-corrected "
         "z. Plan: one distinct-user aggregate, 1-row math.",
-    tags=("staged", "statistics", "experimentation"),
+    tags=("statistics", "experimentation"),
 )
 def sample_ratio_mismatch_check(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -88,7 +88,7 @@ def sample_ratio_mismatch_check(spark: SparkSession,
 CUPED_SPLIT_DAY = 15  # pre-period: first 15 days of the corpus window
 
 
-@staged_query(
+@query(
     "cuped_adjusted_lift",
     oracle=f"""
         WITH b AS (
@@ -151,7 +151,7 @@ CUPED_SPLIT_DAY = 15  # pre-period: first 15 days of the corpus window
         "the final IEEE ops; arm assignment is the deterministic "
         "md5 nibble. Plan: one per-user aggregate, one 1-row moment "
         "pass, one 2-row arm rollup — no window anywhere.",
-    tags=("staged", "statistics", "experimentation"),
+    tags=("statistics", "experimentation"),
 )
 def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -203,7 +203,7 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 LL_GAP_US = 30 * 60 * 1_000_000
 
 
-@staged_query(
+@query(
     "littles_law_sessions",
     oracle=f"""
         WITH e AS (
@@ -255,7 +255,7 @@ LL_GAP_US = 30 * 60 * 1_000_000
         "partition by user_id (grows with data — partitions stay "
         "user-sized), one session aggregate, 1-row math; no "
         "global sweep-line window over raw rows anywhere.",
-    tags=("staged", "timeseries", "operations"),
+    tags=("timeseries", "operations"),
 )
 def littles_law_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").selectExpr(
@@ -322,7 +322,7 @@ def _cro_fold_sql() -> str:
             f" (acc, e) -> {{'q': {znew}, 'g': {pnew}}})")
 
 
-@staged_query(
+@query(
     "crostons_intermittent_demand",
     oracle=f"""
         WITH dd AS (
@@ -372,7 +372,7 @@ def _cro_fold_sql() -> str:
         "demand-day array is calendar-bounded. Plan: one broadcast "
         "dim join (part), one daily rollup, a lag over the bounded "
         "demand-day table, then a 1-row fold.",
-    tags=("staged", "timeseries", "operations"),
+    tags=("timeseries", "operations"),
 )
 def crostons_intermittent_demand(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -411,7 +411,7 @@ def crostons_intermittent_demand(spark: SparkSession,
 BD_TOPK = 20
 
 
-@staged_query(
+@query(
     "burrows_delta_sources",
     oracle=f"""
         WITH tok AS (
@@ -482,7 +482,7 @@ BD_TOPK = 20
         "source-pair grid. Plan: one (source, term) count, a "
         "TakeOrdered top-K panel, a bounded sources x K grid — "
         "raw text never shuffles.",
-    tags=("staged", "text", "statistics"),
+    tags=("text", "statistics"),
 )
 def burrows_delta_sources(spark: SparkSession,
                           sf_dir: str) -> DataFrame:

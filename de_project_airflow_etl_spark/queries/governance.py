@@ -1,4 +1,4 @@
-"""Round-13 staged queries: the differential-privacy sensitivity
+"""Round-10 promoted bank (staged as staged/round13.py): the differential-privacy sensitivity
 audit — the governance number the registry's existing
 k-anonymity/quasi-identifier audit (operators/quality.py) does NOT
 cover: how much ONE subject can move each corpus aggregate, i.e.
@@ -8,7 +8,7 @@ l-diversity rollup were built and verified here, then dropped as
 near-duplicates of the registered audit, which already counts
 distinct users per quasi-group.)
 
-Same contract and determinism rules as staged/round8.py.
+Same contract and determinism rules as every registered query.
 """
 
 from __future__ import annotations
@@ -16,11 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.queries.diagnostics import _CENTS, _wide
 from de_project_airflow_etl_spark.tables import load
 
-@staged_query(
+@query(
     "dp_sensitivity_audit",
     oracle=f"""
         WITH per_user AS (
@@ -52,7 +52,7 @@ from de_project_airflow_etl_spark.tables import load
         "aggregate outright. Exact integers, two final divisions. "
         "Plan: ONE map-side-combinable per-user aggregate, 1-row "
         "math — the audit costs one pass regardless of scale.",
-    tags=("staged", "governance", "statistics"),
+    tags=("governance", "statistics"),
 )
 def dp_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = (load(spark, sf_dir, "events")
@@ -77,7 +77,7 @@ def dp_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------- SQL-language UDFs (CREATE FUNCTION ... RETURN)
 
 
-@staged_query(
+@query(
     "sql_udf_band_rollup",
     oracle=f"""
         WITH spine AS (
@@ -111,7 +111,7 @@ def dp_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "these are zero-cost abstractions, unlike every UDF in the "
         "Python execution matrix). The oracle spells the same logic "
         "inline. Exact cents; one division at emit.",
-    tags=("staged", "sql-surface",),
+    tags=("sql-surface",),
 )
 def sql_udf_band_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events").createOrReplaceTempView("sqludf_ev")

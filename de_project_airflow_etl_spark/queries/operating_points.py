@@ -1,4 +1,4 @@
-"""Round-14 staged bank: classifier-operating-point and model-lift
+"""Round-10 promoted bank (staged as staged/round14.py): classifier-operating-point and model-lift
 evaluation (Youden's J optimal threshold, the decile lift/gains
 table), interval survival (the actuarial life table), contingency
 cell diagnostics (Haberman adjusted residuals), internal-consistency
@@ -6,7 +6,7 @@ reliability (Cronbach's alpha), and three corpus/embedding panels
 (tokenizer vocab coverage, cross-source n-gram overlap, embedding
 isotropy).
 
-Same contract as every staged query: ``(spark, sf_dir) ->
+Same contract as every registered query: ``(spark, sf_dir) ->
 DataFrame`` plus an exact DuckDB oracle, identical column aliases on
 both sides, exact-integer arithmetic for anything accumulated
 (HUGEINT/DECIMAL(38,0) for products), sorted or fixed-order folds for
@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
@@ -44,7 +44,7 @@ def _fold_sql(terms_col: str) -> str:
 # Youden's J optimal operating point on the purchase/value score.
 
 
-@staged_query(
+@query(
     "youden_j_optimal_threshold",
     oracle=f"""
         WITH cell AS (
@@ -95,7 +95,7 @@ def _fold_sql(terms_col: str) -> str:
         "(post-aggregate window, the audited-safe shape). Plan: one "
         "scan, one cell aggregate, one cell window, a 1-row "
         "TakeOrdered argmax.",
-    tags=("staged", "evaluation", "statistics"),
+    tags=("evaluation", "statistics"),
 )
 def youden_j_optimal_threshold(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -145,7 +145,7 @@ def youden_j_optimal_threshold(spark: SparkSession,
 _R_D = "(CAST({d} AS BIGINT) * n + 9) / 10"
 
 
-@staged_query(
+@query(
     "decile_lift_table",
     oracle=f"""
         WITH cell AS (
@@ -205,7 +205,7 @@ _R_D = "(CAST({d} AS BIGINT) * n + 9) / 10"
         "so purchase allocation is exact, not tie-arbitrary). Plan: "
         "one scan, one cell aggregate, one cell window, a 10-row "
         "broadcast decile spine.",
-    tags=("staged", "evaluation", "analytics"),
+    tags=("evaluation", "analytics"),
 )
 def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = (load(spark, sf_dir, "events")
@@ -259,7 +259,7 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Actuarial (life-table) survival in 5-day intervals.
 
 
-@staged_query(
+@query(
     "actuarial_life_table",
     oracle="""
         WITH u AS (
@@ -327,7 +327,7 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "one user-keyed rollup (grows-with-data key, map-side "
         "combinable), a <= 6-row cell table, one bounded window, a "
         "broadcast 1-row q-array join.",
-    tags=("staged", "statistics", "analytics"),
+    tags=("statistics", "analytics"),
 )
 def actuarial_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (load(spark, sf_dir, "events")
@@ -377,7 +377,7 @@ def actuarial_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Haberman adjusted residuals for the dow x event_type table.
 
 
-@staged_query(
+@query(
     "haberman_adjusted_residuals",
     oracle="""
         WITH cell AS (
@@ -411,7 +411,7 @@ def actuarial_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqrt. Plan: one scan, one 35-cell map-side-combinable "
         "aggregate, bounded margin rollups broadcast back — no "
         "windows, nothing data-sized after the first aggregate.",
-    tags=("staged", "statistics",),
+    tags=("statistics",),
 )
 def haberman_adjusted_residuals(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -449,7 +449,7 @@ _RATERS_SQL = (
 )
 
 
-@staged_query(
+@query(
     "cronbachs_alpha_quality_rules",
     oracle=f"""
         WITH r AS (
@@ -494,7 +494,7 @@ _RATERS_SQL = (
         "and the three wide casts + two divisions run in identical "
         "order both engines. Plan: one scan, one 1-row moment "
         "aggregate — map-side combinable, zero joins.",
-    tags=("staged", "statistics", "quality"),
+    tags=("statistics", "quality"),
 )
 def cronbachs_alpha_quality_rules(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -526,7 +526,7 @@ def cronbachs_alpha_quality_rules(spark: SparkSession,
 # Tokenizer vocabulary coverage curve.
 
 
-@staged_query(
+@query(
     "vocab_coverage_curve",
     oracle="""
         WITH tf AS (
@@ -568,7 +568,7 @@ def cronbachs_alpha_quality_rules(spark: SparkSession,
         "(post-aggregate, ties broken by term for retry "
         "determinism). Plan: one (term) count shuffled on the "
         "reduced token key, one vocab-sized window, a 1-row panel.",
-    tags=("staged", "text", "analytics"),
+    tags=("text", "analytics"),
 )
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (load(spark, sf_dir, "documents")
@@ -599,7 +599,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cross-source 5-gram overlap matrix.
 
 
-@staged_query(
+@query(
     "cross_source_ngram_overlap",
     oracle="""
         WITH grams AS (
@@ -655,7 +655,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n < 1 generates a DESCENDING sequence — guarded, not "
         "assumed). Plan: one scan, gram-hash distinct + group, "
         "bounded in-array pairs, 5-row sizes broadcast back.",
-    tags=("staged", "text", "dedup"),
+    tags=("text", "dedup"),
 )
 def cross_source_ngram_overlap(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -701,7 +701,7 @@ def cross_source_ngram_overlap(spark: SparkSession,
 _Q_SCALE = 1_000_000
 
 
-@staged_query(
+@query(
     "embedding_isotropy_panel",
     oracle=f"""
         WITH nv AS (
@@ -756,7 +756,7 @@ _Q_SCALE = 1_000_000
         "scan, one explode to (vec, dim), one 64-group dim "
         "aggregate + two scalar sums — map-side combinable, no "
         "windows, no joins beyond 1-row panels.",
-    tags=("staged", "similarity", "statistics"),
+    tags=("similarity", "statistics"),
 )
 def embedding_isotropy_panel(spark: SparkSession,
                              sf_dir: str) -> DataFrame:

@@ -1,11 +1,11 @@
-"""Round-18 staged bank: unseen-mass estimation (Good-Turing singleton
+"""Round-10 promoted bank (staged as staged/round18.py): unseen-mass estimation (Good-Turing singleton
 mass and the bias-corrected Chao1 richness estimator per source),
 survey calibration (iterative proportional fitting / raking of the
 purchase mix to the all-events margins), and capture-recapture
 population estimation (Lincoln-Petersen / Chapman from two weeks'
 user samples).
 
-Same contract as every staged query: ``(spark, sf_dir) -> DataFrame``
+Same contract as every registered query: ``(spark, sf_dir) -> DataFrame``
 plus an exact DuckDB oracle, identical column aliases on both sides,
 exact-integer arithmetic for anything accumulated (DECIMAL(38,0)/
 HUGEINT for products), truncating ``div`` fixed point for iterative
@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
@@ -40,7 +40,7 @@ def _sql_wide(col: str) -> str:
 # vocab_coverage_curve (how much do the top-k cover) does not ask.
 
 
-@staged_query(
+@query(
     "good_turing_chao1_by_source",
     oracle=f"""
         WITH tf AS (
@@ -80,7 +80,7 @@ def _sql_wide(col: str) -> str:
         "operand double formulas with integer literals. Plan: one "
         "scan, one (source, term) aggregate riding the same gram-"
         "index economics as tfidf, a 20-row panel out.",
-    tags=("staged", "text", "statistics"),
+    tags=("text", "statistics"),
 )
 def good_turing_chao1_by_source(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -146,7 +146,7 @@ def _sql_ipf_iter(prev: str, out: str) -> str:
     """
 
 
-@staged_query(
+@query(
     "ipf_raking_purchase_mix",
     oracle=f"""
         WITH base AS MATERIALIZED (
@@ -196,7 +196,7 @@ def _sql_ipf_iter(prev: str, out: str) -> str:
         "the 35-cell aggregate plus two margin aggregates; all "
         "iteration on MATERIALIZED/checkpointed panels, zero corpus "
         "re-scans.",
-    tags=("staged", "statistics", "iterative", "experimentation"),
+    tags=("statistics", "iterative", "experimentation"),
 )
 def ipf_raking_purchase_mix(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -253,7 +253,7 @@ def ipf_raking_purchase_mix(spark: SparkSession,
 # only captures a subset.
 
 
-@staged_query(
+@query(
     "capture_recapture_user_weeks",
     oracle="""
         WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS dmin FROM events),
@@ -292,7 +292,7 @@ def ipf_raking_purchase_mix(spark: SparkSession,
         "(Chapman's +1s make the estimate finite even with zero "
         "recaptures). Plan: one scan, one user-key aggregate, one "
         "global aggregate.",
-    tags=("staged", "statistics", "estimation"),
+    tags=("statistics", "estimation"),
 )
 def capture_recapture_user_weeks(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:

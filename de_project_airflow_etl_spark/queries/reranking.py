@@ -1,4 +1,4 @@
-"""Round-12 staged bank, third group: MMR diversity re-ranking over
+"""Round-10 promoted bank (staged as staged/round12c.py): MMR diversity re-ranking over
 the shared deterministic retrieval panel — a genuine LLM-pipeline
 retrieval operator (maximal marginal relevance, Carbonell-Goldstein)
 Spark has no built-in for, expressed as a bounded greedy fold.
@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 
@@ -159,7 +159,7 @@ _SQL_DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             "* CAST(a.qv[k] AS DOUBLE))), (a2, v) -> a2 + v)")
 
 
-@staged_query(
+@query(
     "mmr_rerank_retrieval",
     oracle=f"""
         WITH anchors AS (
@@ -239,7 +239,7 @@ _SQL_DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "broadcast 20-anchor panel, top-12 rank rides "
         "WindowGroupLimit partial pushdown, then 20 single-row "
         "folds — the corpus never shuffles.",
-    tags=("staged", "similarity", "evaluation"),
+    tags=("similarity", "evaluation"),
 )
 def mmr_rerank_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")

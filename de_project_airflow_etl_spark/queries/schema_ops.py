@@ -1,11 +1,11 @@
-"""Round-13 staged bank, second group: two relational surfaces —
+"""Round-10 promoted bank (staged as staged/round13b.py): two relational surfaces —
 schema-aligned UNION BY NAME (column order/coverage independent
 unioning, the schema-drift-tolerant append every multi-source
 pipeline needs) and a sequence()-generated calendar spine with
 gap-filling (the canonical fix for silent missing-day holes in
 time-series rollups).
 
-Same contract as every staged query: DuckDB oracle, identical
+Same contract as every registered query: DuckDB oracle, identical
 aliases, exact-integer money, no rand(), no collect().
 """
 
@@ -14,13 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
 
 
-@staged_query(
+@query(
     "union_by_name_daily_mix",
     oracle=f"""
         WITH clicks AS (
@@ -58,7 +58,7 @@ _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
         "Plan: two filtered day rollups (each map-side combinable), "
         "one union, one re-aggregate on day — the union adds no "
         "exchange of its own.",
-    tags=("staged", "sql-surface",),
+    tags=("sql-surface",),
 )
 def union_by_name_daily_mix(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -88,7 +88,7 @@ def union_by_name_daily_mix(spark: SparkSession,
             .orderBy("day"))
 
 
-@staged_query(
+@query(
     "calendar_spine_gap_fill",
     oracle=f"""
         WITH bounds AS (
@@ -132,7 +132,7 @@ def union_by_name_daily_mix(spark: SparkSession,
         "calendar-bounded (one row per day) and broadcasts onto the "
         "daily aggregate; ONE fact scan, one day-keyed map-side-"
         "combinable rollup, no data-sized shuffle.",
-    tags=("staged", "sql-surface", "timeseries"),
+    tags=("sql-surface", "timeseries"),
 )
 def calendar_spine_gap_fill(spark: SparkSession,
                             sf_dir: str) -> DataFrame:

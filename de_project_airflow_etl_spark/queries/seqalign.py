@@ -1,10 +1,10 @@
-"""Round-20 staged bank: count-data modeling (negative-binomial
+"""Round-10 promoted bank (staged as staged/round20.py): count-data modeling (negative-binomial
 method-of-moments fit of per-user event counts — the overdispersion
 family) and global sequence alignment (Needleman-Wunsch score between
 the two weeks' daily dominant-event-type strings — the gap-penalty
 sibling of the DTW dynamic program).
 
-Same contract as every staged query: ``(spark, sf_dir) -> DataFrame``
+Same contract as every registered query: ``(spark, sf_dir) -> DataFrame``
 plus an exact DuckDB oracle and identical column aliases; DP in exact
 BIGINT via the round-15 nested-fold / recursive-cell-stepper idiom.
 """
@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 
@@ -34,7 +34,7 @@ def _sql_wide(col: str) -> str:
 # parameter formulas are shared exact-operand double expressions.
 
 
-@staged_query(
+@query(
     "negative_binomial_user_counts",
     oracle="""
         WITH k AS (
@@ -87,7 +87,7 @@ def _sql_wide(col: str) -> str:
         "NULL when the data is underdispersed (r undefined). Plan: "
         "one scan, one user-key aggregate, one global moment "
         "aggregate, one row out.",
-    tags=("staged", "statistics", "estimation"),
+    tags=("statistics", "estimation"),
 )
 def negative_binomial_user_counts(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -124,7 +124,7 @@ def negative_binomial_user_counts(spark: SparkSession,
 _NW_MATCH, _NW_MISS, _NW_GAP = 2, -1, -2
 
 
-@staged_query(
+@query(
     "nw_alignment_week_type_seqs",
     oracle=f"""
         WITH RECURSIVE d0 AS (
@@ -216,7 +216,7 @@ _NW_MATCH, _NW_MISS, _NW_GAP = 2, -1, -2
         "lockstep_score (the gapless alignment is one candidate) is "
         "test-pinned. Scale: one corpus pass to the (day, type) "
         "aggregate; the DP is calendar-bounded.",
-    tags=("staged", "timeseries", "statistics"),
+    tags=("timeseries", "statistics"),
 )
 def nw_alignment_week_type_seqs(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:

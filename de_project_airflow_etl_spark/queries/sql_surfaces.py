@@ -1,4 +1,4 @@
-"""Round-19 staged bank: three Spark-4 SQL surfaces not yet
+"""Round-10 promoted bank (staged as staged/round19.py): three Spark-4 SQL surfaces not yet
 exercised by the registry — the ``percentile_cont ... WITHIN GROUP``
 inverse-distribution syntax (quartiles on power-of-two fractions stay
 IEEE-exact cross-engine), the JSON scalar-function family
@@ -7,7 +7,7 @@ get_json_object), and ``approx_top_k`` driven in its EXACT regime
 (k >= distinct items, so the sketch's counts are exact and
 oracle-comparable rather than rows-only).
 
-Same contract as every staged query: ``(spark, sf_dir) ->
+Same contract as every registered query: ``(spark, sf_dir) ->
 DataFrame`` plus an exact DuckDB oracle and identical column aliases.
 """
 
@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 from de_project_airflow_etl_spark.tables import load
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
@@ -30,7 +30,7 @@ _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
 # uses — fractions like 0.3 would not be.
 
 
-@staged_query(
+@query(
     "percentile_cont_within_group_quartiles",
     oracle=f"""
         SELECT event_type,
@@ -52,7 +52,7 @@ _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
         "plans this as a regular partial/final percentile aggregate "
         "(map-side combinable); the per-type state is the value-"
         "domain-bounded cents multiset.",
-    tags=("staged", "sql-surface", "statistics"),
+    tags=("sql-surface", "statistics"),
 )
 def percentile_cont_within_group_quartiles(spark: SparkSession,
                                            sf_dir: str) -> DataFrame:
@@ -79,7 +79,7 @@ def percentile_cont_within_group_quartiles(spark: SparkSession,
 # json_extract on an identically-constructed document.
 
 
-@staged_query(
+@query(
     "json_function_family_events",
     oracle=f"""
         WITH doc AS (
@@ -113,7 +113,7 @@ def percentile_cont_within_group_quartiles(spark: SparkSession,
         "integer scalars; the DuckDB oracle builds the identical "
         "document with json_object/json_array. One scan, one "
         "codegen-side projection, one aggregate.",
-    tags=("staged", "sql-surface", "json"),
+    tags=("sql-surface", "json"),
 )
 def json_function_family_events(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -142,7 +142,7 @@ def json_function_family_events(spark: SparkSession,
 # quantiles - are rows-only by nature).
 
 
-@staged_query(
+@query(
     "approx_top_k_event_types",
     oracle="""
         SELECT event_type AS item,
@@ -161,7 +161,7 @@ def json_function_family_events(spark: SparkSession,
         "regime (k << distinct) belongs to the same tolerance-test "
         "family as the other sketches. The exploded struct array is "
         "flattened to scalar rows for the driver contract.",
-    tags=("staged", "sql-surface", "sketch"),
+    tags=("sql-surface", "sketch"),
 )
 def approx_top_k_event_types(spark: SparkSession,
                              sf_dir: str) -> DataFrame:

@@ -1,4 +1,4 @@
-"""Round-11 staged bank, third group: two Spark-4 streaming surfaces
+"""Round-10 promoted bank (staged as staged/round11c.py): two Spark-4 streaming surfaces
 the registry does not cover yet — CHAINED stateful time-window
 aggregations (hourly rollup re-aggregated to daily inside ONE
 streaming query via window_time, Spark's multiple-stateful-operators
@@ -6,7 +6,7 @@ support) and the stream-stream LEFT SEMI join (the
 did-a-qualifying-event-precede-this filter, state-evicted by
 watermark + range bound like its inner/left/full siblings).
 
-Same contract as every staged query: a DuckDB oracle over the same
+Same contract as every registered query: a DuckDB oracle over the same
 parquet (stream/batch agreement), identical aliases, exact-integer
 money. Streaming determinism notes: the chained-aggregation query
 emits in APPEND mode, so only windows whose END the final watermark
@@ -21,12 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged import staged_query
+from de_project_airflow_etl_spark.registry import query
 
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
 
 
-@staged_query(
+@query(
     "streaming_chained_window_rollup",
     oracle=f"""
         WITH wm AS (
@@ -61,7 +61,7 @@ _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
         "type) — bounded by calendar x type, evicted as the "
         "watermark advances; the memory-sink drain is test "
         "plumbing, not the operator.",
-    tags=("staged", "streaming",),
+    tags=("streaming",),
 )
 def streaming_chained_window_rollup(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
@@ -86,7 +86,7 @@ def streaming_chained_window_rollup(spark: SparkSession,
     return _drain(out, spark, output_mode="append")
 
 
-@staged_query(
+@query(
     "streaming_stream_stream_semi_join",
     oracle="""
         SELECT p.event_id, p.user_id
@@ -110,7 +110,7 @@ def streaming_chained_window_rollup(spark: SparkSession,
         "range bound let the engine evict click state beyond one "
         "hour + delay instead of buffering the stream forever — the "
         "same state-eviction contract the sibling joins carry.",
-    tags=("staged", "streaming", "join"),
+    tags=("streaming", "join"),
 )
 def streaming_stream_stream_semi_join(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:

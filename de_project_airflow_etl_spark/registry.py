@@ -59,56 +59,68 @@ def query(name: str, oracle: str | None, doc: str = "",
 # filtered out automatically, so it records the CURRENT round's plan
 # (historical rounds' plans live in git history + CORRECTNESS_r*.json).
 #
-# Round-9 window (47 promoted, <= ~50): all 384 round-8 registry
-# entries are driver-verified (CORRECTNESS_r08 landed 50/50 green,
-# cumulative 384/384), so the whole window is free for the 47
-# promoted staged queries (VERDICT r8 #2: round9b -> queries/
-# nonparam.py, round9c -> queries/assoc.py, round10 ->
-# queries/surfaces_r10.py, round10b -> queries/surfaces_r10b.py,
-# round10c -> queries/robuststats.py, round11 ->
-# queries/changepoint.py, round11b -> queries/dispersion.py;
-# recorded promotion precondition: the full 94-query staged pen
-# swept green at sf0.01 AND sf0.1, 2026-08-16), leaving ~3 slots
-# for rotation re-verifies.
+# Round-10 window (47 promoted, <= ~50): all 431 round-9 registry
+# entries are driver-verified (CORRECTNESS_r09 landed 50/50 green,
+# cumulative 431/431), so the whole window is free for the 47
+# promoted staged queries (VERDICT r9 #1: round11c ->
+# queries/streaming_ext.py, round12 -> queries/experimentation.py,
+# round12b -> queries/abdesign.py, round12c -> queries/reranking.py,
+# round13 -> queries/governance.py, round13b ->
+# queries/schema_ops.py, round14 -> queries/operating_points.py,
+# round15 -> queries/attribution.py, round16 ->
+# queries/estimators.py, round17 -> queries/clustering.py, round18
+# -> queries/population.py, round19 -> queries/sql_surfaces.py,
+# round20 -> queries/seqalign.py; recorded promotion precondition:
+# the full 61-query staged pen swept green at sf0.01 (61/61) AND
+# sf0.1 (61/61), 2026-08-16), leaving ~3 slots for rotation
+# re-verifies.
 #
 # Truncation is never the only correctness signal: the full registry is
 # exercised locally by ``tests/test_correctness.py`` (exact values, all
 # queries) and ``scripts/profile_correctness.py`` (hash replica of the
 # driver's check) — see those for the complete picture.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # the 6 promoted queries from queries/nonparam.py, in their
+    # the 2 promoted queries from queries/streaming_ext.py, in their
     # staged registration order
-    "log_rank_test_ab_arms", "session_window_dynamic_gap",
-    "cucconi_location_scale_weekend", "seasonal_mann_kendall_dow",
-    "kendalls_w_dow_concordance", "group_apply_arrow_label_stats",
-    # the 12 promoted queries from queries/assoc.py
-    "ljung_box_daily_revenue", "cross_correlation_revenue_count",
-    "cochran_armitage_dow_trend", "bowker_symmetry_event_transitions",
-    "ordinal_association_dow_band", "cmh_weekend_purchase_weeks",
-    "err_retrieval_eval", "smape_daily_forecasts",
-    "pinball_loss_quantile_forecast", "benford_first_digit_value",
-    "lexical_dominance_panel", "funnel_conversion_steps",
-    # the 9 promoted queries from queries/surfaces_r10.py
-    "simplified_silhouette_labels", "davies_bouldin_labels",
-    "cliffs_delta_weekend", "quade_test_dow",
-    "smog_fog_readability_by_source", "mattr_lexical_diversity_by_source",
-    "ansari_bradley_weekend_value", "jsonl_stream_sink_roundtrip",
-    "arrow_udf_text_normalize",
-    # the 5 promoted queries from queries/surfaces_r10b.py
-    "weekly_users_bitmap_rollup", "percentile_disc_bands_by_type",
-    "page_hinkley_drift_daily", "map_function_family_daily",
-    "holt_winters_additive_weekly",
-    # the 5 promoted queries from queries/robuststats.py
-    "edf_two_sample_panel_weekend", "seasonal_strength_weekly",
-    "grubbs_max_deviation_daily", "winsorized_mean_value",
-    "partial_corr_revenue_count_dow",
-    # the 6 promoted queries from queries/changepoint.py
-    "pettitt_changepoint_daily", "cox_stuart_trend_daily",
-    "dixon_q_daily_extremes", "turning_points_daily",
-    "token_gini_by_source", "nelson_aalen_user_lifetimes",
-    # the 4 promoted queries from queries/dispersion.py
-    "gini_mean_difference_value", "hoover_index_daily_revenue",
-    "mode_value_by_type", "trimean_midhinge_by_type",
+    "streaming_chained_window_rollup", "streaming_stream_stream_semi_join",
+    # the 5 promoted queries from queries/experimentation.py
+    "sample_ratio_mismatch_check", "cuped_adjusted_lift",
+    "littles_law_sessions", "crostons_intermittent_demand",
+    "burrows_delta_sources",
+    # the 1 promoted query from queries/reranking.py
+    "mmr_rerank_retrieval",
+    # the 4 promoted queries from queries/abdesign.py
+    "difference_in_differences_arms", "power_mde_event_value",
+    "fleiss_kappa_quality_rules", "jackknife_ratio_variance_daily",
+    # the 2 promoted queries from queries/governance.py
+    "dp_sensitivity_audit", "sql_udf_band_rollup",
+    # the 2 promoted queries from queries/schema_ops.py
+    "union_by_name_daily_mix", "calendar_spine_gap_fill",
+    # the 8 promoted queries from queries/operating_points.py
+    "youden_j_optimal_threshold", "decile_lift_table",
+    "actuarial_life_table", "haberman_adjusted_residuals",
+    "cronbachs_alpha_quality_rules", "vocab_coverage_curve",
+    "cross_source_ngram_overlap", "embedding_isotropy_panel",
+    # the 7 promoted queries from queries/attribution.py
+    "shapley_channel_attribution", "isotonic_daily_revenue_fit",
+    "split_conformal_value_interval", "bh_step_up_drift_panel",
+    "bradley_terry_event_strengths", "harmonic_centrality_dup_graph",
+    "dtw_click_purchase_daily",
+    # the 5 promoted queries from queries/estimators.py
+    "wasserstein_weekend_value", "huber_mean_event_value",
+    "ordinal_pattern_census_daily", "group_sequential_ab_readout",
+    "james_stein_type_means",
+    # the 3 promoted queries from queries/clustering.py
+    "quantile_normalize_source_chars", "dbscan_grid_embedding_clusters",
+    "hits_event_type_authority",
+    # the 3 promoted queries from queries/population.py
+    "good_turing_chao1_by_source", "ipf_raking_purchase_mix",
+    "capture_recapture_user_weeks",
+    # the 3 promoted queries from queries/sql_surfaces.py
+    "percentile_cont_within_group_quartiles", "json_function_family_events",
+    "approx_top_k_event_types",
+    # the 2 promoted queries from queries/seqalign.py
+    "negative_binomial_user_counts", "nw_alignment_week_type_seqs",
 )
 
 
@@ -136,7 +148,10 @@ def all_queries() -> dict[str, Query]:
         tpch, analytics, mining, features, surfaces_r6, surfaces_r7,
         evaluation, robust, diagnostics, indicators, surfaces_r8,
         surfaces_r9, nonparam, assoc, surfaces_r10, surfaces_r10b,
-        robuststats, changepoint, dispersion,
+        robuststats, changepoint, dispersion, streaming_ext,
+        experimentation, abdesign, reranking, governance, schema_ops,
+        operating_points, attribution, estimators, clustering,
+        population, sql_surfaces, seqalign,
     )
     ordered: dict[str, Query] = {}
     verified = _driver_verified()
@@ -172,13 +187,14 @@ _CORRECTNESS_ROUNDS: tuple[str, ...] = (
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
-    # r09/r10 are listed ahead of adjudication: the files do not exist
+    "CORRECTNESS_r09.json",
+    # r10/r11 are listed ahead of adjudication: the files do not exist
     # yet (missing files degrade gracefully), but the moment the driver
     # writes one the rotation self-maintains — latest-round rows win,
     # so any recorded failure demotes its query back into the priority
     # window even if the next session forgets to touch this list.
-    "CORRECTNESS_r09.json",
     "CORRECTNESS_r10.json",
+    "CORRECTNESS_r11.json",
 )
 
 _DRIVER_VERIFIED_CACHE: set[str] | None = None

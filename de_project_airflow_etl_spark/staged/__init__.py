@@ -31,70 +31,36 @@ nonparam.py``, ``round9c.py`` -> ``queries/assoc.py``,
 ``queries/robuststats.py``, ``round11.py`` ->
 ``queries/changepoint.py``, ``round11b.py`` ->
 ``queries/dispersion.py``) after the full 94-query pen swept green
-at sf0.01 AND sf0.1 on 2026-08-16 (VERDICT r8 #2).
+at sf0.01 AND sf0.1 on 2026-08-16 (VERDICT r8 #2); round 10 promoted
+the 47 round-11c..20 bank queries (``round11c.py`` ->
+``queries/streaming_ext.py``, ``round12.py`` ->
+``queries/experimentation.py``, ``round12b.py`` ->
+``queries/abdesign.py``, ``round12c.py`` -> ``queries/reranking.py``,
+``round13.py`` -> ``queries/governance.py``, ``round13b.py`` ->
+``queries/schema_ops.py``, ``round14.py`` ->
+``queries/operating_points.py``, ``round15.py`` ->
+``queries/attribution.py``, ``round16.py`` ->
+``queries/estimators.py``, ``round17.py`` ->
+``queries/clustering.py``, ``round18.py`` ->
+``queries/population.py``, ``round19.py`` ->
+``queries/sql_surfaces.py``, ``round20.py`` ->
+``queries/seqalign.py``) after the full 61-query pen swept green at
+sf0.01 (61/61) AND sf0.1 (61/61) on 2026-08-16 (VERDICT r9 #1).
 
-The remaining pen: ``round11c.py`` (2, staged in round 8: CHAINED
-stateful streaming window aggregations — hourly re-aggregated to
-daily via window_time in one query, append-mode watermark-cutoff
-oracle — and the stream-stream LEFT SEMI join completing the
-inner/left/full family);
-``round12.py`` (5: the experimentation/operations bank — SRM audit,
-CUPED lift, Little's law, Croston's method, Burrows' Delta);
-``round12c.py`` (1, staged in round 8: MMR diversity re-ranking —
-greedy maximal-marginal-relevance selection over the 20-anchor
-panel's top-12 candidates as a bounded dual-engine struct fold,
-reporting relevance/diversity for plain vs re-ranked lists);
-``round12b.py`` (4: difference-in-differences on the hash arms, the
-power/MDE planning panel, Fleiss' kappa for three quality raters,
-leave-one-day-out jackknife variance of the revenue-per-event
-ratio); ``round13.py`` (2: the differential-privacy sensitivity
-audit — its k-anonymity/l-diversity siblings were dropped as
-near-duplicates of the registered k_anonymity_audit — and the
-SQL-language UDF surface); ``round13b.py`` (2, staged in round 8:
-schema-aligned UNION BY NAME and the sequence()-generated
-calendar-spine gap fill); ``round14.py`` (8, staged in round 8:
-Youden's-J optimal threshold, the exact decile lift/gains table,
-the actuarial life table, Haberman adjusted residuals, Cronbach's
-alpha over the shared quality raters, the tokenizer vocab coverage
-curve, the cross-source 5-gram overlap matrix, and the exact
-quantized embedding-isotropy panel); ``round15.py`` (7, staged in
-round 8: exact Shapley-value channel attribution over the 16-subset
-touch lattice, isotonic regression via the exact minimax identity,
-Mondrian split-conformal value intervals with an integer coverage
-audit, Benjamini-Hochberg step-up FDR over the exact-rational drift
-panel, Bradley-Terry strengths via the MM fixed point, radius-4
-harmonic centrality on the near-dup graph, and the DTW distance —
-the engine's first dynamic-programming operator); ``round16.py``
-(5, staged in round 8: the exact 1-D Wasserstein distance, Huber
-location via quantized IRLS, the Bandt-Pompe ordinal-pattern
-census, the five-look group-sequential A/B readout with pinned
-O'Brien-Fleming boundaries, and positive-part James-Stein
-shrinkage); ``round17.py`` (3, staged in round 8: closed-form full
-quantile normalization, DBSCAN-style grid density clustering via
-dense-cell connected components, and HITS hub/authority fixed
-point); ``round18.py`` (3, staged in round 8: the Good-Turing/
-Chao1 corpus-exhaustion panel, IPF raking of the purchase mix to
-all-events margins, and Lincoln-Petersen/Chapman capture-recapture);
-``round19.py`` (3, staged in round 8: percentile_cont WITHIN GROUP
-at exact quartiles, the JSON scalar-function family, and
-approx_top_k in its exact regime); ``round20.py`` (2, staged in
-round 8: the negative-binomial method-of-moments fit of per-user
-counts, and Needleman-Wunsch global alignment between the two
-weeks' dominant-type strings — the gap-penalty DP beside DTW);
-``round21.py`` (5, staged in round 9: the Wald-Wolfowitz runs test
-of daily-revenue randomness, Mood's squared-rank scale test, the
-two-sample energy distance from exact sorted-prefix pairwise
-|difference| sums, Hoeffding's D dependence statistic in 2x-integer
-bivariate ranks, and Page's L ordered-trend test across complete
-epoch-weeks); ``round22.py`` (4, staged in round 9: sample-entropy
-template-match counts on the daily series with an exact MAD
-tolerance, exact distance correlation between day index and daily
-revenue, the deterministic md5-stratified train/val/test split
-manifest, and the chi-square divergence between per-source unigram
-distributions on the capped top-500 vocabulary); ``round23.py``
-(2, staged in round 9: TextRank keyphrase extraction — weighted
-PageRank over the within-document term-adjacency graph in the
-repo's exact fixed-point integer iteration — and LZ78 phrase
+The remaining pen: ``round21.py`` (5, staged in round 9: the
+Wald-Wolfowitz runs test of daily-revenue randomness, Mood's
+squared-rank scale test, the two-sample energy distance from exact
+sorted-prefix pairwise |difference| sums, Hoeffding's D dependence
+statistic in 2x-integer bivariate ranks, and Page's L ordered-trend
+test across complete epoch-weeks); ``round22.py`` (4, staged in
+round 9: sample-entropy template-match counts on the daily series
+with an exact MAD tolerance, exact distance correlation between day
+index and daily revenue, the deterministic md5-stratified
+train/val/test split manifest, and the chi-square divergence between
+per-source unigram distributions on the capped top-500 vocabulary);
+``round23.py`` (2, staged in round 9: TextRank keyphrase extraction
+— weighted PageRank over the within-document term-adjacency graph in
+the repo's exact fixed-point integer iteration — and LZ78 phrase
 complexity of per-user event sequences, an in-array dictionary fold
 on Spark vs a recursive-CTE position stepper on DuckDB);
 ``round24.py`` (3, staged in round 9: the Brunner-Munzel
@@ -134,19 +100,6 @@ def staged_query(name: str, oracle: str | None, doc: str = "",
 
 
 # registration imports at the bottom: the modules need staged_query above
-from de_project_airflow_etl_spark.staged import round11c  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round12  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round12c  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round12b  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round13  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round13b  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round14  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round15  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round16  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round17  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round18  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round19  # noqa: E402,F401
-from de_project_airflow_etl_spark.staged import round20  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round21  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round22  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round23  # noqa: E402,F401

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from de_project_airflow_etl_spark.staged.round15 import _harmonic_bfs
+from de_project_airflow_etl_spark.queries.attribution import _harmonic_bfs
 
 CHAIN_N = 60_000
 

@@ -11,7 +11,9 @@ from __future__ import annotations
 import pytest
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 SCAN_BUDGETS_R12 = {
     "sample_ratio_mismatch_check": 1,
@@ -24,7 +26,7 @@ SCAN_BUDGETS_R12 = {
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R12))
 def test_r12_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R12[name], (
@@ -58,7 +60,7 @@ def test_r12_littles_law_windows_partition_by_user(spark, sf_dir):
 
 @pytest.mark.parametrize("name", ["crostons_intermittent_demand"])
 def test_r12_fold_windows_consume_aggregates(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     for wnode in _window_nodes(df):
         sub = list(_walk_jplan(wnode.children().apply(0)))
         names = [ch.getClass().getSimpleName() for ch in sub]
@@ -70,14 +72,14 @@ def test_r12_fold_windows_consume_aggregates(spark, sf_dir, name):
 
 
 def test_r12_srm_consistent(spark, sf_dir):
-    row = STAGED["sample_ratio_mismatch_check"].fn(
+    row = REG["sample_ratio_mismatch_check"].fn(
         spark, sf_dir).collect()[0]
     assert row.n_a > 0 and row.n_b > 0
     assert row.chi2_stat >= 0.0
 
 
 def test_r12_cuped_consistent(spark, sf_dir):
-    rows = STAGED["cuped_adjusted_lift"].fn(spark, sf_dir).collect()
+    rows = REG["cuped_adjusted_lift"].fn(spark, sf_dir).collect()
     assert {r.arm for r in rows} == {"A", "B"}
     thetas = {r.theta for r in rows}
     assert len(thetas) == 1  # pooled theta identical across arms
@@ -89,7 +91,7 @@ def test_r12_cuped_consistent(spark, sf_dir):
 def test_r12_littles_law_identity(spark, sf_dir):
     """L = lambda * W must hold EXACTLY up to float rounding — it is
     the integral identity the query's docstring claims."""
-    row = STAGED["littles_law_sessions"].fn(spark, sf_dir).collect()[0]
+    row = REG["littles_law_sessions"].fn(spark, sf_dir).collect()[0]
     lam_per_us = row.lambda_per_hour / 3_600_000_000
     w_us = row.w_mean_s * 1_000_000
     assert abs(lam_per_us * w_us - row.l_avg_concurrent) <= 1e-9 * max(
@@ -99,7 +101,7 @@ def test_r12_littles_law_identity(spark, sf_dir):
 
 
 def test_r12_croston_consistent(spark, sf_dir):
-    row = STAGED["crostons_intermittent_demand"].fn(
+    row = REG["crostons_intermittent_demand"].fn(
         spark, sf_dir).collect()[0]
     assert row.n_demand_days >= 1
     assert 0 <= row.z_size <= row.total_qty
@@ -109,7 +111,7 @@ def test_r12_croston_consistent(spark, sf_dir):
 
 
 def test_r12_burrows_delta_consistent(spark, sf_dir):
-    rows = STAGED["burrows_delta_sources"].fn(spark, sf_dir).collect()
+    rows = REG["burrows_delta_sources"].fn(spark, sf_dir).collect()
     # 20 sources -> 190 unordered pairs
     n_sources = len({r.source_a for r in rows}
                     | {r.source_b for r in rows})

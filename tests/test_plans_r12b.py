@@ -6,7 +6,9 @@ from __future__ import annotations
 import pytest
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 
 def test_single_pass_readouts_have_no_joins_or_windows(spark, sf_dir):
@@ -14,7 +16,7 @@ def test_single_pass_readouts_have_no_joins_or_windows(spark, sf_dir):
     aggregate over the scan: no joins, no windows anywhere."""
     for name in ("difference_in_differences_arms",
                  "power_mde_event_value", "fleiss_kappa_quality_rules"):
-        df = STAGED[name].fn(spark, sf_dir)
+        df = REG[name].fn(spark, sf_dir)
         names = [n.getClass().getSimpleName()
                  for n in _walk_jplan(df._jdf.queryExecution().sparkPlan())]
         assert not any("Join" in n for n in names), (name, names)
@@ -23,7 +25,7 @@ def test_single_pass_readouts_have_no_joins_or_windows(spark, sf_dir):
 
 
 def test_did_z_is_estimate_over_se(spark, sf_dir):
-    r = (STAGED["difference_in_differences_arms"]
+    r = (REG["difference_in_differences_arms"]
          .fn(spark, sf_dir).collect()[0])
     assert r["z_stat"] == pytest.approx(r["did_cents"] / r["se_cents"],
                                         rel=1e-12)
@@ -33,14 +35,14 @@ def test_did_z_is_estimate_over_se(spark, sf_dir):
 def test_mde_scales_inversely_with_sqrt_n(spark, sf_dir):
     """Sanity: MDE must be positive and the relative form consistent
     with the absolute one (mde_rel = mde_abs*100 / mean_cents)."""
-    r = STAGED["power_mde_event_value"].fn(spark, sf_dir).collect()[0]
+    r = REG["power_mde_event_value"].fn(spark, sf_dir).collect()[0]
     assert r["mde_dollars"] > 0
     assert r["mde_relative"] == pytest.approx(
         r["mde_dollars"] / r["mean_value"], rel=1e-12)
 
 
 def test_fleiss_kappa_bounded(spark, sf_dir):
-    r = (STAGED["fleiss_kappa_quality_rules"]
+    r = (REG["fleiss_kappa_quality_rules"]
          .fn(spark, sf_dir).collect()[0])
     assert -1.0 <= r["fleiss_kappa"] <= 1.0
 
@@ -69,7 +71,7 @@ def test_fleiss_kappa_matches_python_reference(spark, tmp_path_factory):
         rows, "doc_id long, text string, lang string, source string,"
               " n_chars long"
     ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
-    r = (STAGED["fleiss_kappa_quality_rules"]
+    r = (REG["fleiss_kappa_quality_rules"]
          .fn(spark, str(tmp)).collect()[0])
     # textbook reference
     pos = [sum((1 if "data" in t else 0, 1 if n >= 200 else 0,
@@ -84,7 +86,7 @@ def test_fleiss_kappa_matches_python_reference(spark, tmp_path_factory):
 
 
 def test_jackknife_variance_nonnegative_and_fold_based(spark, sf_dir):
-    r = (STAGED["jackknife_ratio_variance_daily"]
+    r = (REG["jackknife_ratio_variance_daily"]
          .fn(spark, sf_dir).collect()[0])
     assert r["jk_variance"] >= 0
     assert r["jk_se_dollars"] >= 0

@@ -9,7 +9,9 @@ from __future__ import annotations
 
 import pytest
 
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 
 @pytest.fixture(autouse=True)
@@ -19,7 +21,7 @@ def _release_caches(spark):
 
 
 def test_mmr_plan_shape(spark, sf_dir):
-    df = STAGED["mmr_rerank_retrieval"].fn(spark, sf_dir)
+    df = REG["mmr_rerank_retrieval"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().sparkPlan().toString()
     # top-12 rank must ride the partial WindowGroupLimit pushdown
     assert "WindowGroupLimit" in plan
@@ -32,7 +34,7 @@ def test_mmr_plan_shape(spark, sf_dir):
 
 
 def test_mmr_improves_diversity_never_relevance(spark, sf_dir):
-    row = STAGED["mmr_rerank_retrieval"].fn(spark, sf_dir).collect()[0]
+    row = REG["mmr_rerank_retrieval"].fn(spark, sf_dir).collect()[0]
     assert row["n_queries"] == 20
     # the greedy objective trades relevance FOR diversity: on this
     # panel the re-ranked lists measure strictly more diverse (0.95

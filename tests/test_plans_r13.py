@@ -5,17 +5,19 @@ tests/test_staged_pen.py already parametrize over ALL staged queries.
 
 from __future__ import annotations
 
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 
 def test_r13_final_plan_scan_budget(spark, sf_dir):
-    df = STAGED["dp_sensitivity_audit"].fn(spark, sf_dir)
+    df = REG["dp_sensitivity_audit"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 1
 
 
 def test_r13_dp_sensitivity_consistent(spark, sf_dir):
-    row = STAGED["dp_sensitivity_audit"].fn(spark, sf_dir).collect()[0]
+    row = REG["dp_sensitivity_audit"].fn(spark, sf_dir).collect()[0]
     assert row.n_users > 0
     assert row.linf_count_sensitivity >= 1
     assert row.linf_day_sensitivity >= 1
@@ -27,7 +29,7 @@ def test_r13_dp_sensitivity_consistent(spark, sf_dir):
 def test_r13_sql_udfs_inline_no_python(spark, sf_dir):
     """SQL UDFs must inline into ordinary expressions — no Python
     eval node anywhere in the plan (that is their whole point)."""
-    df = STAGED["sql_udf_band_rollup"].fn(spark, sf_dir)
+    df = REG["sql_udf_band_rollup"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert plan.count("Scan parquet") <= 1

@@ -12,7 +12,9 @@ from __future__ import annotations
 import pytest
 
 from de_project_airflow_etl_spark.plans.inspect import _walk_jplan
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 SCAN_BUDGETS_R14 = {
     "youden_j_optimal_threshold": 0,    # cents cells checkpointed
@@ -34,7 +36,7 @@ def _release_caches(spark):
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R14))
 def test_r14_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R14[name], (
@@ -53,14 +55,14 @@ def _window_nodes(df):
     "cross_source_ngram_overlap", "embedding_isotropy_panel",
 ])
 def test_r14_no_window_nodes(spark, sf_dir, name):
-    assert not _window_nodes(STAGED[name].fn(spark, sf_dir)), name
+    assert not _window_nodes(REG[name].fn(spark, sf_dir)), name
 
 
 # ------------------------------------------------ range invariants
 
 
 def test_youden_point_consistency(spark, sf_dir):
-    row = STAGED["youden_j_optimal_threshold"].fn(
+    row = REG["youden_j_optimal_threshold"].fn(
         spark, sf_dir).collect()[0]
     assert 0.0 <= row["sensitivity"] <= 1.0
     assert 0.0 <= row["specificity"] <= 1.0
@@ -70,7 +72,7 @@ def test_youden_point_consistency(spark, sf_dir):
 
 
 def test_decile_lift_partitions_and_gains(spark, sf_dir):
-    rows = sorted(STAGED["decile_lift_table"].fn(
+    rows = sorted(REG["decile_lift_table"].fn(
         spark, sf_dir).collect(), key=lambda r: r["decile"])
     assert [r["decile"] for r in rows] == list(range(1, 11))
     n = sum(r["n_events"] for r in rows)
@@ -85,7 +87,7 @@ def test_decile_lift_partitions_and_gains(spark, sf_dir):
 
 
 def test_actuarial_life_table_monotone_survival(spark, sf_dir):
-    rows = sorted(STAGED["actuarial_life_table"].fn(
+    rows = sorted(REG["actuarial_life_table"].fn(
         spark, sf_dir).collect(), key=lambda r: r["interval_idx"])
     assert rows, "at least one interval"
     s_prev, n_prev = 1.0, None
@@ -99,7 +101,7 @@ def test_actuarial_life_table_monotone_survival(spark, sf_dir):
 
 
 def test_haberman_residuals_cover_the_table(spark, sf_dir):
-    rows = STAGED["haberman_adjusted_residuals"].fn(
+    rows = REG["haberman_adjusted_residuals"].fn(
         spark, sf_dir).collect()
     assert len(rows) == 35  # 7 dows x 5 event types
     assert sum(r["o"] for r in rows) == pytest.approx(
@@ -107,7 +109,7 @@ def test_haberman_residuals_cover_the_table(spark, sf_dir):
 
 
 def test_cronbach_alpha_bounds(spark, sf_dir):
-    row = STAGED["cronbachs_alpha_quality_rules"].fn(
+    row = REG["cronbachs_alpha_quality_rules"].fn(
         spark, sf_dir).collect()[0]
     # alpha <= 1 always; can be negative, but the ratio is positive
     assert row["cronbach_alpha"] <= 1.0
@@ -115,13 +117,13 @@ def test_cronbach_alpha_bounds(spark, sf_dir):
 
 
 def test_vocab_coverage_monotone(spark, sf_dir):
-    row = STAGED["vocab_coverage_curve"].fn(spark, sf_dir).collect()[0]
+    row = REG["vocab_coverage_curve"].fn(spark, sf_dir).collect()[0]
     assert 1 <= row["k50"] <= row["k90"] <= row["k95"] <= row["k99"] \
         <= row["vocab_size"]
 
 
 def test_cross_source_overlap_symmetric_pairs(spark, sf_dir):
-    rows = STAGED["cross_source_ngram_overlap"].fn(
+    rows = REG["cross_source_ngram_overlap"].fn(
         spark, sf_dir).collect()
     for r in rows:
         assert r["source_a"] < r["source_b"]  # unordered, canonical
@@ -130,7 +132,7 @@ def test_cross_source_overlap_symmetric_pairs(spark, sf_dir):
 
 
 def test_isotropy_bounds(spark, sf_dir):
-    row = STAGED["embedding_isotropy_panel"].fn(
+    row = REG["embedding_isotropy_panel"].fn(
         spark, sf_dir).collect()[0]
     assert -1.0 <= row["mean_pairwise_cosine"] <= 1.0
     # quantized normalized vectors have squared norm ~ 1

@@ -15,7 +15,9 @@ import math
 
 import pytest
 
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 SCAN_BUDGETS_R15 = {
     "shapley_channel_attribution": 0,   # mask histogram checkpointed
@@ -36,7 +38,7 @@ def _release_caches(spark):
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R15))
 def test_r15_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R15[name], (
@@ -48,7 +50,7 @@ def test_r15_final_plan_scan_budget(spark, sf_dir, name):
 
 
 def test_shapley_efficiency_axiom(spark, sf_dir, duck):
-    out = (STAGED["shapley_channel_attribution"].fn(spark, sf_dir)
+    out = (REG["shapley_channel_attribution"].fn(spark, sf_dir)
            .toPandas().set_index("channel"))
     assert set(out.index) <= {"click", "error", "signup", "view"}
     assert (out.phi_x24 >= 0).all()  # v is monotone on the lattice
@@ -71,7 +73,7 @@ def test_shapley_efficiency_axiom(spark, sf_dir, duck):
 
 
 def test_isotonic_fit_is_monotone_and_pava_exact(spark, sf_dir, duck):
-    out = (STAGED["isotonic_daily_revenue_fit"].fn(spark, sf_dir)
+    out = (REG["isotonic_daily_revenue_fit"].fn(spark, sf_dir)
            .toPandas().sort_values("day").reset_index(drop=True))
     fits = out.fit_cents.tolist()
     assert all(a <= b + 1e-9 for a, b in zip(fits, fits[1:]))
@@ -96,7 +98,7 @@ def test_isotonic_fit_is_monotone_and_pava_exact(spark, sf_dir, duck):
 
 
 def test_conformal_coverage_near_nominal(spark, sf_dir):
-    out = (STAGED["split_conformal_value_interval"].fn(spark, sf_dir)
+    out = (REG["split_conformal_value_interval"].fn(spark, sf_dir)
            .toPandas())
     assert len(out) == 5
     assert (out.covered <= out.n_test).all()
@@ -108,7 +110,7 @@ def test_conformal_coverage_near_nominal(spark, sf_dir):
 
 
 def test_bh_rejections_are_a_rank_prefix(spark, sf_dir):
-    out = (STAGED["bh_step_up_drift_panel"].fn(spark, sf_dir)
+    out = (REG["bh_step_up_drift_panel"].fn(spark, sf_dir)
            .toPandas().sort_values("p_rank").reset_index(drop=True))
     assert len(out) == 5
     assert (out.z2 >= 0).all()
@@ -123,9 +125,9 @@ def test_bh_rejections_are_a_rank_prefix(spark, sf_dir):
 
 
 def test_bradley_terry_mass_and_bounds(spark, sf_dir):
-    from de_project_airflow_etl_spark.staged.round15 import (
+    from de_project_airflow_etl_spark.queries.attribution import (
         _BT_FLOOR, _BT_SCALE)
-    out = (STAGED["bradley_terry_event_strengths"].fn(spark, sf_dir)
+    out = (REG["bradley_terry_event_strengths"].fn(spark, sf_dir)
            .toPandas())
     assert len(out) == 5
     assert (out.strength_e9 >= _BT_FLOOR).all()
@@ -137,7 +139,7 @@ def test_bradley_terry_mass_and_bounds(spark, sf_dir):
 
 
 def test_harmonic_centrality_bounds(spark, sf_dir):
-    out = (STAGED["harmonic_centrality_dup_graph"].fn(spark, sf_dir)
+    out = (REG["harmonic_centrality_dup_graph"].fn(spark, sf_dir)
            .toPandas())
     assert 0 < len(out) <= 20
     # every term 12//d for d in 1..4 lies in [3, 12]
@@ -148,7 +150,7 @@ def test_harmonic_centrality_bounds(spark, sf_dir):
 
 
 def test_dtw_bounded_by_lockstep_and_python_dp(spark, sf_dir, duck):
-    row = (STAGED["dtw_click_purchase_daily"].fn(spark, sf_dir)
+    row = (REG["dtw_click_purchase_daily"].fn(spark, sf_dir)
            .toPandas().iloc[0])
     assert 0 <= row.dtw_l1 <= row.lockstep_l1
     # independent O(n^2) python DP on the same daily series
@@ -176,7 +178,7 @@ def test_dtw_bounded_by_lockstep_and_python_dp(spark, sf_dir, duck):
 
 def test_shapley_python_recomputation(spark, sf_dir, duck):
     """Exact Shapley from first principles (itertools over the 4-set)."""
-    out = (STAGED["shapley_channel_attribution"].fn(spark, sf_dir)
+    out = (REG["shapley_channel_attribution"].fn(spark, sf_dir)
            .toPandas().set_index("channel").phi_x24.to_dict())
     masks = dict(duck.execute("""
         WITH fp AS (SELECT user_id, MIN(ts) AS fpts FROM events

@@ -13,7 +13,9 @@ import math
 
 import pytest
 
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 SCAN_BUDGETS_R16 = {
     "wasserstein_weekend_value": 0,     # cents cells checkpointed
@@ -32,7 +34,7 @@ def _release_caches(spark):
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R16))
 def test_r16_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R16[name], (
@@ -55,7 +57,7 @@ def _weekend_cells(duck):
 
 
 def test_wasserstein_python_recomputation(spark, sf_dir, duck):
-    row = (STAGED["wasserstein_weekend_value"].fn(spark, sf_dir)
+    row = (REG["wasserstein_weekend_value"].fn(spark, sf_dir)
            .toPandas().iloc[0])
     cells = _weekend_cells(duck)
     n1 = sum(r[1] for r in cells)
@@ -72,9 +74,9 @@ def test_wasserstein_python_recomputation(spark, sf_dir, duck):
 
 
 def test_huber_python_recomputation(spark, sf_dir, duck):
-    from de_project_airflow_etl_spark.staged.round16 import (
+    from de_project_airflow_etl_spark.queries.estimators import (
         _HUBER_ITERS, _HUBER_K_CENTS, _MC, _W6)
-    row = (STAGED["huber_mean_event_value"].fn(spark, sf_dir)
+    row = (REG["huber_mean_event_value"].fn(spark, sf_dir)
            .toPandas().iloc[0])
     cells = duck.execute("""
         SELECT CAST(ROUND(value * 100) AS BIGINT) AS c, COUNT(*)
@@ -100,7 +102,7 @@ def test_huber_python_recomputation(spark, sf_dir, duck):
 
 
 def test_ordinal_census_python_recomputation(spark, sf_dir, duck):
-    out = (STAGED["ordinal_pattern_census_daily"].fn(spark, sf_dir)
+    out = (REG["ordinal_pattern_census_daily"].fn(spark, sf_dir)
            .toPandas())
     y = [r[0] for r in duck.execute("""
         SELECT SUM(CAST(ROUND(value * 100) AS BIGINT))
@@ -119,7 +121,7 @@ def test_ordinal_census_python_recomputation(spark, sf_dir, duck):
 
 
 def test_group_sequential_monotone_and_consistent(spark, sf_dir):
-    out = (STAGED["group_sequential_ab_readout"].fn(spark, sf_dir)
+    out = (REG["group_sequential_ab_readout"].fn(spark, sf_dir)
            .toPandas().sort_values("look").reset_index(drop=True))
     assert out.look.tolist() == [1, 2, 3, 4, 5]
     for col in ("n_a", "x_a", "n_b", "x_b"):
@@ -133,7 +135,7 @@ def test_group_sequential_monotone_and_consistent(spark, sf_dir):
 
 
 def test_james_stein_shrinks_toward_grand_mean(spark, sf_dir):
-    out = (STAGED["james_stein_type_means"].fn(spark, sf_dir)
+    out = (REG["james_stein_type_means"].fn(spark, sf_dir)
            .toPandas())
     assert len(out) == 5
     b = out.shrink_b.iloc[0]

@@ -14,7 +14,9 @@ import math
 
 import pytest
 
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 SCAN_BUDGETS_R17 = {
     "quantile_normalize_source_chars": 0,  # char cells checkpointed
@@ -31,7 +33,7 @@ def _release_caches(spark):
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R17))
 def test_r17_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R17[name], (
@@ -42,7 +44,7 @@ def test_r17_final_plan_scan_budget(spark, sf_dir, name):
 def test_quantile_normalize_per_rank_loop(spark, sf_dir, duck):
     """The closed-form floor-division mapping must equal a literal
     per-rank evaluation of the pooled type-1 quantile function."""
-    out = (STAGED["quantile_normalize_source_chars"].fn(spark, sf_dir)
+    out = (REG["quantile_normalize_source_chars"].fn(spark, sf_dir)
            .toPandas().set_index("source"))
     rows = duck.execute(
         "SELECT source, n_chars FROM documents").fetchall()
@@ -64,9 +66,9 @@ def test_quantile_normalize_per_rank_loop(spark, sf_dir, duck):
 
 
 def test_dbscan_union_find_recomputation(spark, sf_dir, duck):
-    from de_project_airflow_etl_spark.staged.round17 import (
+    from de_project_airflow_etl_spark.queries.clustering import (
         _DB_ENC, _DB_GRID, _DB_MINPTS, _DB_OFF)
-    out = (STAGED["dbscan_grid_embedding_clusters"].fn(spark, sf_dir)
+    out = (REG["dbscan_grid_embedding_clusters"].fn(spark, sf_dir)
            .toPandas())
     cells = dict()
     for cx, cy, cnt in duck.execute(f"""
@@ -112,9 +114,9 @@ def test_dbscan_union_find_recomputation(spark, sf_dir, duck):
 
 
 def test_hits_python_fixed_point(spark, sf_dir, duck):
-    from de_project_airflow_etl_spark.staged.round17 import (
+    from de_project_airflow_etl_spark.queries.clustering import (
         _HITS_ITERS, _HITS_SCALE)
-    out = (STAGED["hits_event_type_authority"].fn(spark, sf_dir)
+    out = (REG["hits_event_type_authority"].fn(spark, sf_dir)
            .toPandas().set_index("event_type"))
     ut = duck.execute("""
         SELECT user_id, event_type, COUNT(*) FROM events GROUP BY 1, 2

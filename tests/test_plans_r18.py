@@ -13,7 +13,9 @@ import math
 
 import pytest
 
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 SCAN_BUDGETS_R18 = {
     # tf aggregate feeds one panel aggregate — a single corpus scan
@@ -31,7 +33,7 @@ def _release_caches(spark):
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R18))
 def test_r18_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R18[name], (
@@ -40,7 +42,7 @@ def test_r18_final_plan_scan_budget(spark, sf_dir, name):
 
 
 def test_good_turing_chao1_bounds(spark, sf_dir, duck):
-    out = (STAGED["good_turing_chao1_by_source"].fn(spark, sf_dir)
+    out = (REG["good_turing_chao1_by_source"].fn(spark, sf_dir)
            .toPandas())
     assert len(out) == 20
     assert (out.f1 <= out.vocab).all()
@@ -66,9 +68,9 @@ def test_good_turing_chao1_bounds(spark, sf_dir, duck):
 
 
 def test_ipf_python_fixed_point_and_margins(spark, sf_dir, duck):
-    from de_project_airflow_etl_spark.staged.round18 import (
+    from de_project_airflow_etl_spark.queries.population import (
         _IPF_ITERS, _IPF_S)
-    out = (STAGED["ipf_raking_purchase_mix"].fn(spark, sf_dir)
+    out = (REG["ipf_raking_purchase_mix"].fn(spark, sf_dir)
            .toPandas())
     rows = duck.execute("""
         SELECT dayofweek(ts),
@@ -118,7 +120,7 @@ def test_ipf_python_fixed_point_and_margins(spark, sf_dir, duck):
 
 
 def test_capture_recapture_python(spark, sf_dir, duck):
-    row = (STAGED["capture_recapture_user_weeks"].fn(spark, sf_dir)
+    row = (REG["capture_recapture_user_weeks"].fn(spark, sf_dir)
            .toPandas().iloc[0])
     caps = duck.execute("""
         WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS dmin FROM events)

@@ -10,7 +10,9 @@ from __future__ import annotations
 
 import pytest
 
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 SCAN_BUDGETS_R19 = {
     "percentile_cont_within_group_quartiles": 1,
@@ -27,7 +29,7 @@ def _release_caches(spark):
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R19))
 def test_r19_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R19[name], (
@@ -36,7 +38,7 @@ def test_r19_final_plan_scan_budget(spark, sf_dir, name):
 
 
 def test_percentile_cont_quartiles_ordered(spark, sf_dir):
-    out = (STAGED["percentile_cont_within_group_quartiles"]
+    out = (REG["percentile_cont_within_group_quartiles"]
            .fn(spark, sf_dir).toPandas())
     assert len(out) == 5
     assert (out.q1_cents <= out.median_cents).all()
@@ -48,7 +50,7 @@ def test_percentile_cont_quartiles_ordered(spark, sf_dir):
 
 
 def test_json_family_roundtrip_is_total(spark, sf_dir, duck):
-    out = (STAGED["json_function_family_events"].fn(spark, sf_dir)
+    out = (REG["json_function_family_events"].fn(spark, sf_dir)
            .toPandas())
     counts = dict(duck.execute(
         "SELECT event_type, COUNT(*) FROM events GROUP BY 1"
@@ -62,7 +64,7 @@ def test_json_family_roundtrip_is_total(spark, sf_dir, duck):
 
 def test_approx_top_k_exact_regime_matches_group_by(spark, sf_dir,
                                                     duck):
-    out = (STAGED["approx_top_k_event_types"].fn(spark, sf_dir)
+    out = (REG["approx_top_k_event_types"].fn(spark, sf_dir)
            .toPandas().sort_values("rnk"))
     exact = dict(duck.execute(
         "SELECT event_type, COUNT(*) FROM events GROUP BY 1"

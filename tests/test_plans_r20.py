@@ -12,7 +12,9 @@ import math
 
 import pytest
 
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 SCAN_BUDGETS_R20 = {
     "negative_binomial_user_counts": 1,
@@ -29,7 +31,7 @@ def _release_caches(spark):
 
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGETS_R20))
 def test_r20_final_plan_scan_budget(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = REG[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= SCAN_BUDGETS_R20[name], (
@@ -38,7 +40,7 @@ def test_r20_final_plan_scan_budget(spark, sf_dir, name):
 
 
 def test_negative_binomial_python(spark, sf_dir, duck):
-    row = (STAGED["negative_binomial_user_counts"].fn(spark, sf_dir)
+    row = (REG["negative_binomial_user_counts"].fn(spark, sf_dir)
            .toPandas().iloc[0])
     counts = [c for (c,) in duck.execute(
         "SELECT COUNT(*) FROM events GROUP BY user_id").fetchall()]
@@ -58,9 +60,9 @@ def test_negative_binomial_python(spark, sf_dir, duck):
 
 
 def test_nw_alignment_python_dp(spark, sf_dir):
-    from de_project_airflow_etl_spark.staged.round20 import (
+    from de_project_airflow_etl_spark.queries.seqalign import (
         _NW_GAP, _NW_MATCH, _NW_MISS)
-    row = (STAGED["nw_alignment_week_type_seqs"].fn(spark, sf_dir)
+    row = (REG["nw_alignment_week_type_seqs"].fn(spark, sf_dir)
            .toPandas().iloc[0])
     a, b = row.seq_week1, row.seq_week2
     assert len(a) == 7 and len(b) == 7

@@ -10,7 +10,9 @@ from datetime import datetime, timedelta
 
 import pytest
 
-from de_project_airflow_etl_spark.staged import STAGED
+from de_project_airflow_etl_spark.registry import all_queries
+
+REG = all_queries()
 
 _BASE = datetime(2024, 1, 1)
 
@@ -52,7 +54,7 @@ def test_calendar_spine_flags_the_planted_missing_day(
     rows = [(d + 1, d, 0, 1, "purchase", 1000)
             for d in range(7) if d != 3]
     _write_events(spark, tmp, rows)
-    out = sorted(STAGED["calendar_spine_gap_fill"].fn(
+    out = sorted(REG["calendar_spine_gap_fill"].fn(
         spark, tmp).collect(), key=lambda r: r["day"])
     assert len(out) == 7
     gap = [r for r in out if r["is_gap"] == 1]
@@ -71,7 +73,7 @@ def test_youden_finds_the_planted_separable_threshold(
     rows += [(k + 100, 1, k, k + 100, "click", 1000 + k)
              for k in range(30)]
     _write_events(spark, tmp, rows)
-    r = STAGED["youden_j_optimal_threshold"].fn(spark, tmp).collect()[0]
+    r = REG["youden_j_optimal_threshold"].fn(spark, tmp).collect()[0]
     # perfectly separable: every threshold in (1029, 5000] achieves
     # J = 1; the exact-tie rule picks the LOWEST such threshold, which
     # is the smallest positive score
@@ -89,7 +91,7 @@ def test_decile_lift_concentrates_on_planted_top_decile(
     rows += [(k + 50, 1, k, k + 50, "click", 1000 + k)
              for k in range(90)]
     _write_events(spark, tmp, rows)
-    out = sorted(STAGED["decile_lift_table"].fn(spark, tmp).collect(),
+    out = sorted(REG["decile_lift_table"].fn(spark, tmp).collect(),
                  key=lambda r: r["decile"])
     assert out[0]["n_events"] == 10 and out[0]["n_purchases"] == 10
     assert out[0]["lift"] == pytest.approx(10.0)
@@ -109,7 +111,7 @@ def test_actuarial_single_interval_conversion(spark, tmp_path_factory):
         rows.append((uid * 2 - 1, 0, uid, uid, "signup", 1000))
         rows.append((uid * 2, 0, uid + 100, uid, "purchase", 1000))
     _write_events(spark, tmp, rows)
-    out = STAGED["actuarial_life_table"].fn(spark, tmp).collect()
+    out = REG["actuarial_life_table"].fn(spark, tmp).collect()
     assert len(out) == 1
     r = out[0]
     assert r["n_enter"] == 10 and r["n_events"] == 10
@@ -129,7 +131,7 @@ def test_cronbach_alpha_exactly_one_for_identical_raters(
     bad = "x y z"                        # none of the three
     docs = [(i, good if i % 2 else bad, "web") for i in range(40)]
     _write_docs(spark, tmp, docs)
-    r = STAGED["cronbachs_alpha_quality_rules"].fn(
+    r = REG["cronbachs_alpha_quality_rules"].fn(
         spark, tmp).collect()[0]
     # x1 = x2 = x3 per doc -> var_total = 9 var_item, ratio = 1/3,
     # alpha = 1.5 * (1 - 1/3) = 1 exactly (integer arithmetic)
@@ -145,7 +147,7 @@ def test_vocab_coverage_on_planted_skew(spark, tmp_path_factory):
     # 'the' is 90 of 100 tokens; ten distinct rare words fill the rest
     text = " ".join(["the"] * 90 + [f"w{i}" for i in range(10)])
     _write_docs(spark, tmp, [(1, text, "web")])
-    r = STAGED["vocab_coverage_curve"].fn(spark, tmp).collect()[0]
+    r = REG["vocab_coverage_curve"].fn(spark, tmp).collect()[0]
     assert r["vocab_size"] == 11 and r["n_tokens"] == 100
     assert r["k50"] == 1 and r["k90"] == 1
     assert r["k95"] == 6    # 90 + 5 rare words = 95
@@ -163,7 +165,7 @@ def test_cross_source_overlap_counts_the_planted_shared_gram(
             (2, shared + " zeta", "b"),               # shares gram 1
             (3, "one two three four five six", "b")]  # b-only grams
     _write_docs(spark, tmp, docs)
-    rows = STAGED["cross_source_ngram_overlap"].fn(spark, tmp).collect()
+    rows = REG["cross_source_ngram_overlap"].fn(spark, tmp).collect()
     assert len(rows) == 1
     r = rows[0]
     assert (r["source_a"], r["source_b"]) == ("a", "b")
@@ -182,7 +184,7 @@ def test_isotropy_one_for_identical_directions(spark, tmp_path_factory):
     _write_embeddings(spark, tmp,
                       [(i, [x * (i + 1) for x in v], 0)
                        for i in range(20)])
-    r = STAGED["embedding_isotropy_panel"].fn(spark, tmp).collect()[0]
+    r = REG["embedding_isotropy_panel"].fn(spark, tmp).collect()[0]
     # all vectors share one direction: every pairwise cosine is 1
     assert r["mean_pairwise_cosine"] == pytest.approx(1.0, abs=1e-6)
 
@@ -194,7 +196,7 @@ def test_isotropy_zero_for_orthogonal_balanced_set(
     dirs = [[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]]
     _write_embeddings(spark, tmp,
                       [(i, dirs[i % 4], 0) for i in range(40)])
-    r = STAGED["embedding_isotropy_panel"].fn(spark, tmp).collect()[0]
+    r = REG["embedding_isotropy_panel"].fn(spark, tmp).collect()[0]
     # sum vector is exactly zero -> mean pairwise cosine = -n/(n(n-1))
     assert r["mean_pairwise_cosine"] == pytest.approx(
         -1.0 / 39, abs=1e-9)
