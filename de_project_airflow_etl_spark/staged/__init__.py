@@ -67,7 +67,15 @@ on Spark vs a recursive-CTE position stepper on DuckDB);
 generalized Wilcoxon — valid under unequal variances, pooled and
 within-group 2x midranks from one cell cumulation — Cochran's Q
 for k related weekly purchase flags, and the Bartels rank von
-Neumann serial-randomness ratio).
+Neumann serial-randomness ratio); ``round25.py`` (3, staged in
+round 10 — the training-data-pipeline completions VERDICT r9
+suggested: tokenizer-aware near-dup pairs over token-ID 4-gram
+shingles with in-array pair emission from df-capped shingle groups,
+the URL/domain-grain dedup profile over a synthesized host column
+splitting within-host from cross-host duplication, and the
+RAG-chunk retrieval eval — sibling-chunk recovery via shared
+5-grams on the doc_chunk_windows grid with the map_retrieval_eval
+anchor-panel idiom).
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so a promoting session folds banks together
@@ -104,3 +112,4 @@ from de_project_airflow_etl_spark.staged import round21  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round22  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round23  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round24  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round25  # noqa: E402,F401

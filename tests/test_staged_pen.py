@@ -58,6 +58,12 @@ _JUSTIFIED_BNLJ_BUILDS = {
     # round-9 intra-list diversity reuses the identical fixed
     # 20-vector panel broadcast (same _spark_topk_rel helper)
     "ild_retrieval_diversity",
+    # round-25 RAG-chunk eval broadcasts the <=20-row anchor-chunk
+    # panel (doc_id % 25 = 0 AND doc_id < 500 AND chunk_idx = 0) onto
+    # one chunk-expanded corpus scan with a self-exclusion inequality
+    # — the same map_retrieval_eval panel shape; the targeted gate in
+    # tests/test_staged_r25.py pins scans <= 2 + WindowGroupLimit
+    "rag_chunk_retrieval_eval",
     # round-9c ERR reuses the identical fixed 20-vector panel
     # broadcast (same _spark_topk_rel helper as ndcg/mrr/ild)
     "err_retrieval_eval",
