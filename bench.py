@@ -195,6 +195,30 @@ HEADLINE = (
     "token_gini_by_source",           # token Lorenz/Gini cumulation
     "holt_winters_additive_weekly",   # sequential smoothing fold
     "arrow_udf_text_normalize",       # Arrow-optimized scalar UDF
+    # round-10 additions: promoted streaming_ext/experimentation/
+    # reranking/abdesign/operating_points/attribution/estimators/
+    # clustering/population/seqalign representatives, weighted toward
+    # the scale-critical paths (df-capped gram indexes, dup-graph BFS,
+    # grid-density CC, iterative fixed points, chained stateful
+    # streaming, user-keyed sessionization); jsonl/file-sink surfaces
+    # stay out per the recorded I/O-surface rule, and the
+    # literal-bound SQL surfaces (percentile_cont, JSON family,
+    # approx_top_k, sql_udf) stay out as plan-gated light scans
+    "streaming_chained_window_rollup",  # chained stateful windows
+    "mmr_rerank_retrieval",           # greedy MMR panel fold
+    "burrows_delta_sources",          # stylometry z-score panel
+    "littles_law_sessions",           # sessionized sweep-line integral
+    "cuped_adjusted_lift",            # covariate moment pass
+    "decile_lift_table",              # global value-cell decile rank
+    "cross_source_ngram_overlap",     # df-capped 5-gram pair index
+    "embedding_isotropy_panel",       # quantized second-moment panel
+    "shapley_channel_attribution",    # 16-subset touch lattice
+    "isotonic_daily_revenue_fit",     # exact minimax interval means
+    "harmonic_centrality_dup_graph",  # radius-4 BFS on dup graph
+    "dtw_click_purchase_daily",       # nested-fold DP projection
+    "dbscan_grid_embedding_clusters",  # dense-cell CC clustering
+    "good_turing_chao1_by_source",    # frequency-spectrum panel
+    "hits_event_type_authority",      # hub/authority fixed point
 )
 
 
