@@ -75,7 +75,12 @@ the URL/domain-grain dedup profile over a synthesized host column
 splitting within-host from cross-host duplication, and the
 RAG-chunk retrieval eval — sibling-chunk recovery via shared
 5-grams on the doc_chunk_windows grid with the map_retrieval_eval
-anchor-panel idiom).
+anchor-panel idiom); ``round26.py`` (2, staged in round 10:
+IPS/SNIPS off-policy value of a deterministic target policy
+replayed over the md5-randomized logged arms — the counterfactual
+readout closing the experimentation family — and Krippendorff's
+alpha for the three quality raters, the pooled-pairs N-1 chance
+model beside the registered Fleiss/Cohen kappas, exact rational).
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so a promoting session folds banks together
@@ -113,3 +118,4 @@ from de_project_airflow_etl_spark.staged import round22  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round23  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round24  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round25  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round26  # noqa: E402,F401
