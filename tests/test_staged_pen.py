@@ -102,6 +102,18 @@ _JUSTIFIED_BNLJ_BUILDS = {
     # inequality, <= days^2/2 pairs), build = the checkpointed
     # 3-column template panel
     "sample_entropy_matches_daily",
+    # round-27 Dunn post-hoc self-joins the VOCABULARY-bounded 5-row
+    # per-type rank-sum panel on a type_a < type_b inequality — the
+    # C(5,2) pair grid, both sides aggregates over checkpointed cells
+    "dunn_posthoc_value_by_type",
+    # round-27 weighted kappa crosses the two 4-row band-marginal
+    # aggregates (the FIXED 4x4 expected-disagreement grid) — both
+    # sides bounded by the band construction
+    "weighted_kappa_ordinal_bands",
+    # round-30 RBP broadcasts the same FIXED 20-anchor panel as
+    # map_retrieval_eval / ndcg / mrr onto one corpus scan with the
+    # self-exclusion inequality (vec_id % 25 = 0 AND vec_id < 500)
+    "rbp_retrieval_eval",
 }
 
 
