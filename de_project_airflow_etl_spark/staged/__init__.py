@@ -80,7 +80,38 @@ IPS/SNIPS off-policy value of a deterministic target policy
 replayed over the md5-randomized logged arms — the counterfactual
 readout closing the experimentation family — and Krippendorff's
 alpha for the three quality raters, the pooled-pairs N-1 chance
-model beside the registered Fleiss/Cohen kappas, exact rational).
+model beside the registered Fleiss/Cohen kappas, exact rational);
+``round27.py`` (4, staged in round 10: the Fligner-Policello robust
+rank-order test from 2x placement counts, Dunn's post-hoc pairwise
+z tests with the tie-corrected pooled variance, Stuart-Maxwell
+marginal homogeneity on first-vs-last event bands in the Fleiss k=3
+closed form, and linear/quadratic weighted Cohen's kappa over
+ordinal document bands); ``round28.py`` (5, staged in round 10:
+Breusch-Pagan heteroskedasticity of the daily trend, the Chow
+mid-sample structural-break F, OLS leverage/Cook's-distance
+influence top-5, the KPSS level-stationarity partial-sum ratio, and
+the Lo-MacKinlay weekly variance ratio — all on exact integer
+sufficient statistics with sorted-fold residual sums);
+``round29.py`` (4, staged in round 10, over the shared LSH-verified
+dup-pairs relation: Newman source-partition modularity, degree
+assortativity, 3-round synchronized majority-vote label propagation
+with deterministic tie-breaks, and global transitivity 3T/W);
+``round30.py`` (2, staged in round 10: rank-biased overlap (p=1/2,
+dyadic bit-shift weights) between the cosine/L2 top-50 rankings,
+and rank-biased precision at p=1/2 and 3/4 as exact fixed-point
+integer sums over the fixed anchor panel); ``round31.py`` (3,
+staged in round 10: the Diebold-Mariano forecast-comparison test on
+exact cents^2 loss differentials, restricted mean survival time at
+30 days integrating the registered KM step curve, and Schuster
+periodogram power at period 7 via HARDCODED cos/sin literals — no
+cross-engine trig); ``round32.py`` (2, staged in round 10: the
+cross-fitted doubly-robust off-policy value with an opposite-md5-
+fold outcome model beside the direct method, and a deterministic
+epsilon-greedy bandit replay with md5 exploration and
+cross-multiplied exact running averages, recursive-CTE oracle).
+Pen sweeps this round: 39/39 green at sf0.01 (71.8 s) AND sf0.1
+(164.1 s) on 2026-08-16 — the recorded promotion precondition for
+the round-11 window.
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so a promoting session folds banks together
