@@ -156,3 +156,4 @@ from de_project_airflow_etl_spark.staged import round29  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round30  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round31  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round32  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round33  # noqa: E402,F401
