@@ -108,10 +108,18 @@ cross-engine trig); ``round32.py`` (2, staged in round 10: the
 cross-fitted doubly-robust off-policy value with an opposite-md5-
 fold outcome model beside the direct method, and a deterministic
 epsilon-greedy bandit replay with md5 exploration and
-cross-multiplied exact running averages, recursive-CTE oracle).
-Pen sweeps this round: 39/39 green at sf0.01 (71.8 s) AND sf0.1
-(164.1 s) on 2026-08-16 — the recorded promotion precondition for
-the round-11 window.
+cross-multiplied exact running averages, recursive-CTE oracle);
+``round33.py`` (4, staged in round 10: the Gehan-Breslow-Wilcoxon
+n_j-weighted log-rank on the A/B conversion arms — exact integer U,
+bracketing proportional hazards beside the registered log-rank —
+ICC(1,1) for the three quality raters as an exact integer rational,
+Fisher's Poisson dispersion test of daily counts, and Mahalanobis
+outlier days over the joint (revenue, count) pair via the
+string-routed 2x2 closed-form inverse).
+Pen sweeps this round: 43/43 green at sf0.01 (106.0 s) AND sf0.1
+(139.9 s) on 2026-08-17 — the recorded promotion precondition for
+the round-11 window. Final-plan parquet-scan budgets for all seven
+new banks are pinned in tests/test_staged_r33.py.
 
 The round labels are the DEFAULT schedule, not a constraint: the
 window takes ~50 rows, so a promoting session folds banks together
