@@ -115,10 +115,14 @@ bracketing proportional hazards beside the registered log-rank —
 ICC(1,1) for the three quality raters as an exact integer rational,
 Fisher's Poisson dispersion test of daily counts, and Mahalanobis
 outlier days over the joint (revenue, count) pair via the
-string-routed 2x2 closed-form inverse).
-Pen sweeps this round: 43/43 green at sf0.01 (106.0 s) AND sf0.1
-(139.9 s) on 2026-08-17 — the recorded promotion precondition for
-the round-11 window. Final-plan parquet-scan budgets for all seven
+string-routed 2x2 closed-form inverse); ``round34.py`` (2, staged
+in round 10: PACF of daily revenue at lags 1..3 via the
+Durbin-Levinson recursion over exact integer autocovariances, and
+the ANOVA effect-size panel eta^2/omega^2/epsilon^2 on the
+registered ANOVA's exact sufficient statistics).
+Pen sweeps this round: 45/45 green at sf0.01 (104.1 s) AND sf0.1
+(144.0 s) on 2026-08-17 — the recorded promotion precondition for
+the round-11 window. Final-plan parquet-scan budgets for all eight
 new banks are pinned in tests/test_staged_r33.py.
 
 The round labels are the DEFAULT schedule, not a constraint: the
@@ -165,3 +169,4 @@ from de_project_airflow_etl_spark.staged import round30  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round31  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round32  # noqa: E402,F401
 from de_project_airflow_etl_spark.staged import round33  # noqa: E402,F401
+from de_project_airflow_etl_spark.staged import round34  # noqa: E402,F401

@@ -278,6 +278,9 @@ SCAN_BUDGETS_R27_R33 = {
     "icc_quality_raters": 1,             # single-consumer chain
     "poisson_dispersion_daily_counts": 0,
     "mahalanobis_outlier_days": 0,
+    # round 34 (daily seq / value panel checkpointed)
+    "pacf_daily_revenue": 0,
+    "anova_effect_sizes_event_type": 0,
 }
 
 
