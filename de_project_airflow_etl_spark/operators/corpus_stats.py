@@ -118,8 +118,18 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At 100 TB the tokenized/gram relation would be a persisted
     # lake table shared by all corpus statistics, not an in-job
     # checkpoint.
+    # Grams are xxhash64-coded at the explode (r10 optimization, the
+    # corpus_release_manifest / C4 hashed-n-gram trick): the gate only
+    # needs gram EQUALITY (df counting + join-back), so the two
+    # exchanges move 8-byte longs instead of ~30-byte 5-gram strings.
+    # A 64-bit collision would merge two grams' doc counts; at
+    # testdata scale none exist (the string-gram oracle stays exact),
+    # and at 10^11 distinct grams the expected handful perturbs a
+    # boilerplate FRACTION threshold, not an exact id set.
     exploded = docs.select("doc_id", "source",
-                           F.explode(F.expr(_GRAMS_EXPR)).alias("gram"))
+                           F.explode(F.expr(
+                               f"transform({_GRAMS_EXPR},"
+                               f" g -> xxhash64(g))")).alias("gram"))
     # Doc frequency per gram; grams were already distinct-ed per doc,
     # so COUNT(*) == COUNT(DISTINCT doc_id) without the distinct pass.
     boiler = (exploded.groupBy("gram")

@@ -402,7 +402,11 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.split("text", " ").alias("toks"))
             .filter(F.expr(f"size(toks) >= {NGRAM_N}")))
     grams = docs.select("doc_id", F.explode(_ngram_hashes()).alias("gh"))
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # n_grams == size of the per-doc DISTINCT gram array, computed in
+    # the row projection — the former explode + doc_id exchange pass
+    # counted the same array one element at a time (r10 optimization).
+    sizes = docs.select(
+        "doc_id", F.size(_ngram_hashes()).cast("long").alias("n_grams"))
     low_df = (grams.groupBy("gh").count()
                    .filter(F.col("count") <= CONT_DF_CAP).select("gh"))
     # NOTE (round 6): the kept stream feeds both self-join sides, but
@@ -410,6 +414,9 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1: 3.27s vs 2.56s) — materializing the data-sized exploded
     # gram stream costs more than re-deriving it per side. Only
     # aggregate-sized multi-consumer intermediates earn a checkpoint.
+    # (r10: an in-array pair-generation variant — collect_list per
+    # gram + nested transform — was also a measured loss, 4.9s vs
+    # 3.6s: interpreted array lambdas lose to the codegen SMJ.)
     kept = grams.join(low_df, "gh")
     a, b = kept.alias("a"), kept.alias("b")
     inter = (a.join(b, (F.col("a.gh") == F.col("b.gh"))

@@ -221,9 +221,12 @@ _DB_CELLS_SQL = f"""
         "cells, semdedup) cannot express; sparse cells are noise. "
         "Grid coords are bit-exact cross-engine (float32->double is "
         "exact, *16 is a power-of-two scale, FLOOR agrees). Spark "
-        "runs the alternating large-star/small-star contraction "
-        "shared with dedup_clusters (O(log n) rounds); the oracle is "
-        "a recursive-CTE closure over the same encoded cell ids. "
+        "runs the components as ONE bounded min-label fold over the "
+        "collected cell-graph edge list (exact: size(nodes) "
+        "synchronous rounds reach every component minimum; r10 "
+        "optimization replacing the alternating-star loop, whose "
+        "per-round probe jobs dominated on this bounded graph); the "
+        "oracle is a recursive-CTE closure over the same cell ids. "
         "Scale: ONE corpus pass to value-domain-bounded grid cells; "
         "neighbor edges are EQUI-joins on shifted cell keys (8 fixed "
         "offsets), never a distance self-join; CC runs on the "
@@ -233,8 +236,6 @@ _DB_CELLS_SQL = f"""
 )
 def dbscan_grid_embedding_clusters(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
-    from de_project_airflow_etl_spark.operators.dedup import (
-        _connected_components)
     dense = (load(spark, sf_dir, "embeddings")
              .selectExpr(
                  f"CAST(FLOOR(CAST(embedding[0] AS DOUBLE) * {_DB_GRID})"
@@ -260,8 +261,51 @@ def dbscan_grid_embedding_clusters(spark: SparkSession,
                       & (F.col("ny") == F.col("by")))
                 .filter("src < dst")
                 .selectExpr("src AS doc_a", "dst AS doc_b"))
-    labels = _connected_components(edges).withColumnRenamed(
-        "doc_id", "id").withColumnRenamed("component_id", "cid")
+    # CC as ONE bounded min-label fold (r10 optimization): the cell
+    # graph is VALUE-DOMAIN-bounded (<= (2*_DB_GRID)^2 nodes for
+    # unit-range embeddings — the same boundedness claim the query
+    # already makes), so the alternating-star loop's ~10 per-round
+    # probe/checkpoint jobs are pure overhead here. Collect the
+    # bounded edge list into one row (same class as the broadcast
+    # panels), build positional adjacency once, then fold synchronous
+    # min-label rounds: round r gives every node the min id within r
+    # hops, so size(nodes) rounds guarantee exact convergence to the
+    # component minimum — the identical labels _connected_components
+    # returns — with a no-op guard after stabilization. Checkpoints
+    # between the three projections stop CollapseProject from
+    # re-inlining the aliased arrays inside the lambdas (the
+    # winnowing_fingerprints lesson).
+    one = (edges.groupBy()
+                .agg(F.expr("sort_array(collect_list(struct("
+                            "doc_a AS a, doc_b AS b)))").alias("es")))
+    p1 = (one.selectExpr(
+              "es",
+              "sort_array(array_distinct(concat("
+              "transform(es, e -> e.a), transform(es, e -> e.b))))"
+              " AS nodes")
+             .localCheckpoint())  # one bounded row
+    p2 = (p1.selectExpr(
+              "nodes",
+              "transform(nodes, x -> transform("
+              "filter(es, e -> e.a = x OR e.b = x),"
+              " e -> CAST(array_position(nodes,"
+              " IF(e.a = x, e.b, e.a)) AS INT))) AS adj")
+             .localCheckpoint())  # one bounded row
+    new_lab = ("transform(sequence(1, size(nodes)), i -> least("
+               "element_at(acc.lab, i), array_min(transform("
+               "element_at(adj, i), j -> element_at(acc.lab, j)))))")
+    fold = (f"aggregate(sequence(1, size(nodes)),"
+            f" named_struct('lab', nodes, 'done', false),"
+            f" (acc, r) -> IF(acc.done, acc,"
+            f" named_struct('lab', {new_lab},"
+            f" 'done', {new_lab} = acc.lab)),"
+            f" acc -> acc.lab)")
+    labels = (p2.selectExpr(
+                  "nodes",
+                  f"IF(size(nodes) = 0, array(), {fold}) AS lab")
+                .select(F.expr("explode(arrays_zip(nodes, lab))")
+                         .alias("z"))
+                .selectExpr("z.nodes AS id", "z.lab AS cid"))
     return (dense.join(labels, "id", "left")
                  .selectExpr("COALESCE(cid, id) AS cluster_id",
                              "npts", "cx", "cy")
@@ -361,6 +405,14 @@ def _sql_hits_iter(prev_a: str, out: str) -> str:
 def hits_event_type_authority(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     s = _HITS_SCALE
+    # r10 note: two optimization variants were A/B'd and REJECTED as
+    # measured losses — (a) a per-user weight-MAP pivot with in-row
+    # aggregate() folds (2.46s vs 1.55s merged-before: interpreted
+    # map-entry folds lose to codegen joins), and (b) an extra
+    # repartition("user_id") before the checkpoint to make the
+    # per-round user-keyed operations exchange-free (2.63s: the setup
+    # exchange costs more than the per-round exchanges save at this
+    # shape). The original two-equi-join round stays.
     ut = (load(spark, sf_dir, "events")
           .groupBy("user_id", F.col("event_type").alias("t"))
           .agg(F.count(F.lit(1)).cast("long").alias("w"))

@@ -1271,20 +1271,31 @@ _SQL_TOPK_REL = f"""
 
 
 def _spark_topk_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from de_project_airflow_etl_spark.operators.similarity import cosine
+    # Norms hoisted below the broadcast join (r10 optimization): the
+    # corpus-side norm is anchor-independent and the anchor norm
+    # corpus-independent, yet the fused cosine() evaluated both per
+    # (vector, anchor) pair — 3x the fold work. Splitting the same
+    # expression (dot / (en * qn), identical association) is
+    # bit-identical, and the join boundary stops CollapseProject from
+    # re-inlining the hoisted folds.
+    from de_project_airflow_etl_spark.operators.similarity import dot
     e = load(spark, sf_dir, "embeddings")
     anchors = (e.filter(
                   (F.col("vec_id") % NDCG_ANCHOR_STEP == NDCG_ANCHOR_OFF)
                   & (F.col("vec_id") < NDCG_ANCHOR_OFF + 500))
                 .select(F.col("vec_id").alias("qid"),
                         F.col("label").alias("q_label"),
-                        F.col("embedding").alias("qv")))
-    scored = (e.crossJoin(F.broadcast(anchors))
+                        F.col("embedding").alias("qv"))
+                .withColumn("qn", F.sqrt(dot("qv", "qv"))))
+    ev = e.select("vec_id", "label", "embedding",
+                  F.sqrt(dot("embedding", "embedding")).alias("en"))
+    scored = (ev.crossJoin(F.broadcast(anchors))
                .filter(F.col("vec_id") != F.col("qid"))
                .select("qid", "q_label", "vec_id",
                        F.when(F.col("label") == F.col("q_label"), 1)
                         .otherwise(0).alias("rel"),
-                       cosine("embedding", "qv").alias("cosv")))
+                       (dot("embedding", "qv")
+                        / (F.col("en") * F.col("qn"))).alias("cosv")))
     w = Window.partitionBy("qid").orderBy(F.desc("cosv"), "vec_id")
     return (scored.withColumn("rn",
                               F.row_number().over(w).cast("long"))

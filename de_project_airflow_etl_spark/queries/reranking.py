@@ -243,38 +243,48 @@ _SQL_DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
 )
 def mmr_rerank_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    anchors = (e.filter(
-                  (F.col("vec_id") % _ANCHOR_STEP == _ANCHOR_OFF)
-                  & (F.col("vec_id") < _ANCHOR_OFF + 500))
-                .select(F.col("vec_id").alias("qid"),
-                        F.col("label").alias("q_label"),
-                        F.col("embedding").alias("qv")))
     norm = ("SQRT(aggregate(transform(sequence(1, size(embedding)),"
             " k -> CAST(element_at(embedding, k) AS DOUBLE)"
             " * CAST(element_at(embedding, k) AS DOUBLE)),"
             " CAST(0.0 AS DOUBLE), (a, v) -> a + v))")
     qnorm = norm.replace("embedding", "qv")
+    # Norms hoisted BELOW the broadcast join (r10 optimization): the
+    # corpus-side norm does not depend on the anchor, and the anchor
+    # norm not on the corpus row, yet the fused expression evaluated
+    # both per (vector, anchor) pair — 3x the fold work. Projecting
+    # them once per side is bit-identical (same fold, same operands,
+    # one multiply) and the join boundary stops CollapseProject from
+    # re-inlining them.
+    anchors = (e.filter(
+                  (F.col("vec_id") % _ANCHOR_STEP == _ANCHOR_OFF)
+                  & (F.col("vec_id") < _ANCHOR_OFF + 500))
+                .select(F.col("vec_id").alias("qid"),
+                        F.col("label").alias("q_label"),
+                        F.col("embedding").alias("qv"))
+                .selectExpr("qid", "q_label", "qv", f"{qnorm} AS qn"))
+    ev = e.selectExpr("vec_id", "label", "embedding", f"{norm} AS en")
     dot = ("aggregate(transform(sequence(1, size(embedding)),"
            " k -> CAST(element_at(embedding, k) AS DOUBLE)"
            " * CAST(element_at(qv, k) AS DOUBLE)),"
            " CAST(0.0 AS DOUBLE), (a2, v) -> a2 + v)")
-    scored = (e.crossJoin(F.broadcast(anchors))
+    scored = (ev.crossJoin(F.broadcast(anchors))
                .filter(F.col("vec_id") != F.col("qid"))
                .selectExpr(
                    "qid",
                    "vec_id",
                    "embedding",
+                   "en",
                    "CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel",
-                   f"{dot} / ({norm} * {qnorm}) AS cosv"))
+                   f"{dot} / (en * qn) AS cosv"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosv"), "vec_id")
     grouped = (scored
                .withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= MMR_K_CAND)
                # normalize ONLY the <= 12 surviving candidates
                .selectExpr("qid", "rn", "rel", "cosv",
-                           f"transform(sequence(1, size(embedding)),"
-                           f" k -> CAST(element_at(embedding, k)"
-                           f" AS DOUBLE) / {norm}) AS embn")
+                           "transform(sequence(1, size(embedding)),"
+                           " k -> CAST(element_at(embedding, k)"
+                           " AS DOUBLE) / en) AS embn")
                .groupBy("qid")
                .agg(F.expr("transform(array_sort(collect_list("
                            "struct(rn, rel, cosv, embn))),"

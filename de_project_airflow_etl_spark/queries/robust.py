@@ -742,9 +742,14 @@ def _mra_oracle() -> str:
         "count aggregate); everything after operates on the "
         "vocabulary-bounded transition matrix (<= (|types|+2)^2 rows) "
         "replicated per scenario — the scenario x edge join "
-        "broadcasts a bounded panel (justified BNLJ), and each "
-        "iteration is a bounded-relation join, localCheckpoint-ed so "
-        "lineage stays linear (the pca_power_iter lesson).",
+        "broadcasts a bounded panel (justified BNLJ), and all "
+        f"{MRA_ITERS} iterations run as ONE runtime aggregate() fold "
+        "per scenario over the collected bounded edge panel (the "
+        "accumulator is a VALUE at runtime, so no CollapseProject "
+        "re-inlining and no per-iteration checkpoint jobs — r10 "
+        "optimization; scenarios also derive from the transition "
+        "matrix instead of a second corpus scan, since every "
+        "non-purchase event type appears as a dst).",
     tags=("analytics", "attribution", "graph"),
 )
 def markov_removal_effect_attribution(spark: SparkSession,
@@ -770,32 +775,46 @@ def markov_removal_effect_attribution(spark: SparkSession,
                             f"CAST(CAST(n_ij AS DECIMAL(38,0)) * {MRA_W}"
                             " div n_i AS BIGINT) AS w_e6")
                 .localCheckpoint())  # vocabulary-bounded matrix
-    scen = (load(spark, sf_dir, "events")
-            .filter("event_type <> 'purchase'")
-            .select(F.col("event_type").alias("removed")).distinct()
-            .unionByName(
-                spark.range(1).selectExpr("'__NONE__' AS removed"))
-            .localCheckpoint())  # |channels|+1 rows
-    se = (scen.join(edges, (F.col("src") != F.col("removed"))
-                    & (F.col("dst") != F.col("removed")))
-              .localCheckpoint())  # bounded panel x bounded matrix
-    v = (se.select("removed", F.col("src").alias("state")).distinct()
-           .withColumn("p", F.lit(0).cast("long")))
-    for _ in range(MRA_ITERS):
-        j = se.join(v.selectExpr("removed AS r2", "state AS s2", "p"),
-                    (F.col("removed") == F.col("r2"))
-                    & (F.col("dst") == F.col("s2")), "left")
-        v = (j.selectExpr(
-                "removed", "src",
-                f"w_e6 * (CASE WHEN dst = '__CONV__' THEN {MRA_SCALE}L"
-                " WHEN dst = '__NULL__' THEN 0L"
-                " ELSE COALESCE(p, 0L) END) AS contrib")
-              .groupBy("removed", F.col("src").alias("state"))
-              .agg(F.expr(f"CAST(SUM(contrib) div {MRA_W} AS BIGINT)")
-                    .alias("p"))
-              .localCheckpoint())
-    fin = (scen.join(v.filter("state = '__START__'")
-                      .select("removed", "p"), "removed", "left")
+    # Scenarios from the BOUNDED matrix, not a second corpus scan:
+    # every event row emits exactly one dst (= its event_type unless
+    # 'purchase' -> '__CONV__'), so the distinct non-absorbing dst set
+    # IS the distinct non-purchase event-type set.
+    scen = (edges.select(F.col("dst").alias("removed"))
+                 .filter("removed NOT IN ('__CONV__', '__NULL__')")
+                 .distinct()
+                 .unionByName(
+                     spark.range(1).selectExpr("'__NONE__' AS removed")))
+    se = scen.join(edges, (F.col("src") != F.col("removed"))
+                   & (F.col("dst") != F.col("removed")))
+    # All MRA_ITERS synchronous iterations inside ONE aggregate() fold
+    # per scenario: the p-vector accumulator is a runtime VALUE (never
+    # expression-inlined), contributions are the same exact BIGINT
+    # products (w_e6 * p <= 1e18, per-state sums <= 1e18 — the
+    # documented bound), and integer sums are order-insensitive, so
+    # the fold reproduces the per-iteration join+aggregate bit-exactly
+    # while replacing 12 checkpoint jobs with one bounded projection.
+    pos = "array_position(states, e.dst)"
+    val = (f"CASE WHEN e.dst = '__CONV__' THEN {MRA_SCALE}L"
+           f" WHEN e.dst = '__NULL__' THEN 0L"
+           f" WHEN {pos} = 0 THEN 0L"
+           f" ELSE element_at(p, CAST({pos} AS INT)) END")
+    step = (f"transform(states, s -> CAST(aggregate("
+            f"filter(es, e -> e.src = s), 0L,"
+            f" (acc, e) -> acc + e.w_e6 * ({val})) div {MRA_W}"
+            f" AS BIGINT))")
+    fold = (f"aggregate(sequence(1, {MRA_ITERS}),"
+            f" transform(states, s0 -> 0L), (p, it) -> {step})")
+    start_pos = "array_position(states, '__START__')"
+    res = (se.groupBy("removed")
+             .agg(F.expr("sort_array(collect_set(src))").alias("states"),
+                  F.expr("collect_list(struct(src, dst, w_e6))")
+                   .alias("es"))
+             .selectExpr("removed",
+                         f"CASE WHEN {start_pos} = 0 THEN 0L"
+                         f" ELSE element_at({fold},"
+                         f" CAST({start_pos} AS INT)) END AS p")
+             .localCheckpoint())  # |channels|+1 rows
+    fin = (scen.join(res, "removed", "left")
                .selectExpr("removed", "COALESCE(p, 0L) AS p"))
     fp = (fin.filter("removed = '__NONE__'")
              .selectExpr("p AS conv_e12_full"))

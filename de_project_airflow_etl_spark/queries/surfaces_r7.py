@@ -810,58 +810,41 @@ REACH_DEPTH_CAP = 50  # guards the engine recursion limit at scale
                CAST(MAX(depth) AS BIGINT) AS max_depth
         FROM walk GROUP BY root
     """,
-    doc="WITH RECURSIVE graph walk (second recursive-CTE surface, "
-        "complementing the month-spine generator): duplicate groups "
-        "under the bag-of-words canonical key are chained into "
-        "next-doc edges (rn -> rn+1 inside each group, a DAG by "
-        "construction — no cycle guard needed), and the recursion "
-        "walks each multi-doc group from its keeper root, reporting "
-        "reachable-set size and chain depth — the transitive- "
-        "closure primitive, cross-checkable against "
-        "dedup_normalized_text's group sizes (n_reachable == "
-        "n_docs, max_depth == n_docs - 1). Depth is capped at 50 "
-        "on BOTH engines so a degenerate mega- "
-        "group cannot hit the engine recursion limit; each "
-        "iteration is one hash equi-join on doc ids — the same "
-        "per-round shape as dedup_clusters' large-star/small-star "
-        "rounds.",
+    doc="Transitive reachability over the dup chains (the oracle "
+        "stays the definitional WITH RECURSIVE walk): duplicate "
+        "groups under the bag-of-words canonical key are chained "
+        "into next-doc edges (rn -> rn+1 inside each group), and "
+        "each multi-doc group's keeper root reports reachable-set "
+        "size and chain depth, capped at 50 — cross-checkable "
+        "against dedup_normalized_text's group sizes (n_reachable "
+        "== n_docs, max_depth == n_docs - 1 below the cap). r10 "
+        "optimization (guide §8 problem knowledge): the edge set is "
+        "a union of DISJOINT PATHS by construction — every node has "
+        "exactly one successor (rn+1) — so the depth-capped walk "
+        "from the root (rn 1) visits exactly the docs at depths "
+        "0..min(n-1, cap): n_reachable = LEAST(n, cap+1), max_depth "
+        "= LEAST(n-1, cap). ONE map-side-combinable aggregate "
+        "replaces the rank window, the chain self-join, and the "
+        "O(chain-length) sequential recursion rounds — which at "
+        "100 TB is the difference between one shuffle and an "
+        "unbounded number of them. Equivalence to the recursive "
+        "oracle is re-proven exactly at every sf.",
     tags=("recursive-cte", "dedup"),
 )
 def recursive_dup_reachability(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    # Spark re-evaluates non-recursive CTEs referenced INSIDE the
-    # recursion on EVERY iteration (measured: 16/32 MB shuffle when
-    # grp/edges lived in the WITH — the md5 keying + rank window and
-    # the chain join re-ran per step). Materialize the bounded edge
-    # and root relations ONCE; only the walk itself recurses.
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_BAG_KEY_SPARK).alias("k"))
-    w = Window.partitionBy("k").orderBy("doc_id")
-    grp = (d.withColumn("rn", F.row_number().over(w))
-             .localCheckpoint())
-    a = grp.select(F.col("doc_id").alias("src"), "k", "rn")
-    b = grp.select(F.col("doc_id").alias("dst"), "k",
-                   (F.col("rn") - 1).alias("rn"))
-    edges = a.join(b, ["k", "rn"]).select("src", "dst").localCheckpoint()
-    roots = (grp.groupBy("k")
-                .agg(F.min("doc_id").alias("root"),
-                     F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") > 1).select("root").localCheckpoint())
-    edges.createOrReplaceTempView("reach_edges")
-    roots.createOrReplaceTempView("reach_roots")
-    return spark.sql(f"""
-        WITH RECURSIVE walk AS (
-          SELECT root, root AS doc, 0 AS depth FROM reach_roots
-          UNION ALL
-          SELECT w.root, e.dst, w.depth + 1
-          FROM walk w JOIN reach_edges e ON e.src = w.doc
-          WHERE w.depth < {REACH_DEPTH_CAP}
-        )
-        SELECT CAST(root AS BIGINT) AS root_doc,
-               CAST(COUNT(*) AS BIGINT) AS n_reachable,
-               CAST(MAX(depth) AS BIGINT) AS max_depth
-        FROM walk GROUP BY root
-    """)
+    return (d.groupBy("k")
+             .agg(F.min("doc_id").alias("root"),
+                  F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") > 1)
+             .selectExpr(
+                 "CAST(root AS BIGINT) AS root_doc",
+                 f"CAST(LEAST(n, {REACH_DEPTH_CAP} + 1) AS BIGINT)"
+                 " AS n_reachable",
+                 f"CAST(LEAST(n - 1, {REACH_DEPTH_CAP}) AS BIGINT)"
+                 " AS max_depth"))
 
 
 # -------------------- distributed per-dimension rank normalization
