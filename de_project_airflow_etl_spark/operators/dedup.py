@@ -228,12 +228,36 @@ def _pairs_cache_put(key: tuple[str, str], df: DataFrame) -> None:
     _PAIRS_CACHE[key] = df
 
 
-def _lsh_pairs_plan(digests: DataFrame) -> DataFrame:
+def _minhash_cols_bin() -> list[Column]:
+    """Binary twin of ``_minhash_cols``: the i-th signature is the min
+    of the i-th disjoint 2-BYTE window of each 16-byte digest. md5 hex
+    is lowercase and fixed-width, so hex<->binary is a bijection and
+    bytewise lexicographic min equals the hex-substring min — the
+    signatures (and every band key built from them) select the SAME
+    shingles as the hex form."""
+    return [
+        F.expr(f"array_min(transform(hs,"
+               f" h -> substring(h, {i * 2 + 1}, 2)))").alias(f"sig_{i}")
+        for i in range(N_HASHES)
+    ]
+
+
+def _lsh_pairs_plan(digests: DataFrame, binary: bool = False) -> DataFrame:
     """The verified-pairs plan over a (doc_id, hs) digest relation:
     band equi-join candidates -> exact Jaccard >= threshold. Pure plan
     construction (no persist/materialize) so plan-shape tests can
-    inspect the real join structure."""
-    bands = digests.select("doc_id", *_minhash_cols()).select(
+    inspect the real join structure.
+
+    ``binary=True`` expects ``hs`` as array<binary> (unhex-ed digests;
+    r10 optimization): halves the digest bytes through the persist and
+    BOTH verify-join shuffles, and band keys become 4-byte binaries
+    instead of 8-char strings. Exact — the hex<->binary bijection
+    preserves every equality and ordering the plan relies on, so the
+    candidate set, intersection counts and Jaccard values are
+    identical to the hex form (re-proven against the string-gram
+    oracle at all three sfs)."""
+    sig_cols = _minhash_cols_bin() if binary else _minhash_cols()
+    bands = digests.select("doc_id", *sig_cols).select(
         "doc_id",
         F.posexplode(F.array(*[_band_hash(b) for b in range(N_BANDS)]))
          .alias("band_idx", "band_hash"))
@@ -272,10 +296,15 @@ def _lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _PAIRS_CACHE:
         _PAIRS_CACHE[key] = _PAIRS_CACHE.pop(key)  # LRU touch
         return _PAIRS_CACHE[key]
+    # digests persist as 16-byte binaries, not 32-hex strings (r10):
+    # the persist and both verify-join shuffles move half the bytes;
+    # see _lsh_pairs_plan(binary=True) for the exactness argument.
     digests = tracked_persist(
-        _shingled(spark, sf_dir).select("doc_id", "hs"))
+        _shingled(spark, sf_dir).select(
+            "doc_id",
+            F.expr("transform(hs, h -> unhex(h))").alias("hs")))
     try:
-        verified = (_lsh_pairs_plan(digests)
+        verified = (_lsh_pairs_plan(digests, binary=True)
                     .localCheckpoint(eager=True))  # materialize, THEN unpersist
     finally:
         digests.unpersist()
