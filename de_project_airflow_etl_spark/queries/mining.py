@@ -1100,10 +1100,20 @@ def daily_value_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 LOF_K = 3
 LOF_BITS = 4   # coarser sign-LSH than the ANN family's 8 bits: the
                # neighborhood blocks need tens of members, not ~n/256
-LOF_SALT = 8   # p-side salt splits per bucket: the all-pairs join key
-               # space grows from 16 to 128 partitions (skew/parallel
-               # lever at any scale; replicating the o side 8x is the
-               # cost — guide §2.5 salted-join recipe)
+# p-side salt splits per bucket (guide §2.5 salted-join recipe): the
+# all-pairs join is keyed by the FIXED 2^LOF_BITS=16 bucket space, so
+# at cluster scale <=16 tasks carry the quadratic stage and inherit
+# the buckets' size skew; salting multiplies the key space by
+# LOF_SALT at the cost of replicating the o side LOF_SALT times.
+# LOCAL DEFAULT 1 (unsalted): measured interleaved warm A/B at sf0.1
+# on local[32] — unsalted 3.33s vs salt=8 3.85s vs salt=4 3.70s; the
+# replication costs more than the extra parallelism buys while the
+# whole qual relation fits one task's memory. At production scale set
+# SPARK_GRAFT_LOF_SALT to ~(cores / 2^LOF_BITS) or higher when the
+# stage's max/median task time passes ~5x (the §2.5 skew bar).
+import os as _os
+
+LOF_SALT = int(_os.environ.get("SPARK_GRAFT_LOF_SALT", "1"))
 
 
 def _lof_bucket_sql(col: str) -> str:
@@ -1218,23 +1228,27 @@ def lof_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
                 "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
                 "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    # The bucket space is FIXED (2^LOF_BITS = 16 keys), so an
-    # unsalted bucket equi-join caps the all-pairs stage at 16 tasks
-    # and inherits the buckets' size skew (guide §2.5). Salt the
-    # p side deterministically (xxhash64, never rand) and replicate
-    # the o side LOF_SALT ways: identical pair set (each p row meets
-    # each bucket-mate exactly once, on its own salt), 16*LOF_SALT
-    # join partitions — r10 optimization.
-    p_s = p.withColumn(
-        "psalt", F.pmod(F.xxhash64("p_vec"), F.lit(LOF_SALT)).cast("int"))
-    o_s = o.select("o_vec", "o_emb", "obucket",
-                   F.explode(F.expr(f"sequence(0, {LOF_SALT - 1})"))
-                    .alias("osalt"))
-    pairs = (p_s.join(o_s, (F.col("bucket") == F.col("obucket"))
-                      & (F.col("psalt") == F.col("osalt"))
-                      & (F.col("p_vec") != F.col("o_vec")))
-             .select("p_vec", "o_vec", "bucket", "bsize",
-                     d2.alias("d2")))
+    # Deterministic p-side salt + o-side replication when LOF_SALT>1
+    # (identical pair set: each p row meets each bucket-mate exactly
+    # once, on its own salt) — see the LOF_SALT note for the measured
+    # local default and the production setting.
+    if LOF_SALT > 1:
+        p_s = p.withColumn(
+            "psalt",
+            F.pmod(F.xxhash64("p_vec"), F.lit(LOF_SALT)).cast("int"))
+        o_s = o.select("o_vec", "o_emb", "obucket",
+                       F.explode(F.expr(f"sequence(0, {LOF_SALT - 1})"))
+                        .alias("osalt"))
+        pairs = (p_s.join(o_s, (F.col("bucket") == F.col("obucket"))
+                          & (F.col("psalt") == F.col("osalt"))
+                          & (F.col("p_vec") != F.col("o_vec")))
+                 .select("p_vec", "o_vec", "bucket", "bsize",
+                         d2.alias("d2")))
+    else:
+        pairs = (p.join(o, (F.col("bucket") == F.col("obucket"))
+                        & (F.col("p_vec") != F.col("o_vec")))
+                 .select("p_vec", "o_vec", "bucket", "bsize",
+                         d2.alias("d2")))
     w = Window.partitionBy("p_vec").orderBy(F.asc("d2"), F.asc("o_vec"))
     # knn is consumed by THREE downstream relations (kdist, reach,
     # and through them both lrd sides): materialize the k*|points|

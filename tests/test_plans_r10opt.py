@@ -66,15 +66,21 @@ def test_dbscan_fold_replaces_star_rounds(spark, sf_dir):
     assert "WindowExec" not in plan
 
 
-def test_lof_pairs_join_is_salted(spark, sf_dir):
-    from de_project_airflow_etl_spark.queries.mining import LOF_SALT
-    df = REG["lof_bucket_outliers"].fn(spark, sf_dir)
-    # the final plan is checkpoint-truncated; assert on the knn
-    # relation's pre-checkpoint shape by rebuilding the pairs join the
-    # way the query does and checking the session-level constant
-    assert LOF_SALT >= 4
-    # and the query still computes (smoke over the checkpointed plan)
-    assert "psalt" not in _final_plan(df)  # salt consumed pre-checkpoint
+def test_lof_salt_is_parameterized(spark, sf_dir):
+    # The fixed-16-key all-pairs join carries a deterministic salt
+    # lever behind SPARK_GRAFT_LOF_SALT (local default 1 — measured
+    # interleaved A/B: unsalted 3.33s vs salt=8 3.85s at sf0.1; at
+    # cluster scale the salt spreads the bucket skew). Pin the knob's
+    # existence, its deterministic (xxhash64, never rand) key, and
+    # that the default still computes.
+    import inspect
+
+    from de_project_airflow_etl_spark.queries import mining
+    assert mining.LOF_SALT >= 1
+    src = inspect.getsource(mining.lof_bucket_outliers)
+    assert "xxhash64" in src and "LOF_SALT" in src
+    assert "rand()" not in src
+    assert mining.lof_bucket_outliers(spark, sf_dir).count() > 0
 
 
 def test_lsh_binary_equals_hex_pairs(spark, sf_dir):
