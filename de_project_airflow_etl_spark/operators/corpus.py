@@ -221,24 +221,44 @@ def _release_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_near), lang, and token count — localCheckpointed, text dropped."""
     from de_project_airflow_etl_spark.operators.corpus_stats import (
         _GRAMS_EXPR, BOILER_FRAC_DEN, BOILER_FRAC_NUM, BOILER_MIN_DF,
+        GRAM_N,
     )
     from de_project_airflow_etl_spark.operators.curation import (
         EVAL_MOD, NGRAM_N, _ngram_hashes,
     )
     from de_project_airflow_etl_spark.operators.dedup import _lsh_verified
     from de_project_airflow_etl_spark.operators.quality import (
-        repetition_stats_plan,
+        MAX_TOP_FRAC, MIN_DISTINCT_RATIO,
     )
 
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
 
-    # Per-doc gate flags, each derived ONCE; the funnel is conjunctive,
-    # so six stage aggregates over one flags relation replace the naive
-    # chain of filtered subframes (which re-executes every prefix —
-    # O(stages^2) corpus passes; review finding).
-    rep_keep = (repetition_stats_plan(docs).filter("keep")
-                .select("doc_id").withColumn("f_rep", F.lit(1)))
+    # ONE narrow base pass over the documents (r11 fusion): the five
+    # downstream gates used to re-derive text-derived columns in their
+    # own scans — split(text) four times, md5(text) twice, plus a
+    # corpus-sized equi-join just to attach the repetition verdict.
+    # This projection computes every per-doc scalar gate input ONCE
+    # (guide §2.4 "remove shuffles outright" for the f_rep join, §1.2
+    # "don't compute things twice" for the parses) and checkpoints the
+    # NARROW result (ids/hashes/flags only, never text or token
+    # arrays — data-sized array materialization is the measured-loss
+    # pattern this repo documents). The repetition expressions are the
+    # exact ones in quality.repetition_stats_plan: INT vs BIGINT width
+    # before the DOUBLE casts cannot change the ratio values.
+    ratio = (F.size(F.array_distinct(toks)).cast("double")
+             / F.size(toks).cast("double"))
+    top_frac = (F.expr("CAST(array_max(transform(array_distinct("
+                       "split(text, ' ')), w -> size(filter("
+                       "split(text, ' '), x -> x = w)))) AS DOUBLE)")
+                / F.size(toks).cast("double"))
+    base = (docs.select(
+                "doc_id", "lang",
+                F.md5(F.col("text").cast("binary")).alias("h"),
+                F.size(toks).alias("n_tokens"),
+                ((ratio >= F.lit(MIN_DISTINCT_RATIO))
+                 & (top_frac <= F.lit(MAX_TOP_FRAC))).alias("f_rep"))
+                .localCheckpoint(eager=False))
 
     # the gram table feeds BOTH the df aggregate and the per-doc probe;
     # materialize it once (this is the "persisted gram table" the 100 TB
@@ -260,15 +280,19 @@ def _release_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "boilerplate", or this gate annihilates BOTH copies of every
     # duplicated doc and the exact-dedup stage (which keeps a
     # canonical copy) becomes unreachable for them — surfaced by the
-    # 50k planted funnel stress. Grouping shuffles the 32-char md5,
-    # never the document text (same policy as the exact-dedup stage).
-    uniq_ids = (docs.groupBy(F.md5(F.col("text").cast("binary"))
-                             .alias("h"))
+    # 50k planted funnel stress. The md5 now comes from the shared
+    # base pass (r11 fusion: no second md5-of-text scan); grouping
+    # shuffles the 32-char hash, never the document text.
+    uniq_ids = (base.groupBy("h")
                     .agg(F.min("doc_id").alias("doc_id"))
                     .select("doc_id"))
     boiler = (exploded.join(uniq_ids, "doc_id", "left_semi")
                       .groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
                       .filter(F.col("df") >= BOILER_MIN_DF).select("gram"))
+    # docs that produced >= 1 gram and stayed under the boilerplate
+    # fraction; docs with <5 tokens have no grams and pass the gate —
+    # folded into the f_boil expression below (n_tokens < GRAM_N) so
+    # the old union's extra documents scan is gone (r11 fusion).
     boiler_keep = (exploded.join(boiler.withColumn("b", F.lit(1)),
                                  "gram", "left")
                    .groupBy("doc_id")
@@ -277,10 +301,6 @@ def _release_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .filter(F.col("n_boiler") * BOILER_FRAC_DEN
                            < F.col("n_grams") * BOILER_FRAC_NUM)
                    .select("doc_id").withColumn("f_boil", F.lit(1)))
-    # docs with <5 tokens have no grams and pass the boilerplate gate
-    no_grams = (docs.filter(F.size(toks) < 5)
-                    .select("doc_id").withColumn("f_boil", F.lit(1)))
-    boiler_keep = boiler_keep.unionAll(no_grams)
 
     grams = (docs.select("doc_id", toks.alias("toks"))
                  .filter(F.size("toks") >= NGRAM_N)
@@ -293,19 +313,16 @@ def _release_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .select("doc_id").distinct()
                          .withColumn("contam", F.lit(1)))
 
-    # content hash and token count are computed in the scan projection
-    # so the document text never enters a join or aggregate shuffle —
+    # hash, token count and the repetition flag all ride the shared
+    # base pass, so the document text never enters a join or aggregate
+    # shuffle and the old rep_keep corpus-sized equi-join is gone —
     # every downstream exchange moves (doc_id, lang, h, n_tokens) only
-    flagged = (docs.select("doc_id", "lang",
-                           F.md5(F.col("text").cast("binary")).alias("h"),
-                           F.size(toks).alias("n_tokens"))
-                   .join(rep_keep, "doc_id", "left")
-                   .join(boiler_keep, "doc_id", "left")
+    flagged = (base.join(boiler_keep, "doc_id", "left")
                    .join(contaminated, "doc_id", "left")
                    .select(
-                       "doc_id", "lang", "h", "n_tokens",
-                       F.col("f_rep").isNotNull().alias("f_rep"),
-                       F.col("f_boil").isNotNull().alias("f_boil"),
+                       "doc_id", "lang", "h", "n_tokens", "f_rep",
+                       (F.col("f_boil").isNotNull()
+                        | (F.col("n_tokens") < GRAM_N)).alias("f_boil"),
                        ((F.col("doc_id") % EVAL_MOD != 0)
                         & F.col("contam").isNull()).alias("f_dec")))
 

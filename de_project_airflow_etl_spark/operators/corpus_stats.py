@@ -105,7 +105,12 @@ _SQL_GRAMS = f"""
         "distinct grams are flagged, reported per source. One "
         "doc-frequency hash aggregate over the exploded gram inverted "
         "index + one equi-join back — linear in total grams, never "
-        "doc x doc.",
+        "doc x doc. Triage caveat: the Spark side counts grams by "
+        "xxhash64 code (8-byte shuffle keys) while the oracle counts "
+        "exact strings — a 64-bit hash collision would merge two "
+        "grams' doc counts and surface as an oracle mismatch HERE, "
+        "not as a code bug (none exist at test scales; expected only "
+        "near ~10^10 distinct grams).",
     tags=("curation", "boilerplate", "dedup"),
 )
 def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -726,10 +726,16 @@ def _harmonic_bfs(pairs: DataFrame, radius: int = _HC_RADIUS) -> DataFrame:
     Factored out of the registry query so planted-graph tests
     (tests/test_graph_scale_r15.py) can drive it on synthetic
     graphs with known distances."""
+    # LAZY checkpoints throughout (r11, guide §1.4): every frontier/
+    # visited relation is still materialized exactly once and reused
+    # by its multiple consumers (next round's hop join + anti-join +
+    # the levels union), but the 3 expansion rounds now run under ONE
+    # action instead of 7 sequential eager-checkpoint job barriers;
+    # scores byte-identical.
     sym = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
                 .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
                 .distinct()
-                .localCheckpoint())  # edges scanned once per round
+                .localCheckpoint(eager=False))  # edges scanned once/round
     levels = [sym.withColumn("d", F.lit(1))]
     frontier = sym
     visited = sym
@@ -740,8 +746,9 @@ def _harmonic_bfs(pairs: DataFrame, radius: int = _HC_RADIUS) -> DataFrame:
                        .filter("src <> dst")
                        .distinct())
         frontier = (hop.join(visited, ["src", "dst"], "left_anti")
-                       .localCheckpoint())
-        visited = visited.union(frontier).localCheckpoint()
+                       .localCheckpoint(eager=False))
+        visited = (visited.union(frontier)
+                          .localCheckpoint(eager=False))
         levels.append(frontier.withColumn("d", F.lit(depth)))
     alldist = levels[0]
     for lv in levels[1:]:

@@ -278,11 +278,24 @@ def dbscan_grid_embedding_clusters(spark: SparkSession,
     one = (edges.groupBy()
                 .agg(F.expr("sort_array(collect_list(struct("
                             "doc_a AS a, doc_b AS b)))").alias("es")))
+    # the boundedness the single-row fold rests on is a DATA property
+    # (unit-range embeddings -> <= (2*GRID)^2 cells); guard it with an
+    # explicit assert so a domain break fails loudly BEFORE the fold
+    # goes quadratic in-row instead of OOMing an executor (ADVICE r10).
+    # Bound: 64*GRID^2 allows embeddings up to ~4x outside unit range
+    # before refusing — ample slack, still panel-sized.
+    _db_node_cap = 64 * _DB_GRID * _DB_GRID
     p1 = (one.selectExpr(
               "es",
               "sort_array(array_distinct(concat("
               "transform(es, e -> e.a), transform(es, e -> e.b))))"
               " AS nodes")
+             .filter(F.expr(
+                 f"assert_true(size(nodes) <= {_db_node_cap},"
+                 f" 'dbscan cell graph exceeds the value-domain bound"
+                 f" ({_db_node_cap} nodes): embeddings are far outside"
+                 f" the unit range; the single-row CC fold refuses'"
+                 f") IS NULL"))
              .localCheckpoint())  # one bounded row
     p2 = (p1.selectExpr(
               "nodes",

@@ -893,7 +893,12 @@ def kcore_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("doc_b").alias("dst"))
                   .union(pairs.select(F.col("doc_b").alias("src"),
                                       F.col("doc_a").alias("dst")))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
+    # LAZY checkpoints (r11, guide §1.4): each round's edges are still
+    # materialized exactly once (keep references them twice, the next
+    # round once — the checkpoint dedupes), but the whole 6-round peel
+    # now runs under ONE action instead of paying 7 sequential
+    # driver-job barriers; labels byte-identical.
     for _ in range(KCORE_ROUNDS):
         keep = (edges.groupBy("src")
                      .agg(F.count(F.lit(1)).alias("d"))
@@ -902,7 +907,7 @@ def kcore_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (edges.join(keep, "src")
                       .join(keep.withColumnRenamed("src", "dst"), "dst")
                       .select("src", "dst")
-                      .localCheckpoint())
+                      .localCheckpoint(eager=False))
     return (edges.groupBy(F.col("src").alias("doc_id"))
                  .agg(F.count(F.lit(1)).alias("core_degree")))
 

@@ -1104,16 +1104,26 @@ LOF_BITS = 4   # coarser sign-LSH than the ANN family's 8 bits: the
 # all-pairs join is keyed by the FIXED 2^LOF_BITS=16 bucket space, so
 # at cluster scale <=16 tasks carry the quadratic stage and inherit
 # the buckets' size skew; salting multiplies the key space by
-# LOF_SALT at the cost of replicating the o side LOF_SALT times.
-# LOCAL DEFAULT 1 (unsalted): measured interleaved warm A/B at sf0.1
-# on local[32] — unsalted 3.33s vs salt=8 3.85s vs salt=4 3.70s; the
-# replication costs more than the extra parallelism buys while the
-# whole qual relation fits one task's memory. At production scale set
-# SPARK_GRAFT_LOF_SALT to ~(cores / 2^LOF_BITS) or higher when the
-# stage's max/median task time passes ~5x (the §2.5 skew bar).
+# the salt factor at the cost of replicating the o side that many
+# times. The factor is SCALE-ADAPTIVE (guide §2, r11 fix of the r10
+# env-only knob): derived from the session's defaultParallelism so a
+# real cluster engages the salted join automatically while local[32]
+# stays unsalted (32 // 16 // 2 = 1) — the measured-faster local
+# shape (interleaved warm A/B at sf0.1: unsalted 3.33s vs salt=8
+# 3.85s vs salt=4 3.70s; replication costs more than the extra
+# parallelism buys while the qual relation fits one task's memory).
+# SPARK_GRAFT_LOF_SALT overrides both directions; both branches are
+# oracle-exact (tests/test_mining_properties.py pins salted==unsalted
+# row-for-row).
 import os as _os
 
-LOF_SALT = int(_os.environ.get("SPARK_GRAFT_LOF_SALT", "1"))
+
+def _lof_salt(spark: SparkSession) -> int:
+    env = _os.environ.get("SPARK_GRAFT_LOF_SALT")
+    if env is not None:
+        return max(1, int(env))
+    return max(1, spark.sparkContext.defaultParallelism
+               // (1 << LOF_BITS) // 2)
 
 
 def _lof_bucket_sql(col: str) -> str:
@@ -1204,6 +1214,14 @@ _LOF_D2 = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
     tags=("similarity", "anomaly"),
 )
 def lof_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lof_pairs(spark, sf_dir)
+    return _lof_scores(pairs)
+
+
+def _lof_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocked all-pairs distance relation (p_vec, o_vec, bucket,
+    bsize, d2) — factored out of the query so the plan gate can prove
+    the salted join engages without the knn checkpoint hiding it."""
     e = load(spark, sf_dir, "embeddings")
     bucket = F.expr(
         f"aggregate(sequence(1, {LOF_BITS}), 0,"
@@ -1228,27 +1246,30 @@ def lof_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
                 "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
                 "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    # Deterministic p-side salt + o-side replication when LOF_SALT>1
-    # (identical pair set: each p row meets each bucket-mate exactly
-    # once, on its own salt) — see the LOF_SALT note for the measured
-    # local default and the production setting.
-    if LOF_SALT > 1:
+    # Deterministic p-side salt + o-side replication when the derived
+    # salt is >1 (identical pair set: each p row meets each bucket-mate
+    # exactly once, on its own salt) — see the _lof_salt note for the
+    # measured local default and the scale-adaptive derivation.
+    lof_salt = _lof_salt(spark)
+    if lof_salt > 1:
         p_s = p.withColumn(
             "psalt",
-            F.pmod(F.xxhash64("p_vec"), F.lit(LOF_SALT)).cast("int"))
+            F.pmod(F.xxhash64("p_vec"), F.lit(lof_salt)).cast("int"))
         o_s = o.select("o_vec", "o_emb", "obucket",
-                       F.explode(F.expr(f"sequence(0, {LOF_SALT - 1})"))
+                       F.explode(F.expr(f"sequence(0, {lof_salt - 1})"))
                         .alias("osalt"))
-        pairs = (p_s.join(o_s, (F.col("bucket") == F.col("obucket"))
-                          & (F.col("psalt") == F.col("osalt"))
-                          & (F.col("p_vec") != F.col("o_vec")))
-                 .select("p_vec", "o_vec", "bucket", "bsize",
-                         d2.alias("d2")))
-    else:
-        pairs = (p.join(o, (F.col("bucket") == F.col("obucket"))
-                        & (F.col("p_vec") != F.col("o_vec")))
-                 .select("p_vec", "o_vec", "bucket", "bsize",
-                         d2.alias("d2")))
+        return (p_s.join(o_s, (F.col("bucket") == F.col("obucket"))
+                         & (F.col("psalt") == F.col("osalt"))
+                         & (F.col("p_vec") != F.col("o_vec")))
+                .select("p_vec", "o_vec", "bucket", "bsize",
+                        d2.alias("d2")))
+    return (p.join(o, (F.col("bucket") == F.col("obucket"))
+                   & (F.col("p_vec") != F.col("o_vec")))
+            .select("p_vec", "o_vec", "bucket", "bsize",
+                    d2.alias("d2")))
+
+
+def _lof_scores(pairs: DataFrame) -> DataFrame:
     w = Window.partitionBy("p_vec").orderBy(F.asc("d2"), F.asc("o_vec"))
     # knn is consumed by THREE downstream relations (kdist, reach,
     # and through them both lrd sides): materialize the k*|points|

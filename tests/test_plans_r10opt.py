@@ -53,8 +53,10 @@ def test_markov_single_fold(spark, sf_dir):
 
     from de_project_airflow_etl_spark.queries import robust
     src = inspect.getsource(robust.markov_removal_effect_attribution)
-    assert src.count("aggregate(sequence(1, {MRA_ITERS})") == 1 or \
-        "aggregate(sequence(1," in src
+    # exactly ONE bounded fold (ADVICE r10: strict count, no vacuous
+    # or-fallback — a reintroduced per-iteration join chain alongside
+    # the fold must fail here)
+    assert src.count("aggregate(sequence(1, {MRA_ITERS})") == 1, src
 
 
 def test_dbscan_fold_replaces_star_rounds(spark, sf_dir):
@@ -66,21 +68,62 @@ def test_dbscan_fold_replaces_star_rounds(spark, sf_dir):
     assert "WindowExec" not in plan
 
 
-def test_lof_salt_is_parameterized(spark, sf_dir):
-    # The fixed-16-key all-pairs join carries a deterministic salt
-    # lever behind SPARK_GRAFT_LOF_SALT (local default 1 — measured
-    # interleaved A/B: unsalted 3.33s vs salt=8 3.85s at sf0.1; at
-    # cluster scale the salt spreads the bucket skew). Pin the knob's
-    # existence, its deterministic (xxhash64, never rand) key, and
-    # that the default still computes.
-    import inspect
+def test_lof_salt_derivation_is_scale_adaptive():
+    # r11: the salt derives from the session's defaultParallelism
+    # (guide §2 scale-adaptive partitioning) — unsalted on local[32]
+    # (32 // 16 // 2 = 1, the measured-faster local shape), engaged
+    # automatically at cluster parallelism, env override respected.
+    from types import SimpleNamespace
 
     from de_project_airflow_etl_spark.queries import mining
-    assert mining.LOF_SALT >= 1
-    src = inspect.getsource(mining.lof_bucket_outliers)
-    assert "xxhash64" in src and "LOF_SALT" in src
+
+    def fake(parallelism):
+        return SimpleNamespace(sparkContext=SimpleNamespace(
+            defaultParallelism=parallelism))
+
+    assert mining._lof_salt(fake(32)) == 1      # local[32]
+    assert mining._lof_salt(fake(8)) == 1       # driver's low-core run
+    assert mining._lof_salt(fake(1024)) == 32   # real cluster engages
+    import os
+    os.environ["SPARK_GRAFT_LOF_SALT"] = "4"
+    try:
+        assert mining._lof_salt(fake(32)) == 4  # override both ways
+        assert mining._lof_salt(fake(1024)) == 4
+    finally:
+        del os.environ["SPARK_GRAFT_LOF_SALT"]
+
+
+def test_lof_salted_equals_unsalted(spark, sf_dir):
+    # ADVICE r10 (medium): the salted-join branch must be machine-
+    # checked equal to the unsalted default, not argued in a comment —
+    # a bug there would change LOF results only at cluster scale.
+    # Force salt=4 via the env override, compare row-for-row.
+    import inspect
+    import os
+
+    from de_project_airflow_etl_spark.queries import mining
+    src = inspect.getsource(mining._lof_pairs)
+    assert "xxhash64" in src and "lof_salt" in src
     assert "rand()" not in src
-    assert mining.lof_bucket_outliers(spark, sf_dir).count() > 0
+
+    base = sorted(map(tuple,
+                      mining.lof_bucket_outliers(spark, sf_dir).collect()))
+    assert base
+    os.environ["SPARK_GRAFT_LOF_SALT"] = "4"
+    try:
+        # the knn eager checkpoint hides the join from the query's
+        # FINAL plan (round-6-late gate-visibility rule), so gate the
+        # factored pairs relation: the salted plan must actually join
+        # on the salt keys
+        plan = (mining._lof_pairs(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "psalt" in plan and "osalt" in plan, plan[:2000]
+        salted = sorted(map(tuple,
+                            mining.lof_bucket_outliers(spark, sf_dir)
+                                  .collect()))
+    finally:
+        del os.environ["SPARK_GRAFT_LOF_SALT"]
+    assert salted == base
 
 
 def test_lsh_binary_equals_hex_pairs(spark, sf_dir):
