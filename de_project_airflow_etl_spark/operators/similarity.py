@@ -1338,11 +1338,19 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                        cosine("embedding", "qv").alias("sim"),
                        (F.col("bucket") == F.col("qbucket"))
                            .cast("int").alias("in_bucket")))
+    # ONE window spec for both ranks (r11, guide §2.4): the bucket
+    # rank among in-bucket rows equals the RUNNING SUM of in_bucket
+    # over the same (qid, sim DESC, vec_id) order, so the former
+    # second window (partitioned by qid+in_bucket — a second full
+    # exchange + sort of the n x |q| pair stream) folds into the same
+    # WindowExec; plan shows 1 Exchange/Sort for the window stage
+    # instead of 2.
     we = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    wb = (Window.partitionBy("qid", "in_bucket")
-                .orderBy(F.desc("sim"), F.asc("vec_id")))
     ranked = (scored.withColumn("rk_exact", F.row_number().over(we))
-                    .withColumn("rk_bucket", F.row_number().over(wb)))
+                    .withColumn("rk_bucket",
+                                F.sum("in_bucket").over(
+                                    we.rowsBetween(
+                                        Window.unboundedPreceding, 0))))
     hit = ((F.col("rk_exact") <= RECALL_K) & (F.col("in_bucket") == 1)
            & (F.col("rk_bucket") <= RECALL_K)).cast("int")
     return (ranked.groupBy("qid")

@@ -144,15 +144,19 @@ def shapley_channel_attribution(spark: SparkSession,
                    f"THEN {_CH_BITS_SPARK} END AS bit")
                .groupBy("user_id")
                .agg(F.expr("COALESCE(bit_or(bit), 0)").alias("mask")))
+    # lazy checkpoints (r11, guide §1.4): the <=16-row lattice panels
+    # still materialize once for their multiple consumers (v feeds
+    # both v0 and v1), but the query now runs under ONE action instead
+    # of paying two eager checkpoint job barriers first
     mc = (masks.groupBy("mask")
                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-               .localCheckpoint())  # <=16 rows: lattice joins below
+               .localCheckpoint(eager=False))  # <=16 rows: lattice below
     subsets = spark.range(16).selectExpr("CAST(id AS INT) AS s")
     v = (subsets.join(mc, F.expr("(mask & s) = mask"), "left")
                 .groupBy("s")
                 .agg(F.expr("CAST(COALESCE(SUM(cnt), 0) AS BIGINT)")
                       .alias("v"))
-                .localCheckpoint())  # 16 rows
+                .localCheckpoint(eager=False))  # 16 rows
     ch = spark.createDataFrame(_CHANNELS, ["channel", "bit"])
     v0 = v.select(F.col("s"), F.col("v").alias("v0"))
     v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
@@ -236,13 +240,17 @@ def isotonic_daily_revenue_fit(spark: SparkSession,
                          f"{_CENTS} AS c")
              .groupBy("day")
              .agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("y"))
-             .localCheckpoint())  # <=30 rows: all windows/joins below
+             .localCheckpoint(eager=False))  # <=30 rows: all below
     w = Window.orderBy("day")
+    # lazy checkpoints (r11, guide §1.4): the <=30-row panels still
+    # materialize once for their multiple consumers, but the whole
+    # bounded lattice now runs under ONE action instead of paying two
+    # eager checkpoint job barriers before it
     idx = daily.select(
         "day", "y",
         F.row_number().over(w).cast("long").alias("i"),
         F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0))
-         .cast("decimal(38,0)").alias("pref")).localCheckpoint()
+         .cast("decimal(38,0)").alias("pref")).localCheckpoint(eager=False)
     base = (idx.selectExpr("i AS k", "pref")
                .unionAll(spark.range(1).selectExpr(
                    "CAST(0 AS BIGINT) AS k",

@@ -76,38 +76,57 @@ RULE_MIN_SUPPORT = 5
 def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # ONE orderkey exchange builds the per-order brand sets directly
-    # (collect_set dedups in-group with map-side partials — no
-    # standalone distinct exchange), and every other relation (order
-    # count, item supports, the pair stream) derives from the
+    # Brands ride as DENSE INT CODES through every corpus-scale stage
+    # (r11, guide §2.3 narrower shuffle types + join-back): the code
+    # dimension is vocabulary-bounded (~25 rows; row_number over the
+    # sorted distinct brands — a bounded window, the per-date-maxima
+    # precedent) and JOIN-assigned, so unlike hashing this is exact by
+    # construction. The orderkey exchange's collect_set partials and
+    # the pair explode's structs then carry 4-byte ints instead of
+    # ~10-byte strings; the bounded final join-back recovers the
+    # brand strings for the <= vocab^2 surviving rules.
+    dim = (part.select("p_brand").distinct()
+               .select("p_brand",
+                       F.row_number().over(Window.orderBy("p_brand"))
+                        .cast("int").alias("bc"))
+               .localCheckpoint(eager=False))  # bounded dim, 3 consumers
+    coded = part.join(F.broadcast(dim), "p_brand").select("p_partkey", "bc")
+    # ONE orderkey exchange builds the per-order brand-code sets
+    # directly (collect_set dedups in-group with map-side partials —
+    # no standalone distinct exchange), and every other relation
+    # (order count, item supports, the pair stream) derives from the
     # checkpointed sets, so the fact table is scanned once (was 4
     # lineitem + 4 part scans, one per un-materialized reference).
-    sets = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    sets = (li.join(F.broadcast(coded), li.l_partkey == coded.p_partkey)
               .groupBy("l_orderkey")
-              .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+              .agg(F.sort_array(F.collect_set("bc")).alias("bs"))
               .localCheckpoint())
     n_orders = sets.agg(F.count(F.lit(1)).alias("n_all"))
-    item = (sets.select(F.explode("bs").alias("p_brand"))
-            .groupBy("p_brand")
+    item = (sets.select(F.explode("bs").alias("bc"))
+            .groupBy("bc")
             .agg(F.count(F.lit(1)).alias("item_count"))
-            .localCheckpoint())
-    # both directions from each order's sorted distinct brand set:
+            .localCheckpoint(eager=False))  # vocab-bounded, 2 consumers
+    # both directions from each order's sorted distinct code set:
     # every ordered pair (x, y), x != y, emitted in-array
     pair = (sets.select(F.explode(F.expr(
                 "flatten(transform(bs, x -> "
                 "transform(filter(bs, y -> y <> x), "
-                "y -> struct(x AS antecedent, y AS consequent))))"))
+                "y -> struct(x AS a_bc, y AS c_bc))))"))
                 .alias("p"))
-            .select("p.antecedent", "p.consequent")
-            .groupBy("antecedent", "consequent")
+            .select("p.a_bc", "p.c_bc")
+            .groupBy("a_bc", "c_bc")
             .agg(F.count(F.lit(1)).alias("support"))
             .filter(F.col("support") >= RULE_MIN_SUPPORT))
-    ia = item.select(F.col("p_brand").alias("antecedent"),
-                     F.col("item_count").alias("n_antecedent"))
-    ic = item.select(F.col("p_brand").alias("consequent"),
-                     F.col("item_count").alias("n_consequent"))
-    return (pair.join(F.broadcast(ia), "antecedent")
-                .join(F.broadcast(ic), "consequent")
+    ia = (item.join(F.broadcast(dim), "bc")
+              .select(F.col("bc").alias("a_bc"),
+                      F.col("p_brand").alias("antecedent"),
+                      F.col("item_count").alias("n_antecedent")))
+    ic = (item.join(F.broadcast(dim), "bc")
+              .select(F.col("bc").alias("c_bc"),
+                      F.col("p_brand").alias("consequent"),
+                      F.col("item_count").alias("n_consequent")))
+    return (pair.join(F.broadcast(ia), "a_bc")
+                .join(F.broadcast(ic), "c_bc")
                 .crossJoin(F.broadcast(n_orders))
                 .select("antecedent", "consequent", "support",
                         "n_antecedent", "n_consequent",
@@ -392,12 +411,35 @@ KM_CENSOR_DAYS = 7  # still-active horizon: last event within 7 days
     tags=("timeseries", "statistics"),
 )
 def survival_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").select(
-        "user_id",
-        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
-         .cast("long").alias("d"))
-    u = e.groupBy("user_id").agg(F.min("d").alias("first_d"),
-                                 F.max("d").alias("last_d"))
+    # Lazy checkpoints (r11, guide §1.2): `u` is consumed by BOTH the
+    # corpus_end scalar and the lifetime projection, and `terms` by
+    # both the broadcast fold array and the final select — without the
+    # cuts the plan re-executed the events scan + per-user aggregate
+    # ~4x per run (multi-consumer re-execution rule; the 0.33
+    # anti-scaling VERDICT r10 flagged). Both are aggregate-sized
+    # relations (one row per user / per distinct lifetime), the
+    # allowed checkpoint class. The pre-checkpoint shapes live in
+    # _survival_user_lifetimes/_survival_km_terms so the plan gate can
+    # still prove scan pruning + window-above-aggregate (checkpoints
+    # hide interior structure from final-plan gates).
+    u = _survival_user_lifetimes(spark, sf_dir).localCheckpoint(eager=False)
+    terms = _survival_km_terms(u).localCheckpoint(eager=False)
+    arr = terms.agg(F.expr(
+        "array_sort(collect_list(struct(t_days, term)))").alias("a"))
+    return (terms.crossJoin(F.broadcast(arr))
+                 .select("t_days", "n_at_risk", "d_churned",
+                         F.expr("aggregate(filter(a, x -> x.t_days <= "
+                                "t_days), CAST(1.0 AS DOUBLE), "
+                                "(acc, x) -> acc * x.term)")
+                          .alias("survival")))
+
+
+def _survival_km_terms(u: DataFrame) -> DataFrame:
+    """Pre-checkpoint KM term relation (t_days, n_at_risk, d_churned,
+    term) from the per-user rollup; the suffix-sum window here is only
+    legal because its input is the calendar-bounded distinct-lifetime
+    aggregate — the plan gate asserts that on THIS relation, since the
+    query checkpoints it before the final fold."""
     bounds = u.agg(F.max("last_d").alias("corpus_end"))
     life = (u.crossJoin(F.broadcast(bounds))
              .select((F.col("last_d") - F.col("first_d") + 1).alias("t"),
@@ -416,18 +458,23 @@ def survival_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("t_days"),
         F.sum("n_t").over(w_desc).cast("long").alias("n_at_risk"),
         F.col("d_churned").cast("long").alias("d_churned"))
-    terms = risk.withColumn(
+    return risk.withColumn(
         "term",
         F.lit(1.0) - F.col("d_churned").cast("double")
         / F.col("n_at_risk").cast("double"))
-    arr = terms.agg(F.expr(
-        "array_sort(collect_list(struct(t_days, term)))").alias("a"))
-    return (terms.crossJoin(F.broadcast(arr))
-                 .select("t_days", "n_at_risk", "d_churned",
-                         F.expr("aggregate(filter(a, x -> x.t_days <= "
-                                "t_days), CAST(1.0 AS DOUBLE), "
-                                "(acc, x) -> acc * x.term)")
-                          .alias("survival")))
+
+
+def _survival_user_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint per-user rollup (min/max active day). Split out
+    so the plan gate can prove the events scan prunes to (user_id, ts)
+    even though the query checkpoints this relation (checkpoints hide
+    interior scans from final-plan gates — the lof gate precedent)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+         .cast("long").alias("d"))
+    return e.groupBy("user_id").agg(F.min("d").alias("first_d"),
+                                    F.max("d").alias("last_d"))
 
 
 # ------------------------------------- embedding class separation

@@ -764,23 +764,30 @@ def embedding_isotropy_panel(spark: SparkSession,
             " k -> CAST(element_at(embedding, k) AS DOUBLE)"
             " * CAST(element_at(embedding, k) AS DOUBLE)),"
             " CAST(0.0 AS DOUBLE), (a, v) -> a + v))")
+    # ONE aggregate pass over the exploded quantized stream (r11,
+    # guide §1.2/§5): the old shape EAGERLY localCheckpointed the
+    # data-sized (vec, dim, qv) explode because three consumers (dim
+    # sums, qq, n) read it — the measured-loss data-sized-
+    # materialization class. qq is just the total of per-dim sum(qv^2)
+    # (integer-exact, grouping-order-free), so it rides the SAME
+    # 64-group dim aggregate; n is a column-pruned count of the base
+    # table (= distinct vec_id under the primary key, the oracle's
+    # COUNT(*) FROM nv). vec_id drops out of the explode entirely.
     q = (load(spark, sf_dir, "embeddings")
-         .selectExpr("vec_id", f"{norm} AS nrm", "embedding")
-         .select("vec_id", "nrm",
-                 F.posexplode("embedding").alias("d0", "v"))
-         .selectExpr("vec_id", "d0 + 1 AS d",
+         .selectExpr(f"{norm} AS nrm", "embedding")
+         .select("nrm", F.posexplode("embedding").alias("d0", "v"))
+         .selectExpr("d0 + 1 AS d",
                      f"CAST(ROUND(CAST(v AS DOUBLE) / nrm"
-                     f" * {_Q_SCALE}) AS BIGINT) AS qv")
-         # dim sums + qq + n all consume the quantized table
-         .localCheckpoint())
-    dims = q.groupBy("d").agg(F.sum("qv").cast("long").alias("s_d"))
+                     f" * {_Q_SCALE}) AS BIGINT) AS qv"))
+    dims = q.groupBy("d").agg(
+        F.sum("qv").cast("long").alias("s_d"),
+        F.expr("SUM(CAST(qv AS DECIMAL(38,0)) * qv)").alias("q_d"))
     ss = dims.agg(F.expr("SUM(CAST(s_d AS DECIMAL(38,0)) * s_d)")
-                   .alias("ss"))
-    qq = q.agg(F.expr("SUM(CAST(qv AS DECIMAL(38,0)) * qv)")
-                .alias("qq"))
-    n = (q.select("vec_id").distinct()
-          .agg(F.count(F.lit(1)).cast("long").alias("n")))
-    return (ss.crossJoin(F.broadcast(qq)).crossJoin(F.broadcast(n))
+                   .alias("ss"),
+                  F.expr("CAST(SUM(q_d) AS DECIMAL(38,0))").alias("qq"))
+    n = (load(spark, sf_dir, "embeddings")
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    return (ss.crossJoin(F.broadcast(n))
             .selectExpr(
                 "n AS n_vectors",
                 f"({_wide('ss')} - {_wide('qq')})"

@@ -24,7 +24,13 @@ SCAN_BUDGETS_R14 = {
     "cronbachs_alpha_quality_rules": 1,
     "vocab_coverage_curve": 0,          # vocab tf table checkpointed
     "cross_source_ngram_overlap": 0,    # gram set checkpointed
-    "embedding_isotropy_panel": 0,      # quantized table checkpointed
+    # r11: the data-sized quantized-explode checkpoint was REMOVED
+    # (measured-loss materialization class) — qq now rides the single
+    # 64-group dim aggregate and n is a column-pruned count, so the
+    # final plan legitimately holds exactly 2 parquet scans (the one
+    # heavy explode pass + the count-only scan); 3+ would mean the
+    # explode re-executes for a second consumer again
+    "embedding_isotropy_panel": 2,
 }
 
 

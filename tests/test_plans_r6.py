@@ -253,11 +253,23 @@ def test_survival_retention_windows_sit_above_lifetime_aggregate(
     """survival_retention_curve's unpartitioned suffix-sum window is
     only legal because its input is the calendar-bounded distinct-
     lifetime aggregate: every WindowExec subtree must contain an
-    Aggregate, and the events scan must prune to (user_id, ts)."""
+    Aggregate, and the events scan must prune to (user_id, ts).
+    r11: the query lazily checkpoints both the per-user rollup and the
+    KM term relation (multi-consumer re-execution fix), which hides
+    the window/scan from the FINAL plan — so assert on the query's own
+    pre-checkpoint helpers (the lof-gate precedent), and additionally
+    that the final plan holds no parquet scan (every consumer reads
+    the checkpointed blocks)."""
     from de_project_airflow_etl_spark.plans.inspect import (
         _walk_jplan, scan_read_schema)
-    df = R6_BANK["survival_retention_curve"].fn(spark, sf_dir)
-    jplan = df._jdf.queryExecution().sparkPlan()
+    from de_project_airflow_etl_spark.queries.mining import (
+        _survival_km_terms, _survival_user_lifetimes)
+    u = _survival_user_lifetimes(spark, sf_dir)
+    for line in scan_read_schema(u):
+        assert "event_type" not in line and "props" not in line, (
+            f"events scan not pruned: {line}")
+    terms = _survival_km_terms(u)
+    jplan = terms._jdf.queryExecution().sparkPlan()
     windows = [n for n in _walk_jplan(jplan)
                if n.getClass().getSimpleName().startswith("WindowExec")]
     assert windows, "expected the n_at_risk suffix-sum WindowExec"
@@ -265,9 +277,13 @@ def test_survival_retention_windows_sit_above_lifetime_aggregate(
         sub = list(_walk_jplan(wnode.children().apply(0)))
         assert any("Aggregate" in ch.getClass().getSimpleName()
                    for ch in sub), "window consumes un-aggregated rows"
-    for line in scan_read_schema(df):
-        assert "event_type" not in line and "props" not in line, (
-            f"events scan not pruned: {line}")
+    df = R6_BANK["survival_retention_curve"].fn(spark, sf_dir)
+    final_names = [n.getClass().getSimpleName()
+                   for n in _walk_jplan(df._jdf.queryExecution().sparkPlan())]
+    assert not any("FileSourceScan" in n or "BatchScan" in n
+                   for n in final_names), (
+        "final plan re-reads parquet despite the checkpoints: "
+        + str(final_names))
 
 
 def test_lof_bucket_sizes_broadcast_not_windowed(spark, sf_dir):
