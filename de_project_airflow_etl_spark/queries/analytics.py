@@ -76,18 +76,34 @@ def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generation deterministic — and emit the ordered pairs with
     # nested array lambdas inside codegen. The pair aggregate then
     # combines map-side into at most |brands|^2 cells per partition.
+    # Brands ride as DENSE INT CODES through the corpus-scale stages
+    # (r11, guide §2.3 narrower shuffle types + join-back, the
+    # market_basket_rules transform): codes are row_number over the
+    # sorted bounded brand vocabulary, so code order == string order
+    # and the in-array `<` pairing is exact by construction; the
+    # bounded join-back recovers strings for the surviving pairs.
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (li.join(pt, li.l_partkey == pt.p_partkey)
+    dim = (pt.select("p_brand").distinct()
+             .select("p_brand",
+                     F.row_number().over(Window.orderBy("p_brand"))
+                      .cast("int").alias("bc"))
+             .localCheckpoint(eager=False))  # bounded dim, 3 consumers
+    coded = pt.join(F.broadcast(dim), "p_brand").select("p_partkey", "bc")
+    baskets = (li.join(F.broadcast(coded), li.l_partkey == coded.p_partkey)
                  .groupBy("l_orderkey")
-                 .agg(F.expr("sort_array(collect_set(p_brand))")
-                       .alias("bs")))
+                 .agg(F.expr("sort_array(collect_set(bc))").alias("bs")))
     pairs = baskets.select(F.explode(F.expr(
-        ordered_pair_structs("bs", "brand_a", "brand_b"))).alias("p"))
-    return (pairs.select("p.brand_a", "p.brand_b")
-            .groupBy("brand_a", "brand_b")
-            .agg(F.count("*").alias("support"))
-            .filter(F.col("support") >= PAIR_MIN_SUPPORT))
+        ordered_pair_structs("bs", "a_bc", "b_bc"))).alias("p"))
+    sup = (pairs.select("p.a_bc", "p.b_bc")
+           .groupBy("a_bc", "b_bc")
+           .agg(F.count("*").alias("support"))
+           .filter(F.col("support") >= PAIR_MIN_SUPPORT))
+    da = dim.selectExpr("bc AS a_bc", "p_brand AS brand_a")
+    db = dim.selectExpr("bc AS b_bc", "p_brand AS brand_b")
+    return (sup.join(F.broadcast(da), "a_bc")
+               .join(F.broadcast(db), "b_bc")
+               .select("brand_a", "brand_b", "support"))
 
 
 # ------------------------------------------------- CDC changelog apply
