@@ -701,11 +701,19 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_EXACT_KEY_SPARK).alias("k1"),
         F.expr(_CASEFOLD_KEY_SPARK).alias("k2"),
         F.expr(_BAG_KEY_SPARK).alias("k3"))
+    # Per-key dup counts as COUNT(*) OVER (PARTITION BY k_i) instead
+    # of groupBy + join-back (r11, guide §2.4): the old shape scanned
+    # documents 4x (once per count branch + the join chain base) and
+    # sort-merge-joined the full stream three times; the windows keep
+    # ONE scan + three exchanges. The partition keys are dup-group
+    # keys that GROW with data (near one per doc), so this is NOT the
+    # fixed-cardinality window hazard. Interleaved warm A/B at sf0.1:
+    # 1.982s -> 0.977s best-of-7, new faster every round; rows
+    # identical at sf0.01 + sf0.1, oracle exact at 3 SFs.
     flagged = d
     for i in (1, 2, 3):
-        counts = (d.groupBy(f"k{i}")
-                   .agg(F.count(F.lit(1)).alias(f"c{i}")))
-        flagged = flagged.join(counts, f"k{i}")
+        flagged = flagged.withColumn(
+            f"c{i}", F.count(F.lit(1)).over(Window.partitionBy(f"k{i}")))
     flags = flagged.select(
         "doc_id",
         F.expr("CASE WHEN c1 > 1 THEN 1 ELSE 0 END").alias("f_exact"),

@@ -91,13 +91,19 @@ def test_triplet_mining_has_no_window_and_no_candidate_arrays(spark,
 
 
 def test_method_agreement_shuffles_hashes_not_text(spark, sf_dir):
-    """The three flag joins must key on md5 hashes: after the keyed
-    projection no exchange may carry the text column."""
+    """The three per-key count exchanges must key on md5 hashes: after
+    the keyed projection no exchange may carry the text column. r11:
+    the counts are COUNT(*) OVER (PARTITION BY k_i) windows (the
+    partition keys grow with data, so this is not the fixed-key
+    hazard) instead of groupBy + join-back — the plan must hold
+    exactly ONE documents scan (the old shape re-parsed text 4x)."""
     df = R7_BANK["dedup_method_agreement"].fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"expected 1 documents scan, saw {n_scans}"
 
 
 def test_cohort_triangle_broadcasts_sizes(spark, sf_dir):
