@@ -386,3 +386,9 @@ def test_batch4_plans_are_scale_shaped(spark, sf_dir):
     assert scan_i is not None, plan
     between = "\n".join(tree[win_i + 1:scan_i])
     assert "Aggregate" in between, plan
+
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

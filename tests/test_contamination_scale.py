@@ -48,3 +48,9 @@ def test_contamination_finds_exactly_the_planted_leaks(spark,
     assert found == planted
     # full-text copies share all 18 distinct trigrams, nothing more
     assert {r["n_shared_ngrams"] for r in rows} == {N_TOKENS - 2}
+
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

@@ -87,3 +87,9 @@ def test_isotropy_at_50k_vectors(spark, tmp_path_factory):
     # sum over ordered pairs of cos = 0 - n  ->  mean = -1/(n-1)
     assert r["mean_pairwise_cosine"] == pytest.approx(
         -1.0 / (n - 1), abs=1e-12)
+
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

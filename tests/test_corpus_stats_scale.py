@@ -97,3 +97,9 @@ def test_boilerplate_flags_exactly_the_planted_class(spark, tmp_path,
     # hash-unique docs: a doc would need >= 4 of its 16 grams shared
     # with another doc to be flagged — probability ~0 at this vocab
     assert stats["clean"]["n_flagged"] == 0
+
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

@@ -42,3 +42,9 @@ def test_registry_is_populated():
     assert len(QUERIES) >= 30, sorted(QUERIES)
     with_oracle = [n for n, q in QUERIES.items() if q.oracle]
     assert len(with_oracle) >= 25
+
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

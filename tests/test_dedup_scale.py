@@ -137,3 +137,9 @@ def test_jaccard_df_cap_keeps_candidates_linear(spark, tmp_path):
                .collect()[0]["c"])
     assert cands < 10 * N_BOILER, cands
     dedup.clear_pairs_cache()
+
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 
@@ -21,6 +23,7 @@ def test_queries_and_oracles_align():
                for sql in os_.values())
 
 
+@pytest.mark.slow  # ~5.5 min: all 478 queries end-to-end; slow tier
 def test_all_queries_run_at_smoke_sf(spark):
     """Every registered query must at least execute at sf0.001."""
     for name, fn in sorted(entrymod.queries().items()):

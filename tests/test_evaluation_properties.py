@@ -234,3 +234,11 @@ def test_audio_chunks_tile_the_payload(spark):
         for c in chunks[:-1]:
             assert c["n_bytes"] == CHUNK_BYTES or \
                 c["start_byte"] + c["n_bytes"] == end
+
+
+import pytest  # noqa: E402  (tier mark below)
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

@@ -68,3 +68,9 @@ def test_scale_stress_chain_plus_rings(spark):
     assert len(sizes) == 1000                         # the rings
     assert set(sizes.values()) == {10}
     assert set(sizes.keys()) == {base + r * 10 for r in range(1000)}
+
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

@@ -67,3 +67,11 @@ def test_harmonic_bfs_triangle_with_tail(spark):
     assert hc[2] == (4, 42)
     assert hc[3] == (4, 12 * 2 + 6 * 2)
     assert hc[4] == (4, 26)
+
+
+import pytest  # noqa: E402  (tier mark below)
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

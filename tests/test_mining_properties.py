@@ -127,3 +127,9 @@ def test_kmv_estimate_is_close_at_small_cardinality(spark, sf_dir):
     assert row["k_used"] <= KMV_K
     assert row["kth_hash"] > 0
     assert 0.5 < row["est_over_true"] < 2.0, row
+
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

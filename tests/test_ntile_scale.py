@@ -142,3 +142,9 @@ def test_adaptive_rank_levels_zero_inflated_spike(spark):
             Window.orderBy(F.asc("v"), F.asc("k"))).alias("r"))
     assert want.join(got.select("k", "r").withColumnRenamed("r", "g"),
                      "k").filter(F.col("r") != F.col("g")).count() == 0
+
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

@@ -186,3 +186,11 @@ def test_near_dup_with_gated_canonical_keeps_survivor(spark, tmp_path,
     # must survive the near-dup stage because its canonical did not
     # reach stage 4 (the old rule dropped BOTH copies)
     assert got.get(("5_near_dedup", "xx")) == 1, got
+
+
+import pytest  # noqa: E402  (tier mark below)
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

@@ -199,3 +199,9 @@ def test_pq_adc_planted_twin_scores_minimum_at_100k(spark,
     by_id = {r["vec_id"]: r["adc_dist"] for r in rows}
     assert PLANTED_ID in by_id
     assert by_id[PLANTED_ID] == rows[0]["adc_dist"]  # ties the minimum
+
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

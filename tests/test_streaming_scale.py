@@ -55,3 +55,9 @@ def test_streaming_agrees_with_batch_on_1m_events(spark, big_events):
     assert streamed == batch
     assert len(batch) > 100          # real state-key spread
     assert sum(r[-1] for r in batch) == N_EVENTS
+
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

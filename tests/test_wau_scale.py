@@ -66,3 +66,9 @@ def test_wau_plan_has_no_global_window(spark, wau_corpus):
     # restriction must be a broadcast semi join, not a shuffle
     assert "Generate" in plan, plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow

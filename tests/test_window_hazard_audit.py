@@ -150,3 +150,9 @@ def test_no_unbounded_collect_aggregates(spark, sf_dir, name):
             f"{name}: collect over keys={sorted(kcols) or 'NONE'} "
             "consumes a subtree with no Aggregate/checkpoint/limit — "
             "one aggregation state buffers a data-sized group")
+
+
+# r11 test tiering: multi-minute sweep/scale/property module —
+# excluded from the default (driver-budget) run; run with
+# -m "slow or not slow" for the full signal (see pytest.ini).
+pytestmark = pytest.mark.slow
